@@ -1,0 +1,50 @@
+"""dataframe_spark — a PySpark-native analytics engine with the
+query surface of DataHaskell/dataframe (reference at
+/root/reference), extended with large-scale LLM-data-pipeline
+operators (dedup, similarity search, text analysis, multimodal).
+
+Usage mirrors the reference's ``D.``/``F.`` convention::
+
+    import dataframe_spark as D
+    from dataframe_spark import expr as F
+
+    spark = D.get_spark()
+    df = D.read_parquet(spark, "lineitem.parquet")
+    (df.filter_where(F.col("l_quantity") > 10)
+       .group_by(["l_returnflag"])
+       .aggregate(total=F.sum_("l_extendedprice"))
+       .show())
+"""
+
+from . import expr
+from .core import Asc, DataFrame, Desc, GroupedDataFrame
+from .session import get_spark
+from .sources import (
+    read_csv,
+    read_json,
+    read_parquet,
+    read_tsv,
+    write_csv,
+    write_json,
+    write_parquet,
+    write_parquet_bucketed,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "DataFrame",
+    "GroupedDataFrame",
+    "Asc",
+    "Desc",
+    "expr",
+    "get_spark",
+    "read_csv",
+    "read_tsv",
+    "read_json",
+    "read_parquet",
+    "write_csv",
+    "write_json",
+    "write_parquet",
+    "write_parquet_bucketed",
+]

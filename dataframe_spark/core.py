@@ -1,0 +1,457 @@
+"""Core DataFrame verbs — the analogue of the reference's ``D.*`` API.
+
+Reference: /root/reference/src/DataFrame/Operations/{Core,Subset,
+Transformations,Aggregation,Join,Merge,Permutation,Statistics}.hs.
+
+Design: a THIN wrapper over :class:`pyspark.sql.DataFrame`. Every
+verb returns a new wrapper around a pure lazy Spark plan — nothing
+materializes until an action, so Catalyst sees whole pipelines and
+applies pushdown/pruning/join-reordering across verb boundaries.
+The underlying plan is always available as ``.df``.
+
+Scale notes: no verb ever calls ``.collect()`` on table data.
+Scalar-statistic verbs (``impute``, ``summarize``) are expressed as
+single-pass aggregations cross-joined back as broadcast one-row
+plans, so they remain fully distributed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import functions as F
+
+__all__ = ["DataFrame", "GroupedDataFrame", "Asc", "Desc"]
+
+Asc = "asc"
+Desc = "desc"
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+class DataFrame:
+    """Reference-style verbs compiled to Spark plans."""
+
+    def __init__(self, df: SparkDF):
+        self.df = df
+
+    # -- plumbing ------------------------------------------------------
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"DataFrame[{', '.join(self.df.columns)}]"
+
+    def to_spark(self) -> SparkDF:
+        return self.df
+
+    def to_pandas(self):
+        return self.df.toPandas()
+
+    def collect(self):
+        return self.df.collect()
+
+    def show(self, n: int = 10):  # pragma: no cover
+        self.df.show(n)
+
+    def explain(self, mode: str = "formatted"):  # pragma: no cover
+        self.df.explain(mode)
+
+    def _wrap(self, df: SparkDF) -> "DataFrame":
+        return DataFrame(df)
+
+    # -- core / exploration (Operations/Core.hs) -----------------------
+
+    @property
+    def column_names(self) -> list[str]:
+        return self.df.columns
+
+    def n_columns(self) -> int:
+        return len(self.df.columns)
+
+    def n_rows(self) -> int:
+        """Action (reference ``nRows``)."""
+        return self.df.count()
+
+    def dimensions(self) -> tuple[int, int]:
+        return (self.n_rows(), self.n_columns())
+
+    # -- subset (Operations/Subset.hs) ---------------------------------
+
+    def select(self, cols: Sequence) -> "DataFrame":
+        return self._wrap(self.df.select(*[_c(c) for c in cols]))
+
+    def select_by_name_range(self, start: str, end: str) -> "DataFrame":
+        """Subset.hs ``byNameRange`` — inclusive positional range of
+        the current column order."""
+        names = self.df.columns
+        i, j = names.index(start), names.index(end)
+        return self.select(names[i : j + 1])
+
+    def select_by_index_range(self, start: int, end: int) -> "DataFrame":
+        return self.select(self.df.columns[start : end + 1])
+
+    def select_by_property(self, pred: Callable[[str], bool]) -> "DataFrame":
+        """Subset.hs ``byNameProperty``."""
+        return self.select([c for c in self.df.columns if pred(c)])
+
+    def exclude(self, cols: Sequence[str]) -> "DataFrame":
+        return self._wrap(self.df.drop(*cols))
+
+    def take(self, n: int) -> "DataFrame":
+        """Negative n is a no-op (reference test_coverage.md: take)."""
+        if n < 0:
+            return self
+        return self._wrap(self.df.limit(n))
+
+    def drop_rows(self, n: int) -> "DataFrame":
+        if n < 0:
+            return self
+        return self._wrap(self.df.offset(n))
+
+    def range_rows(self, start: int, end: int) -> "DataFrame":
+        """Subset.hs ``range (start, end)`` — rows [start, end)."""
+        return self._wrap(self.df.offset(start).limit(max(end - start, 0)))
+
+    def take_last(self, n: int) -> "DataFrame":
+        """Requires a count (action) — last-n has no distributed
+        meaning without an explicit order; prefer sort_by + take."""
+        total = self.df.count()
+        return self._wrap(self.df.offset(max(total - n, 0)))
+
+    def drop_last(self, n: int) -> "DataFrame":
+        total = self.df.count()
+        return self._wrap(self.df.limit(max(total - n, 0)))
+
+    def filter_where(self, cond: Column) -> "DataFrame":
+        """Subset.hs ``filterWhere`` — predicate stays JVM-side and is
+        pushed into the parquet scan when it references scan columns."""
+        return self._wrap(self.df.filter(cond))
+
+    filter = filter_where
+
+    def filter_by(self, pred: Callable[[Column], Column], col) -> "DataFrame":
+        """Subset.hs ``filterBy`` with a Column->Column predicate."""
+        return self._wrap(self.df.filter(pred(_c(col))))
+
+    def filter_just(self, col: str) -> "DataFrame":
+        return self._wrap(self.df.filter(F.col(col).isNotNull()))
+
+    def filter_nothing(self, col: str) -> "DataFrame":
+        return self._wrap(self.df.filter(F.col(col).isNull()))
+
+    def filter_all_just(self) -> "DataFrame":
+        """Subset.hs ``filterAllJust`` — drop rows with any null."""
+        return self._wrap(self.df.dropna("any"))
+
+    def filter_all_nothing(self) -> "DataFrame":
+        cond = None
+        for c in self.df.columns:
+            cc = F.col(c).isNull()
+            cond = cc if cond is None else (cond & cc)
+        return self._wrap(self.df.filter(cond))
+
+    def distinct(self) -> "DataFrame":
+        return self._wrap(self.df.distinct())
+
+    def sample(self, fraction: float, seed: int = 42) -> "DataFrame":
+        """Subset.hs ``sample`` — per-partition Bernoulli sampling,
+        no shuffle."""
+        return self._wrap(self.df.sample(fraction=fraction, seed=seed))
+
+    def random_split(self, weights: Sequence[float], seed: int = 42):
+        return [self._wrap(d) for d in self.df.randomSplit(list(weights), seed)]
+
+    def shuffle(self, seed: int = 42) -> "DataFrame":
+        """Permutation.hs ``shuffle`` — distributed sort on a seeded
+        pseudo-random key."""
+        return self._wrap(
+            self.df.orderBy(F.rand(seed)).drop("__shuffle_key")
+        )
+
+    def k_folds(self, k: int, seed: int = 42):
+        """Subset.hs ``kFolds`` — k disjoint folds via seeded bucket
+        assignment (single pass, no global sort)."""
+        bucketed = self.df.withColumn("__fold", (F.rand(seed) * k).cast("int"))
+        return [
+            self._wrap(bucketed.filter(F.col("__fold") == i).drop("__fold"))
+            for i in range(k)
+        ]
+
+    # -- transformations (Operations/Transformations.hs) ---------------
+
+    def derive(self, name: str, expr: Column) -> "DataFrame":
+        return self._wrap(self.df.withColumn(name, expr))
+
+    def derive_many(self, named: dict[str, Column]) -> "DataFrame":
+        return self._wrap(self.df.withColumns(named))
+
+    def apply(self, name: str, fn: Callable[[Column], Column]) -> "DataFrame":
+        """Transformations.hs ``apply`` — map a column in place."""
+        if name not in self.df.columns:
+            raise KeyError(f"column not found: {name}")
+        return self._wrap(self.df.withColumn(name, fn(F.col(name))))
+
+    def apply_many(self, names: Sequence[str], fn) -> "DataFrame":
+        out = self.df
+        for n in names:
+            if n not in out.columns:
+                raise KeyError(f"column not found: {n}")
+            out = out.withColumn(n, fn(F.col(n)))
+        return self._wrap(out)
+
+    def apply_where(self, cond: Column, target: str, fn) -> "DataFrame":
+        """Transformations.hs ``applyWhere`` — apply fn to ``target``
+        only on rows where ``cond`` holds."""
+        if target not in self.df.columns:
+            raise KeyError(f"column not found: {target}")
+        c = F.col(target)
+        return self._wrap(
+            self.df.withColumn(target, F.when(cond, fn(c)).otherwise(c))
+        )
+
+    def recode(self, name: str, mapping: dict, default=None) -> "DataFrame":
+        """Functions.hs ``recode``/``recodeWithDefault`` — value
+        remap via a chained CASE expression (codegen-friendly)."""
+        c = F.col(name)
+        expr = None
+        for k, v in mapping.items():
+            expr = F.when(c == k, v) if expr is None else expr.when(c == k, v)
+        expr = expr.otherwise(c if default is None else F.lit(default))
+        return self._wrap(self.df.withColumn(name, expr))
+
+    def impute(self, cols: Sequence[str], strategy="mean") -> "DataFrame":
+        """Statistics.hs ``imputeWith`` — fill nulls with a column
+        statistic. The statistic is a one-row agg plan broadcast back
+        (no driver collect, stays a single distributed plan)."""
+        if isinstance(strategy, (int, float, str)) and strategy not in (
+            "mean",
+            "median",
+        ):
+            filled = self.df.fillna(strategy, subset=list(cols))
+            return self._wrap(filled)
+        aggs = []
+        for c in cols:
+            stat = (
+                F.avg(F.col(c))
+                if strategy == "mean"
+                else F.percentile(F.col(c), F.lit(0.5))
+            )
+            aggs.append(stat.alias(f"__fill_{c}"))
+        stats = self.df.agg(*aggs)
+        out = self.df.crossJoin(F.broadcast(stats))
+        for c in cols:
+            out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__fill_{c}")))
+        return self._wrap(out.drop(*[f"__fill_{c}" for c in cols]))
+
+    def clone_column(self, src: str, dst: str) -> "DataFrame":
+        return self._wrap(self.df.withColumn(dst, F.col(src)))
+
+    def rename(self, old: str, new: str) -> "DataFrame":
+        return self._wrap(self.df.withColumnRenamed(old, new))
+
+    def rename_many(self, mapping: dict[str, str]) -> "DataFrame":
+        return self._wrap(self.df.withColumnsRenamed(mapping))
+
+    # -- sorting (Operations/Permutation.hs) ---------------------------
+
+    def sort_by(self, cols: Sequence[str], orders: Sequence[str] | str = Asc) -> "DataFrame":
+        """Permutation.hs ``sortBy`` — global distributed sort
+        (range-partitioned exchange)."""
+        if isinstance(orders, str):
+            orders = [orders] * len(cols)
+        sort_cols = [
+            F.col(c).asc() if o == Asc else F.col(c).desc()
+            for c, o in zip(cols, orders)
+        ]
+        return self._wrap(self.df.orderBy(*sort_cols))
+
+    # -- grouping / aggregation (Operations/Aggregation.hs) ------------
+
+    def group_by(self, cols: Sequence[str]) -> "GroupedDataFrame":
+        return GroupedDataFrame(self.df, list(cols))
+
+    def aggregate(self, **named: Column) -> "DataFrame":
+        """Whole-table aggregation (groupBy [])."""
+        return self._wrap(
+            self.df.agg(*[e.alias(n) for n, e in named.items()])
+        )
+
+    def rollup(self, cols: Sequence[str], **named: Column) -> "DataFrame":
+        """Hierarchical subtotals (Aggregation.hs has single-level
+        groups; rollup is the Spark-native generalization)."""
+        return self._wrap(
+            self.df.rollup(*cols).agg(*[e.alias(n) for n, e in named.items()])
+        )
+
+    def cube(self, cols: Sequence[str], **named: Column) -> "DataFrame":
+        return self._wrap(
+            self.df.cube(*cols).agg(*[e.alias(n) for n, e in named.items()])
+        )
+
+    def value_counts(self, col: str, normalize: bool = False) -> "DataFrame":
+        """Aggregation.hs ``valueCounts`` / ``valueProportions`` —
+        partial (map-side) aggregation then a single shuffle on the
+        value; proportion via a broadcast one-row total."""
+        counts = self.df.groupBy(col).agg(F.count(F.lit(1)).alias("count"))
+        if normalize:
+            total = self.df.agg(F.count(F.lit(1)).alias("__total"))
+            counts = counts.crossJoin(F.broadcast(total)).select(
+                col,
+                (F.col("count") / F.col("__total")).alias("proportion"),
+            )
+        return self._wrap(counts)
+
+    frequencies = value_counts
+
+    # -- statistics (Operations/Statistics.hs) -------------------------
+
+    def correlation(self, c1: str, c2: str) -> float | None:
+        """Pearson correlation (action, scalar — mirrors the
+        reference returning ``Maybe Double``)."""
+        row = self.df.agg(F.corr(_c(c1), _c(c2)).alias("r")).first()
+        return row["r"]
+
+    def describe_columns(self) -> "DataFrame":
+        """Core.hs ``describeColumns`` — one row per column with
+        non-null / null / unique counts + type.
+
+        Single aggregation pass over the table (constant number of
+        agg expressions), then an unpivot of the one-row result —
+        NOT one job per column."""
+        df = self.df
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in df.columns:
+            aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+            aggs.append(F.countDistinct(F.col(c)).alias(f"__u_{c}"))
+        one = df.agg(*aggs)
+        types = dict(df.dtypes)
+        stack_args = []
+        for c in df.columns:
+            stack_args.append(f"'{c}'")
+            stack_args.append(f"cast(`__nn_{c}` as bigint)")
+            stack_args.append(f"cast(`__n` - `__nn_{c}` as bigint)")
+            stack_args.append(f"cast(`__u_{c}` as bigint)")
+        stacked = one.selectExpr(
+            f"stack({len(df.columns)}, {', '.join(stack_args)}) as "
+            "(column_name, non_null, nulls, unique_values)"
+        )
+        type_map = F.create_map(
+            *[x for c in df.columns for x in (F.lit(c), F.lit(types[c]))]
+        )
+        return self._wrap(
+            stacked.withColumn("type", type_map[F.col("column_name")])
+        )
+
+    def summarize(self) -> "DataFrame":
+        """Statistics.hs ``summarize`` — per numeric column: mean,
+        std (sample), min, q25, median, q75, max. One agg pass +
+        unpivot, same shape as describe_columns."""
+        df = self.df
+        num_types = ("int", "bigint", "double", "float", "smallint", "tinyint")
+        num_cols = [c for c, t in df.dtypes if t in num_types]
+        aggs = []
+        for c in num_cols:
+            cc = F.col(c).cast("double")
+            aggs += [
+                F.avg(cc).alias(f"__mean_{c}"),
+                F.stddev_samp(cc).alias(f"__std_{c}"),
+                F.min(cc).alias(f"__min_{c}"),
+                F.percentile(cc, F.lit(0.25)).alias(f"__q25_{c}"),
+                F.percentile(cc, F.lit(0.5)).alias(f"__med_{c}"),
+                F.percentile(cc, F.lit(0.75)).alias(f"__q75_{c}"),
+                F.max(cc).alias(f"__max_{c}"),
+            ]
+        one = df.agg(*aggs)
+        stats = ["mean", "std", "min", "q25", "med", "q75", "max"]
+        names = ["mean", "std", "min", "q25", "median", "q75", "max"]
+        stack_args = []
+        for c in num_cols:
+            stack_args.append(f"'{c}'")
+            stack_args += [f"`__{s}_{c}`" for s in stats]
+        stacked = one.selectExpr(
+            f"stack({len(num_cols)}, {', '.join(stack_args)}) as "
+            f"(column_name, {', '.join(names)})"
+        )
+        return self._wrap(stacked)
+
+    def histogram(self, col: str, bins: int = 10) -> "DataFrame":
+        """Display/Terminal/Plot.hs analogue — equi-width bucket
+        counts via a broadcast min/max one-row plan (two passes, both
+        distributed)."""
+        rng = self.df.agg(
+            F.min(_c(col)).cast("double").alias("__lo"),
+            F.max(_c(col)).cast("double").alias("__hi"),
+        )
+        width = (F.col("__hi") - F.col("__lo")) / bins
+        bucket = F.least(
+            F.floor((_c(col).cast("double") - F.col("__lo")) / width),
+            F.lit(bins - 1),
+        ).cast("int")
+        return self._wrap(
+            self.df.crossJoin(F.broadcast(rng))
+            .withColumn("bucket", bucket)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy("bucket")
+        )
+
+    # -- joins (Operations/Join.hs) ------------------------------------
+
+    def _join(self, other: "DataFrame", on: Sequence[str], how: str, broadcast: bool) -> "DataFrame":
+        right = other.df
+        dup = (set(self.df.columns) & set(right.columns)) - set(on)
+        for c in dup:
+            right = right.withColumnRenamed(c, f"{c}_right")
+        if broadcast:
+            right = F.broadcast(right)
+        return self._wrap(self.df.join(right, on=list(on), how=how))
+
+    def inner_join(self, on: Sequence[str], other: "DataFrame", broadcast: bool = False) -> "DataFrame":
+        """Join.hs ``innerJoin`` — shuffled hash join on keys; pass
+        ``broadcast=True`` for small dims (or let AQE decide)."""
+        return self._join(other, on, "inner", broadcast)
+
+    def left_join(self, on: Sequence[str], other: "DataFrame", broadcast: bool = False) -> "DataFrame":
+        return self._join(other, on, "left", broadcast)
+
+    def right_join(self, on: Sequence[str], other: "DataFrame", broadcast: bool = False) -> "DataFrame":
+        return self._join(other, on, "right", broadcast)
+
+    def full_outer_join(self, on: Sequence[str], other: "DataFrame") -> "DataFrame":
+        return self._join(other, on, "outer", False)
+
+    # -- merge (Operations/Merge.hs) -----------------------------------
+
+    def concat(self, other: "DataFrame") -> "DataFrame":
+        """Merge.hs vertical merge — union by name, null-filling
+        missing columns on either side."""
+        return self._wrap(
+            self.df.unionByName(other.df, allowMissingColumns=True)
+        )
+
+
+class GroupedDataFrame:
+    """Aggregation.hs ``GroupedDataFrame`` — a deferred groupBy.
+
+    ``aggregate`` compiles to Spark hash aggregation with map-side
+    partial aggregation (one shuffle on the group keys)."""
+
+    def __init__(self, df: SparkDF, keys: list[str]):
+        self.df = df
+        self.keys = keys
+
+    def aggregate(self, **named: Column) -> DataFrame:
+        return DataFrame(
+            self.df.groupBy(*self.keys).agg(
+                *[e.alias(n) for n, e in named.items()]
+            )
+        )
+
+    def apply_in_pandas(self, fn, schema) -> DataFrame:
+        """Escape hatch for per-group imperative logic (Arrow-batched
+        grouped-map, the Spark-native analogue of the reference's
+        vector-of-vectors group representation)."""
+        return DataFrame(self.df.groupBy(*self.keys).applyInPandas(fn, schema))

@@ -1,0 +1,231 @@
+"""Expression DSL — the analogue of the reference's ``DataFrame.Functions``.
+
+Reference: /root/reference/src/DataFrame/Functions.hs (Expr DSL:
+col/lit/lift/comparisons/boolean/conditional/aggregations) and
+/root/reference/src/DataFrame/Internal/Expression.hs.
+
+Every function here returns a :class:`pyspark.sql.Column`, i.e. a
+Catalyst expression node. Nothing executes eagerly; the whole
+pipeline stays inside whole-stage codegen on the JVM. ``lift`` /
+``lift2`` are the only escape hatches into Python and use
+Arrow-batched pandas UDFs, never row-at-a-time UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# --- column / literal -------------------------------------------------
+
+col = F.col
+lit = F.lit
+
+
+def _c(x) -> Column:
+    """Accept either a column name or a Column."""
+    return F.col(x) if isinstance(x, str) else x
+
+
+# --- comparisons & boolean (Functions.hs: eq/lt/gt/leq/geq/and/or/not)
+
+def eq(a, b) -> Column:
+    return _c(a) == _c(b)
+
+
+def lt(a, b) -> Column:
+    return _c(a) < _c(b)
+
+
+def gt(a, b) -> Column:
+    return _c(a) > _c(b)
+
+
+def leq(a, b) -> Column:
+    return _c(a) <= _c(b)
+
+
+def geq(a, b) -> Column:
+    return _c(a) >= _c(b)
+
+
+def and_(a, b) -> Column:
+    return _c(a) & _c(b)
+
+
+def or_(a, b) -> Column:
+    return _c(a) | _c(b)
+
+
+def not_(a) -> Column:
+    return ~_c(a)
+
+
+def if_then_else(cond, then, otherwise) -> Column:
+    """Functions.hs ``ifThenElse``."""
+    return F.when(_c(cond), then).otherwise(otherwise)
+
+
+# --- scalar math (Functions.hs: pow/relu/toDouble/abs/min/max/div/mod)
+
+def pow_(a, n) -> Column:
+    return F.pow(_c(a), n)
+
+
+def relu(a) -> Column:
+    return F.greatest(_c(a), F.lit(0))
+
+
+def to_double(a) -> Column:
+    return _c(a).cast("double")
+
+
+def min2(a, b) -> Column:
+    """Binary min (Functions.hs ``min``)."""
+    return F.least(_c(a), _c(b))
+
+
+def max2(a, b) -> Column:
+    """Binary max (Functions.hs ``max``)."""
+    return F.greatest(_c(a), _c(b))
+
+
+def int_div(a, b) -> Column:
+    return _c(a).cast("long") / F.nullif(_c(b).cast("long"), F.lit(0))
+
+
+def mod(a, b) -> Column:
+    return _c(a) % _c(b)
+
+
+def round_to(n: int, a) -> Column:
+    """Statistics.hs ``roundTo``."""
+    return F.round(_c(a), n)
+
+
+def clip(lo, hi, a) -> Column:
+    return F.least(F.greatest(_c(a), F.lit(lo)), F.lit(hi))
+
+
+# --- null handling (Maybe combinators) --------------------------------
+
+def is_just(a) -> Column:
+    return _c(a).isNotNull()
+
+
+def is_nothing(a) -> Column:
+    return _c(a).isNull()
+
+
+def from_maybe(default, a) -> Column:
+    """``fromMaybe``: replace null with a default."""
+    return F.coalesce(_c(a), F.lit(default))
+
+
+def when_present(f: Callable[[Column], Column], a) -> Column:
+    """``whenPresent``: apply f, propagating null (Spark does this
+    natively for almost all builtins)."""
+    c = _c(a)
+    return F.when(c.isNotNull(), f(c))
+
+
+# --- strings (Functions.hs: splitOn/match/matchAll) -------------------
+
+def split_on(sep: str, a) -> Column:
+    return F.split(_c(a), sep)
+
+
+def match(pattern: str, a) -> Column:
+    """First regex match or null (``match``)."""
+    m = F.regexp_extract(_c(a), pattern, 0)
+    return F.when(m != "", m)
+
+
+def match_all(pattern: str, a) -> Column:
+    """All regex matches (``matchAll``)."""
+    return F.regexp_extract_all(_c(a), F.lit(pattern), F.lit(0))
+
+
+# --- dates (Functions.hs: daysBetween/parseDate) ----------------------
+
+def days_between(a, b) -> Column:
+    return F.datediff(_c(b), _c(a))
+
+
+def parse_date(fmt: str, a) -> Column:
+    return F.to_date(_c(a), fmt)
+
+
+# --- aggregations (Functions.hs agg exprs) ----------------------------
+
+sum_ = lambda a: F.sum(_c(a))  # noqa: E731
+mean = lambda a: F.avg(_c(a))  # noqa: E731
+minimum = lambda a: F.min(_c(a))  # noqa: E731
+maximum = lambda a: F.max(_c(a))  # noqa: E731
+count = lambda a: F.count(_c(a))  # noqa: E731
+n_distinct = lambda a: F.countDistinct(_c(a))  # noqa: E731
+stddev = lambda a: F.stddev_samp(_c(a))  # noqa: E731
+variance = lambda a: F.var_samp(_c(a))  # noqa: E731
+skewness = lambda a: F.skewness(_c(a))  # noqa: E731
+mode_agg = lambda a: F.mode(_c(a))  # noqa: E731
+collect = lambda a: F.collect_list(_c(a))  # noqa: E731
+
+
+def median(a) -> Column:
+    """Exact median with linear interpolation (Statistics.hs
+    ``median``); matches DuckDB ``quantile_cont(x, 0.5)``."""
+    return F.percentile(_c(a), F.lit(0.5))
+
+
+def percentile(p: float, a) -> Column:
+    """Exact interpolated percentile; p in [0, 1]."""
+    return F.percentile(_c(a), F.lit(p))
+
+
+def first_or_nothing(a) -> Column:
+    return F.get(_c(a), 0)
+
+
+def last_or_nothing(a) -> Column:
+    c = _c(a)
+    return F.get(c, F.size(c) - 1)
+
+
+def z_score(a) -> Column:
+    """Functions.hs ``zScore`` — global standardization as a window
+    expression (no shuffle key → computed once per partition tree)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    c = _c(a)
+    return (c - F.avg(c).over(w)) / F.stddev_samp(c).over(w)
+
+
+# --- Python escape hatches (lift/lift2 → Arrow pandas UDFs) -----------
+
+def lift(fn: Callable, return_type: str):
+    """Lift a scalar Python fn to a vectorized column fn.
+
+    Reference ``F.lift``. The slow path by design: prefer builtins.
+    Arrow-batched, so ~10-100x faster than row-at-a-time UDFs.
+    """
+
+    @pandas_udf(return_type)
+    def _udf(s: pd.Series) -> pd.Series:
+        return s.map(fn)
+
+    return lambda a: _udf(_c(a))
+
+
+def lift2(fn: Callable, return_type: str):
+    """Lift a binary Python fn (reference ``F.lift2``)."""
+
+    @pandas_udf(return_type)
+    def _udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        return pd.Series([fn(x, y) for x, y in zip(s1, s2)])
+
+    return lambda a, b: _udf(_c(a), _c(b))

@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for large-scale analytics.
+
+The defaults mirror what we would deploy on a 1000-executor cluster:
+AQE for runtime re-planning (partition coalescing, skew-join
+splitting), Arrow for any Python exchange, and parquet pushdown left
+fully enabled so Catalyst prunes columns/partitions at the scan.
+
+Locally we run ``local[N]``; the same code is cluster-ready because
+nothing here depends on local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "dataframe_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-oriented defaults.
+
+    - AQE on: coalesces post-shuffle partitions and splits skewed
+      join partitions at runtime — the knob that matters most at
+      100 TB where static partition counts are always wrong.
+    - Arrow on: any pandas UDF / toPandas exchange is columnar.
+    - ANSI off: permissive SQL semantics (null on bad cast /
+      division by zero) matching the exploratory-analytics posture
+      of the reference library.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    elif SparkSession.getActiveSession() is None:
+        builder = builder.master(f"local[{DEFAULT_SHUFFLE_PARTITIONS}]")
+    builder = (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()

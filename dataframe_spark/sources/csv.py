@@ -1,0 +1,68 @@
+"""CSV/TSV source with schema inference.
+
+Reference: /root/reference/src/DataFrame/IO/CSV.hs (ReadOptions:
+hasHeader, separator, nullish markers, date parsing) and
+Operations/Typing.hs (parseDefaults — string → Int/Double/Bool/Day
+inference).
+
+Spark-first: ``spark.read.csv`` with ``inferSchema`` does the
+Int/Double/Bool/Date promotion on the executors in one distributed
+pass; the reference does the same inference single-threaded per
+column. Multiple nullish markers (reference ``convertNullish``) are
+normalized via a post-scan CASE expression, which Catalyst folds
+into the same scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..core import DataFrame
+
+DEFAULT_NULLISH = ["", "NA", "N/A", "null", "NULL", "None", "n/a"]
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    separator: str = ",",
+    has_header: bool = True,
+    nullish: list[str] | None = None,
+    infer_schema: bool = True,
+    date_format: str | None = None,
+) -> DataFrame:
+    nullish = DEFAULT_NULLISH if nullish is None else nullish
+    reader = (
+        spark.read.option("header", has_header)
+        .option("sep", separator)
+        .option("inferSchema", infer_schema)
+        .option("nullValue", nullish[0] if nullish else "")
+        .option("nanValue", "NaN")
+        .option("emptyValue", None)
+    )
+    if date_format:
+        reader = reader.option("dateFormat", date_format)
+    df = reader.csv(path)
+    extra = [m for m in nullish[1:] if m]
+    if extra:
+        # Only string columns can still hold the extra markers.
+        for c, t in df.dtypes:
+            if t == "string":
+                df = df.withColumn(
+                    c, F.when(~F.col(c).isin(extra), F.col(c))
+                )
+    return DataFrame(df)
+
+
+def read_tsv(spark: SparkSession, path: str, **kw) -> DataFrame:
+    return read_csv(spark, path, separator="\t", **kw)
+
+
+def write_csv(df: DataFrame, path: str, separator: str = ",", mode: str = "overwrite"):
+    (
+        df.df.write.mode(mode)
+        .option("header", True)
+        .option("sep", separator)
+        .csv(path)
+    )

@@ -1,0 +1,52 @@
+"""Parquet source/sink.
+
+Reference: /root/reference/src/DataFrame/IO/Parquet/*.hs — a
+hand-written single-file parquet reader (thrift decode, pages,
+dictionaries, levels). On Spark all of that is the built-in
+vectorized parquet datasource: predicate pushdown to row-group
+statistics, dictionary-aware decoding, column pruning — per
+executor, in parallel. We add a bucketed writer for co-located
+joins at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..core import DataFrame
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return DataFrame(spark.read.parquet(path))
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+):
+    w = df.df.write.mode(mode)
+    if partition_by:
+        # Hive-style partition dirs → partition pruning on read.
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_parquet_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    mode: str = "overwrite",
+):
+    """Bucketed managed table: joins/aggs on ``bucket_cols`` between
+    co-bucketed tables skip the shuffle entirely — the scale play
+    for repeated big-big joins on a stable key."""
+    (
+        df.df.write.mode(mode)
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(table)
+    )

@@ -1,0 +1,44 @@
+"""Test-table loader for the driver's TPC-H-ish parquet tables.
+
+``events.parquet`` stores TIMESTAMP(NANOS) which Spark's vectorized
+parquet reader rejects; we flip the legacy nanos-as-long switch and
+rebuild a proper timestamp column (microsecond truncation — the data
+is second-granular). All other tables load as-is with full
+pushdown/pruning intact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> SparkDF:
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, SparkDF]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
