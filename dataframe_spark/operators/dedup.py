@@ -1,0 +1,252 @@
+"""Deduplication operators for large-scale corpus cleaning.
+
+Beyond the reference surface (its nearest verb is ``distinct``,
+Operations/Subset.hs); these are the LLM-pipeline dedup family:
+exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design: every variant is a pure DataFrame composition —
+explode → hash-aggregate → hash-join — so it shuffles on content
+keys (shingles / band signatures), never materializes O(n²) pairs,
+and never touches the driver. The LSH variants bound candidate
+generation to bucket-mates: at 100 TB the shuffle volume is
+O(docs × bands), not O(docs²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# --- exact ------------------------------------------------------------
+
+
+def exact_dedup(df: SparkDF, key_cols: list[str], order_col: str) -> SparkDF:
+    """Keep exactly one row (lowest ``order_col``) per key.
+
+    One shuffle on the key; deterministic keep-first semantics
+    (unlike ``dropDuplicates`` which keeps an arbitrary row)."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# --- shingling --------------------------------------------------------
+
+
+def tokens_expr(text_col: str):
+    """Whitespace tokens of lowercased, trimmed text (JVM-side)."""
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def shingles(df: SparkDF, id_col: str, text_col: str, n: int = 3) -> SparkDF:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built with transform over an index sequence — one pass, no UDF."""
+    toks = tokens_expr(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+# --- exact n-gram Jaccard pairs ---------------------------------------
+
+
+def jaccard_pairs(
+    df: SparkDF, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+) -> SparkDF:
+    """All pairs (a < b) with word-n-gram Jaccard >= threshold.
+
+    Computed via a self-join on the shingle key: cost is driven by
+    shingle-bucket sizes (inverse document frequency), not n².
+    At 100 TB you'd pre-filter hot shingles (stopword-only grams);
+    here bucket sizes are naturally small. Returns columns
+    (a_id, b_id, jaccard)."""
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("a_id"), "shingle")
+    b = sh.select(F.col("id").alias("b_id"), "shingle")
+    common = (
+        a.join(b, on="shingle")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col("id").alias("a_id"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("id").alias("b_id"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(na, "a_id")
+        .join(nb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 4
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------
+
+
+def minhash_signatures(
+    df: SparkDF, id_col: str, text_col: str, n: int = 3, num_perm: int = 64
+) -> SparkDF:
+    """(id, sig: array<bigint>) — num_perm min-hashes per document.
+
+    Permutation i is simulated with xxhash64(shingle, seed=i)
+    (64-bit, JVM-side). One explode + one hash-aggregate with
+    num_perm partial-aggregating min() expressions: a single shuffle
+    regardless of num_perm."""
+    sh = shingles(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: SparkDF, bands: int = 16, rows_per_band: int = 4
+) -> SparkDF:
+    """Banding: docs sharing any band-signature become candidates.
+
+    Band signature = hash of its slice of the minhash signature; the
+    groupable key makes candidate generation a hash join on
+    (band_idx, band_hash) — the standard near-linear LSH plan."""
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.concat_ws(",", F.transform(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ))
+        ),
+    )
+    banded = sigs.select(
+        "id", F.posexplode(band_arr).alias("band_idx", "band_hash")
+    )
+    a = banded.select(F.col("id").alias("a_id"), "band_idx", "band_hash")
+    b = banded.select(F.col("id").alias("b_id"), "band_idx", "band_hash")
+    return (
+        a.join(b, on=["band_idx", "band_hash"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: SparkDF,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> SparkDF:
+    """Full pipeline: minhash → LSH candidates → exact-Jaccard verify.
+
+    The verify join re-uses the shingle table, so false positives
+    from banding never survive; false-negative rate is the standard
+    (1 - s^r)^b curve."""
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
+    cands = lsh_candidate_pairs(sigs, bands, num_perm // bands)
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("a_id"), "shingle")
+    b = sh.select(F.col("id").alias("b_id"), "shingle")
+    common = (
+        cands.join(a, "a_id")
+        .join(b, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col("id").alias("a_id"), F.col("n_sh").alias("na")), "a_id")
+        .join(sizes.select(F.col("id").alias("b_id"), F.col("n_sh").alias("nb")), "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 4),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# --- SimHash ----------------------------------------------------------
+
+
+def simhash(df: SparkDF, id_col: str, text_col: str) -> SparkDF:
+    """64-bit SimHash per document: (id, simhash).
+
+    Per-bit weighted vote over token xxhash64 values, expressed as
+    64 conditional-sum aggregates (JVM codegen, one shuffle)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_expr(text_col)).alias("tok"),
+    ).where(F.col("tok") != "")
+    h = F.xxhash64(F.col("tok"))
+    votes = [
+        F.sum(
+            (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    voted = toks.groupBy("id").agg(*votes)
+    # Assemble bits via sum of 2^b for positive votes; bit 63 via
+    # signed arithmetic would overflow — keep 63 bits (bit 63 = 0).
+    sim = None
+    for b in range(63):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return voted.select("id", sim.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: SparkDF, id_col: str, text_col: str, max_hamming: int = 3
+) -> SparkDF:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Banding over four 16-bit chunks: any pair within hamming 3 must
+    agree on >= 1 chunk (pigeonhole), so candidates come from four
+    hash-joins, not a cross product."""
+    sigs = simhash(df, id_col, text_col)
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)
+        ]
+    )
+    banded = sigs.select(
+        "id", F.col("simhash"), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    a = banded.select(
+        F.col("id").alias("a_id"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk"
+    )
+    b = banded.select(
+        F.col("id").alias("b_id"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk"
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )

@@ -1,0 +1,118 @@
+"""Text-analysis operators for corpus curation.
+
+LLM-pipeline extension; the reference's nearest surface is the
+string Expr functions (Functions.hs: splitOn/match/matchAll). All
+expressions are JVM builtins — no Python in the hot path — so they
+fuse into the scan stage at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "mit", "auf", "für", "von"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "sur"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en", "para", "con"],
+}
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def tokens(text) -> Column:
+    return F.filter(
+        F.split(F.lower(F.trim(_c(text))), r"\s+"), lambda t: t != ""
+    )
+
+
+def token_count(text) -> Column:
+    """Whitespace token count (reference-free; BPE-ish variant below)."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text) -> Column:
+    """Sub-word-ish count: splits on non-alphanumerics AND counts
+    ~4-char chunks of long words (a cheap stand-in for BPE growth)."""
+    words = F.filter(
+        F.split(F.lower(_c(text)), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+    return F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("int"),
+    )
+
+
+def punct_ratio(text) -> Column:
+    t = _c(text)
+    stripped = F.regexp_replace(t, r"[^\w\s]", "")
+    return (F.length(t) - F.length(stripped)) / F.nullif(
+        F.length(t).cast("double"), F.lit(0.0)
+    )
+
+
+def stopword_ratio(text, lang: str = "en") -> Column:
+    toks = tokens(text)
+    stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return n_stop / F.nullif(F.size(toks).cast("double"), F.lit(0.0))
+
+
+def quality_score(text) -> Column:
+    """Heuristic document quality in [0, 1]: length band + stopword
+    presence − punctuation excess (deterministic, SQL-portable)."""
+    n_tok = token_count(text)
+    len_score = F.least(n_tok / 50.0, F.lit(1.0))
+    stop_score = F.least(stopword_ratio(text) * 5.0, F.lit(1.0))
+    punct_pen = F.least(punct_ratio(text) * 2.0, F.lit(1.0))
+    return F.round(
+        F.greatest(
+            (len_score * 0.5 + stop_score * 0.5) - punct_pen * 0.25, F.lit(0.0)
+        ),
+        4,
+    )
+
+
+def lang_scores(text) -> dict[str, Column]:
+    """Per-language stopword hit-count (n-gram-free heuristic ID)."""
+    toks = tokens(text)
+    out = {}
+    for lang, words in STOPWORDS.items():
+        stops = F.array(*[F.lit(s) for s in words])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return out
+
+
+def lang_id(text) -> Column:
+    """argmax language with deterministic tie-break (alphabetical)."""
+    scores = lang_scores(text)
+    langs = sorted(scores)  # alphabetical tie-break
+    best = None
+    for lang in langs:
+        s = scores[lang]
+        if best is None:
+            best = (F.lit(lang), s)
+        else:
+            name, cur = best
+            best = (
+                F.when(s > cur, F.lit(lang)).otherwise(name),
+                F.greatest(s, cur),
+            )
+    name, cur = best
+    return F.when(cur > 0, name).otherwise(F.lit("unknown"))
+
+
+def fingerprint(text) -> Column:
+    """Polynomial rolling hash (base 31, mod 1e9+7) over the
+    characters of normalized text — an engine-portable document
+    fingerprint (same value in any system implementing the fold)."""
+    chars = F.filter(F.split(F.lower(F.trim(_c(text))), ""), lambda c: c != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % F.lit(1000000007),
+    )

@@ -1,0 +1,77 @@
+"""Temporal operators: as-of join and gap sessionization.
+
+The reference has no temporal join surface; these are the
+Spark-native compositions (equality-key join + window argmax for
+as-of; lag + running-sum for sessions). Both shuffle once on the
+entity key, which is the minimum possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: SparkDF,
+    right: SparkDF,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    left_id: str,
+    direction: str = "backward",
+    tiebreak: str | None = None,
+) -> SparkDF:
+    """For each left row, attach the single right row with the
+    latest ``right_time`` <= ``left_time`` (backward; ``forward``
+    symmetric) within the same key.
+
+    Plan: equi-join on the key (hash shuffle both sides), range
+    filter, then row_number argmax per left row. Skewed keys are
+    handled by AQE skew-join splitting. At extreme scale prefer
+    time-bucketing the key to bound per-key fan-out."""
+    cmp = (
+        (F.col(right_time) <= F.col(left_time))
+        if direction == "backward"
+        else (F.col(right_time) >= F.col(left_time))
+    )
+    order = [
+        F.col(right_time).desc() if direction == "backward" else F.col(right_time).asc()
+    ]
+    if tiebreak:
+        order.append(F.col(tiebreak).desc() if direction == "backward" else F.col(tiebreak).asc())
+    joined = left.join(
+        right, on=(F.col(left_on) == F.col(right_on)) & cmp, how="inner"
+    )
+    w = Window.partitionBy(F.col(left_id)).orderBy(*order)
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def sessionize(
+    df: SparkDF, key_col: str, time_col: str, gap_minutes: float = 30.0
+) -> SparkDF:
+    """Assign gap-based session ids per key (batch analogue of
+    Structured Streaming's session_window; single shuffle on key)."""
+    w = Window.partitionBy(key_col).orderBy(time_col)
+    gap_s = gap_minutes * 60
+    prev = F.lag(F.col(time_col)).over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (
+            F.unix_timestamp(F.col(time_col)) - F.unix_timestamp(prev)
+            > gap_s
+        ),
+        1,
+    ).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )

@@ -1,0 +1,158 @@
+"""Dedup + similarity-search queries over documents/embeddings.
+
+Exact-math variants (exact dedup, n-gram Jaccard, embedding cosine,
+brute-force KNN) carry DuckDB oracles; hash-based variants
+(MinHash/LSH, SimHash, hyperplane LSH) use engine hashes and are
+rows-only checked (the exact-Jaccard query is their ground truth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..core import DataFrame
+from ..operators import dedup, multimodal, similarity
+from ..tables import load_table
+
+
+def _t(spark, sf_dir, name) -> DataFrame:
+    return DataFrame(load_table(spark, sf_dir, name))
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    normalized = docs.withColumn("__key", F.lower(F.trim(F.col("text"))))
+    kept = dedup.exact_dedup(normalized, ["__key"], "doc_id")
+    return kept.select("doc_id", "source")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    return dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """Rows-only: engine-specific xxhash64 permutations; validated
+    against q_dedup_ngram_jaccard in tests (recall check)."""
+    docs = _t(spark, sf_dir, "documents").df
+    return dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.8
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """Rows-only: engine-specific token hashes."""
+    docs = _t(spark, sf_dir, "documents").df
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").df
+    return similarity.cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+def q_knn_brute(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").df
+    return similarity.knn_brute(emb, "vec_id", "embedding", query_id=0, k=10)
+
+
+def q_knn_lsh(spark, sf_dir):
+    """Rows-only: approximate (bucketed) neighbors."""
+    emb = _t(spark, sf_dir, "embeddings").df
+    return similarity.knn_lsh(
+        emb, "vec_id", "embedding", query_id=0, k=10, planes=4, dim=64
+    )
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary payload plumbing: byte length + md5 digest of the
+    payload (deterministic, oracle-checkable)."""
+    docs = _t(spark, sf_dir, "documents").df
+    media = multimodal.attach_payload(docs, "doc_id", "text")
+    return media.select(
+        "media_id", "byte_length", F.md5(F.col("payload")).alias("digest")
+    )
+
+
+def q_sample(spark, sf_dir):
+    """Rows-only: seeded Bernoulli sample (engine-specific RNG);
+    the driver checks schema + row production."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.sample(0.1, seed=42).select(["l_orderkey", "l_linenumber"]).df
+
+
+QUERIES = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_embedding": q_dedup_embedding,
+    "q_knn_brute": q_knn_brute,
+    "q_knn_lsh": q_knn_lsh,
+    "q_multimodal_meta": q_multimodal_meta,
+    "q_sample": q_sample,
+}
+
+_SHINGLES = """
+    tok AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM tok
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+ORACLES = {
+    "q_dedup_exact": """
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY LOWER(TRIM(text))
+                                    ORDER BY doc_id ASC) AS rn
+          FROM documents
+        ) WHERE rn = 1
+    """,
+    "q_dedup_ngram_jaccard": f"""
+        WITH {_SHINGLES},
+        common AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT a_id, b_id,
+               ROUND(c * 1.0 / (sa.n_sh + sb.n_sh - c), 4) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+        WHERE ROUND(c * 1.0 / (sa.n_sh + sb.n_sh - c), 4) >= 0.8
+    """,
+    "q_dedup_embedding": """
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+    """,
+    "q_knn_brute": """
+        SELECT b.vec_id,
+               ROUND(LIST_COSINE_SIMILARITY(CAST(b.embedding AS DOUBLE[]),
+                                            CAST(a.embedding AS DOUBLE[])), 4) AS cosine
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> 0
+        WHERE a.vec_id = 0
+        ORDER BY cosine DESC, b.vec_id ASC LIMIT 10
+    """,
+    "q_multimodal_meta": """
+        SELECT doc_id AS media_id, STRLEN(text)::BIGINT AS byte_length,
+               MD5(text) AS digest
+        FROM documents
+    """,
+    # q_dedup_minhash / q_dedup_simhash / q_knn_lsh / q_sample:
+    # intentionally no oracle (engine-hash / RNG dependent) —
+    # rows-only check; cross-validated in tests/test_dedup.py.
+}

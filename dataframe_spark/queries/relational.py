@@ -1,0 +1,438 @@
+"""Core relational queries (reference Operations/{Core,Subset,
+Transformations,Aggregation,Join,Merge}.hs surface) with DuckDB
+oracles. TPC-H-shaped composites exercise multi-operator plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..core import DataFrame
+from ..expr import if_then_else
+from ..tables import load_table
+
+
+def _t(spark, sf_dir, name) -> DataFrame:
+    return DataFrame(load_table(spark, sf_dir, name))
+
+
+# --- flagship: TPC-H Q1 pricing summary (groupBy+agg over filter) ----
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter_where(F.col("l_shipdate") <= "2000-09-02")
+        .derive("disc_price", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .derive("charge", F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))
+        .group_by(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            sum_qty=F.round(F.sum("l_quantity"), 2),
+            sum_base_price=F.round(F.sum("l_extendedprice"), 2),
+            sum_disc_price=F.round(F.sum("disc_price"), 2),
+            sum_charge=F.round(F.sum("charge"), 2),
+            avg_qty=F.round(F.avg("l_quantity"), 4),
+            avg_price=F.round(F.avg("l_extendedprice"), 4),
+            avg_disc=F.round(F.avg("l_discount"), 4),
+            count_order=F.count(F.lit(1)),
+        )
+        .df
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  ROUND(SUM(l_quantity), 2) AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  ROUND(AVG(l_quantity), 4) AS avg_qty,
+  ROUND(AVG(l_extendedprice), 4) AS avg_price,
+  ROUND(AVG(l_discount), 4) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- select / exclude / filter / derive / distinct -------------------
+
+def q_select(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "nation").select(["n_nationkey", "n_name"]).df
+    )
+
+
+def q_exclude(spark, sf_dir):
+    return _t(spark, sf_dir, "nation").exclude(["n_regionkey"]).df
+
+
+def q_filter(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.filter_where(
+            (F.col("c_acctbal") > 5000) & (F.col("c_mktsegment") == "BUILDING")
+        )
+        .derive("c_acctbal", F.round(F.col("c_acctbal"), 2))
+        .select(["c_custkey", "c_name", "c_acctbal"])
+        .df
+    )
+
+
+def q_derive(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.derive(
+            "price_tier",
+            if_then_else(
+                F.col("p_retailprice") >= 1500,
+                F.lit("premium"),
+                if_then_else(
+                    F.col("p_retailprice") >= 1000, F.lit("mid"), F.lit("budget")
+                ),
+            ),
+        )
+        .derive("margin", F.round(F.col("p_retailprice") * 0.1, 4))
+        .select(["p_partkey", "price_tier", "margin"])
+        .df
+    )
+
+
+def q_distinct(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select(["l_returnflag", "l_linestatus"])
+        .distinct()
+        .df
+    )
+
+
+def q_take_sorted(spark, sf_dir):
+    """take/limit after a total order (unique tie-break key ⇒
+    deterministic row set)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.sort_by(["o_totalprice", "o_orderkey"], ["desc", "asc"])
+        .take(100)
+        .derive("o_totalprice", F.round(F.col("o_totalprice"), 2))
+        .select(["o_orderkey", "o_totalprice"])
+        .df
+    )
+
+
+def q_group_agg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.group_by(["o_orderpriority"])
+        .aggregate(
+            n=F.count(F.lit(1)),
+            total=F.round(F.sum("o_totalprice"), 2),
+            avg_price=F.round(F.avg("o_totalprice"), 4),
+            first_date=F.min(F.col("o_orderdate").cast("date")),
+            last_date=F.max(F.col("o_orderdate").cast("date")),
+        )
+        .df
+    )
+
+
+def q_recode(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    return (
+        r.recode(
+            "r_name",
+            {"AFRICA": "AF", "AMERICA": "AM", "ASIA": "AS"},
+            default="OTHER",
+        )
+        .select(["r_regionkey", "r_name"])
+        .df
+    )
+
+
+def q_apply_where(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.apply_where(F.col("o_orderstatus") == "F", "o_orderpriority", F.lower)
+        .group_by(["o_orderpriority"])
+        .aggregate(n=F.count(F.lit(1)))
+        .df
+    )
+
+
+def q_impute(spark, sf_dir):
+    """Null-seed a column then mean-impute; single-row checksum."""
+    li = _t(spark, sf_dir, "lineitem")
+    nulled = li.derive(
+        "qn",
+        F.when(F.col("l_quantity") > 40, None).otherwise(F.col("l_quantity")),
+    )
+    return (
+        nulled.impute(["qn"], "mean")
+        .aggregate(checksum=F.round(F.sum("qn"), 2), n_null=F.count(F.lit(1)) - F.count("qn"))
+        .df
+    )
+
+
+# --- joins ------------------------------------------------------------
+
+def q_join_inner(spark, sf_dir):
+    """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem, broadcast the
+    dim side, top-10 revenue with unique tie-break."""
+    c = _t(spark, sf_dir, "customer").filter_where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter_where(F.col("o_orderdate") < "1998-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter_where(F.col("l_shipdate") > "1998-03-15")
+    return (
+        o.inner_join(
+            ["o_custkey"],
+            c.rename("c_custkey", "o_custkey"),
+            broadcast=True,
+        )
+        .inner_join(["o_orderkey"], li.rename("l_orderkey", "o_orderkey"))
+        .derive("rev", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .group_by(["o_orderkey", "o_orderpriority"])
+        .aggregate(revenue=F.round(F.sum("rev"), 2))
+        .sort_by(["revenue", "o_orderkey"], ["desc", "asc"])
+        .take(10)
+        .df
+    )
+
+
+def q_join_left(spark, sf_dir):
+    """Customers with zero orders per nation (left join + null count)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").group_by(["o_custkey"]).aggregate(
+        n_orders=F.count(F.lit(1))
+    )
+    return (
+        c.left_join(["c_custkey"], o.rename("o_custkey", "c_custkey"))
+        .derive("has_orders", F.col("n_orders").isNotNull())
+        .group_by(["c_nationkey", "has_orders"])
+        .aggregate(n=F.count(F.lit(1)))
+        .df
+    )
+
+
+def q_join_full(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier").group_by(["s_nationkey"]).aggregate(
+        n_supp=F.count(F.lit(1))
+    ).rename("s_nationkey", "nationkey")
+    c = _t(spark, sf_dir, "customer").group_by(["c_nationkey"]).aggregate(
+        n_cust=F.count(F.lit(1))
+    ).rename("c_nationkey", "nationkey")
+    return s.full_outer_join(["nationkey"], c).df
+
+
+def q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join with two broadcast dims; revenue
+    per nation for ASIA, 1996."""
+    r = _t(spark, sf_dir, "region").filter_where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter_where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    nr = n.inner_join(["n_regionkey"], r.rename("r_regionkey", "n_regionkey"), broadcast=True)
+    return (
+        li.rename("l_orderkey", "o_orderkey")
+        .inner_join(["o_orderkey"], o)
+        .inner_join(
+            ["o_custkey"],
+            c.rename("c_custkey", "o_custkey"),
+        )
+        .rename("l_suppkey", "s_suppkey")
+        .inner_join(["s_suppkey"], s, broadcast=True)
+        .filter_where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .rename("s_nationkey", "n_nationkey")
+        .inner_join(["n_nationkey"], nr, broadcast=True)
+        .derive("rev", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .group_by(["n_name"])
+        .aggregate(revenue=F.round(F.sum("rev"), 2))
+        .df
+    )
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: scan-heavy filter+agg; predicates push to parquet."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter_where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .aggregate(revenue=F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2))
+        .df
+    )
+
+
+def q_union(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(["c_nationkey"]).derive(
+        "kind", F.lit("customer")
+    ).rename("c_nationkey", "nationkey")
+    s = _t(spark, sf_dir, "supplier").select(["s_nationkey"]).derive(
+        "kind", F.lit("supplier")
+    ).rename("s_nationkey", "nationkey")
+    return (
+        c.concat(s)
+        .group_by(["nationkey", "kind"])
+        .aggregate(n=F.count(F.lit(1)))
+        .df
+    )
+
+
+def q_dates(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.derive("order_year", F.year("o_orderdate"))
+        .derive("order_month", F.month("o_orderdate"))
+        .derive(
+            "days_to_ref",
+            F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate").cast("date")),
+        )
+        .group_by(["order_year"])
+        .aggregate(
+            n=F.count(F.lit(1)),
+            avg_days=F.round(F.avg("days_to_ref"), 4),
+            n_months=F.countDistinct(F.col("order_month")),
+        )
+        .df
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q_select": q_select,
+    "q_exclude": q_exclude,
+    "q_filter": q_filter,
+    "q_derive": q_derive,
+    "q_distinct": q_distinct,
+    "q_take_sorted": q_take_sorted,
+    "q_group_agg": q_group_agg,
+    "q_recode": q_recode,
+    "q_apply_where": q_apply_where,
+    "q_impute": q_impute,
+    "q_join_inner": q_join_inner,
+    "q_join_left": q_join_left,
+    "q_join_full": q_join_full,
+    "q5_local_supplier": q5_local_supplier,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q_union": q_union,
+    "q_dates": q_dates,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q_select": "SELECT n_nationkey, n_name FROM nation",
+    "q_exclude": "SELECT n_nationkey, n_name FROM nation",
+    "q_filter": """
+        SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal
+        FROM customer WHERE c_acctbal > 5000 AND c_mktsegment = 'BUILDING'
+    """,
+    "q_derive": """
+        SELECT p_partkey,
+          CASE WHEN p_retailprice >= 1500 THEN 'premium'
+               WHEN p_retailprice >= 1000 THEN 'mid'
+               ELSE 'budget' END AS price_tier,
+          ROUND(p_retailprice * 0.1, 4) AS margin
+        FROM part
+    """,
+    "q_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q_take_sorted": """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+    """,
+    "q_group_agg": """
+        SELECT o_orderpriority,
+          COUNT(*) AS n,
+          ROUND(SUM(o_totalprice), 2) AS total,
+          ROUND(AVG(o_totalprice), 4) AS avg_price,
+          MIN(CAST(o_orderdate AS DATE)) AS first_date,
+          MAX(CAST(o_orderdate AS DATE)) AS last_date
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "q_recode": """
+        SELECT r_regionkey,
+          CASE r_name WHEN 'AFRICA' THEN 'AF' WHEN 'AMERICA' THEN 'AM'
+                      WHEN 'ASIA' THEN 'AS' ELSE 'OTHER' END AS r_name
+        FROM region
+    """,
+    "q_apply_where": """
+        SELECT CASE WHEN o_orderstatus = 'F' THEN LOWER(o_orderpriority)
+                    ELSE o_orderpriority END AS o_orderpriority,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1
+    """,
+    "q_impute": """
+        WITH nulled AS (
+          SELECT CASE WHEN l_quantity > 40 THEN NULL ELSE l_quantity END AS qn
+          FROM lineitem
+        ), filled AS (
+          SELECT COALESCE(qn, AVG(qn) OVER ()) AS qn FROM nulled
+        )
+        SELECT ROUND(SUM(qn), 2) AS checksum, COUNT(*) - COUNT(qn) AS n_null
+        FROM filled
+    """,
+    "q_join_inner": """
+        SELECT o_orderkey, o_orderpriority,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY o_orderkey, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """,
+    "q_join_left": """
+        SELECT c_nationkey, n_orders IS NOT NULL AS has_orders, COUNT(*) AS n
+        FROM customer
+        LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1) o
+          ON c_custkey = o_custkey
+        GROUP BY 1, 2
+    """,
+    "q_join_full": """
+        SELECT COALESCE(s.nationkey, c.nationkey) AS nationkey, n_supp, n_cust
+        FROM (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+        FULL OUTER JOIN (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+          USING (nationkey)
+    """,
+    "q5_local_supplier": """
+        SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    "q6_forecast_revenue": """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "q_union": """
+        SELECT nationkey, kind, COUNT(*) AS n FROM (
+          SELECT c_nationkey AS nationkey, 'customer' AS kind FROM customer
+          UNION ALL
+          SELECT s_nationkey AS nationkey, 'supplier' AS kind FROM supplier
+        ) GROUP BY 1, 2
+    """,
+    "q_dates": """
+        SELECT EXTRACT(YEAR FROM o_orderdate) AS order_year,
+               COUNT(*) AS n,
+               ROUND(AVG(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')), 4) AS avg_days,
+               COUNT(DISTINCT EXTRACT(MONTH FROM o_orderdate)) AS n_months
+        FROM orders GROUP BY 1
+    """,
+}

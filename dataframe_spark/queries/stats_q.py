@@ -1,0 +1,244 @@
+"""Statistics / aggregation queries (reference Operations/
+{Statistics,Aggregation}.hs surface) with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..core import DataFrame
+from ..tables import load_table
+
+
+def _t(spark, sf_dir, name) -> DataFrame:
+    return DataFrame(load_table(spark, sf_dir, name))
+
+
+def q_value_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.value_counts("event_type").df
+    total = ev.value_counts("event_type", normalize=True).df
+    return counts.join(total, "event_type").select(
+        "event_type", "count", F.round("proportion", 4).alias("proportion")
+    )
+
+
+def q_describe(spark, sf_dir):
+    out = _t(spark, sf_dir, "orders").describe_columns().df
+    # timestamp_ntz vs timestamp depends on the reader session's
+    # inferTimestampNTZ setting; normalize for a stable contract.
+    return out.withColumn(
+        "type", F.regexp_replace("type", "timestamp_ntz", "timestamp")
+    )
+
+
+def q_summarize(spark, sf_dir):
+    out = _t(spark, sf_dir, "lineitem").summarize()
+    return out.apply_many(
+        ["mean", "std", "min", "q25", "median", "q75", "max"],
+        lambda c: F.round(c, 4),
+    ).df
+
+
+def q_stats_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.group_by(["l_returnflag"])
+        .aggregate(
+            sd=F.round(F.stddev_samp("l_extendedprice"), 4),
+            var=F.round(F.var_samp("l_quantity"), 4),
+            p90=F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4),
+            med=F.round(F.percentile("l_quantity", F.lit(0.5)), 4),
+            iqr=F.round(
+                F.percentile("l_extendedprice", F.lit(0.75))
+                - F.percentile("l_extendedprice", F.lit(0.25)),
+                4,
+            ),
+            r=F.round(F.corr("l_quantity", "l_extendedprice"), 4),
+        )
+        .df
+    )
+
+
+def q_mode(spark, sf_dir):
+    """Deterministic mode: argmax by (count desc, value asc) — the
+    scale-safe formulation (plain agg + window, no sketch)."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = (
+        li.group_by(["l_returnflag", "l_quantity"])
+        .aggregate(n=F.count(F.lit(1)))
+        .df
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("l_quantity").asc()
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"), "n")
+    )
+
+
+def q_collect_list(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    arr = F.sort_array(F.collect_list("l_linenumber"))
+    return (
+        li.filter_where(F.col("l_orderkey") < 200)
+        .group_by(["l_orderkey"])
+        .aggregate(
+            n_items=F.size(arr),
+            first_line=F.get(arr, 0),
+            last_line=F.get(arr, F.size(arr) - 1),
+        )
+        .df
+    )
+
+
+def q_correlation(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.group_by(["o_orderstatus"])
+        .aggregate(
+            r=F.round(F.corr(F.col("o_totalprice"), F.col("o_custkey")), 4),
+            n=F.count(F.lit(1)),
+        )
+        .df
+    )
+
+
+def q_histogram(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").histogram("l_extendedprice", 10).df
+
+
+def q_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup(
+            ["l_returnflag", "l_linestatus"],
+            sum_qty=F.round(F.sum("l_quantity"), 2),
+            n=F.count(F.lit(1)),
+        )
+        .df
+    )
+
+
+_LINEITEM_NUM = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+]
+
+
+def _summarize_oracle() -> str:
+    parts = []
+    for c in _LINEITEM_NUM:
+        parts.append(
+            f"""SELECT '{c}' AS column_name,
+            ROUND(AVG(CAST({c} AS DOUBLE)), 4) AS mean,
+            ROUND(STDDEV_SAMP(CAST({c} AS DOUBLE)), 4) AS std,
+            ROUND(MIN(CAST({c} AS DOUBLE)), 4) AS min,
+            ROUND(QUANTILE_CONT(CAST({c} AS DOUBLE), 0.25), 4) AS q25,
+            ROUND(QUANTILE_CONT(CAST({c} AS DOUBLE), 0.5), 4) AS median,
+            ROUND(QUANTILE_CONT(CAST({c} AS DOUBLE), 0.75), 4) AS q75,
+            ROUND(MAX(CAST({c} AS DOUBLE)), 4) AS max
+            FROM lineitem"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+_ORDERS_COLS = {
+    "o_orderkey": "bigint",
+    "o_custkey": "bigint",
+    "o_orderstatus": "string",
+    "o_totalprice": "double",
+    "o_orderdate": "timestamp",
+    "o_orderpriority": "string",
+}
+
+
+def _describe_oracle() -> str:
+    parts = []
+    for c, t in _ORDERS_COLS.items():
+        parts.append(
+            f"""SELECT '{c}' AS column_name,
+            COUNT({c}) AS non_null,
+            COUNT(*) - COUNT({c}) AS nulls,
+            COUNT(DISTINCT {c}) AS unique_values,
+            '{t}' AS type
+            FROM orders"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+QUERIES = {
+    "q_value_counts": q_value_counts,
+    "q_describe": q_describe,
+    "q_summarize": q_summarize,
+    "q_stats_agg": q_stats_agg,
+    "q_mode": q_mode,
+    "q_collect_list": q_collect_list,
+    "q_correlation": q_correlation,
+    "q_histogram": q_histogram,
+    "q_rollup": q_rollup,
+}
+
+ORACLES = {
+    "q_value_counts": """
+        SELECT event_type, COUNT(*) AS count,
+               ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM events), 4) AS proportion
+        FROM events GROUP BY event_type
+    """,
+    "q_describe": _describe_oracle(),
+    "q_summarize": _summarize_oracle(),
+    "q_stats_agg": """
+        SELECT l_returnflag,
+          ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd,
+          ROUND(VAR_SAMP(l_quantity), 4) AS var,
+          ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90,
+          ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS med,
+          ROUND(QUANTILE_CONT(l_extendedprice, 0.75) - QUANTILE_CONT(l_extendedprice, 0.25), 4) AS iqr,
+          ROUND(CORR(l_quantity, l_extendedprice), 4) AS r
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_mode": """
+        SELECT l_returnflag, l_quantity AS mode_qty, n FROM (
+          SELECT l_returnflag, l_quantity, COUNT(*) AS n,
+                 ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                    ORDER BY COUNT(*) DESC, l_quantity ASC) AS rn
+          FROM lineitem GROUP BY l_returnflag, l_quantity
+        ) WHERE rn = 1
+    """,
+    "q_collect_list": """
+        SELECT l_orderkey,
+               LEN(LIST_SORT(LIST(l_linenumber))) AS n_items,
+               LIST_SORT(LIST(l_linenumber))[1] AS first_line,
+               LIST_SORT(LIST(l_linenumber))[-1] AS last_line
+        FROM lineitem WHERE l_orderkey < 200 GROUP BY l_orderkey
+    """,
+    "q_correlation": """
+        SELECT o_orderstatus, ROUND(CORR(o_totalprice, o_custkey), 4) AS r,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "q_histogram": """
+        WITH rng AS (
+          SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+          FROM lineitem
+        )
+        SELECT LEAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 10)), 9)::INT AS bucket,
+               COUNT(*) AS count
+        FROM lineitem, rng GROUP BY 1 ORDER BY 1
+    """,
+    "q_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+}

@@ -1,0 +1,124 @@
+"""Text-analysis queries over the documents table with DuckDB
+oracles (same formulas expressed in both dialects)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..core import DataFrame
+from ..operators import text as T
+from ..tables import load_table
+
+
+def _t(spark, sf_dir, name) -> DataFrame:
+    return DataFrame(load_table(spark, sf_dir, name))
+
+
+def q_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.bpe_ish_token_count("text").alias("n_subtokens"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    return docs.select(
+        "doc_id",
+        T.quality_score("text").alias("quality"),
+        F.round(T.stopword_ratio("text"), 4).alias("stop_ratio"),
+        F.round(T.punct_ratio("text"), 4).alias("punct_ratio"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    return (
+        docs.select("lang", T.lang_id("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    return docs.select(
+        "doc_id", T.fingerprint("text").alias("fingerprint")
+    )
+
+
+QUERIES = {
+    "q_token_count": q_token_count,
+    "q_text_quality": q_text_quality,
+    "q_lang_id": q_lang_id,
+    "q_fingerprint": q_fingerprint,
+}
+
+
+def _sql_stops(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS[lang]) + "]"
+
+
+_TOKS = "LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'), x -> x <> '')"
+
+_LANG_SCORE = {
+    lang: f"LEN(LIST_FILTER({_TOKS}, t -> LIST_CONTAINS({_sql_stops(lang)}, t)))"
+    for lang in T.STOPWORDS
+}
+
+ORACLES = {
+    "q_token_count": f"""
+        SELECT doc_id,
+          LEN({_TOKS}) AS n_tokens,
+          CAST(LIST_SUM(LIST_TRANSFORM(
+            LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'), x -> x <> ''),
+            w -> CAST(CEIL(LEN(w) / 4.0) AS INT))) AS INT) AS n_subtokens
+        FROM documents
+    """,
+    "q_text_quality": f"""
+        WITH base AS (
+          SELECT doc_id,
+            LEN({_TOKS}) AS n_tok,
+            {_LANG_SCORE['en']} AS n_stop,
+            (STRLEN(text) - STRLEN(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')))
+              / NULLIF(CAST(STRLEN(text) AS DOUBLE), 0.0) AS praw
+          FROM documents
+        )
+        SELECT doc_id,
+          ROUND(GREATEST(
+            (LEAST(n_tok / 50.0, 1.0) * 0.5
+             + LEAST(n_stop / NULLIF(CAST(n_tok AS DOUBLE), 0.0) * 5.0, 1.0) * 0.5)
+            - LEAST(praw * 2.0, 1.0) * 0.25, 0.0), 4) AS quality,
+          ROUND(n_stop / NULLIF(CAST(n_tok AS DOUBLE), 0.0), 4) AS stop_ratio,
+          ROUND(praw, 4) AS punct_ratio
+        FROM base
+    """,
+    "q_lang_id": f"""
+        WITH scored AS (
+          SELECT lang,
+            {_LANG_SCORE['de']} AS s_de, {_LANG_SCORE['en']} AS s_en,
+            {_LANG_SCORE['es']} AS s_es, {_LANG_SCORE['fr']} AS s_fr
+          FROM documents
+        )
+        SELECT lang,
+          CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+               WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+               WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+               WHEN s_es >= s_fr THEN 'es'
+               ELSE 'fr' END AS predicted,
+          COUNT(*) AS n
+        FROM scored GROUP BY 1, 2
+    """,
+    "q_fingerprint": """
+        SELECT doc_id,
+          LIST_REDUCE(
+            LIST_PREPEND(CAST(0 AS BIGINT),
+              LIST_TRANSFORM(
+                LIST_FILTER(STRING_SPLIT(LOWER(TRIM(text)), ''), c -> c <> ''),
+                c -> CAST(ORD(c) AS BIGINT))),
+            (acc, ch) -> (acc * 31 + ch) % 1000000007) AS fingerprint
+        FROM documents
+    """,
+}

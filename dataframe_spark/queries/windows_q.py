@@ -1,0 +1,167 @@
+"""Window / temporal queries: rank, cumulative, as-of join,
+sessionization, tumbling-window (batch equivalent of the
+streaming path in dataframe_spark.streaming).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..core import DataFrame
+from ..operators.window import asof_join, sessionize
+from ..tables import load_table
+
+
+def _t(spark, sf_dir, name) -> DataFrame:
+    return DataFrame(load_table(spark, sf_dir, name))
+
+
+def q_window_rank(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").df
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        p.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "p_brand",
+            "rank",
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("p_retailprice"),
+        )
+    )
+
+
+def q_window_cumsum(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").df
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.where(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        )
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    """For each purchase event (user_id < 50): the latest order of
+    that customer placed at-or-before the event time."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter_where((F.col("event_type") == "purchase") & (F.col("user_id") < 50))
+        .select(["event_id", "user_id", "ts"])
+        .df
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    ).df
+    out = asof_join(
+        ev,
+        o,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        left_id="event_id",
+        tiebreak="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").df
+    sess = sessionize(ev, "user_id", "ts", gap_minutes=30)
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def q_stream_window(spark, sf_dir):
+    """Tumbling 1-hour window counts — the batch twin of
+    streaming/windows.py (same plan modulo watermarks)."""
+    ev = _t(spark, sf_dir, "events").df
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+QUERIES = {
+    "q_window_rank": q_window_rank,
+    "q_window_cumsum": q_window_cumsum,
+    "q_asof_join": q_asof_join,
+    "q_sessionize": q_sessionize,
+    "q_stream_window": q_stream_window,
+}
+
+ORACLES = {
+    "q_window_rank": """
+        SELECT p_brand, rank, p_partkey, ROUND(p_retailprice, 2) AS p_retailprice
+        FROM (
+          SELECT p_brand, p_partkey, p_retailprice,
+                 ROW_NUMBER() OVER (PARTITION BY p_brand
+                                    ORDER BY p_retailprice DESC, p_partkey ASC) AS rank
+          FROM part
+        ) WHERE rank <= 3
+    """,
+    "q_window_cumsum": """
+        SELECT o_custkey, o_orderkey,
+               ROUND(SUM(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        FROM orders WHERE o_custkey < 100
+    """,
+    "q_asof_join": """
+        SELECT event_id, user_id, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+        FROM (
+          SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+          FROM events e
+          JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+          WHERE e.event_type = 'purchase' AND e.user_id < 50
+        ) WHERE rn = 1
+    """,
+    "q_sessionize": """
+        WITH marked AS (
+          SELECT user_id,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        )
+        SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+        FROM marked GROUP BY user_id
+    """,
+    "q_stream_window": """
+        SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+}

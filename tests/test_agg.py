@@ -1,0 +1,78 @@
+"""Aggregation/statistics tests (model: reference tests/Operations/
+{Aggregations,GroupBy,Statistics}.hs)."""
+
+from pyspark.sql import functions as F
+
+from dataframe_spark import expr as E
+
+
+def test_group_aggregate(small):
+    out = (
+        small.filter_just("grp")
+        .group_by(["grp"])
+        .aggregate(n=E.count(F.lit(1)), total=E.sum_("val"))
+    )
+    rows = {r["grp"]: (r["n"], r["total"]) for r in out.collect()}
+    assert rows["a"] == (2, 40.0)
+    assert rows["b"] == (1, None)
+
+
+def test_whole_table_aggregate(lineitem):
+    out = lineitem.aggregate(
+        n=E.count(F.lit(1)), avg_q=E.mean("l_quantity")
+    ).collect()[0]
+    assert out["n"] == 6000
+    assert 20 < out["avg_q"] < 30
+
+
+def test_value_counts_and_proportions(small):
+    vc = {r["grp"]: r["count"] for r in small.value_counts("grp").collect()}
+    assert vc["a"] == 2 and vc[None] == 1
+    props = small.value_counts("grp", normalize=True)
+    total = sum(r["proportion"] for r in props.collect())
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_describe_columns(small):
+    d = {r["column_name"]: r for r in small.describe_columns().collect()}
+    assert d["val"]["nulls"] == 1
+    assert d["val"]["non_null"] == 3
+    assert d["grp"]["unique_values"] == 2  # nulls not counted as a distinct value
+    assert d["id"]["type"] == "int"
+
+
+def test_summarize(lineitem):
+    s = {r["column_name"]: r for r in lineitem.summarize().collect()}
+    q = s["l_quantity"]
+    assert q["min"] == 1.0 and q["max"] == 50.0
+    assert q["q25"] <= q["median"] <= q["q75"]
+
+
+def test_median_percentile(lineitem):
+    out = lineitem.aggregate(
+        med=E.median("l_quantity"), p90=E.percentile(0.9, "l_quantity")
+    ).collect()[0]
+    assert out["med"] <= out["p90"]
+
+
+def test_correlation_scalar(lineitem):
+    r = lineitem.correlation("l_quantity", "l_extendedprice")
+    assert -1.0 <= r <= 1.0
+
+
+def test_rollup(lineitem):
+    out = lineitem.rollup(["l_returnflag"], n=E.count(F.lit(1))).collect()
+    total = [r for r in out if r["l_returnflag"] is None][0]
+    assert total["n"] == 6000
+
+
+def test_histogram_covers_all(lineitem):
+    buckets = lineitem.histogram("l_quantity", 10).collect()
+    assert sum(r["count"] for r in buckets) == 6000
+    assert len(buckets) == 10
+
+
+def test_zscore(small):
+    out = small.filter_just("val").derive("z", E.z_score("val"))
+    zs = [r["z"] for r in out.collect()]
+    assert abs(sum(zs)) < 1e-9

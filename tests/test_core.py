@@ -1,0 +1,118 @@
+"""Core verb tests (model: reference tests/Operations/{Core,Subset,
+Take,Filter,Derive,Apply}.hs and test_coverage.md)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframe_spark import expr as E
+
+
+def test_select_subset(small):
+    assert small.select(["id", "grp"]).column_names == ["id", "grp"]
+
+
+def test_select_by_property(small):
+    out = small.select_by_property(lambda c: c.startswith("g"))
+    assert out.column_names == ["grp"]
+
+
+def test_exclude(small):
+    assert small.exclude(["grp"]).column_names == ["id", "val"]
+
+
+def test_take_negative_is_noop(small):
+    assert small.take(-3).n_rows() == 4
+
+
+def test_take_more_than_rows(small):
+    assert small.take(100).n_rows() == 4
+
+
+def test_take_drop_range(small):
+    s = small.sort_by(["id"])
+    assert s.take(2).n_rows() == 2
+    assert s.drop_rows(3).n_rows() == 1
+    assert s.range_rows(1, 3).n_rows() == 2
+    assert s.take_last(1).n_rows() == 1
+    assert s.drop_last(3).n_rows() == 1
+
+
+def test_filter_where(small):
+    assert small.filter_where(F.col("val") > 15).n_rows() == 2
+
+
+def test_filter_nonexistent_value_empty(small):
+    out = small.filter_where(F.col("grp") == "zzz")
+    assert out.n_rows() == 0
+    assert out.n_columns() == 3
+
+
+def test_filter_nulls(small):
+    assert small.filter_just("val").n_rows() == 3
+    assert small.filter_nothing("val").n_rows() == 1
+    assert small.filter_all_just().n_rows() == 2
+
+
+def test_distinct(small):
+    assert small.select(["grp"]).distinct().n_rows() == 3
+
+
+def test_derive_and_apply(small):
+    out = small.derive("doubled", F.col("val") * 2)
+    row = {r["id"]: r["doubled"] for r in out.collect()}
+    assert row[1] == 20.0 and row[2] is None
+    out2 = small.apply("val", lambda c: c + 1)
+    assert {r["val"] for r in out2.collect()} == {11.0, None, 31.0, 41.0}
+
+
+def test_apply_missing_column_raises(small):
+    with pytest.raises(KeyError):
+        small.apply("nope", lambda c: c)
+
+
+def test_apply_where(small):
+    out = small.apply_where(F.col("id") <= 2, "val", lambda c: c * 0)
+    vals = {r["id"]: r["val"] for r in out.collect()}
+    assert vals[1] == 0.0 and vals[3] == 30.0 and vals[2] is None
+
+
+def test_rename_and_clone(small):
+    assert "key" in small.rename("id", "key").column_names
+    out = small.clone_column("id", "id2")
+    assert [r["id2"] for r in out.sort_by(["id"]).collect()] == [1, 2, 3, 4]
+
+
+def test_recode(small):
+    out = small.recode("grp", {"a": "alpha"}, default="other")
+    vals = {r["id"]: r["grp"] for r in out.collect()}
+    assert vals[1] == "alpha" and vals[2] == "other"
+
+
+def test_impute_mean(small):
+    out = small.impute(["val"], "mean")
+    vals = sorted(r["val"] for r in out.collect())
+    assert vals == [10.0, pytest.approx(80 / 3), 30.0, 40.0]
+    assert out.filter_nothing("val").n_rows() == 0
+
+
+def test_sample_and_split(lineitem):
+    n = lineitem.n_rows()
+    s = lineitem.sample(0.1, seed=7).n_rows()
+    assert 0.05 * n < s < 0.2 * n
+    parts = lineitem.random_split([0.5, 0.5], seed=7)
+    assert abs(parts[0].n_rows() + parts[1].n_rows() - n) == 0
+
+
+def test_k_folds_disjoint_cover(lineitem):
+    folds = lineitem.k_folds(3, seed=7)
+    assert sum(f.n_rows() for f in folds) == lineitem.n_rows()
+
+
+def test_expr_dsl(small):
+    out = small.derive(
+        "flag",
+        E.if_then_else(E.gt(E.col("id"), E.lit(2)), E.lit("hi"), E.lit("lo")),
+    )
+    assert {r["flag"] for r in out.collect()} == {"hi", "lo"}
+    out2 = small.filter_where(E.and_(E.is_just("grp"), E.geq("id", E.lit(3))))
+    assert out2.n_rows() == 1

@@ -1,0 +1,67 @@
+"""Dedup operator tests: exact invariants, MinHash recall vs exact
+Jaccard ground truth, SimHash sanity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframe_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy cat today"),  # near dup
+        (4, "completely different text about spark query engines here"),
+        (5, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG TODAY"),  # case dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_first(dup_docs):
+    normalized = dup_docs.withColumn("k", F.lower(F.trim(F.col("text"))))
+    kept = dedup.exact_dedup(normalized, ["k"], "doc_id")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 3, 4]
+
+
+def test_exact_dedup_idempotent(dup_docs):
+    normalized = dup_docs.withColumn("k", F.lower(F.col("text")))
+    once = dedup.exact_dedup(normalized, ["k"], "doc_id")
+    twice = dedup.exact_dedup(once, ["k"], "doc_id")
+    assert sorted(map(str, once.collect())) == sorted(map(str, twice.collect()))
+
+
+def test_jaccard_pairs_finds_near_dups(dup_docs):
+    pairs = dedup.jaccard_pairs(dup_docs, "doc_id", "text", n=3, threshold=0.5)
+    found = {(r["a_id"], r["b_id"]): r["jaccard"] for r in pairs.collect()}
+    assert found[(1, 2)] == 1.0
+    assert found[(1, 5)] == 1.0  # case-normalized
+    assert 0.5 <= found[(1, 3)] < 1.0
+    assert (1, 4) not in found
+
+
+def test_minhash_recall_vs_exact(docs):
+    """MinHash+LSH (64 perms, 16 bands) must recover the exact
+    Jaccard >= 0.8 pairs on the documents table (planted dups)."""
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.jaccard_pairs(docs, "doc_id", "text", 3, 0.8).collect()
+    }
+    approx = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.minhash_dedup_pairs(
+            docs, "doc_id", "text", 3, 64, 16, 0.8
+        ).collect()
+    }
+    assert exact, "expected planted near-dups in documents table"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9
+    assert approx <= exact  # verify step kills false positives
+
+
+def test_simhash_finds_exact_dups(dup_docs):
+    pairs = dedup.simhash_pairs(dup_docs, "doc_id", "text", max_hamming=3)
+    found = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    assert (1, 2) in found and (1, 5) in found

@@ -1,0 +1,56 @@
+"""Join/merge tests (model: reference tests/Operations/{Join,Merge}.hs)."""
+
+from pyspark.sql import functions as F
+
+from dataframe_spark.core import DataFrame
+
+
+def _mk(spark, rows, schema):
+    return DataFrame(spark.createDataFrame(rows, schema))
+
+
+def test_inner_join(spark):
+    a = _mk(spark, [(1, "x"), (2, "y")], "k int, a string")
+    b = _mk(spark, [(1, "p"), (3, "q")], "k int, b string")
+    out = a.inner_join(["k"], b)
+    assert out.collect()[0].asDict() == {"k": 1, "a": "x", "b": "p"}
+
+
+def test_left_right_join(spark):
+    a = _mk(spark, [(1, "x"), (2, "y")], "k int, a string")
+    b = _mk(spark, [(1, "p")], "k int, b string")
+    left = {r["k"]: r["b"] for r in a.left_join(["k"], b).collect()}
+    assert left == {1: "p", 2: None}
+    right = a.right_join(["k"], b).collect()
+    assert len(right) == 1
+
+
+def test_full_outer_join(spark):
+    a = _mk(spark, [(1, "x")], "k int, a string")
+    b = _mk(spark, [(2, "p")], "k int, b string")
+    out = a.full_outer_join(["k"], b)
+    assert out.n_rows() == 2
+    assert set(out.column_names) == {"k", "a", "b"}
+
+
+def test_join_dup_columns_suffixed(spark):
+    a = _mk(spark, [(1, "x")], "k int, v string")
+    b = _mk(spark, [(1, "y")], "k int, v string")
+    out = a.inner_join(["k"], b)
+    assert set(out.column_names) == {"k", "v", "v_right"}
+
+
+def test_broadcast_join_plan(spark):
+    a = _mk(spark, [(i, str(i)) for i in range(100)], "k int, a string")
+    b = _mk(spark, [(1, "p")], "k int, b string")
+    plan = a.inner_join(["k"], b, broadcast=True).df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_concat_union_by_name(spark):
+    a = _mk(spark, [(1, "x")], "k int, a string")
+    b = _mk(spark, [(2,)], "k int")
+    out = a.concat(b)
+    assert out.n_rows() == 2
+    rows = {r["k"]: r["a"] for r in out.collect()}
+    assert rows[2] is None

@@ -1,0 +1,57 @@
+"""Plan-shape guardrails: the scale properties we rely on must be
+visible in the physical plan (pushdown, pruning, broadcast, no
+Python in JVM-only pipelines)."""
+
+from pyspark.sql import functions as F
+
+from dataframe_spark.core import DataFrame
+from dataframe_spark.tables import load_table
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = DataFrame(load_table(spark, sf_dir, "lineitem"))
+    plan = _plan(
+        li.filter_where(F.col("l_shipdate") > "1996-01-01")
+        .select(["l_orderkey"])
+        .df
+    )
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThan(l_shipdate" in plan
+
+
+def test_column_pruning(spark, sf_dir):
+    li = DataFrame(load_table(spark, sf_dir, "lineitem"))
+    plan = _plan(li.select(["l_orderkey", "l_quantity"]).df)
+    assert "l_extendedprice" not in plan.split("ReadSchema")[-1]
+
+
+def test_broadcast_small_dim(spark, sf_dir):
+    n = DataFrame(load_table(spark, sf_dir, "nation"))
+    c = DataFrame(load_table(spark, sf_dir, "customer"))
+    out = c.inner_join(
+        ["c_nationkey"], n.rename("n_nationkey", "c_nationkey"), broadcast=True
+    )
+    assert "BroadcastHashJoin" in _plan(out.df)
+
+
+def test_no_python_udf_in_core_queries(spark, sf_dir):
+    from dataframe_spark.queries.relational import q1_pricing_summary
+
+    plan = _plan(q1_pricing_summary(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    from dataframe_spark.queries.relational import q1_pricing_summary
+
+    df = q1_pricing_summary(spark, sf_dir)
+    df.collect()  # AQE finalizes the plan on execution
+    plan = _plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "*(" in final  # WholeStageCodegen spans (starred operators)
+    assert final.count("Exchange hashpartitioning") == 1  # single shuffle

@@ -1,0 +1,54 @@
+"""Similarity-search tests: cosine math, brute-force top-k, LSH
+bucket behavior."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframe_spark.operators import similarity
+from dataframe_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),      # identical to 0
+        (2, [0.0, 1.0, 0.0]),      # orthogonal
+        (3, [-1.0, 0.0, 0.0]),     # opposite
+        (4, [0.6, 0.8, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_identities(vecs):
+    out = vecs.limit(1).select(
+        similarity.cosine(F.array(F.lit(1.0), F.lit(0.0)), F.array(F.lit(1.0), F.lit(0.0))).alias("same"),
+        similarity.cosine(F.array(F.lit(1.0), F.lit(0.0)), F.array(F.lit(0.0), F.lit(1.0))).alias("orth"),
+    ).collect()[0]
+    assert out["same"] == pytest.approx(1.0)
+    assert out["orth"] == pytest.approx(0.0)
+
+
+def test_knn_brute_ordering(vecs):
+    out = similarity.knn_brute(vecs, "vec_id", "embedding", query_id=0, k=3).collect()
+    assert [r["vec_id"] for r in out] == [1, 4, 2]
+    assert out[0]["cosine"] == pytest.approx(1.0)
+    assert out[1]["cosine"] == pytest.approx(0.6)
+
+
+def test_cosine_pairs_threshold(vecs):
+    pairs = similarity.cosine_pairs(vecs, "vec_id", "embedding", 0.99).collect()
+    assert {(r["a_id"], r["b_id"]) for r in pairs} == {(0, 1)}
+
+
+def test_knn_lsh_contains_identical(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = similarity.knn_brute(emb, "vec_id", "embedding", 0, k=10).collect()
+    approx = similarity.knn_lsh(emb, "vec_id", "embedding", 0, k=10, planes=4).collect()
+    assert len(approx) > 0
+    # approximate result must be a subset of the corpus scored
+    # identically (same cosine value for any id both return)
+    bmap = {r["vec_id"]: r["cosine"] for r in brute}
+    for r in approx:
+        if r["vec_id"] in bmap:
+            assert r["cosine"] == bmap[r["vec_id"]]

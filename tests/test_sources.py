@@ -1,0 +1,58 @@
+"""IO tests: CSV/TSV/JSON round-trips, schema inference, null markers
+(model: reference tests/Operations/ReadCsv.hs + IO/CSV.hs options)."""
+
+import pytest
+
+import dataframe_spark as D
+
+
+@pytest.fixture()
+def tmpd(tmp_path):
+    return str(tmp_path)
+
+
+def test_csv_roundtrip_and_inference(spark, tmpd):
+    p = f"{tmpd}/data.csv"
+    with open(p, "w") as f:
+        f.write("id,score,name,when\n1,1.5,alpha,2024-01-01\n2,NA,beta,2024-02-03\n3,3.5,N/A,2024-03-05\n")
+    df = D.read_csv(spark, p)
+    types = dict(df.df.dtypes)
+    assert types["id"] == "int"
+    assert types["score"] == "double"
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[2]["score"] is None  # NA → null
+    assert rows[3]["name"] is None  # N/A marker → null
+    out = f"{tmpd}/out_csv"
+    D.write_csv(df, out)
+    back = D.read_csv(spark, out)
+    assert back.n_rows() == 3
+
+
+def test_tsv(spark, tmpd):
+    p = f"{tmpd}/data.tsv"
+    with open(p, "w") as f:
+        f.write("a\tb\n1\tx\n2\ty\n")
+    df = D.read_tsv(spark, p)
+    assert df.n_rows() == 2
+    assert df.column_names == ["a", "b"]
+
+
+def test_json_roundtrip(spark, tmpd):
+    p = f"{tmpd}/data.json"
+    with open(p, "w") as f:
+        f.write('{"id": 1, "v": "x"}\n{"id": 2, "v": null}\n')
+    df = D.read_json(spark, p)
+    assert df.n_rows() == 2
+    out = f"{tmpd}/out_json"
+    D.write_json(df, out)
+    assert D.read_json(spark, out).n_rows() == 2
+
+
+def test_parquet_roundtrip_partitioned(spark, tmpd, lineitem):
+    out = f"{tmpd}/li"
+    D.write_parquet(lineitem.take(500), out, partition_by=["l_returnflag"])
+    back = D.read_parquet(spark, out)
+    assert back.n_rows() == 500
+    import os
+
+    assert any(d.startswith("l_returnflag=") for d in os.listdir(out))

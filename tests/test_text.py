@@ -1,0 +1,46 @@
+"""Text-operator tests: token counts, quality, lang-id, fingerprint."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframe_spark.operators import text as T
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rows = [
+        (1, "the quick brown fox is on the hill"),
+        (2, "der hund ist auf der straße und die katze"),
+        (3, "xyzzy plugh"),
+        (4, "   spaced    out   tokens  "),
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_token_count(frame):
+    out = {r["id"]: r["n"] for r in frame.select("id", T.token_count("text").alias("n")).collect()}
+    assert out[1] == 8
+    assert out[4] == 3
+
+
+def test_quality_score_bounds(frame):
+    vals = [r["q"] for r in frame.select(T.quality_score("text").alias("q")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_lang_id(frame):
+    out = {r["id"]: r["lang"] for r in frame.select("id", T.lang_id("text").alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "unknown"
+
+
+def test_fingerprint_deterministic_and_case_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello World"), (2, "hello world"), (3, "hello worlds")],
+        "id long, text string",
+    )
+    out = {r["id"]: r["fp"] for r in df.select("id", T.fingerprint("text").alias("fp")).collect()}
+    assert out[1] == out[2]  # normalized
+    assert out[1] != out[3]
+    assert 0 <= out[1] < 1000000007

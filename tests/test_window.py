@@ -1,0 +1,59 @@
+"""As-of join and sessionization tests on hand-built timelines."""
+
+import datetime as dt
+
+import pytest
+
+from dataframe_spark.operators.window import asof_join, sessionize
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [(1, "A", _ts(10)), (2, "A", _ts(30)), (3, "B", _ts(5))],
+        "trade_id long, sym string, t timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [("A", _ts(9), 100.0), ("A", _ts(29), 101.0), ("A", _ts(31), 102.0),
+         ("B", _ts(50), 50.0)],
+        "sym string, qt timestamp, px double",
+    )
+    return trades, quotes
+
+
+def test_asof_backward(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes.withColumnRenamed("sym", "qsym"),
+        left_on="sym", right_on="qsym", left_time="t", right_time="qt",
+        left_id="trade_id",
+    )
+    px = {r["trade_id"]: r["px"] for r in out.collect()}
+    assert px == {1: 100.0, 2: 101.0}  # trade 3: no quote before → dropped
+
+
+def test_asof_forward(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes.withColumnRenamed("sym", "qsym"),
+        left_on="sym", right_on="qsym", left_time="t", right_time="qt",
+        left_id="trade_id", direction="forward",
+    )
+    px = {r["trade_id"]: r["px"] for r in out.collect()}
+    assert px == {1: 101.0, 2: 102.0, 3: 50.0}
+
+
+def test_sessionize_gap(spark):
+    events = spark.createDataFrame(
+        [(1, _ts(0)), (1, _ts(10)), (1, _ts(50)), (2, _ts(0))],
+        "uid long, t timestamp",
+    )
+    out = sessionize(events, "uid", "t", gap_minutes=30)
+    sess = {(r["uid"], r["t"].minute): r["session_id"] for r in out.collect()}
+    assert sess[(1, 0)] == 1 and sess[(1, 10)] == 1
+    assert sess[(1, 50)] == 2
+    assert sess[(2, 0)] == 1
