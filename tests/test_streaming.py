@@ -1,0 +1,77 @@
+"""Structured Streaming tests: run each streaming plan to
+completion against the (finite) events file stream and compare with
+its batch twin."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframe_spark.streaming import (
+    events_stream,
+    session_agg_stream,
+    streaming_dedup,
+    windowed_agg_stream,
+)
+from dataframe_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def stream(spark, sf_dir, tmp_path_factory):
+    staging = str(tmp_path_factory.mktemp("events_staging"))
+    return events_stream(spark, sf_dir, staging)
+
+
+def _run_to_memory(q, name):
+    query = (
+        q.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    return query
+
+
+def test_windowed_agg_matches_batch(spark, sf_dir, stream):
+    _run_to_memory(windowed_agg_stream(stream), "win_agg")
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["total_value"])
+    for r in spark.sql("select * from win_agg").collect()}
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (str(r["ws"]), r["event_type"]): (r["n"], r["tv"])
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_session_stream_runs(stream):
+    q = (
+        session_agg_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_streaming_dedup_drops_dupes(spark, stream):
+    out = streaming_dedup(stream, ["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select user_id, count(*) c from dedup_stream group by 1 having count(*) > 1"
+    ).collect()
+    assert rows == []
