@@ -16,9 +16,17 @@ Usage mirrors the reference's ``D.``/``F.`` convention::
        .show())
 """
 
-from . import expr
+from . import expr, operators, plans, streaming
+from .constructors import (
+    column_as_list,
+    from_named_columns,
+    from_rows,
+    from_unnamed_columns,
+    to_matrix,
+)
 from .core import Asc, DataFrame, Desc, GroupedDataFrame
 from .session import get_spark
+from .typing import parse_defaults, parse_with_types
 from .sources import (
     read_csv,
     read_json,
@@ -38,7 +46,17 @@ __all__ = [
     "Asc",
     "Desc",
     "expr",
+    "operators",
+    "plans",
+    "streaming",
     "get_spark",
+    "from_named_columns",
+    "from_unnamed_columns",
+    "from_rows",
+    "column_as_list",
+    "to_matrix",
+    "parse_defaults",
+    "parse_with_types",
     "read_csv",
     "read_tsv",
     "read_json",

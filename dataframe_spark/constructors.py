@@ -1,0 +1,71 @@
+"""Frame constructors and extractors.
+
+Reference: /root/reference/src/DataFrame/Operations/Core.hs
+(``fromNamedColumns``/``fromUnnamedColumns``/``fromRows``/
+``columnAsList``/``toDoubleMatrix``...). These are driver-side
+conveniences for small/test data — large data enters through
+sources/ readers."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import SparkSession
+
+from .core import DataFrame
+
+
+_PY_TO_SPARK = {
+    bool: "boolean",
+    int: "bigint",
+    float: "double",
+    str: "string",
+    bytes: "binary",
+}
+
+
+def _infer(values: Sequence) -> str:
+    for v in values:
+        if v is not None:
+            return _PY_TO_SPARK.get(type(v), "string")
+    return "string"  # all-null column (reference: Maybe with no Just)
+
+
+def from_named_columns(
+    spark: SparkSession, columns: dict[str, Sequence]
+) -> DataFrame:
+    names = list(columns)
+    rows = list(zip(*[columns[n] for n in names]))
+    schema = ", ".join(f"`{n}` {_infer(columns[n])}" for n in names)
+    return DataFrame(spark.createDataFrame(rows, schema))
+
+
+def from_rows(
+    spark: SparkSession, names: Sequence[str], rows: Sequence[Sequence]
+) -> DataFrame:
+    return DataFrame(spark.createDataFrame([tuple(r) for r in rows], list(names)))
+
+
+def from_unnamed_columns(spark: SparkSession, columns: Sequence[Sequence]) -> DataFrame:
+    return from_named_columns(
+        spark, {str(i): c for i, c in enumerate(columns)}
+    )
+
+
+def column_as_list(df: DataFrame, name: str) -> list:
+    """Action. Reference ``columnAsList`` — collects ONE column
+    (column-pruned scan, not a full-row collect)."""
+    return [r[0] for r in df.df.select(name).collect()]
+
+
+def to_matrix(df: DataFrame, cols: Sequence[str] | None = None):
+    """Action. Reference ``toDoubleMatrix`` — numpy matrix of the
+    numeric columns via Arrow."""
+    import numpy as np
+
+    sdf = df.df
+    if cols is None:
+        num_types = ("int", "bigint", "double", "float", "smallint", "tinyint")
+        cols = [c for c, t in sdf.dtypes if t in num_types]
+    pdf = sdf.select(*cols).toPandas()
+    return np.asarray(pdf, dtype=float)

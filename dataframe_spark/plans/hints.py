@@ -1,0 +1,46 @@
+"""Physical-plan hints for cluster-scale execution.
+
+No reference analogue (a single-node engine has no shuffles); these
+are the knobs that matter at 100 TB: broadcast the small side, align
+partitioning with downstream keys, and salt hot keys when AQE's
+skew-join split isn't enough (e.g. a single key holding >1 executor
+of rows)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..core import DataFrame
+
+
+def broadcast_small(df: DataFrame) -> DataFrame:
+    """Mark a dimension for broadcast join (map-side hash join, no
+    shuffle of the big side)."""
+    return DataFrame(F.broadcast(df.df))
+
+
+def repartition_by(df: DataFrame, cols: list[str], n: int | None = None) -> DataFrame:
+    """Pre-align partitioning with downstream join/agg keys so
+    consecutive stages reuse one exchange."""
+    sdf = df.df.repartition(n, *cols) if n else df.df.repartition(*cols)
+    return DataFrame(sdf)
+
+
+def salt_skewed_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt: int = 16,
+) -> DataFrame:
+    """Inner join with key salting: the big side gets a random salt
+    in [0, salt), the small side is replicated salt times, and the
+    join key becomes (key, salt) — splitting a hot key across
+    ``salt`` reducers. Use when one key dominates (power-law ids)."""
+    b = big.df.withColumn("__salt", (F.rand(42) * salt).cast("int"))
+    s = (
+        small.df.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+    )
+    joined = b.join(s, on=[on, "__salt"], how="inner").drop("__salt")
+    return DataFrame(joined)

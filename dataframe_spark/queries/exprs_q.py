@@ -1,0 +1,160 @@
+"""Expression-DSL coverage queries: null combinators, string ops,
+numeric functions, z-score — each exercising Functions.hs surface
+with a DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..core import DataFrame
+from ..expr import (
+    clip,
+    match,
+    match_all,
+    relu,
+    split_on,
+    z_score,
+)
+from ..tables import load_table
+
+
+def _t(spark, sf_dir, name) -> DataFrame:
+    return DataFrame(load_table(spark, sf_dir, name))
+
+
+def q_filter_nulls(spark, sf_dir):
+    """filterJust / filterNothing / fromMaybe on a null-seeded column."""
+    c = _t(spark, sf_dir, "customer")
+    seeded = c.derive(
+        "bal", F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal"))
+    )
+    just = seeded.filter_just("bal").aggregate(n_just=F.count(F.lit(1)))
+    nothing = seeded.filter_nothing("bal").aggregate(n_nothing=F.count(F.lit(1)))
+    filled = seeded.derive("bal_filled", F.coalesce(F.col("bal"), F.lit(0.0))).aggregate(
+        total=F.round(F.sum("bal_filled"), 2)
+    )
+    return just.df.crossJoin(nothing.df).crossJoin(filled.df)
+
+
+def q_text_split(spark, sf_dir):
+    """splitOn / match / matchAll (Functions.hs string ops)."""
+    docs = _t(spark, sf_dir, "documents").df
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_parts"),
+        F.get(toks, 0).alias("first_part"),
+        match(r"[a-z]*a[a-z]*", F.col("text")).alias("first_a_word"),
+        F.size(match_all(r"\bspark\b", F.col("text"))).alias("n_spark"),
+    )
+
+
+def q_numeric_fns(spark, sf_dir):
+    """relu / pow / clip / round / toDouble / zScore."""
+    p = _t(spark, sf_dir, "part").df
+    return p.select(
+        "p_partkey",
+        relu(F.col("p_size") - 25).cast("int").alias("relu_size"),
+        F.round(F.pow(F.col("p_retailprice"), 2) / 1e6, 4).alias("price_sq_m"),
+        clip(10, 40, F.col("p_size")).cast("int").alias("clipped"),
+        F.round(z_score(F.col("p_retailprice")), 4).alias("z"),
+    )
+
+
+def q_frequencies(spark, sf_dir):
+    """frequencies = valueCounts with proportions (Statistics.hs)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.value_counts("o_orderstatus", normalize=True)
+        .derive("proportion", F.round(F.col("proportion"), 4))
+        .df
+    )
+
+
+def q_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube(
+        ["l_returnflag", "l_linestatus"],
+        n=F.count(F.lit(1)),
+        avg_disc=F.round(F.avg("l_discount"), 4),
+    ).df
+
+
+def q_parse_defaults(spark, sf_dir):
+    """Typing.hs parseDefaults: all-string frame → inferred types."""
+    from ..typing import parse_defaults
+
+    o = _t(spark, sf_dir, "orders")
+    as_strings = DataFrame(
+        o.df.select(
+            F.col("o_orderkey").cast("string").alias("k"),
+            F.col("o_totalprice").cast("string").alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    typed = parse_defaults(as_strings)
+    return (
+        typed.group_by(["status"])
+        .aggregate(
+            n=F.count(F.lit(1)),
+            total=F.round(F.sum("price"), 2),
+            max_k=F.max("k"),
+        )
+        .df
+    )
+
+
+QUERIES = {
+    "q_filter_nulls": q_filter_nulls,
+    "q_text_split": q_text_split,
+    "q_numeric_fns": q_numeric_fns,
+    "q_frequencies": q_frequencies,
+    "q_cube": q_cube,
+    "q_parse_defaults": q_parse_defaults,
+}
+
+ORACLES = {
+    "q_filter_nulls": """
+        WITH seeded AS (
+          SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+          FROM customer
+        )
+        SELECT
+          (SELECT COUNT(*) FROM seeded WHERE bal IS NOT NULL) AS n_just,
+          (SELECT COUNT(*) FROM seeded WHERE bal IS NULL) AS n_nothing,
+          (SELECT ROUND(SUM(COALESCE(bal, 0.0)), 2) FROM seeded) AS total
+    """,
+    "q_text_split": """
+        SELECT doc_id,
+          LEN(STRING_SPLIT(text, ' ')) AS n_parts,
+          STRING_SPLIT(text, ' ')[1] AS first_part,
+          NULLIF(REGEXP_EXTRACT(text, '[a-z]*a[a-z]*'), '') AS first_a_word,
+          LEN(REGEXP_EXTRACT_ALL(text, '\\bspark\\b')) AS n_spark
+        FROM documents
+    """,
+    "q_numeric_fns": """
+        SELECT p_partkey,
+          GREATEST(p_size - 25, 0)::INT AS relu_size,
+          ROUND(POW(p_retailprice, 2) / 1e6, 4) AS price_sq_m,
+          LEAST(GREATEST(p_size, 10), 40)::INT AS clipped,
+          ROUND((p_retailprice - AVG(p_retailprice) OVER ())
+                / STDDEV_SAMP(p_retailprice) OVER (), 4) AS z
+        FROM part
+    """,
+    "q_frequencies": """
+        SELECT o_orderstatus,
+               ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM orders), 4) AS proportion
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "q_cube": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               ROUND(AVG(l_discount), 4) AS avg_disc
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "q_parse_defaults": """
+        SELECT o_orderstatus AS status, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total,
+               MAX(o_orderkey) AS max_k
+        FROM orders GROUP BY 1
+    """,
+}

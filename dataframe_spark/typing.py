@@ -1,0 +1,65 @@
+"""Type inference over string columns.
+
+Reference: /root/reference/src/DataFrame/Operations/Typing.hs
+(``parseDefaults``/``parseWithTypes`` — promote Text columns to
+Int/Double/Bool/Date when every non-null value parses) and
+Internal/Parsing.hs.
+
+Spark-first: candidate parses are evaluated executor-side in ONE
+aggregation pass using ``try_cast`` counts; only the per-column
+decision (a few integers) reaches the driver, then the chosen casts
+are applied as plan expressions. Works at any table size."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .core import DataFrame
+
+_CANDIDATES = ["bigint", "double", "boolean", "date"]
+
+
+def parse_defaults(df: DataFrame, nullish: list[str] | None = None) -> DataFrame:
+    """Promote every string column to the narrowest type that parses
+    all its non-null values (Int ≻ Double ≻ Bool ≻ Date ≻ Text)."""
+    sdf = df.df
+    if nullish:
+        for c, t in sdf.dtypes:
+            if t == "string":
+                sdf = sdf.withColumn(
+                    c, F.when(~F.col(c).isin(nullish), F.col(c))
+                )
+    str_cols = [c for c, t in sdf.dtypes if t == "string"]
+    if not str_cols:
+        return DataFrame(sdf)
+    aggs = []
+    for c in str_cols:
+        col = F.trim(F.col(c))
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        for t in _CANDIDATES:
+            aggs.append(
+                F.count(col.try_cast(t)).alias(f"__{t}_{c}")
+            )
+    counts = sdf.agg(*aggs).first()
+    out = sdf
+    for c in str_cols:
+        nn = counts[f"__nn_{c}"]
+        if nn == 0:
+            continue
+        # first candidate (in priority order) that parses every
+        # non-null value wins; bigint precedes double so integral
+        # columns stay integral
+        for t in _CANDIDATES:
+            if counts[f"__{t}_{c}"] == nn:
+                out = out.withColumn(c, F.trim(F.col(c)).try_cast(t))
+                break
+    return DataFrame(out)
+
+
+def parse_with_types(df: DataFrame, schema: dict[str, str]) -> DataFrame:
+    """Explicit column→type casts (Typing.hs ``parseWithTypes``);
+    unparseable values become null (try_cast semantics)."""
+    out = df.df
+    for c, t in schema.items():
+        out = out.withColumn(c, F.col(c).try_cast(t))
+    return DataFrame(out)

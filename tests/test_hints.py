@@ -1,0 +1,36 @@
+"""Plan-hint tests: salting preserves join results; plan_summary
+reports the shapes we tune."""
+
+from pyspark.sql import functions as F
+
+from dataframe_spark.constructors import from_named_columns
+from dataframe_spark.plans import broadcast_small, plan_summary, salt_skewed_join
+
+
+def test_salt_skewed_join_same_result(spark):
+    big = from_named_columns(
+        spark, {"k": [1] * 50 + [2] * 5, "v": list(range(55))}
+    )
+    small = from_named_columns(spark, {"k": [1, 2, 3], "name": ["a", "b", "c"]})
+    plain = big.inner_join(["k"], small)
+    salted = salt_skewed_join(big, small, "k", salt=4)
+    ps = sorted((r["k"], r["v"], r["name"]) for r in plain.collect())
+    ss = sorted((r["k"], r["v"], r["name"]) for r in salted.collect())
+    assert ps == ss
+
+
+def test_plan_summary_counts(spark, lineitem):
+    s = plan_summary(
+        lineitem.filter_where(F.col("l_quantity") > 10)
+        .group_by(["l_returnflag"])
+        .aggregate(n=F.count(F.lit(1)))
+    )
+    assert s["shuffles"] == 1
+    assert s["python_stages"] == 0
+    assert s["has_pushed_filters"]
+
+
+def test_broadcast_small_hint(spark, lineitem):
+    dim = from_named_columns(spark, {"l_returnflag": ["A", "N", "R"], "label": ["x", "y", "z"]})
+    out = lineitem.inner_join(["l_returnflag"], broadcast_small(dim))
+    assert plan_summary(out)["broadcast_joins"] == 1
