@@ -104,7 +104,31 @@ def q_parse_defaults(spark, sf_dir):
     )
 
 
+def q_decision_tree(spark, sf_dir):
+    """Rows-only: fit a greedy gini tree to recover the price-tier
+    thresholds from (p_size, p_retailprice); output the confusion
+    matrix. Iterative fitting is not SQL-expressible; accuracy is
+    asserted in tests/test_ml.py."""
+    from ..ml import fit_decision_tree, tree_to_expr
+
+    p = _t(spark, sf_dir, "part").df.withColumn(
+        "tier",
+        F.when(F.col("p_size") >= 35, "large")
+        .when(F.col("p_size") >= 15, "medium")
+        .otherwise("small"),
+    )
+    tree = fit_decision_tree(
+        p, "tier", ["p_size", "p_retailprice"], max_depth=3
+    )
+    return (
+        p.withColumn("predicted", tree_to_expr(tree))
+        .groupBy("tier", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 QUERIES = {
+    "q_decision_tree": q_decision_tree,
     "q_filter_nulls": q_filter_nulls,
     "q_text_split": q_text_split,
     "q_numeric_fns": q_numeric_fns,
