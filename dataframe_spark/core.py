@@ -23,6 +23,8 @@ from pyspark.sql import Column
 from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import functions as F
 
+from .errors import ColumnNotFoundError
+
 __all__ = ["DataFrame", "GroupedDataFrame", "Asc", "Desc"]
 
 Asc = "asc"
@@ -167,9 +169,19 @@ class DataFrame:
     def shuffle(self, seed: int = 42) -> "DataFrame":
         """Permutation.hs ``shuffle`` — distributed sort on a seeded
         pseudo-random key."""
-        return self._wrap(
-            self.df.orderBy(F.rand(seed)).drop("__shuffle_key")
-        )
+        return self._wrap(self.df.orderBy(F.rand(seed)))
+
+    def pipe(self, fn, *args, **kwargs) -> "DataFrame":
+        """Operators.hs ``|>`` — apply fn(df, *args) in a fluent
+        chain."""
+        return fn(self, *args, **kwargs)
+
+    def fold(self, fn, items) -> "DataFrame":
+        """Core.hs ``fold`` — left-fold a verb over items."""
+        out = self
+        for item in items:
+            out = fn(item, out)
+        return out
 
     def k_folds(self, k: int, seed: int = 42):
         """Subset.hs ``kFolds`` — k disjoint folds via seeded bucket
@@ -191,14 +203,14 @@ class DataFrame:
     def apply(self, name: str, fn: Callable[[Column], Column]) -> "DataFrame":
         """Transformations.hs ``apply`` — map a column in place."""
         if name not in self.df.columns:
-            raise KeyError(f"column not found: {name}")
+            raise ColumnNotFoundError(name, self.df.columns)
         return self._wrap(self.df.withColumn(name, fn(F.col(name))))
 
     def apply_many(self, names: Sequence[str], fn) -> "DataFrame":
         out = self.df
         for n in names:
             if n not in out.columns:
-                raise KeyError(f"column not found: {n}")
+                raise ColumnNotFoundError(n, out.columns)
             out = out.withColumn(n, fn(F.col(n)))
         return self._wrap(out)
 
@@ -206,7 +218,7 @@ class DataFrame:
         """Transformations.hs ``applyWhere`` — apply fn to ``target``
         only on rows where ``cond`` holds."""
         if target not in self.df.columns:
-            raise KeyError(f"column not found: {target}")
+            raise ColumnNotFoundError(target, self.df.columns)
         c = F.col(target)
         return self._wrap(
             self.df.withColumn(target, F.when(cond, fn(c)).otherwise(c))

@@ -95,7 +95,8 @@ def max2(a, b) -> Column:
 
 
 def int_div(a, b) -> Column:
-    return _c(a).cast("long") / F.nullif(_c(b).cast("long"), F.lit(0))
+    """Integral division flooring toward -inf (Haskell ``div``)."""
+    return F.floor(_c(a) / F.nullif(_c(b), F.lit(0))).cast("long")
 
 
 def mod(a, b) -> Column:

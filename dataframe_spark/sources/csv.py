@@ -45,6 +45,7 @@ def read_csv(
         reader = reader.option("dateFormat", date_format)
     df = reader.csv(path)
     extra = [m for m in nullish[1:] if m]
+    touched = False
     if extra:
         # Only string columns can still hold the extra markers.
         for c, t in df.dtypes:
@@ -52,7 +53,16 @@ def read_csv(
                 df = df.withColumn(
                     c, F.when(~F.col(c).isin(extra), F.col(c))
                 )
-    return DataFrame(df)
+                touched = True
+    out = DataFrame(df)
+    if touched and infer_schema:
+        # markers blocked Spark's inference for these columns
+        # (reference applies convertNullish BEFORE parseDefaults);
+        # one try_cast pass re-promotes them
+        from ..typing import parse_defaults
+
+        out = parse_defaults(out)
+    return out
 
 
 def read_tsv(spark: SparkSession, path: str, **kw) -> DataFrame:
