@@ -25,9 +25,13 @@ HEADLINE = [
     "q_sessionize",
     "q_dedup_ngram_jaccard",
     "q_dedup_minhash",
+    "q_dedup_embedding",
     "q_knn_brute",
     "q_token_count",
     "q_fingerprint",
+    "q_summarize",
+    "q_asof_join",
+    "q_stream_window",
 ]
 
 
@@ -42,13 +46,32 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = all_queries()
+
+    # Warm the Python worker pool (numpy/pandas imports) before
+    # timing: workers are long-lived daemons on a real cluster, and
+    # we measure query cost, not interpreter boot.
+    import pandas as pd  # noqa: F401
+
+    def _noop_batch(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(int(cpus) * 4, numPartitions=int(cpus)).mapInPandas(
+        _noop_batch, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    # best-of-2: the box shares CPU with other tenants, so a single
+    # pass can catch a noisy-neighbor burst; min per query reflects
+    # the plan's actual cost
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.monotonic() - t0, 3)
+    for _pass in range(2):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = round(time.monotonic() - t0, 3)
+            times[name] = min(times.get(name, elapsed), elapsed)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:

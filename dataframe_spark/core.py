@@ -267,18 +267,64 @@ class DataFrame:
     def rename_many(self, mapping: dict[str, str]) -> "DataFrame":
         return self._wrap(self.df.withColumnsRenamed(mapping))
 
-    # -- sorting (Operations/Permutation.hs) ---------------------------
+    # -- sorting & row addressing (Operations/Permutation.hs) ----------
 
-    def sort_by(self, cols: Sequence[str], orders: Sequence[str] | str = Asc) -> "DataFrame":
+    def sort_by(self, cols: Sequence, orders: Sequence[str] | str = Asc) -> "DataFrame":
         """Permutation.hs ``sortBy`` — global distributed sort
-        (range-partitioned exchange)."""
+        (range-partitioned exchange). ``cols`` may be names or
+        arbitrary expressions (Asc/Desc Expr in the reference)."""
         if isinstance(orders, str):
             orders = [orders] * len(cols)
         sort_cols = [
-            F.col(c).asc() if o == Asc else F.col(c).desc()
+            _c(c).asc() if o == Asc else _c(c).desc()
             for c, o in zip(cols, orders)
         ]
         return self._wrap(self.df.orderBy(*sort_cols))
+
+    def with_row_index(self, order_by: Sequence[str], name: str = "row_index") -> "DataFrame":
+        """0-based row index under an explicit total order. Row
+        position is only meaningful relative to an order in a
+        distributed table, so the order is required (global window —
+        use keyed windows for per-group indexing at scale)."""
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(*[F.col(c) for c in order_by])
+        return self._wrap(
+            self.df.withColumn(name, F.row_number().over(w) - 1)
+        )
+
+    def apply_at_index(
+        self, index: int, target: str, fn, order_by: Sequence[str]
+    ) -> "DataFrame":
+        """Transformations.hs ``applyAtIndex`` — map one positional
+        row; out-of-range index is a no-op (reference semantics)."""
+        if target not in self.df.columns:
+            raise ColumnNotFoundError(target, self.df.columns)
+        idx = self.with_row_index(order_by, "__idx").df
+        c = F.col(target)
+        return self._wrap(
+            idx.withColumn(
+                target, F.when(F.col("__idx") == index, fn(c)).otherwise(c)
+            ).drop("__idx")
+        )
+
+    def insert_column(
+        self,
+        name: str,
+        values: Sequence,
+        order_by: Sequence[str],
+        default=None,
+    ) -> "DataFrame":
+        """Core.hs ``insertVectorWithDefault`` — positionally attach
+        driver-side values under an explicit order; rows beyond the
+        list get ``default``. For table-sized data use a join, not
+        this (values live on the driver by construction)."""
+        lookup = F.array(*[F.lit(v) for v in values])
+        idx = self.with_row_index(order_by, "__idx").df
+        val = F.when(
+            F.col("__idx") < len(values), F.get(lookup, F.col("__idx"))
+        ).otherwise(F.lit(default))
+        return self._wrap(idx.withColumn(name, val).drop("__idx"))
 
     # -- grouping / aggregation (Operations/Aggregation.hs) ------------
 

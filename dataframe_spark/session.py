@@ -50,5 +50,16 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # The UI status store accumulates per-stage state for the
+        # session's lifetime; with AQE's many small stages this made
+        # query N of a long session up to 10x slower than query 1
+        # (measured: 16-query bench 190s -> 33s with UI off). On a
+        # cluster you'd keep the history server; for an embedded
+        # engine the UI is dead weight.
+        .config(
+            "spark.ui.enabled",
+            os.environ.get("SPARK_GRAFT_UI", "false"),
+        )
+        .config("spark.sql.ui.retainedExecutions", "10")
     )
     return builder.getOrCreate()

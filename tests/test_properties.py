@@ -1,0 +1,53 @@
+"""Property-based tests (hypothesis) for operator invariants —
+SURVEY §5. Kept to few examples per property: each example is a
+Spark round-trip."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from dataframe_spark.constructors import from_named_columns
+from dataframe_spark.operators import dedup, text
+
+FEW = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+words = st.sampled_from(["alpha", "beta", "gamma", "delta", "spark", "query"])
+texts = st.lists(words, min_size=0, max_size=12).map(" ".join)
+
+
+@given(st.lists(texts, min_size=1, max_size=8))
+@FEW
+def test_exact_dedup_idempotent_and_bounded(spark, docs_):
+    df = from_named_columns(
+        spark, {"doc_id": list(range(len(docs_))), "text": docs_}
+    ).df.withColumn("k", F.lower(F.col("text")))
+    once = dedup.exact_dedup(df, ["k"], "doc_id")
+    twice = dedup.exact_dedup(once, ["k"], "doc_id")
+    n_once = once.count()
+    assert n_once == twice.count()
+    assert n_once <= len(docs_)
+    assert n_once == len({d.lower() for d in docs_})
+
+
+@given(st.lists(texts, min_size=2, max_size=6))
+@FEW
+def test_jaccard_pairs_bounds_and_symmetry_convention(spark, docs_):
+    df = from_named_columns(
+        spark, {"doc_id": list(range(len(docs_))), "text": docs_}
+    ).df
+    pairs = dedup.jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.1).collect()
+    for r in pairs:
+        assert r["a_id"] < r["b_id"]
+        assert 0.0 <= r["jaccard"] <= 1.0
+
+
+@given(texts)
+@FEW
+def test_token_count_matches_python(spark, t):
+    df = from_named_columns(spark, {"text": [t]}).df
+    got = df.select(text.token_count("text").alias("n")).first()["n"]
+    assert got == len(t.split())
