@@ -33,8 +33,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> SparkDF:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
+            # build a TZ-naive timestamp (timestampadd over an NTZ
+            # epoch) so values match the file bytes regardless of
+            # the session timezone — parity with the NTZ columns of
+            # the other tables and with DuckDB's naive timestamps
             df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                "ts",
+                F.timestamp_add(
+                    "MICROSECOND",
+                    (F.col("ts") / 1000).cast("long"),
+                    F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+                ),
             )
         return df
     return spark.read.parquet(path)
