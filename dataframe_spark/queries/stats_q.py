@@ -177,7 +177,33 @@ def _describe_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
+def q_skewness(spark, sf_dir):
+    """Skewness from explicit central moments (engines disagree on
+    bias correction, so both sides compute the same formula:
+    g1 = sqrt(n) * m3 / m2^1.5)."""
+    li = _t(spark, sf_dir, "lineitem").df
+    stats = li.groupBy("l_returnflag").agg(
+        F.avg("l_quantity").alias("mu"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = li.join(F.broadcast(stats), "l_returnflag")
+    d = F.col("l_quantity") - F.col("mu")
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sqrt(F.max("n"))
+                * F.sum(d * d * d)
+                / F.pow(F.sum(d * d), 1.5),
+                4,
+            ).alias("skew"),
+            F.max("n").alias("n"),
+        )
+    )
+
+
 QUERIES = {
+    "q_skewness": q_skewness,
     "q_value_counts": q_value_counts,
     "q_describe": q_describe,
     "q_summarize": q_summarize,
@@ -190,6 +216,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_skewness": """
+        WITH mu AS (
+          SELECT l_returnflag, AVG(l_quantity) AS mu, COUNT(*) AS n
+          FROM lineitem GROUP BY 1
+        )
+        SELECT l.l_returnflag,
+          ROUND(SQRT(MAX(m.n))
+                * SUM(POW(l.l_quantity - m.mu, 3))
+                / POW(SUM(POW(l.l_quantity - m.mu, 2)), 1.5), 4) AS skew,
+          MAX(m.n) AS n
+        FROM lineitem l JOIN mu m USING (l_returnflag)
+        GROUP BY 1
+    """,
     "q_value_counts": """
         SELECT event_type, COUNT(*) AS count,
                ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM events), 4) AS proportion

@@ -17,3 +17,24 @@ def read_json(spark: SparkSession, path: str, multiline: bool = False) -> DataFr
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite"):
     df.df.write.mode(mode).json(path)
+
+
+def flatten_structs(df: DataFrame, sep: str = ".") -> DataFrame:
+    """Flatten nested struct columns to top-level dotted columns —
+    the reference's JSON reader produces flat typed columns
+    (IO/JSON.hs); this converts Spark's native nested schema to that
+    shape. Pure projection: pruning still reaches the scan."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for f in df.df.schema.fields:
+        if f.dataType.typeName() == "struct":
+            for sub in f.dataType.fields:
+                cols.append(
+                    F.col(f"{f.name}.{sub.name}").alias(
+                        f"{f.name}{sep}{sub.name}"
+                    )
+                )
+        else:
+            cols.append(F.col(f.name))
+    return DataFrame(df.df.select(*cols))

@@ -56,3 +56,16 @@ def test_parquet_roundtrip_partitioned(spark, tmpd, lineitem):
     import os
 
     assert any(d.startswith("l_returnflag=") for d in os.listdir(out))
+
+
+def test_json_flatten_structs(spark, tmpd):
+    from dataframe_spark.sources.json import flatten_structs
+
+    p = f"{tmpd}/nested.json"
+    with open(p, "w") as f:
+        f.write('{"id": 1, "meta": {"lang": "en", "n": 5}}\n{"id": 2, "meta": {"lang": "de", "n": 7}}\n')
+    df = D.read_json(spark, p)
+    flat = flatten_structs(df)
+    assert set(flat.column_names) == {"id", "meta.lang", "meta.n"}
+    rows = {r["id"]: r["meta.lang"] for r in flat.collect()}
+    assert rows == {1: "en", 2: "de"}
