@@ -103,7 +103,7 @@ class DataFrame:
         return self._wrap(self.df.drop(*cols))
 
     def take(self, n: int) -> "DataFrame":
-        """Negative n is a no-op (reference test_coverage.md: take)."""
+        """Subset.hs:48 ``take``; negative n is a no-op (test_coverage.md)."""
         if n < 0:
             return self
         return self._wrap(self.df.limit(n))
@@ -128,14 +128,14 @@ class DataFrame:
         return self._wrap(self.df.limit(max(total - n, 0)))
 
     def filter_where(self, cond: Column) -> "DataFrame":
-        """Subset.hs ``filterWhere`` — predicate stays JVM-side and is
+        """Subset.hs:169 ``filterWhere`` — predicate stays JVM-side and is
         pushed into the parquet scan when it references scan columns."""
         return self._wrap(self.df.filter(cond))
 
     filter = filter_where
 
     def filter_by(self, pred: Callable[[Column], Column], col) -> "DataFrame":
-        """Subset.hs ``filterBy`` with a Column->Column predicate."""
+        """Subset.hs:102 ``filter``/``filterBy`` with a predicate."""
         return self._wrap(self.df.filter(pred(_c(col))))
 
     def filter_just(self, col: str) -> "DataFrame":
@@ -270,7 +270,7 @@ class DataFrame:
     # -- sorting & row addressing (Operations/Permutation.hs) ----------
 
     def sort_by(self, cols: Sequence, orders: Sequence[str] | str = Asc) -> "DataFrame":
-        """Permutation.hs ``sortBy`` — global distributed sort
+        """Permutation.hs:46 ``sortBy`` — global distributed sort
         (range-partitioned exchange). ``cols`` may be names or
         arbitrary expressions (Asc/Desc Expr in the reference)."""
         if isinstance(orders, str):
@@ -350,7 +350,7 @@ class DataFrame:
         )
 
     def value_counts(self, col: str, normalize: bool = False) -> "DataFrame":
-        """Aggregation.hs ``valueCounts`` / ``valueProportions`` —
+        """Core.hs:683 ``valueCounts`` / ``valueProportions`` —
         partial (map-side) aggregation then a single shuffle on the
         value; proportion via a broadcast one-row total."""
         counts = self.df.groupBy(col).agg(F.count(F.lit(1)).alias("count"))
@@ -367,13 +367,13 @@ class DataFrame:
     # -- statistics (Operations/Statistics.hs) -------------------------
 
     def correlation(self, c1: str, c2: str) -> float | None:
-        """Pearson correlation (action, scalar — mirrors the
+        """Statistics.hs:205 ``correlation`` (action, scalar — mirrors the
         reference returning ``Maybe Double``)."""
         row = self.df.agg(F.corr(_c(c1), _c(c2)).alias("r")).first()
         return row["r"]
 
     def describe_columns(self) -> "DataFrame":
-        """Core.hs ``describeColumns`` — one row per column with
+        """Core.hs:513 ``describeColumns`` — one row per column with
         non-null / null / unique counts + type.
 
         Single aggregation pass over the table (constant number of
@@ -404,7 +404,7 @@ class DataFrame:
         )
 
     def summarize(self) -> "DataFrame":
-        """Statistics.hs ``summarize`` — per numeric column: mean,
+        """Statistics.hs:326 ``summarize`` — per numeric column: mean,
         std (sample), min, q25, median, q75, max. One agg pass +
         unpivot, same shape as describe_columns."""
         df = self.df
@@ -472,7 +472,8 @@ class DataFrame:
         return self._wrap(self.df.join(right, on=list(on), how=how))
 
     def inner_join(self, on: Sequence[str], other: "DataFrame", broadcast: bool = False) -> "DataFrame":
-        """Join.hs ``innerJoin`` — shuffled hash join on keys; pass
+        """Join.hs:66 ``innerJoin`` (leftJoin :169, rightJoin :245,
+        fullOuterJoin :249) — shuffled hash join on keys; pass
         ``broadcast=True`` for small dims (or let AQE decide)."""
         return self._join(other, on, "inner", broadcast)
 
@@ -496,7 +497,7 @@ class DataFrame:
 
 
 class GroupedDataFrame:
-    """Aggregation.hs ``GroupedDataFrame`` — a deferred groupBy.
+    """Aggregation.hs:45 ``groupBy`` / :262 ``aggregate`` — a deferred groupBy.
 
     ``aggregate`` compiles to Spark hash aggregation with map-side
     partial aggregation (one shuffle on the group keys)."""

@@ -1,7 +1,7 @@
 """Greedy gini decision-tree classifier, Spark-native.
 
 Reference: /root/reference/src/DataFrame/DecisionTree.hs
-(``fitDecisionTree``/``buildGreedyTree``/``treeToExpr`` — greedy
+(``fitDecisionTree`` :98, ``treeToExpr`` :92, ``buildGreedyTree`` — greedy
 gini splits on per-column percentile thresholds; the TAO refinement
 pass is out of scope this round).
 

@@ -1,6 +1,7 @@
 """CSV/TSV source with schema inference.
 
-Reference: /root/reference/src/DataFrame/IO/CSV.hs (ReadOptions:
+Reference: /root/reference/src/DataFrame/IO/CSV.hs:206 readCsv,
+:217 readCsvWithOpts (ReadOptions:
 hasHeader, separator, nullish markers, date parsing) and
 Operations/Typing.hs (parseDefaults — string → Int/Double/Bool/Day
 inference).

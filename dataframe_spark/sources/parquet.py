@@ -1,6 +1,7 @@
 """Parquet source/sink.
 
-Reference: /root/reference/src/DataFrame/IO/Parquet/*.hs — a
+Reference: /root/reference/src/DataFrame/IO/Parquet.hs:45
+readParquet and IO/Parquet/*.hs — a
 hand-written single-file parquet reader (thrift decode, pages,
 dictionaries, levels). On Spark all of that is the built-in
 vectorized parquet datasource: predicate pushdown to row-group
