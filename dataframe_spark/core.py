@@ -326,6 +326,34 @@ class DataFrame:
         ).otherwise(F.lit(default))
         return self._wrap(idx.withColumn(name, val).drop("__idx"))
 
+    # -- reshape -------------------------------------------------------
+
+    def melt(
+        self,
+        ids: Sequence[str],
+        values: Sequence[str],
+        var_name: str = "variable",
+        value_name: str = "value",
+    ) -> "DataFrame":
+        """Wide→long unpivot (no reference analogue; standard
+        analytics surface). Pure row expansion, no shuffle."""
+        return self._wrap(
+            self.df.unpivot(list(ids), list(values), var_name, value_name)
+        )
+
+    def pivot(
+        self,
+        group_cols: Sequence[str],
+        pivot_col: str,
+        pivot_values: Sequence,
+        **named: Column,
+    ) -> "DataFrame":
+        """Long→wide pivot with an explicit value list (explicit
+        list keeps the plan one-pass and the schema deterministic —
+        at scale, value discovery is a separate job)."""
+        g = self.df.groupBy(*group_cols).pivot(pivot_col, list(pivot_values))
+        return self._wrap(g.agg(*[e.alias(n) for n, e in named.items()]))
+
     # -- grouping / aggregation (Operations/Aggregation.hs) ------------
 
     def group_by(self, cols: Sequence[str]) -> "GroupedDataFrame":

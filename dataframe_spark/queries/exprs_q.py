@@ -127,7 +127,40 @@ def q_decision_tree(spark, sf_dir):
     )
 
 
+def q_melt(spark, sf_dir):
+    """Wide→long unpivot over lineitem quantity/price columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(["l_orderkey", "l_linenumber", "l_quantity", "l_discount"])
+        .melt(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_discount"],
+            "measure",
+            "val",
+        )
+        .group_by(["measure"])
+        .aggregate(n=F.count(F.lit(1)), total=F.round(F.sum("val"), 2))
+        .df
+    )
+
+
+def q_pivot(spark, sf_dir):
+    """Long→wide: order counts per priority pivoted by status."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.pivot(
+            ["o_orderpriority"],
+            "o_orderstatus",
+            ["F", "O", "P"],
+            n=F.count(F.lit(1)),
+        )
+        .df
+    )
+
+
 QUERIES = {
+    "q_melt": q_melt,
+    "q_pivot": q_pivot,
     "q_decision_tree": q_decision_tree,
     "q_filter_nulls": q_filter_nulls,
     "q_text_split": q_text_split,
@@ -138,6 +171,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_melt": """
+        SELECT measure, COUNT(*) AS n, ROUND(SUM(val), 2) AS total FROM (
+          SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+          UNION ALL
+          SELECT 'l_discount' AS measure, l_discount AS val FROM lineitem
+        ) GROUP BY 1
+    """,
+    "q_pivot": """
+        SELECT o_orderpriority,
+          COUNT(*) FILTER (o_orderstatus = 'F') AS "F",
+          COUNT(*) FILTER (o_orderstatus = 'O') AS "O",
+          COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
+        FROM orders GROUP BY 1
+    """,
     "q_filter_nulls": """
         WITH seeded AS (
           SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal

@@ -76,3 +76,30 @@ def test_zscore(small):
     out = small.filter_just("val").derive("z", E.z_score("val"))
     zs = [r["z"] for r in out.collect()]
     assert abs(sum(zs)) < 1e-9
+
+
+def test_melt_pivot_roundtrip(small):
+    long = small.filter_just("grp").melt(["id"], ["val"], "var", "v")
+    assert set(long.column_names) == {"id", "var", "v"}
+    assert long.n_rows() == 3
+    wide = small.filter_just("grp").pivot(
+        ["grp"], "grp", ["a", "b"], n=E.count(F.lit(1))
+    )
+    assert "a_n" in wide.column_names or "a" in wide.column_names
+
+
+def test_grouped_apply_in_pandas(small):
+    import pandas as pd
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["val"] = pdf["val"] - pdf["val"].mean()
+        return pdf
+
+    out = (
+        small.filter_just("val")
+        .group_by(["grp"])
+        .apply_in_pandas(center, "id int, grp string, val double")
+    )
+    vals = {r["id"]: r["val"] for r in out.collect()}
+    assert vals[1] == -10.0 and vals[3] == 10.0
