@@ -47,21 +47,56 @@ def cosine_pairs(
     vec_col: str,
     threshold: float = 0.9,
     num_blocks: int = 8,
+    broadcast_rows: int = 100_000,
 ) -> SparkDF:
-    """All pairs (a < b) with cosine >= threshold — blocked GEMM.
+    """All pairs (a < b) with cosine >= threshold — broadcast or
+    blocked GEMM, chosen like Spark's broadcast-join cutover.
 
-    A row-at-a-time cross join evaluates O(n²·d) interpreted lambda
-    steps; instead we tile the n×n similarity matrix into
+    When the corpus fits a broadcast (<= ``broadcast_rows``), ship
+    the whole matrix to every task and run one shuffle-free
+    mapInPandas scan: each Arrow batch is multiplied against the
+    broadcast matrix with one BLAS call, emitting only (a < b)
+    pairs. Otherwise tile the n×n similarity matrix into
     (num_blocks choose 2)+num_blocks tiles, ship each tile's two
     vector blocks through Arrow once, and compute the tile with one
-    BLAS matmul per group (applyInPandas). Data movement is
-    O(n·num_blocks) vectors, compute is distributed across tiles.
-    This is the exact baseline; LSH bucketing (knn_lsh) is the
-    sub-quadratic scale path."""
+    BLAS matmul per group (applyInPandas). Either way the math is
+    identical float64 GEMM rounded to 4dp. This is the exact
+    baseline; LSH bucketing (knn_lsh) is the sub-quadratic scale
+    path."""
     import numpy as np
     import pandas as pd
 
     spark = df.sparkSession
+    n = df.count()
+    if n <= broadcast_rows:
+        corpus = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).toPandas()
+        ids = corpus["id"].to_numpy(dtype="int64")
+        M = np.stack(corpus["vec"].to_numpy()).astype("float64")
+        Mn = np.linalg.norm(M, axis=1)
+        bc = spark.sparkContext.broadcast((ids, M, Mn))
+
+        def scan(batches):
+            b_ids, b_M, b_Mn = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                A = np.stack(pdf["vec"].to_numpy()).astype("float64")
+                a_ids = pdf["id"].to_numpy(dtype="int64")
+                sims = (A @ b_M.T) / np.outer(np.linalg.norm(A, axis=1), b_Mn)
+                sims = np.round(sims, 4)
+                # emit from the smaller-id side only: each unordered
+                # pair appears in exactly one batch row's output
+                mask = (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
+                ai, bi_ = np.nonzero(mask)
+                yield pd.DataFrame(
+                    {"a_id": a_ids[ai], "b_id": b_ids[bi_], "cosine": sims[ai, bi_]}
+                )
+
+        parallelism = spark.sparkContext.defaultParallelism
+        src = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        ).repartition(max(2, min(parallelism, n // 64 + 1)))
+        return src.mapInPandas(scan, "a_id long, b_id long, cosine double")
     v = df.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),

@@ -42,18 +42,20 @@ def q_summarize(spark, sf_dir):
 
 def q_stats_agg(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
+    # one percentile buffer per source column (array form) instead of
+    # four independent buffers — each buffer holds the group's full
+    # value multiset, so this is the dominant state/merge cost
+    pep = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.9), F.lit(0.25), F.lit(0.75))
+    )
     return (
         li.group_by(["l_returnflag"])
         .aggregate(
             sd=F.round(F.stddev_samp("l_extendedprice"), 4),
             var=F.round(F.var_samp("l_quantity"), 4),
-            p90=F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4),
+            p90=F.round(F.get(pep, 0), 4),
             med=F.round(F.percentile("l_quantity", F.lit(0.5)), 4),
-            iqr=F.round(
-                F.percentile("l_extendedprice", F.lit(0.75))
-                - F.percentile("l_extendedprice", F.lit(0.25)),
-                4,
-            ),
+            iqr=F.round(F.get(pep, 2) - F.get(pep, 1), 4),
             r=F.round(F.corr("l_quantity", "l_extendedprice"), 4),
         )
         .df
