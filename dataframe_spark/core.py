@@ -431,13 +431,36 @@ class DataFrame:
             stacked.withColumn("type", type_map[F.col("column_name")])
         )
 
-    def summarize(self) -> "DataFrame":
+    def quantiles(
+        self, cols: Sequence[str], probs: Sequence[float]
+    ) -> "DataFrame":
+        """Statistics.hs:percentile/median — EXACT interpolated
+        quantiles as a fully distributed plan (operators/quantiles.py).
+
+        Unlike ``F.percentile`` (whole value multiset buffered per
+        group and merged on one reducer), this stays sharded by
+        (column, radix-bin) end to end — the scale path for quantiles
+        over billions of rows. At small scale the built-in buffer is
+        faster; see ``summarize(distributed=...)`` for the cutover."""
+        from .operators.quantiles import exact_quantiles
+
+        return self._wrap(exact_quantiles(self.df, cols, probs))
+
+    def summarize(self, distributed: bool = False) -> "DataFrame":
         """Statistics.hs:326 ``summarize`` — per numeric column: mean,
         std (sample), min, q25, median, q75, max. One agg pass +
-        unpivot, same shape as describe_columns."""
+        unpivot, same shape as describe_columns.
+
+        ``distributed=True`` computes the three quartiles via the
+        sharded exact-quantile plan (operators/quantiles.py) instead
+        of ``F.percentile``'s single-reducer value-multiset buffer —
+        slower at local scale, required when a column's distinct
+        values don't fit one executor (100 TB path)."""
         df = self.df
         num_types = ("int", "bigint", "double", "float", "smallint", "tinyint")
         num_cols = [c for c, t in df.dtypes if t in num_types]
+        if distributed:
+            return self._summarize_distributed(df, num_cols)
         aggs = []
         for c in num_cols:
             cc = F.col(c).cast("double")
@@ -466,6 +489,39 @@ class DataFrame:
             f"(column_name, {', '.join(names)})"
         )
         return self._wrap(stacked)
+
+    def _summarize_distributed(self, df, num_cols) -> "DataFrame":
+        """summarize scale path: bounded-state moments in one agg pass,
+        quartiles via the sharded exact-quantile plan, broadcast-joined
+        on column_name (both sides are #cols rows)."""
+        from .operators.quantiles import exact_quantiles_wide
+
+        aggs = []
+        for c in num_cols:
+            cc = F.col(c).cast("double")
+            aggs += [
+                F.avg(cc).alias(f"__mean_{c}"),
+                F.stddev_samp(cc).alias(f"__std_{c}"),
+                F.min(cc).alias(f"__min_{c}"),
+                F.max(cc).alias(f"__max_{c}"),
+            ]
+        one = df.agg(*aggs)
+        stack_args = []
+        for c in num_cols:
+            stack_args.append(f"'{c}'")
+            stack_args += [f"`__{s}_{c}`" for s in ("mean", "std", "min", "max")]
+        moments = one.selectExpr(
+            f"stack({len(num_cols)}, {', '.join(stack_args)}) as "
+            "(column_name, mean, std, min, max)"
+        )
+        quarts = exact_quantiles_wide(
+            df, num_cols, [0.25, 0.5, 0.75], names=["q25", "median", "q75"]
+        )
+        return self._wrap(
+            moments.join(F.broadcast(quarts), "column_name").select(
+                "column_name", "mean", "std", "min", "q25", "median", "q75", "max"
+            )
+        )
 
     def histogram(self, col: str, bins: int = 10) -> "DataFrame":
         """Display/Terminal/Plot.hs analogue — equi-width bucket

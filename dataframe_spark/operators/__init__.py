@@ -1,3 +1,3 @@
-from . import dedup, multimodal, similarity, text, window
+from . import dedup, multimodal, quantiles, similarity, text, window
 
-__all__ = ["dedup", "similarity", "text", "window", "multimodal"]
+__all__ = ["dedup", "quantiles", "similarity", "text", "window", "multimodal"]

@@ -1,0 +1,169 @@
+"""Distributed EXACT quantiles (percentile_cont semantics).
+
+Reference analogue: Operations/Statistics.hs:percentile/median and
+summarize's quartiles (Statistics.hs:326) — the reference sorts a
+single in-memory vector per column. Spark's built-in exact
+``percentile`` aggregate instead accumulates a full value-count map
+per (group × column) buffer and merges those maps serially on one
+reducer — fine per-group, pathological for one-row global summaries
+of wide tables, and memory-unbounded at 100 TB.
+
+This module computes exact linear-interpolated quantiles as a pure
+DataFrame plan that stays distributed end to end:
+
+1. unpivot the requested columns to (name, value) rows;
+2. reduce to distinct-value counts (all shuffles from here are
+   bounded by the number of DISTINCT values, not rows);
+3. assign each value a deterministic ORDER-PRESERVING radix bin
+   (sign, clamped binary exponent, top mantissa bits — a static
+   range partitioning that needs no boundary sampling, so every
+   plan branch bins identically by construction);
+4. per-(column, bin) window cumsums + per-bin offsets give global
+   cumulative counts — windows only ever run inside one bin's
+   distinct values, never "one partition per column";
+5. for each requested prob, locate the two bracketing order
+   statistics with a conditional-min aggregate and interpolate:
+   pos = p·(n-1), v = v_lo + frac·(v_hi - v_lo)  — identical to
+   Spark ``percentile`` / DuckDB ``quantile_cont``.
+
+No collect(), no per-column jobs, no sampled partitioner whose
+boundaries could drift between plan branches: one deterministic
+plan regardless of column or prob count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# mantissa bits kept per binary exponent: 2^6 sub-bins caps a bin at
+# ~1/64 of any one exponent band's values for smooth distributions
+_MANTISSA_BITS = 6
+_SUB = 1 << _MANTISSA_BITS
+
+
+def _radix_bin(v: Column) -> Column:
+    """Deterministic monotonic bin id for a double: larger value ⇒
+    larger (or equal) bin. Built from sign + floor(log2|v|) clamped
+    to the normal range + top mantissa bits. NaN sorts last (Spark
+    and DuckDB both order NaN greatest)."""
+    av = F.abs(v)
+    e = F.least(
+        F.lit(1023.0), F.greatest(F.lit(-1022.0), F.floor(F.log2(av)).cast("double"))
+    )
+    # clamp BEFORE floor: keeps the cast in int range for every finite
+    # double (and ANSI-safe — floor(inf) would overflow an int cast)
+    frac = F.least(
+        F.lit(1.0 + (_SUB - 1) / _SUB),
+        F.greatest(F.lit(1.0), av / F.pow(F.lit(2.0), e)),
+    )
+    sub = F.floor((frac - 1.0) * _SUB).cast("long")
+    mag = (e.cast("long") + 1022) * _SUB + sub
+    top = (1023 + 1022 + 1) * _SUB  # above every finite mag
+    return (
+        F.when(F.isnan(v), F.lit(1 << 40))
+        .when(v == 0.0, F.lit(0))
+        .when(v == F.lit(float("inf")), F.lit(top + 1))
+        .when(v == F.lit(float("-inf")), F.lit(-top - 1))
+        .when(v > 0.0, mag + 1)
+        .otherwise(-mag - 1)
+    )
+
+
+def exact_quantiles(
+    df: SparkDF,
+    cols: Sequence[str],
+    probs: Sequence[float],
+) -> SparkDF:
+    """Exact quantiles for ``cols`` at ``probs``.
+
+    Returns a long-format DataFrame (column_name, prob, value);
+    nulls excluded per column, all-null columns absent.
+    """
+    spark = df.sparkSession
+    stack_args = ", ".join(f"'{c}', CAST(`{c}` AS DOUBLE)" for c in cols)
+    long = df.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (__name, __v)"
+    ).where(F.col("__v").isNotNull())
+
+    counts = (
+        long.groupBy("__name", "__v")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__bin", _radix_bin(F.col("__v")))
+    )
+
+    # per-bin totals are tiny (#cols × #populated-bins rows)
+    psums = counts.groupBy("__name", "__bin").agg(F.sum("__cnt").alias("__s"))
+    w_off = (
+        Window.partitionBy("__name")
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = psums.select(
+        "__name",
+        "__bin",
+        F.coalesce(F.sum("__s").over(w_off), F.lit(0)).alias("__off"),
+    )
+    totals = psums.groupBy("__name").agg(F.sum("__s").alias("__n"))
+
+    # target order-statistic indices per (column, prob); tiny plan
+    probs_df = spark.createDataFrame([(float(p),) for p in probs], "prob double")
+    pos = F.col("prob") * (F.col("__n") - 1).cast("double")
+    targets = totals.crossJoin(probs_df).select(
+        "__name",
+        "prob",
+        F.floor(pos).alias("__jlo"),
+        F.ceil(pos).alias("__jhi"),
+        (pos - F.floor(pos)).alias("__frac"),
+    )
+
+    w_cum = (
+        Window.partitionBy("__name", "__bin")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.join(F.broadcast(offsets), ["__name", "__bin"]).withColumn(
+        "__cum", F.col("__off") + F.sum("__cnt").over(w_cum)
+    )
+
+    # order statistic at 0-based index j = first value with cum >= j+1
+    return (
+        cum.join(F.broadcast(targets), "__name")
+        .groupBy("__name", "prob", "__frac")
+        .agg(
+            F.min(
+                F.when(F.col("__cum") >= F.col("__jlo") + 1, F.col("__v"))
+            ).alias("__vlo"),
+            F.min(
+                F.when(F.col("__cum") >= F.col("__jhi") + 1, F.col("__v"))
+            ).alias("__vhi"),
+        )
+        .select(
+            F.col("__name").alias("column_name"),
+            "prob",
+            (F.col("__vlo") + F.col("__frac") * (F.col("__vhi") - F.col("__vlo"))).alias(
+                "value"
+            ),
+        )
+    )
+
+
+def exact_quantiles_wide(
+    df: SparkDF,
+    cols: Sequence[str],
+    probs: Sequence[float],
+    names: Sequence[str] | None = None,
+) -> SparkDF:
+    """Pivot of :func:`exact_quantiles`: one row per column, one
+    output column per prob (named via ``names`` or ``q<pct>``)."""
+    names = list(names) if names else [f"q{int(round(p * 100))}" for p in probs]
+    long = exact_quantiles(df, cols, probs)
+    aggs = [
+        F.min(F.when(F.col("prob") == float(p), F.col("value"))).alias(nm)
+        for p, nm in zip(probs, names)
+    ]
+    return long.groupBy("column_name").agg(*aggs)

@@ -62,6 +62,32 @@ def q_stats_agg(spark, sf_dir):
     )
 
 
+def q_quantiles(spark, sf_dir):
+    """Distributed exact quantiles (operators/quantiles.py) — the
+    scale path behind summarize(distributed=True); parity-checked
+    against DuckDB QUANTILE_CONT."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.quantiles(["l_quantity", "l_extendedprice"], [0.1, 0.5, 0.9]).df
+    return out.select(
+        "column_name",
+        F.round("prob", 2).alias("prob"),
+        F.round("value", 4).alias("value"),
+    )
+
+
+def _quantiles_oracle() -> str:
+    parts = []
+    for c in ("l_quantity", "l_extendedprice"):
+        for p in (0.1, 0.5, 0.9):
+            parts.append(
+                f"""SELECT '{c}' AS column_name,
+                CAST({p} AS DOUBLE) AS prob,
+                ROUND(QUANTILE_CONT(CAST({c} AS DOUBLE), {p}), 4) AS value
+                FROM lineitem"""
+            )
+    return " UNION ALL ".join(parts)
+
+
 def q_mode(spark, sf_dir):
     """Deterministic mode: argmax by (count desc, value asc) — the
     scale-safe formulation (plain agg + window, no sketch)."""
@@ -209,6 +235,7 @@ QUERIES = {
     "q_value_counts": q_value_counts,
     "q_describe": q_describe,
     "q_summarize": q_summarize,
+    "q_quantiles": q_quantiles,
     "q_stats_agg": q_stats_agg,
     "q_mode": q_mode,
     "q_collect_list": q_collect_list,
@@ -238,6 +265,7 @@ ORACLES = {
     """,
     "q_describe": _describe_oracle(),
     "q_summarize": _summarize_oracle(),
+    "q_quantiles": _quantiles_oracle(),
     "q_stats_agg": """
         SELECT l_returnflag,
           ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd,

@@ -1,0 +1,97 @@
+"""Distributed exact quantiles (operators/quantiles.py).
+
+Reference analogue: Operations/Statistics.hs percentile/median — the
+reference sorts one in-memory vector; ours is a sharded plan whose
+results must match Spark's exact ``F.percentile`` bit-for-bit-ish.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframe_spark.operators.quantiles import (
+    _radix_bin,
+    exact_quantiles,
+    exact_quantiles_wide,
+)
+
+PROBS = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+
+
+def _builtin(df, col, probs):
+    row = df.agg(
+        F.percentile(F.col(col).cast("double"), F.array(*[F.lit(p) for p in probs]))
+    ).first()
+    return list(row[0])
+
+
+def _check(df, cols, probs):
+    got = {
+        (r["column_name"], r["prob"]): r["value"]
+        for r in exact_quantiles(df, cols, probs).collect()
+    }
+    for c in cols:
+        ref = _builtin(df, c, probs)
+        for p, want in zip(probs, ref):
+            have = got[(c, p)]
+            assert have == pytest.approx(want, rel=1e-12, abs=1e-12), (c, p)
+
+
+def test_matches_builtin_mixed_signs(spark):
+    vals = [-1000.5, -3.25, -3.25, -0.001, 0.0, 0.0, 1e-12, 2.5, 2.5, 7.0, 1e9]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    _check(df, ["x"], PROBS)
+
+
+def test_matches_builtin_with_nulls_and_duplicates(spark):
+    vals = [1.0, None, 2.0, 2.0, None, 3.0, 100.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    _check(df, ["x"], PROBS)
+
+
+def test_multi_column_lineitem(lineitem):
+    _check(lineitem.df, ["l_quantity", "l_discount", "l_tax"], [0.25, 0.5, 0.75])
+
+
+def test_wide_layout(lineitem):
+    wide = exact_quantiles_wide(
+        lineitem.df, ["l_quantity"], [0.25, 0.5, 0.75]
+    ).collect()
+    assert len(wide) == 1
+    row = wide[0]
+    ref = _builtin(lineitem.df, "l_quantity", [0.25, 0.5, 0.75])
+    assert [row["q25"], row["q50"], row["q75"]] == pytest.approx(ref)
+
+
+def test_summarize_distributed_matches_default(lineitem):
+    base = {r["column_name"]: r for r in lineitem.summarize().df.collect()}
+    dist = {
+        r["column_name"]: r
+        for r in lineitem.summarize(distributed=True).df.collect()
+    }
+    assert set(base) == set(dist)
+    for c, b in base.items():
+        d = dist[c]
+        for field in ("mean", "std", "min", "q25", "median", "q75", "max"):
+            assert d[field] == pytest.approx(b[field], rel=1e-12), (c, field)
+
+
+def test_radix_bin_monotone(spark):
+    vals = [
+        float("-inf"), -1e300, -5.0, -1.0 - 1e-9, -1.0, -1e-300, -0.0,
+        0.0, 5e-324, 1e-300, 0.999, 1.0, 1.0 + 1e-9, 2.0, 1e308, float("inf"),
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = (
+        df.select("x", _radix_bin(F.col("x")).alias("b")).orderBy("x").collect()
+    )
+    bins = [r["b"] for r in rows]
+    assert bins == sorted(bins)
+    # NaN must land in the greatest bin (Spark sorts NaN last)
+    nan_bin = (
+        spark.createDataFrame([(float("nan"),)], "x double")
+        .select(_radix_bin(F.col("x")).alias("b"))
+        .first()["b"]
+    )
+    assert nan_bin > max(b for b, v in zip(bins, vals) if not math.isnan(v))
