@@ -42,25 +42,49 @@ def tokens_expr(text_col: str):
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
 
 
+def shingle_array_expr(tokens, n: int = 3):
+    """Array of word n-grams from a token-array column, built with
+    aligned slices stitched by zip_with — the token array is only
+    ever referenced in ARGUMENT position (evaluated once per row,
+    n slices), never inside a per-element lambda body where Catalyst
+    would re-evaluate the tokenization per shingle (measured 30x
+    slower). Distinct within the document."""
+    m = F.greatest(F.lit(0), F.size(tokens) - (n - 1))
+    arr = F.slice(tokens, 1, m)
+    for k in range(1, n):
+        arr = F.zip_with(
+            arr,
+            F.slice(tokens, k + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.array_distinct(arr)
+
+
+def shingle_arrays(
+    df: SparkDF, id_col: str, text_col: str, n: int = 3
+) -> SparkDF:
+    """(id, sh_arr: array<string> distinct shingles, n_sh) — produced
+    by a single NARROW projection: no explode, no window, no distinct
+    shuffle. Docs with fewer than n tokens drop out (no shingles)."""
+    toks = F.filter(tokens_expr(text_col), lambda x: x != F.lit(""))
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            shingle_array_expr(toks, n).alias("sh_arr"),
+        )
+        .withColumn("n_sh", F.size("sh_arr"))
+        .where(F.col("n_sh") > 0)
+    )
+
+
 def shingles(df: SparkDF, id_col: str, text_col: str, n: int = 3) -> SparkDF:
     """Distinct word n-gram shingles per document: (id, shingle).
 
-    Implementation: posexplode tokens, then stitch n-grams with
-    window lead() — every step is whole-stage-codegen (a per-element
-    array lambda would re-evaluate the split per shingle and fall
-    out of codegen; measured 30x slower)."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(tokens_expr(text_col)).alias("pos", "tok"),
-    ).where(F.col("tok") != "")
-    w = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    last = F.lead("tok", n - 1).over(w)
-    return (
-        toks.select("id", F.concat_ws(" ", *parts).alias("shingle"), last.alias("__last"))
-        .where(F.col("__last").isNotNull())
-        .select("id", "shingle")
-        .distinct()
+    Explode of the per-doc distinct shingle array — distinctness is
+    established inside the row (array_distinct), so this needs zero
+    shuffles where the old window+distinct formulation needed two."""
+    return shingle_arrays(df, id_col, text_col, n).select(
+        "id", F.explode("sh_arr").alias("shingle")
     )
 
 
@@ -79,29 +103,30 @@ def jaccard_pairs(
     one of each other's (n - ceil(t·n) + 1) rarest shingles, so the
     candidate join runs only on those prefixes — ordered by global
     document frequency ascending, exactly the shingles with the
-    smallest buckets. Candidates are then verified against the full
-    shingle sets. At 100 TB this is the difference between a
-    size-of-data shuffle and a quadratic one."""
-    sh = shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    smallest buckets. Candidates are then verified per-pair with
+    array_intersect against the per-doc shingle arrays (one row per
+    doc), NOT by re-joining the exploded shingle table — verification
+    shuffle is O(candidates + docs), not O(total shingles). At 100 TB
+    this is the difference between a size-of-data shuffle and a
+    quadratic one."""
+    arrs = shingle_arrays(df, id_col, text_col, n)
+    exploded = arrs.select("id", F.explode("sh_arr").alias("shingle"))
     # global shingle document-frequency; rank within each doc by
-    # (df asc, shingle asc) so rare shingles come first
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # (df asc, shingle asc) so rare shingles come first; doc size
+    # rides the same per-id window shuffle
+    dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w_rank = Window.partitionBy("id").orderBy(
+        F.col("df").asc(), F.col("shingle").asc()
+    )
     ranked = (
-        sh.join(dfreq, "shingle")
-        .join(sizes, "id")
-        .withColumn(
-            "__rank",
-            F.row_number().over(
-                Window.partitionBy("id").orderBy(
-                    F.col("df").asc(), F.col("shingle").asc()
-                )
-            ),
-        )
+        exploded.join(dfreq, "shingle")
+        .withColumn("__rank", F.row_number().over(w_rank))
+        .withColumn("__n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
     )
     # prefix length: n_sh - ceil(t * n_sh) + 1
     prefix = ranked.where(
-        F.col("__rank") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        F.col("__rank")
+        <= F.col("__n_sh") - F.ceil(F.lit(threshold) * F.col("__n_sh")) + 1
     ).select("id", "shingle")
     a = prefix.select(F.col("id").alias("a_id"), "shingle")
     b = prefix.select(F.col("id").alias("b_id"), "shingle")
@@ -111,33 +136,37 @@ def jaccard_pairs(
         .select("a_id", "b_id")
         .distinct()
     )
-    return _verify_jaccard(cands, sh, sizes, threshold)
+    return _verify_jaccard(cands, arrs, threshold)
 
 
 def _verify_jaccard(
-    cands: SparkDF, sh: SparkDF, sizes: SparkDF, threshold: float
+    cands: SparkDF, arrs: SparkDF, threshold: float
 ) -> SparkDF:
-    """Exact-Jaccard verification of candidate pairs against the
-    full shingle sets: two hash joins + one aggregate."""
-    a = sh.select(F.col("id").alias("a_id"), "shingle")
-    b = sh.select(F.col("id").alias("b_id"), "shingle")
-    common = (
-        cands.join(a, "a_id")
-        .join(b, ["b_id", "shingle"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("common"))
+    """Exact-Jaccard verification of candidate pairs: join each pair
+    to its two per-doc shingle arrays and intersect in-row. The doc
+    side is one row per document (narrowly produced), so with AQE a
+    small candidate set broadcasts and the arrays never shuffle."""
+    a = arrs.select(
+        F.col("id").alias("a_id"),
+        F.col("sh_arr").alias("__a_arr"),
+        F.col("n_sh").alias("__na"),
     )
+    b = arrs.select(
+        F.col("id").alias("b_id"),
+        F.col("sh_arr").alias("__b_arr"),
+        F.col("n_sh").alias("__nb"),
+    )
+    common = F.size(F.array_intersect(F.col("__a_arr"), F.col("__b_arr")))
     return (
-        common.join(
-            sizes.select(F.col("id").alias("a_id"), F.col("n_sh").alias("na")), "a_id"
-        )
-        .join(
-            sizes.select(F.col("id").alias("b_id"), F.col("n_sh").alias("nb")), "b_id"
-        )
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("__common", common)
         .withColumn(
             "jaccard",
             F.round(
-                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 4
+                F.col("__common")
+                / (F.col("__na") + F.col("__nb") - F.col("__common")),
+                4,
             ),
         )
         .where(F.col("jaccard") >= threshold)
@@ -207,11 +236,11 @@ def minhash_dedup_pairs(
 ) -> SparkDF:
     """Full pipeline: minhash → LSH candidates → exact-Jaccard verify.
 
-    The verify join re-uses the shingle table, so false positives
-    from banding never survive; false-negative rate is the standard
-    (1 - s^r)^b curve."""
-    sh = shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    The verify join re-uses the per-doc shingle arrays, so false
+    positives from banding never survive; false-negative rate is the
+    standard (1 - s^r)^b curve."""
+    arrs = shingle_arrays(df, id_col, text_col, n)
+    sh = arrs.select("id", F.explode("sh_arr").alias("shingle"))
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(num_perm)
@@ -222,7 +251,7 @@ def minhash_dedup_pairs(
         .select("id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
     )
     cands = lsh_candidate_pairs(sigs, bands, num_perm // bands)
-    return _verify_jaccard(cands, sh, sizes, threshold)
+    return _verify_jaccard(cands, arrs, threshold)
 
 
 # --- SimHash ----------------------------------------------------------
