@@ -6,9 +6,9 @@ identical on both sides; every float aggregate is rounded on both
 sides (the driver hash-compares values order-insensitively).
 """
 
-from . import dedup_q, exprs_q, relational, stats_q, text_q, windows_q
+from . import dedup_q, exprs_q, ml_q, relational, stats_q, text_q, windows_q
 
-MODULES = [relational, stats_q, windows_q, dedup_q, text_q, exprs_q]
+MODULES = [relational, stats_q, windows_q, dedup_q, text_q, exprs_q, ml_q]
 
 
 def all_queries():
