@@ -134,6 +134,32 @@ def when_present(f: Callable[[Column], Column], a) -> Column:
     return F.when(c.isNotNull(), f(c))
 
 
+def when_both_present(f: Callable[[Column, Column], Column], a, b) -> Column:
+    """Functions.hs:262 ``whenBothPresent`` — apply a binary fn only
+    when both inputs are non-null (the Maybe-applicative lift2)."""
+    ca, cb = _c(a), _c(b)
+    return F.when(ca.isNotNull() & cb.isNotNull(), f(ca, cb))
+
+
+def recode_with_condition(
+    fallback, cases: list[tuple[Callable[[Column], Column], object]], a
+) -> Column:
+    """Functions.hs:280 ``recodeWithCondition`` — first matching
+    predicate wins, else the fallback; compiles to one chained CASE
+    (codegen-friendly, no UDF)."""
+    c = _c(a)
+    expr = None
+    for cond, value in cases:
+        expr = (
+            F.when(cond(c), F.lit(value))
+            if expr is None
+            else expr.when(cond(c), F.lit(value))
+        )
+    if expr is None:
+        return _c(fallback)
+    return expr.otherwise(_c(fallback))
+
+
 # --- strings (Functions.hs: splitOn/match/matchAll) -------------------
 
 def split_on(sep: str, a) -> Column:

@@ -116,3 +116,28 @@ def test_expr_dsl(small):
     assert {r["flag"] for r in out.collect()} == {"hi", "lo"}
     out2 = small.filter_where(E.and_(E.is_just("grp"), E.geq("id", E.lit(3))))
     assert out2.n_rows() == 1
+
+
+def test_when_both_present(small):
+    out = small.derive("s", E.when_both_present(lambda a, b: a + b, "id", "val"))
+    rows = {r["id"]: r["s"] for r in out.collect()}
+    assert rows[1] == 11.0 and rows[3] == 33.0 and rows[4] == 44.0
+    assert rows[2] is None  # val is null ⇒ result is null
+
+
+def test_recode_with_condition(small):
+    out = small.derive(
+        "band",
+        E.recode_with_condition(
+            E.lit("mid"),
+            [(lambda c: c < 15, "low"), (lambda c: c > 35, "high")],
+            "val",
+        ),
+    )
+    rows = {r["id"]: r["band"] for r in out.collect()}
+    assert rows == {1: "low", 2: "mid", 3: "mid", 4: "high"}
+
+
+def test_recode_with_condition_no_cases(small):
+    out = small.derive("k", E.recode_with_condition(E.lit("x"), [], "val"))
+    assert {r["k"] for r in out.collect()} == {"x"}
