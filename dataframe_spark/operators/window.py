@@ -54,19 +54,29 @@ def asof_join(
 
 
 def sessionize(
-    df: SparkDF, key_col: str, time_col: str, gap_minutes: float = 30.0
+    df: SparkDF,
+    key_col: str,
+    time_col: str,
+    gap_minutes: float = 30.0,
+    tiebreak: str | None = None,
 ) -> SparkDF:
     """Assign gap-based session ids per key (batch analogue of
-    Structured Streaming's session_window; single shuffle on key)."""
-    w = Window.partitionBy(key_col).orderBy(time_col)
+    Structured Streaming's session_window; single shuffle on key).
+
+    Gap arithmetic is done on ``timestamp → double`` (epoch seconds
+    with microsecond fraction), not ``unix_timestamp`` which truncates
+    to whole seconds and mis-classifies gaps that straddle the
+    threshold by less than a second. Pass ``tiebreak`` for a
+    deterministic total order when timestamps can collide."""
+    order = [time_col] if tiebreak is None else [time_col, tiebreak]
+    w = Window.partitionBy(key_col).orderBy(*order)
     gap_s = gap_minutes * 60
-    prev = F.lag(F.col(time_col)).over(w)
+    # ntz timestamps cannot cast straight to double; hop through
+    # timestamp (session tz is pinned UTC so the hop is lossless)
+    ts_s = F.col(time_col).cast("timestamp").cast("double")
+    prev = F.lag(ts_s).over(w)
     new_sess = F.when(
-        prev.isNull()
-        | (
-            F.unix_timestamp(F.col(time_col)) - F.unix_timestamp(prev)
-            > gap_s
-        ),
+        prev.isNull() | (ts_s - prev > gap_s),
         1,
     ).otherwise(0)
     return df.withColumn(
