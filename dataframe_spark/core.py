@@ -184,9 +184,17 @@ class DataFrame:
         return out
 
     def k_folds(self, k: int, seed: int = 42):
-        """Subset.hs ``kFolds`` — k disjoint folds via seeded bucket
-        assignment (single pass, no global sort)."""
-        bucketed = self.df.withColumn("__fold", (F.rand(seed) * k).cast("int"))
+        """Subset.hs ``kFolds`` — k disjoint folds.
+
+        The fold is derived from row CONTENT (seeded xxhash64 of all
+        columns), not ``F.rand``: the k filters execute as independent
+        jobs, and a rand-based fold is only disjoint/exhaustive if the
+        partition layout is bit-identical across all of them — task
+        retries break that. A content hash is stable by construction.
+        Duplicate rows co-locate in one fold (documented trade-off)."""
+        cols = [F.col(c) for c in self.df.columns]
+        fold = F.pmod(F.xxhash64(F.lit(seed), *cols), F.lit(k)).cast("int")
+        bucketed = self.df.withColumn("__fold", fold)
         return [
             self._wrap(bucketed.filter(F.col("__fold") == i).drop("__fold"))
             for i in range(k)
@@ -226,12 +234,20 @@ class DataFrame:
 
     def recode(self, name: str, mapping: dict, default=None) -> "DataFrame":
         """Functions.hs ``recode``/``recodeWithDefault`` — value
-        remap via a chained CASE expression (codegen-friendly)."""
+        remap via a chained CASE expression (codegen-friendly).
+
+        Unmapped keys become null (reference ``recode`` yields
+        Nothing) unless ``default`` is given (``recodeWithDefault``)."""
         c = F.col(name)
+        fallback = (
+            F.lit(None).cast(self.df.schema[name].dataType)
+            if default is None
+            else F.lit(default)
+        )
         expr = None
         for k, v in mapping.items():
             expr = F.when(c == k, v) if expr is None else expr.when(c == k, v)
-        expr = expr.otherwise(c if default is None else F.lit(default))
+        expr = fallback if expr is None else expr.otherwise(fallback)
         return self._wrap(self.df.withColumn(name, expr))
 
     def impute(self, cols: Sequence[str], strategy="mean") -> "DataFrame":
@@ -257,6 +273,29 @@ class DataFrame:
         for c in cols:
             out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__fill_{c}")))
         return self._wrap(out.drop(*[f"__fill_{c}" for c in cols]))
+
+    def z_score(self, col: str, name: str | None = None) -> "DataFrame":
+        """Functions.hs ``zScore`` — global standardization.
+
+        Mean/stddev come from a one-row agg plan broadcast-crossJoined
+        back (same shape as ``impute``): fully distributed, unlike an
+        empty-partition window which funnels the whole table through
+        one executor."""
+        name = name or col
+        c = _c(col).cast("double")
+        stats = self.df.agg(
+            F.avg(c).alias("__zs_mean"),
+            F.stddev_samp(c).alias("__zs_std"),
+        )
+        out = (
+            self.df.crossJoin(F.broadcast(stats))
+            .withColumn(
+                name,
+                (c - F.col("__zs_mean")) / F.nullif(F.col("__zs_std"), F.lit(0.0)),
+            )
+            .drop("__zs_mean", "__zs_std")
+        )
+        return self._wrap(out)
 
     def clone_column(self, src: str, dst: str) -> "DataFrame":
         return self._wrap(self.df.withColumn(dst, F.col(src)))
@@ -531,11 +570,18 @@ class DataFrame:
             F.min(_c(col)).cast("double").alias("__lo"),
             F.max(_c(col)).cast("double").alias("__hi"),
         )
-        width = (F.col("__hi") - F.col("__lo")) / bins
-        bucket = F.least(
-            F.floor((_c(col).cast("double") - F.col("__lo")) / width),
-            F.lit(bins - 1),
-        ).cast("int")
+        # nullif guards width == 0 (constant / single-value column):
+        # the division then yields null and every row coalesces into
+        # bucket 0 — and stays ANSI-safe (null divisor, not zero)
+        width = F.nullif((F.col("__hi") - F.col("__lo")) / bins, F.lit(0.0))
+        raw = F.floor((_c(col).cast("double") - F.col("__lo")) / width)
+        # when, not least/coalesce: F.least SKIPS nulls, so a null raw
+        # bucket would silently become bins-1
+        bucket = (
+            F.when(raw.isNull(), 0)
+            .otherwise(F.least(raw, F.lit(bins - 1)))
+            .cast("int")
+        )
         return self._wrap(
             self.df.crossJoin(F.broadcast(rng))
             .withColumn("bucket", bucket)

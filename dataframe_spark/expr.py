@@ -100,7 +100,13 @@ def int_div(a, b) -> Column:
 
 
 def mod(a, b) -> Column:
-    return _c(a) % _c(b)
+    """Floored modulo (Haskell ``mod``, Functions.hs:121): result has
+    the sign of the divisor, consistent with ``int_div`` flooring.
+    Spark's ``%`` is truncated remainder (sign of dividend) and
+    ``F.pmod`` only matches for positive divisors, so derive it from
+    the flooring division."""
+    ca, cb = _c(a), _c(b)
+    return ca - cb * F.floor(ca / F.nullif(cb, F.lit(0)))
 
 
 def round_to(n: int, a) -> Column:
@@ -222,14 +228,10 @@ def last_or_nothing(a) -> Column:
     return F.get(c, F.size(c) - 1)
 
 
-def z_score(a) -> Column:
-    """Functions.hs ``zScore`` — global standardization as a window
-    expression (no shuffle key → computed once per partition tree)."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy()
-    c = _c(a)
-    return (c - F.avg(c).over(w)) / F.stddev_samp(c).over(w)
+# zScore lives on DataFrame (``DataFrame.z_score``): standardizing
+# needs the global mean/stddev, which as a Column could only be an
+# empty-partition window — a single-executor bottleneck at scale.
+# The verb computes them as a one-row agg broadcast back instead.
 
 
 # --- Python escape hatches (lift/lift2 → Arrow pandas UDFs) -----------

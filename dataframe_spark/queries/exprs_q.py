@@ -13,7 +13,6 @@ from ..expr import (
     match_all,
     relu,
     split_on,
-    z_score,
 )
 from ..tables import load_table
 
@@ -50,14 +49,15 @@ def q_text_split(spark, sf_dir):
 
 
 def q_numeric_fns(spark, sf_dir):
-    """relu / pow / clip / round / toDouble / zScore."""
-    p = _t(spark, sf_dir, "part").df
+    """relu / pow / clip / round / toDouble / zScore (the z-score is
+    the DataFrame verb: one-row agg broadcast back, no global window)."""
+    p = _t(spark, sf_dir, "part").z_score("p_retailprice", "z").df
     return p.select(
         "p_partkey",
         relu(F.col("p_size") - 25).cast("int").alias("relu_size"),
         F.round(F.pow(F.col("p_retailprice"), 2) / 1e6, 4).alias("price_sq_m"),
         clip(10, 40, F.col("p_size")).cast("int").alias("clipped"),
-        F.round(z_score(F.col("p_retailprice")), 4).alias("z"),
+        F.round(F.col("z"), 4).alias("z"),
     )
 
 

@@ -72,10 +72,20 @@ def test_histogram_covers_all(lineitem):
     assert len(buckets) == 10
 
 
+def test_histogram_constant_column(small):
+    # zero-width range must not null out every bucket
+    buckets = small.derive("k", F.lit(5.0)).histogram("k", 4).collect()
+    assert len(buckets) == 1 and buckets[0]["bucket"] == 0
+    assert buckets[0]["count"] == 4
+
+
 def test_zscore(small):
-    out = small.filter_just("val").derive("z", E.z_score("val"))
+    out = small.filter_just("val").z_score("val", "z")
     zs = [r["z"] for r in out.collect()]
     assert abs(sum(zs)) < 1e-9
+    # scale guardrail: no empty-partition window in the plan
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
 
 
 def test_melt_pivot_roundtrip(small):

@@ -88,6 +88,35 @@ def test_recode(small):
     assert vals[1] == "alpha" and vals[2] == "other"
 
 
+def test_recode_unmapped_is_null(small):
+    # reference recode: unmapped keys yield Nothing, not the original
+    out = small.recode("grp", {"a": "alpha"})
+    vals = {r["id"]: r["grp"] for r in out.collect()}
+    assert vals[1] == "alpha" and vals[2] is None and vals[4] is None
+
+
+def test_recode_empty_mapping(small):
+    out = small.recode("grp", {}, default="x")
+    assert all(r["grp"] == "x" for r in out.collect())
+    out = small.recode("grp", {})
+    assert all(r["grp"] is None for r in out.collect())
+
+
+def test_floored_mod(spark):
+    from dataframe_spark.core import DataFrame
+
+    df = DataFrame(
+        spark.createDataFrame(
+            [(-7, 3), (7, -3), (7, 3), (-7, -3), (5, 0)], "a int, b int"
+        )
+    ).derive("m", E.mod("a", "b"))
+    vals = {(r["a"], r["b"]): r["m"] for r in df.collect()}
+    # Haskell mod: sign of the divisor; x `mod` 0 is an error → null here
+    assert vals[(-7, 3)] == 2 and vals[(7, -3)] == -2
+    assert vals[(7, 3)] == 1 and vals[(-7, -3)] == -1
+    assert vals[(5, 0)] is None
+
+
 def test_impute_mean(small):
     out = small.impute(["val"], "mean")
     vals = sorted(r["val"] for r in out.collect())
