@@ -30,6 +30,13 @@ __all__ = ["DataFrame", "GroupedDataFrame", "Asc", "Desc"]
 Asc = "asc"
 Desc = "desc"
 
+# Input-size threshold (plan-estimated bytes) above which quantile
+# verbs switch from the built-in ``F.percentile`` (full value-count
+# map buffered and merged on ONE reducer) to the sharded exact plan
+# in operators/quantiles.py. The buffer's memory is bounded by the
+# column's distinct values, for which scan size is the cheap proxy.
+QUANTILE_BUFFER_MAX_BYTES = 256 * 1024 * 1024
+
 
 def _c(x) -> Column:
     return F.col(x) if isinstance(x, str) else x
@@ -63,6 +70,15 @@ class DataFrame:
 
     def _wrap(self, df: SparkDF) -> "DataFrame":
         return DataFrame(df)
+
+    def _plan_size_bytes(self) -> int:
+        """Catalyst's plan-side size estimate for this frame (file
+        sizes for scans, propagated through the plan). Reading it
+        runs NO job — it is the same statistic AQE and the broadcast
+        threshold consult."""
+        return int(
+            self.df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
 
     # -- core / exploration (Operations/Core.hs) -----------------------
 
@@ -260,15 +276,31 @@ class DataFrame:
         ):
             filled = self.df.fillna(strategy, subset=list(cols))
             return self._wrap(filled)
-        aggs = []
-        for c in cols:
-            stat = (
-                F.avg(F.col(c))
-                if strategy == "mean"
-                else F.percentile(F.col(c), F.lit(0.5))
+        if strategy == "median" and self._plan_size_bytes() > QUANTILE_BUFFER_MAX_BYTES:
+            # large input: sharded exact-median plan instead of the
+            # single-reducer percentile buffer; pivot the long result
+            # back to the same one-row __fill_* shape
+            from .operators.quantiles import exact_quantiles
+
+            med = exact_quantiles(self.df, list(cols), [0.5])
+            stats = med.agg(
+                *[
+                    F.min(
+                        F.when(F.col("column_name") == c, F.col("value"))
+                    ).alias(f"__fill_{c}")
+                    for c in cols
+                ]
             )
-            aggs.append(stat.alias(f"__fill_{c}"))
-        stats = self.df.agg(*aggs)
+        else:
+            aggs = []
+            for c in cols:
+                stat = (
+                    F.avg(F.col(c))
+                    if strategy == "mean"
+                    else F.percentile(F.col(c), F.lit(0.5))
+                )
+                aggs.append(stat.alias(f"__fill_{c}"))
+            stats = self.df.agg(*aggs)
         out = self.df.crossJoin(F.broadcast(stats))
         for c in cols:
             out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__fill_{c}")))
@@ -485,19 +517,23 @@ class DataFrame:
 
         return self._wrap(exact_quantiles(self.df, cols, probs))
 
-    def summarize(self, distributed: bool = False) -> "DataFrame":
+    def summarize(self, distributed: bool | None = None) -> "DataFrame":
         """Statistics.hs:326 ``summarize`` — per numeric column: mean,
         std (sample), min, q25, median, q75, max. One agg pass +
         unpivot, same shape as describe_columns.
 
-        ``distributed=True`` computes the three quartiles via the
-        sharded exact-quantile plan (operators/quantiles.py) instead
-        of ``F.percentile``'s single-reducer value-multiset buffer —
-        slower at local scale, required when a column's distinct
-        values don't fit one executor (100 TB path)."""
+        The quartile strategy is picked AUTOMATICALLY from the plan's
+        size estimate (default ``distributed=None``): small inputs use
+        ``F.percentile`` (fast locally, but its value-multiset buffer
+        merges on one reducer), inputs above
+        ``QUANTILE_BUFFER_MAX_BYTES`` use the sharded exact-quantile
+        plan (operators/quantiles.py), which stays distributed end to
+        end — the 100 TB path. Pass True/False to force a side."""
         df = self.df
         num_types = ("int", "bigint", "double", "float", "smallint", "tinyint")
         num_cols = [c for c, t in df.dtypes if t in num_types]
+        if distributed is None:
+            distributed = self._plan_size_bytes() > QUANTILE_BUFFER_MAX_BYTES
         if distributed:
             return self._summarize_distributed(df, num_cols)
         aggs = []

@@ -1,6 +1,7 @@
 """Aggregation/statistics tests (model: reference tests/Operations/
 {Aggregations,GroupBy,Statistics}.hs)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from dataframe_spark import expr as E
@@ -77,6 +78,36 @@ def test_histogram_constant_column(small):
     buckets = small.derive("k", F.lit(5.0)).histogram("k", 4).collect()
     assert len(buckets) == 1 and buckets[0]["bucket"] == 0
     assert buckets[0]["count"] == 4
+
+
+def test_summarize_auto_cutover(lineitem, monkeypatch):
+    import dataframe_spark.core as core
+
+    li = lineitem.select(["l_quantity", "l_discount"])
+    # small input → built-in percentile buffer in the plan
+    default = li.summarize()
+    assert "percentile" in default.df._jdf.queryExecution().optimizedPlan().toString()
+    # above-threshold input → sharded exact-quantile plan engages
+    monkeypatch.setattr(core, "QUANTILE_BUFFER_MAX_BYTES", 0)
+    dist = li.summarize()
+    assert "percentile" not in dist.df._jdf.queryExecution().optimizedPlan().toString()
+    # both paths agree (exact quantiles, same interpolation)
+    a = {r["column_name"]: r for r in default.collect()}
+    b = {r["column_name"]: r for r in dist.collect()}
+    for c in a:
+        for s in ("mean", "std", "min", "q25", "median", "q75", "max"):
+            assert a[c][s] == pytest.approx(b[c][s], rel=1e-9)
+
+
+def test_impute_median_auto_cutover(small, monkeypatch):
+    import dataframe_spark.core as core
+
+    expected = sorted(
+        r["val"] for r in small.impute(["val"], "median").collect()
+    )
+    monkeypatch.setattr(core, "QUANTILE_BUFFER_MAX_BYTES", 0)
+    got = sorted(r["val"] for r in small.impute(["val"], "median").collect())
+    assert got == pytest.approx(expected)
 
 
 def test_zscore(small):
