@@ -85,7 +85,34 @@ def main():
         "queries": times,
         "sf": sf,
     }
+    baseline = _load_baseline(sf)
+    if baseline:
+        ratios = {
+            q: round(times[q] / baseline[q], 2)
+            for q in times
+            if baseline.get(q)
+        }
+        out["vs_baseline"] = ratios
+        out["baseline_engine"] = "duckdb"
+        out["vs_baseline_total"] = round(
+            sum(times[q] for q in ratios) / sum(baseline[q] for q in ratios), 2
+        )
     print(json.dumps(out))
+
+
+def _load_baseline(sf) -> dict[str, float]:
+    """Per-query DuckDB wall-times from BASELINE.md's JSON block
+    (written by tools/baseline.py); {} if absent or other sf."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    try:
+        with open(path) as f:
+            text = f.read()
+        blob = json.loads(text.split("```json", 1)[1].split("```", 1)[0])
+        if blob.get("sf") != sf:
+            return {}
+        return blob.get("queries", {})
+    except (OSError, IndexError, ValueError):
+        return {}
 
 
 if __name__ == "__main__":
