@@ -110,23 +110,34 @@ def jaccard_pairs(
     this is the difference between a size-of-data shuffle and a
     quadratic one."""
     arrs = shingle_arrays(df, id_col, text_col, n)
-    exploded = arrs.select("id", F.explode("sh_arr").alias("shingle"))
-    # global shingle document-frequency; rank within each doc by
-    # (df asc, shingle asc) so rare shingles come first; doc size
-    # rides the same per-id window shuffle
-    dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    exploded = arrs.select("id", "n_sh", F.explode("sh_arr").alias("shingle"))
+    # Global document frequency, but only for REPEATED shingles: a
+    # shingle with df == 1 can never produce a candidate pair, and in
+    # the rarest-first order all df==1 shingles tie anyway (break by
+    # shingle text). The df>=2 set is a small fraction of the corpus
+    # vocabulary, so it broadcasts — turning the df lookup from a
+    # full shuffle join of the exploded table into a map-side join.
+    # Shuffles left: dfreq groupBy, the per-doc rank window, the
+    # candidate join, and verification — each bounded by data or
+    # candidate size, nothing quadratic.
+    dfreq = (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 2)
+    )
     w_rank = Window.partitionBy("id").orderBy(
         F.col("df").asc(), F.col("shingle").asc()
     )
     ranked = (
-        exploded.join(dfreq, "shingle")
+        exploded.join(F.broadcast(dfreq), "shingle", "left")
+        .withColumn("df", F.coalesce(F.col("df"), F.lit(1)))
         .withColumn("__rank", F.row_number().over(w_rank))
-        .withColumn("__n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
     )
-    # prefix length: n_sh - ceil(t * n_sh) + 1
+    # prefix length: n_sh - ceil(t * n_sh) + 1 (n_sh rides along from
+    # shingle_arrays — no second window)
     prefix = ranked.where(
         F.col("__rank")
-        <= F.col("__n_sh") - F.ceil(F.lit(threshold) * F.col("__n_sh")) + 1
+        <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     ).select("id", "shingle")
     a = prefix.select(F.col("id").alias("a_id"), "shingle")
     b = prefix.select(F.col("id").alias("b_id"), "shingle")
