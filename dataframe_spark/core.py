@@ -353,15 +353,42 @@ class DataFrame:
         return self._wrap(self.df.orderBy(*sort_cols))
 
     def with_row_index(self, order_by: Sequence[str], name: str = "row_index") -> "DataFrame":
-        """0-based row index under an explicit total order. Row
-        position is only meaningful relative to an order in a
-        distributed table, so the order is required (global window —
-        use keyed windows for per-group indexing at scale)."""
+        """0-based row index under an explicit total order.
+
+        Two fully-parallel passes, not a single-partition sort window:
+        range-repartition + per-partition sort gives each partition a
+        contiguous slice of the global order (range partition i holds
+        keys below partition i+1); a per-partition-count branch off
+        the SAME exchange (deduped by ReuseExchange; the range sampler
+        is seed-deterministic regardless) is cumsum'd into offsets —
+        a ≤ shuffle.partitions-row side relation, where a one-partition
+        window is fine — and broadcast back. index = offset + local
+        row_number. No stage ever moves the full table through one
+        executor."""
         from pyspark.sql.window import Window
 
-        w = Window.orderBy(*[F.col(c) for c in order_by])
+        keys = [F.col(c) for c in order_by]
+        tagged = (
+            self.df.repartitionByRange(*keys)
+            .sortWithinPartitions(*keys)
+            .withColumn("__pid", F.spark_partition_id())
+        )
+        w_off = Window.orderBy("__pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = (
+            tagged.groupBy("__pid")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .select(
+                "__pid",
+                F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+            )
+        )
+        w_local = Window.partitionBy("__pid").orderBy(*keys)
         return self._wrap(
-            self.df.withColumn(name, F.row_number().over(w) - 1)
+            tagged.join(F.broadcast(offsets), "__pid")
+            .withColumn(name, F.row_number().over(w_local) - 1 + F.col("__off"))
+            .drop("__pid", "__off")
         )
 
     def apply_at_index(

@@ -26,6 +26,33 @@ def test_insert_column_with_default(small):
     assert tags == ["x", "y", "z", "z"]
 
 
+def test_row_index_is_permutation(lineitem):
+    # partition-offset index must be exactly 0..n-1 with ties present
+    out = lineitem.with_row_index(["l_orderkey", "l_linenumber"], "ri")
+    agg = out.df.agg(
+        F.count("ri").alias("n"),
+        F.count_distinct(F.col("ri")).alias("d"),
+        F.min("ri").alias("lo"),
+        F.max("ri").alias("hi"),
+    ).first()
+    assert agg["n"] == agg["d"] == agg["hi"] + 1 and agg["lo"] == 0
+
+
+def test_row_index_plan_is_parallel(lineitem):
+    # scale guardrail: the table rides a range exchange + pid-keyed
+    # window; the full-data path never collapses to one partition
+    # (the only SinglePartition exchange is the tiny offsets branch,
+    # downstream of a partial aggregation)
+    plan = (
+        lineitem.with_row_index(["l_orderkey", "l_linenumber"])
+        .df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()
+    assert "windowspecdefinition(__pid" in plan
+
+
 def test_sort_by_expression(small):
     out = small.sort_by([F.col("id") % 2, "id"])
     assert [r["id"] for r in out.collect()] == [2, 4, 1, 3]
