@@ -58,9 +58,9 @@ def column_as_list(df: DataFrame, name: str) -> list:
     return [r[0] for r in df.df.select(name).collect()]
 
 
-def to_matrix(df: DataFrame, cols: Sequence[str] | None = None):
-    """Action. Reference ``toDoubleMatrix`` — numpy matrix of the
-    numeric columns via Arrow."""
+def to_matrix(df: DataFrame, cols: Sequence[str] | None = None, dtype=float):
+    """Action. Reference ``toDoubleMatrix`` (Core.hs:793) — numpy
+    matrix of the numeric columns via Arrow."""
     import numpy as np
 
     sdf = df.df
@@ -68,4 +68,36 @@ def to_matrix(df: DataFrame, cols: Sequence[str] | None = None):
         num_types = ("int", "bigint", "double", "float", "smallint", "tinyint")
         cols = [c for c, t in sdf.dtypes if t in num_types]
     pdf = sdf.select(*cols).toPandas()
-    return np.asarray(pdf, dtype=float)
+    try:
+        return np.asarray(pdf, dtype=dtype)
+    except (ValueError, TypeError) as e:
+        from .errors import TypeMismatchError
+
+        raise TypeMismatchError(
+            f"to_matrix: columns {list(cols)} not convertible to {dtype}: {e}"
+        ) from e
+
+
+def to_double_matrix(df: DataFrame, cols: Sequence[str] | None = None):
+    return to_matrix(df, cols, dtype="float64")
+
+
+def to_float_matrix(df: DataFrame, cols: Sequence[str] | None = None):
+    """Core.hs:768 ``toFloatMatrix`` — float32 variant."""
+    return to_matrix(df, cols, dtype="float32")
+
+
+def to_int_matrix(df: DataFrame, cols: Sequence[str] | None = None):
+    """Core.hs:822 ``toIntMatrix`` — int64 variant; raises
+    TypeMismatchError when a value is null or fractional (the
+    reference returns Left)."""
+    import numpy as np
+
+    m = to_matrix(df, cols, dtype="float64")
+    if np.isnan(m).any() or not np.array_equal(m, np.trunc(m)):
+        from .errors import TypeMismatchError
+
+        raise TypeMismatchError(
+            "to_int_matrix: null or non-integral values present"
+        )
+    return m.astype("int64")

@@ -230,6 +230,28 @@ class DataFrame:
             raise ColumnNotFoundError(name, self.df.columns)
         return self._wrap(self.df.withColumn(name, fn(F.col(name))))
 
+    def safe_apply(self, name: str, fn: Callable[[Column], Column]):
+        """Transformations.hs:50 ``safeApply`` — the Either-returning
+        ``apply``: ``(new frame, None)`` on success, ``(self
+        unchanged, typed error)`` on failure; never raises.
+
+        Failure is detected at plan ANALYSIS time (Spark's column
+        resolution + type check), the same place the reference's
+        ``mapColumn`` type-checks the column against the function —
+        no job runs. Value-level parse failures are the domain of
+        ``typing.parse_with_types(track_failures=True)`` +
+        ``describe_columns``'s partially_parsed counter."""
+        from .errors import TypeMismatchError
+
+        if name not in self.df.columns:
+            return self, ColumnNotFoundError(name, self.df.columns)
+        try:
+            out = self.df.withColumn(name, fn(F.col(name)))
+            out.schema  # force analysis eagerly (no job)
+        except Exception as e:
+            return self, TypeMismatchError(f"safeApply({name!r}): {e}")
+        return self._wrap(out), None
+
     def apply_many(self, names: Sequence[str], fn) -> "DataFrame":
         out = self.df
         for n in names:
@@ -500,30 +522,45 @@ class DataFrame:
 
     def describe_columns(self) -> "DataFrame":
         """Core.hs:513 ``describeColumns`` — one row per column with
-        non-null / null / unique counts + type.
+        non-null / null / unique / partially-parsed counts + type.
 
         Single aggregation pass over the table (constant number of
         agg expressions), then an unpivot of the one-row result —
-        NOT one job per column."""
+        NOT one job per column.
+
+        partially_parsed (Core.hs:580 ``partiallyParsed``) counts
+        values that failed a tracked parse — rows flagged by the
+        ``__failed_<col>`` markers that
+        ``typing.parse_with_types(track_failures=True)`` leaves
+        behind; 0 for columns without markers. Marker columns
+        themselves are not listed."""
         df = self.df
+        data_cols = [c for c in df.columns if not c.startswith("__failed_")]
         aggs = [F.count(F.lit(1)).alias("__n")]
-        for c in df.columns:
+        for c in data_cols:
             aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
             aggs.append(F.countDistinct(F.col(c)).alias(f"__u_{c}"))
+            failed = (
+                F.sum(F.col(f"__failed_{c}").cast("bigint"))
+                if f"__failed_{c}" in df.columns
+                else F.lit(0)
+            )
+            aggs.append(F.coalesce(failed, F.lit(0)).alias(f"__pp_{c}"))
         one = df.agg(*aggs)
         types = dict(df.dtypes)
         stack_args = []
-        for c in df.columns:
+        for c in data_cols:
             stack_args.append(f"'{c}'")
             stack_args.append(f"cast(`__nn_{c}` as bigint)")
             stack_args.append(f"cast(`__n` - `__nn_{c}` as bigint)")
             stack_args.append(f"cast(`__u_{c}` as bigint)")
+            stack_args.append(f"cast(`__pp_{c}` as bigint)")
         stacked = one.selectExpr(
-            f"stack({len(df.columns)}, {', '.join(stack_args)}) as "
-            "(column_name, non_null, nulls, unique_values)"
+            f"stack({len(data_cols)}, {', '.join(stack_args)}) as "
+            "(column_name, non_null, nulls, unique_values, partially_parsed)"
         )
         type_map = F.create_map(
-            *[x for c in df.columns for x in (F.lit(c), F.lit(types[c]))]
+            *[x for c in data_cols for x in (F.lit(c), F.lit(types[c]))]
         )
         return self._wrap(
             stacked.withColumn("type", type_map[F.col("column_name")])

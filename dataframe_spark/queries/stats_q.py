@@ -199,6 +199,7 @@ def _describe_oracle() -> str:
             COUNT({c}) AS non_null,
             COUNT(*) - COUNT({c}) AS nulls,
             COUNT(DISTINCT {c}) AS unique_values,
+            0 AS partially_parsed,
             '{t}' AS type
             FROM orders"""
         )

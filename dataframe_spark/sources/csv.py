@@ -70,6 +70,37 @@ def read_tsv(spark: SparkSession, path: str, **kw) -> DataFrame:
     return read_csv(spark, path, separator="\t", **kw)
 
 
+def scan_csv(
+    spark: SparkSession,
+    path: str,
+    batch_rows: int = 65536,
+    **kw,
+):
+    """Lazy.hs (``scanCsv``/batched fold) analogue: iterate the file
+    as bounded pandas batches without ever holding the table in
+    driver memory.
+
+    Spark plans are already lazy and run distributed, so the genuine
+    reference gap is only the DRIVER-side streaming consumption:
+    ``toLocalIterator`` pulls one partition at a time; rows are
+    re-chunked into ``batch_rows``-sized pandas frames. For
+    distributed batch processing use the regular reader — this is
+    for reference-style sequential folds over bigger-than-driver
+    data."""
+    import pandas as pd
+
+    df = read_csv(spark, path, **kw).df
+    cols = df.columns
+    buf: list = []
+    for row in df.toLocalIterator(prefetchPartitions=True):
+        buf.append(row)
+        if len(buf) >= batch_rows:
+            yield pd.DataFrame.from_records(buf, columns=cols)
+            buf = []
+    if buf:
+        yield pd.DataFrame.from_records(buf, columns=cols)
+
+
 def write_csv(df: DataFrame, path: str, separator: str = ",", mode: str = "overwrite"):
     (
         df.df.write.mode(mode)

@@ -56,10 +56,24 @@ def parse_defaults(df: DataFrame, nullish: list[str] | None = None) -> DataFrame
     return DataFrame(out)
 
 
-def parse_with_types(df: DataFrame, schema: dict[str, str]) -> DataFrame:
+def parse_with_types(
+    df: DataFrame, schema: dict[str, str], track_failures: bool = False
+) -> DataFrame:
     """Explicit column→type casts (Typing.hs ``parseWithTypes``);
-    unparseable values become null (try_cast semantics)."""
+    unparseable values become null (try_cast semantics).
+
+    ``track_failures=True`` is the analogue of the reference's
+    ``Either``-typed parse columns: each cast column gets a
+    ``__failed_<col>`` marker (non-null input, null output) that
+    ``describe_columns`` surfaces as ``partially_parsed``
+    (Core.hs:580). Markers are plain plan expressions — zero extra
+    passes."""
     out = df.df
     for c, t in schema.items():
-        out = out.withColumn(c, F.col(c).try_cast(t))
+        parsed = F.col(c).try_cast(t)
+        if track_failures:
+            out = out.withColumn(
+                f"__failed_{c}", F.col(c).isNotNull() & parsed.isNull()
+            )
+        out = out.withColumn(c, parsed)
     return DataFrame(out)

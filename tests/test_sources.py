@@ -37,6 +37,18 @@ def test_tsv(spark, tmpd):
     assert df.column_names == ["a", "b"]
 
 
+def test_scan_csv_batches(spark, tmpd):
+    from dataframe_spark.sources.csv import scan_csv, write_csv
+    from dataframe_spark.constructors import from_named_columns
+
+    df = from_named_columns(spark, {"x": list(range(100))})
+    write_csv(df, f"{tmpd}/scan")
+    batches = list(scan_csv(spark, f"{tmpd}/scan", batch_rows=30))
+    assert [len(b) for b in batches[:-1]] == [30] * (len(batches) - 1)
+    assert sum(len(b) for b in batches) == 100
+    assert sorted(x for b in batches for x in b["x"]) == list(range(100))
+
+
 def test_json_roundtrip(spark, tmpd):
     p = f"{tmpd}/data.json"
     with open(p, "w") as f:
