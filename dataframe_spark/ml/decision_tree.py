@@ -75,11 +75,21 @@ def fit_decision_tree(
     min_samples_split: int = 2,
     min_leaf: int = 1,
     percentiles: tuple = (10, 25, 50, 75, 90),
+    exact_midpoints_max: int = 64,
 ) -> Tree:
     """Fit a classification tree on numeric features.
 
     Deterministic: candidate order and argmax tie-breaks are fixed
-    (best gini, then feature name, then threshold)."""
+    (best gini, then feature name, then threshold).
+
+    Features with at most ``exact_midpoints_max`` distinct values
+    additionally contribute every adjacent-distinct-value midpoint
+    as a split candidate (CART's exact rule), so low-cardinality
+    boundaries are recovered exactly instead of at the nearest
+    percentile. Two extra bounded aggregations (a countDistinct
+    probe, then collect_set only for the qualifying features); the
+    midpoints are global, the per-node conditional counts still come
+    from the same single pass-B aggregation."""
     if features is None:
         num_types = ("int", "bigint", "double", "float", "smallint", "tinyint")
         features = [c for c, t in df.dtypes if t in num_types and c != target]
@@ -89,6 +99,22 @@ def fit_decision_tree(
     data = df.select(
         target, *[F.col(f).cast("double").alias(f) for f in features]
     )
+
+    global_mids: dict[str, list[float]] = {}
+    if exact_midpoints_max > 0:
+        cd = data.agg(
+            *[F.countDistinct(F.col(f)).alias(f) for f in features]
+        ).first()
+        low = [f for f in features if cd[f] <= exact_midpoints_max]
+        if low:
+            vals = data.agg(
+                *[F.sort_array(F.collect_set(F.col(f))).alias(f) for f in low]
+            ).first()
+            for f in low:
+                vs = vals[f] or []
+                global_mids[f] = [
+                    (a + b) / 2.0 for a, b in zip(vs, vs[1:])
+                ]
     root = Tree()
     # frontier: node_id -> Tree to expand; node assignment expression
     # rebuilt per level from the tree-so-far
@@ -188,6 +214,17 @@ def fit_decision_tree(
                         F.when(F.col(f) <= m[F.col("__node")], 1).otherwise(0)
                     ).alias(f"__le_{f}_{i}")
                 )
+        # global midpoint candidates: constant thresholds, same for
+        # every node, so no per-node map — one counter per midpoint
+        mid_slots: dict[tuple[str, int], float] = {}
+        for f, mids in global_mids.items():
+            for j, thr in enumerate(mids):
+                mid_slots[(f, j)] = thr
+                agg_exprs.append(
+                    F.sum(
+                        F.when(F.col(f) <= F.lit(thr), 1).otherwise(0)
+                    ).alias(f"__lem_{f}_{j}")
+                )
         if not agg_exprs:
             break
         split_rows = (
@@ -206,12 +243,17 @@ def fit_decision_tree(
             rows = by_node.get(nid, [])
             total = t.n
             best = None  # (score, feature, threshold)
-            for (f, i), per_node in sorted(thr_maps.items()):
-                if nid not in per_node:
-                    continue
-                thr = per_node[nid]
+            cand_iter = [
+                (f, per_node[nid], f"__le_{f}_{i}")
+                for (f, i), per_node in sorted(thr_maps.items())
+                if nid in per_node
+            ] + [
+                (f, thr, f"__lem_{f}_{j}")
+                for (f, j), thr in sorted(mid_slots.items())
+            ]
+            for f, thr, cnt_col in cand_iter:
                 left_counts = {
-                    r[target]: r[f"__le_{f}_{i}"] for r in rows
+                    r[target]: r[cnt_col] for r in rows
                 }
                 nl = sum(left_counts.values())
                 nr = total - nl

@@ -105,10 +105,13 @@ def q_parse_defaults(spark, sf_dir):
 
 
 def q_decision_tree(spark, sf_dir):
-    """Rows-only: fit a greedy gini tree to recover the price-tier
-    thresholds from (p_size, p_retailprice); output the confusion
-    matrix. Iterative fitting is not SQL-expressible; accuracy is
-    asserted in tests/test_ml.py."""
+    """Fit a greedy gini tree to recover the price-tier thresholds
+    from (p_size, p_retailprice); output the confusion matrix.
+
+    Oracle-checkable even though fitting is iterative: p_size has few
+    distinct values, so exact-midpoint candidates let CART recover
+    the tier rule perfectly, and the confusion matrix must equal the
+    diagonal tier counts — which IS static SQL."""
     from ..ml import fit_decision_tree, tree_to_expr
 
     p = _t(spark, sf_dir, "part").df.withColumn(
@@ -227,5 +230,13 @@ ORACLES = {
                ROUND(SUM(o_totalprice), 2) AS total,
                MAX(o_orderkey) AS max_k
         FROM orders GROUP BY 1
+    """,
+    "q_decision_tree": """
+        SELECT tier, tier AS predicted, COUNT(*) AS n FROM (
+          SELECT CASE WHEN p_size >= 35 THEN 'large'
+                      WHEN p_size >= 15 THEN 'medium'
+                      ELSE 'small' END AS tier
+          FROM part
+        ) GROUP BY tier
     """,
 }
