@@ -743,6 +743,17 @@ class GroupedDataFrame:
             )
         )
 
+    def quantiles(self, value_col: str, probs: Sequence[float]) -> DataFrame:
+        """Per-group EXACT interpolated quantiles via the sharded
+        radix-bin plan (operators/quantiles.py) — scale-safe where
+        ``F.percentile`` would buffer each group's full value multiset
+        on one reducer (pathological for few huge groups)."""
+        from .operators.quantiles import exact_quantiles_grouped
+
+        return DataFrame(
+            exact_quantiles_grouped(self.df, self.keys, value_col, probs)
+        )
+
     def apply_in_pandas(self, fn, schema) -> DataFrame:
         """Escape hatch for per-group imperative logic (Arrow-batched
         grouped-map, the Spark-native analogue of the reference's

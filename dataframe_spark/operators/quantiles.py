@@ -74,6 +74,79 @@ def _radix_bin(v: Column) -> Column:
     )
 
 
+def _exact_quantiles_impl(
+    long: SparkDF, keys: list[str], probs: Sequence[float], broadcast_sides: bool
+) -> SparkDF:
+    """Shared engine: ``long`` has ``keys`` + ``__v`` (double, no
+    nulls); returns keys + (prob, value). ``broadcast_sides`` hints
+    the offsets/targets joins — right for a bounded key domain (one
+    row per unpivoted column), wrong for arbitrary group keys, where
+    AQE should pick the strategy from runtime sizes."""
+    spark = long.sparkSession
+    counts = (
+        long.groupBy(*keys, "__v")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__bin", _radix_bin(F.col("__v")))
+    )
+
+    # per-bin totals are small (#keys × #populated-bins rows)
+    psums = counts.groupBy(*keys, "__bin").agg(F.sum("__cnt").alias("__s"))
+    w_off = (
+        Window.partitionBy(*keys)
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = psums.select(
+        *keys,
+        "__bin",
+        F.coalesce(F.sum("__s").over(w_off), F.lit(0)).alias("__off"),
+    )
+    totals = psums.groupBy(*keys).agg(F.sum("__s").alias("__n"))
+
+    # target order-statistic indices per (key, prob); tiny plan
+    probs_df = spark.createDataFrame([(float(p),) for p in probs], "prob double")
+    pos = F.col("prob") * (F.col("__n") - 1).cast("double")
+    targets = totals.crossJoin(probs_df).select(
+        *keys,
+        "prob",
+        F.floor(pos).alias("__jlo"),
+        F.ceil(pos).alias("__jhi"),
+        (pos - F.floor(pos)).alias("__frac"),
+    )
+    if broadcast_sides:
+        offsets, targets = F.broadcast(offsets), F.broadcast(targets)
+
+    w_cum = (
+        Window.partitionBy(*keys, "__bin")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.join(offsets, [*keys, "__bin"]).withColumn(
+        "__cum", F.col("__off") + F.sum("__cnt").over(w_cum)
+    )
+
+    # order statistic at 0-based index j = first value with cum >= j+1
+    return (
+        cum.join(targets, keys)
+        .groupBy(*keys, "prob", "__frac")
+        .agg(
+            F.min(
+                F.when(F.col("__cum") >= F.col("__jlo") + 1, F.col("__v"))
+            ).alias("__vlo"),
+            F.min(
+                F.when(F.col("__cum") >= F.col("__jhi") + 1, F.col("__v"))
+            ).alias("__vhi"),
+        )
+        .select(
+            *keys,
+            "prob",
+            (F.col("__vlo") + F.col("__frac") * (F.col("__vhi") - F.col("__vlo"))).alias(
+                "value"
+            ),
+        )
+    )
+
+
 def exact_quantiles(
     df: SparkDF,
     cols: Sequence[str],
@@ -84,71 +157,35 @@ def exact_quantiles(
     Returns a long-format DataFrame (column_name, prob, value);
     nulls excluded per column, all-null columns absent.
     """
-    spark = df.sparkSession
     stack_args = ", ".join(f"'{c}', CAST(`{c}` AS DOUBLE)" for c in cols)
     long = df.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS (__name, __v)"
     ).where(F.col("__v").isNotNull())
+    return _exact_quantiles_impl(
+        long, ["__name"], probs, broadcast_sides=True
+    ).withColumnRenamed("__name", "column_name")
 
-    counts = (
-        long.groupBy("__name", "__v")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .withColumn("__bin", _radix_bin(F.col("__v")))
-    )
 
-    # per-bin totals are tiny (#cols × #populated-bins rows)
-    psums = counts.groupBy("__name", "__bin").agg(F.sum("__cnt").alias("__s"))
-    w_off = (
-        Window.partitionBy("__name")
-        .orderBy("__bin")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = psums.select(
-        "__name",
-        "__bin",
-        F.coalesce(F.sum("__s").over(w_off), F.lit(0)).alias("__off"),
-    )
-    totals = psums.groupBy("__name").agg(F.sum("__s").alias("__n"))
+def exact_quantiles_grouped(
+    df: SparkDF,
+    group_cols: Sequence[str],
+    value_col: str,
+    probs: Sequence[float],
+) -> SparkDF:
+    """Per-GROUP exact interpolated quantiles: (group..., prob, value).
 
-    # target order-statistic indices per (column, prob); tiny plan
-    probs_df = spark.createDataFrame([(float(p),) for p in probs], "prob double")
-    pos = F.col("prob") * (F.col("__n") - 1).cast("double")
-    targets = totals.crossJoin(probs_df).select(
-        "__name",
-        "prob",
-        F.floor(pos).alias("__jlo"),
-        F.ceil(pos).alias("__jhi"),
-        (pos - F.floor(pos)).alias("__frac"),
-    )
-
-    w_cum = (
-        Window.partitionBy("__name", "__bin")
-        .orderBy("__v")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = counts.join(F.broadcast(offsets), ["__name", "__bin"]).withColumn(
-        "__cum", F.col("__off") + F.sum("__cnt").over(w_cum)
-    )
-
-    # order statistic at 0-based index j = first value with cum >= j+1
-    return (
-        cum.join(F.broadcast(targets), "__name")
-        .groupBy("__name", "prob", "__frac")
-        .agg(
-            F.min(
-                F.when(F.col("__cum") >= F.col("__jlo") + 1, F.col("__v"))
-            ).alias("__vlo"),
-            F.min(
-                F.when(F.col("__cum") >= F.col("__jhi") + 1, F.col("__v"))
-            ).alias("__vhi"),
-        )
-        .select(
-            F.col("__name").alias("column_name"),
-            "prob",
-            (F.col("__vlo") + F.col("__frac") * (F.col("__vhi") - F.col("__vlo"))).alias(
-                "value"
-            ),
-        )
+    The scale answer to ``F.percentile(...).over/groupBy`` when groups
+    are few and huge: the built-in buffers each group's entire value
+    multiset on one reducer (3 groups at 100 TB = 3 executors doing
+    all the work), while this shards every group across (group,
+    radix-bin) — parallelism is #groups × #populated-bins regardless
+    of skew. All side joins are left to AQE (group cardinality is
+    unknown a priori)."""
+    long = df.select(
+        *group_cols, F.col(value_col).cast("double").alias("__v")
+    ).where(F.col("__v").isNotNull())
+    return _exact_quantiles_impl(
+        long, list(group_cols), probs, broadcast_sides=False
     )
 
 

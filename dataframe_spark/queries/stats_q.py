@@ -75,6 +75,33 @@ def q_quantiles(spark, sf_dir):
     )
 
 
+def q_group_quantiles(spark, sf_dir):
+    """Per-group exact quantiles on the sharded radix-bin plan —
+    the scale path for few-huge-groups percentiles (each group is
+    parallelized over its value bins, not pinned to one reducer)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.group_by(["l_returnflag"]).quantiles(
+        "l_extendedprice", [0.25, 0.5, 0.9]
+    )
+    return out.df.select(
+        "l_returnflag",
+        F.round("prob", 2).alias("prob"),
+        F.round("value", 4).alias("value"),
+    )
+
+
+def _group_quantiles_oracle() -> str:
+    parts = []
+    for p in (0.25, 0.5, 0.9):
+        parts.append(
+            f"""SELECT l_returnflag,
+            CAST({p} AS DOUBLE) AS prob,
+            ROUND(QUANTILE_CONT(CAST(l_extendedprice AS DOUBLE), {p}), 4) AS value
+            FROM lineitem GROUP BY l_returnflag"""
+        )
+    return " UNION ALL ".join(parts)
+
+
 def _quantiles_oracle() -> str:
     parts = []
     for c in ("l_quantity", "l_extendedprice"):
@@ -237,6 +264,7 @@ QUERIES = {
     "q_describe": q_describe,
     "q_summarize": q_summarize,
     "q_quantiles": q_quantiles,
+    "q_group_quantiles": q_group_quantiles,
     "q_stats_agg": q_stats_agg,
     "q_mode": q_mode,
     "q_collect_list": q_collect_list,
@@ -267,6 +295,7 @@ ORACLES = {
     "q_describe": _describe_oracle(),
     "q_summarize": _summarize_oracle(),
     "q_quantiles": _quantiles_oracle(),
+    "q_group_quantiles": _group_quantiles_oracle(),
     "q_stats_agg": """
         SELECT l_returnflag,
           ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd,

@@ -95,3 +95,20 @@ def test_radix_bin_monotone(spark):
         .first()["b"]
     )
     assert nan_bin > max(b for b, v in zip(bins, vals) if not math.isnan(v))
+
+
+def test_grouped_exact_quantiles_match_builtin(lineitem):
+    from dataframe_spark.operators.quantiles import exact_quantiles_grouped
+
+    got = {
+        (r["l_returnflag"], r["prob"]): r["value"]
+        for r in exact_quantiles_grouped(
+            lineitem.df, ["l_returnflag"], "l_extendedprice", [0.25, 0.5, 0.9]
+        ).collect()
+    }
+    ref = lineitem.df.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.9))).alias("q")
+    ).collect()
+    for r in ref:
+        for p, v in zip((0.25, 0.5, 0.9), r["q"]):
+            assert got[(r["l_returnflag"], p)] == pytest.approx(v, rel=1e-12)
