@@ -1,0 +1,116 @@
+"""Distributed connected components + corpus-level dedup.
+
+Near-dup PAIR queries (operators/dedup.py) answer "which documents
+overlap"; an actual cleaning pipeline must then pick one survivor
+per duplicate CLUSTER — i.e. connected components over the pair
+graph. A driver-side union-find would need every edge on the driver;
+instead this is the alternating large-star/small-star contraction
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SOCC'14): O(log n) rounds of pure DataFrame groupBy/join, each
+shuffling on node ids, state never leaves the executors.
+
+The loop is driver-side but O(1) per round: one checksum action to
+detect convergence, and ``localCheckpoint`` truncates the iterative
+lineage (on a production cluster with an HDFS checkpoint dir,
+``checkpoint`` is the durable choice — noted in the docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import functions as F
+
+
+def _symmetrize(e: SparkDF) -> SparkDF:
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(e: SparkDF) -> SparkDF:
+    """Every neighbor v > u attaches to u's min-neighborhood node."""
+    und = _symmetrize(e)
+    mins = (
+        und.groupBy("u")
+        .agg(F.min("v").alias("__mv"))
+        .select("u", F.least(F.col("__mv"), F.col("u")).alias("m"))
+    )
+    return (
+        und.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: SparkDF) -> SparkDF:
+    """Neighbors on the small side (v <= u) re-attach to the min."""
+    d = e.select(
+        F.greatest(F.col("u"), F.col("v")).alias("u"),
+        F.least(F.col("u"), F.col("v")).alias("v"),
+    )
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    moved = d.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    self_edges = mins.select(F.col("u"), F.col("m").alias("v"))
+    return (
+        moved.union(self_edges)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: SparkDF,
+    src: str = "a_id",
+    dst: str = "b_id",
+    max_iter: int = 25,
+) -> SparkDF:
+    """(node, component) for every node appearing in ``edges``;
+    component = smallest node id in the component.
+
+    Converges in O(log n) alternating-star rounds independent of
+    graph diameter (a min-label propagation would need diameter
+    rounds). Each round is two groupBy+join stages; the only driver
+    data is a (count, hash-sum) convergence checksum."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        chk = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(F.least("u", "v"), F.greatest("u", "v"))).alias("h"),
+        ).first()
+        cur = (chk["n"], chk["h"])
+        if cur == prev:
+            break
+        prev = cur
+    und = _symmetrize(e)
+    return (
+        und.groupBy("u")
+        .agg(F.min("v").alias("__mv"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("__mv"), F.col("u")).alias("component"),
+        )
+    )
+
+
+def dedup_corpus(
+    df: SparkDF,
+    id_col: str,
+    pairs: SparkDF,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> SparkDF:
+    """Keep one document per duplicate cluster (the smallest id —
+    deterministic), given a near-dup pair table from any of the
+    operators/dedup.py generators. Anti-join of the non-canonical
+    cluster members: documents outside any pair survive untouched."""
+    comp = connected_components(pairs, a_col, b_col)
+    losers = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

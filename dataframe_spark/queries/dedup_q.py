@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..core import DataFrame
-from ..operators import dedup, multimodal, similarity
+from ..operators import dedup, graph, multimodal, similarity
 from ..tables import load_table
 
 
@@ -29,6 +29,25 @@ def q_dedup_exact(spark, sf_dir):
 def q_dedup_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").df
     return dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+def q_dedup_cluster(spark, sf_dir):
+    """Near-dup CLUSTERS: exact-Jaccard pairs → distributed
+    connected components (alternating star contractions) → one row
+    per cluster with its sorted member list. The oracle recomputes
+    the same clustering with a recursive transitive-closure CTE."""
+    docs = _t(spark, sf_dir, "documents").df
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    comp = graph.connected_components(pairs, "a_id", "b_id")
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("size"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("node")), lambda x: x.cast("string")
+            ),
+        ).alias("members"),
+    )
 
 
 def q_dedup_minhash(spark, sf_dir):
@@ -84,6 +103,7 @@ def q_sample(spark, sf_dir):
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "q_dedup_cluster": q_dedup_cluster,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_embedding": q_dedup_embedding,
@@ -130,6 +150,38 @@ ORACLES = {
         JOIN sizes sa ON sa.doc_id = a_id
         JOIN sizes sb ON sb.doc_id = b_id
         WHERE ROUND(c * 1.0 / (sa.n_sh + sb.n_sh - c), 4) >= 0.8
+    """,
+    "q_dedup_cluster": f"""
+        WITH RECURSIVE {_SHINGLES},
+        common AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT a_id, b_id
+          FROM common
+          JOIN sizes sa ON sa.doc_id = a_id
+          JOIN sizes sb ON sb.doc_id = b_id
+          WHERE ROUND(c * 1.0 / (sa.n_sh + sb.n_sh - c), 4) >= 0.8
+        ),
+        edges AS (
+          SELECT a_id AS u, b_id AS v FROM pairs
+          UNION SELECT b_id, a_id FROM pairs
+        ),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+          WHERE r.u <> e.v
+        ),
+        labels AS (
+          SELECT u AS node, LEAST(MIN(v), u) AS component
+          FROM reach GROUP BY u
+        )
+        SELECT component, COUNT(*) AS size,
+               STRING_AGG(node, ',' ORDER BY node) AS members
+        FROM labels GROUP BY component
     """,
     "q_dedup_embedding": """
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -65,3 +65,43 @@ def test_simhash_finds_exact_dups(dup_docs):
     pairs = dedup.simhash_pairs(dup_docs, "doc_id", "text", max_hamming=3)
     found = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
     assert (1, 2) in found and (1, 5) in found
+
+
+def test_connected_components_chain_and_clusters(spark):
+    from dataframe_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4 (worst diameter), triangle 10-11-12, pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a_id long, b_id long",
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert comp == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_dedup_corpus_keeps_canonical(spark, docs):
+    from dataframe_spark.operators.dedup import jaccard_pairs
+    from dataframe_spark.operators.graph import dedup_corpus
+
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    kept = dedup_corpus(docs, "doc_id", pairs)
+    n_docs = docs.count()
+    n_pairs_nodes = (
+        pairs.selectExpr("a_id AS id")
+        .union(pairs.selectExpr("b_id AS id"))
+        .distinct()
+        .count()
+    )
+    n_kept = kept.count()
+    assert n_kept < n_docs
+    assert n_kept >= n_docs - n_pairs_nodes
+    # idempotent: survivors contain no pair above threshold
+    again = jaccard_pairs(kept, "doc_id", "text", n=3, threshold=0.8)
+    assert again.count() == 0
