@@ -9,9 +9,12 @@ so the candidate set per query is a bucket, not the corpus.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _dvec(c) -> Column:
@@ -63,9 +66,6 @@ def cosine_pairs(
     identical float64 GEMM rounded to 4dp. This is the exact
     baseline; LSH bucketing (knn_lsh) is the sub-quadratic scale
     path."""
-    import numpy as np
-    import pandas as pd
-
     spark = df.sparkSession
     n = df.count()
     if n <= broadcast_rows:
@@ -193,6 +193,112 @@ def hyperplane_sketch(vec_col, planes: int = 8, dim: int = 64) -> Column:
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def kmeans_fit(
+    df: SparkDF,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    max_iter: int = 5,
+    seed: int = 42,
+):
+    """Distributed Lloyd k-means over an embedding column; returns a
+    (k, dim) numpy centroid matrix (the model — k×dim floats of
+    driver state, like any fitted model).
+
+    Init is deterministic: the k rows with the smallest
+    xxhash64(id, seed). Each iteration is ONE distributed pass:
+    assignment is an Arrow-batched pandas UDF (one BLAS matmul per
+    batch against the broadcast centroids), the new centroids are
+    per-dimension avg aggregates (JVM, map-side partial agg). Rows
+    never reach the driver."""
+    vecs = df.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("vec"))
+    init = (
+        vecs.orderBy(F.xxhash64(F.col("id"), F.lit(seed)), F.col("id"))
+        .limit(k)
+        .toPandas()
+    )
+    centroids = np.stack(init["vec"].to_numpy()).astype("float64")
+    dim = centroids.shape[1]
+
+    for _ in range(max_iter):
+        C = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+
+        @pandas_udf("int")
+        def assign(s: pd.Series) -> pd.Series:
+            A = np.stack(s.to_numpy()).astype("float64")
+            An = np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+            return pd.Series(np.argmax((A / An) @ C.T, axis=1).astype("int32"))
+
+        assigned = vecs.withColumn("__cid", assign(F.col("vec")))
+        rows = (
+            assigned.groupBy("__cid")
+            .agg(
+                *[
+                    F.avg(F.element_at(F.col("vec"), i + 1)).alias(f"d{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        for r in rows:
+            centroids[r["__cid"]] = [r[f"d{i}"] for i in range(dim)]
+    return centroids
+
+
+def knn_ivf(
+    df: SparkDF,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    max_iter: int = 5,
+    centroids=None,
+) -> SparkDF:
+    """IVF approximate top-k: k-means-partition the corpus into
+    ``nlist`` inverted lists, score only the ``nprobe`` lists whose
+    centroids are nearest the query.
+
+    The scale shape: the list id is a precomputable partition column
+    (write the corpus bucketed by ``__cid`` and a query reads
+    nprobe/nlist of the data); probing is a broadcast semi-join, the
+    final top-k is TakeOrderedAndProject. Recall/latency trades via
+    nprobe exactly as in FAISS-style IVF-Flat."""
+    if centroids is None:
+        centroids = kmeans_fit(
+            df, id_col, vec_col, k=nlist, max_iter=max_iter
+        )
+    C = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    @pandas_udf("int")
+    def assign(s: pd.Series) -> pd.Series:
+        A = np.stack(s.to_numpy()).astype("float64")
+        An = np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax((A / An) @ C.T, axis=1).astype("int32"))
+
+    sketched = df.withColumn("__cid", assign(_dvec(vec_col)))
+    q = df.where(F.col(id_col) == query_id).select(
+        _dvec(vec_col).alias("__qv")
+    )
+    qv = np.asarray(q.first()["__qv"], dtype="float64")
+    qn = qv / max(np.linalg.norm(qv), 1e-12)
+    probes = [int(c) for c in np.argsort(-(C @ qn))[:nprobe]]
+    return (
+        sketched.where(F.col("__cid").isin(probes))
+        .crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != query_id)
+        .withColumn("cosine", F.round(cosine(F.col(vec_col), F.col("__qv")), 4))
+        .select(F.col(id_col), "cosine")
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
 
 
 def knn_lsh(

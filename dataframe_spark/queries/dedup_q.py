@@ -83,6 +83,17 @@ def q_knn_lsh(spark, sf_dir):
     )
 
 
+def q_knn_ivf(spark, sf_dir):
+    """Rows-only: IVF-partitioned approximate neighbors (k-means
+    buckets are engine-specific); recall vs q_knn_brute asserted in
+    tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings").df
+    return similarity.knn_ivf(
+        emb, "vec_id", "embedding", query_id=0, k=10,
+        nlist=16, nprobe=8, max_iter=3,
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary payload plumbing: byte length + md5 digest of the
     payload (deterministic, oracle-checkable)."""
@@ -109,6 +120,7 @@ QUERIES = {
     "q_dedup_embedding": q_dedup_embedding,
     "q_knn_brute": q_knn_brute,
     "q_knn_lsh": q_knn_lsh,
+    "q_knn_ivf": q_knn_ivf,
     "q_multimodal_meta": q_multimodal_meta,
     "q_sample": q_sample,
 }

@@ -52,3 +52,20 @@ def test_knn_lsh_contains_identical(spark, sf_dir):
     for r in approx:
         if r["vec_id"] in bmap:
             assert r["cosine"] == bmap[r["vec_id"]]
+
+
+def test_knn_ivf_recall(spark, sf_dir):
+    from dataframe_spark.operators.similarity import knn_brute, knn_ivf
+    from dataframe_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {r["vec_id"] for r in knn_brute(emb, "vec_id", "embedding", 0, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in knn_ivf(
+            emb, "vec_id", "embedding", 0, k=10, nlist=8, nprobe=4, max_iter=3
+        ).collect()
+    }
+    assert len(approx) == 10
+    # nprobe = half the lists must recover at least half the true top-k
+    assert len(exact & approx) >= 5
