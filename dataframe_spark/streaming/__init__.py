@@ -1,10 +1,12 @@
 from .windows import session_agg_stream, windowed_agg_stream
 from .dedup import streaming_dedup
 from .source import events_stream
+from .stateful import running_user_totals
 
 __all__ = [
     "windowed_agg_stream",
     "session_agg_stream",
     "streaming_dedup",
     "events_stream",
+    "running_user_totals",
 ]

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from dataframe_spark.streaming import (
     events_stream,
+    running_user_totals,
     session_agg_stream,
     streaming_dedup,
     windowed_agg_stream,
@@ -59,6 +60,40 @@ def test_session_stream_runs(stream):
         .start()
     )
     q.awaitTermination(120)
+
+
+def test_stateful_running_totals_match_batch(spark, sf_dir, stream):
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("run_tot")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode appends one row per (user, micro-batch); the final
+    # running value per user is the one with the highest n_events
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql(
+            """select user_id, n_events, total_value from (
+                 select *, row_number() over (
+                   partition by user_id order by n_events desc) rn
+                 from run_tot) where rn = 1"""
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("tv"),
+        )
+        .collect()
+    }
+    assert got == want
 
 
 def test_streaming_dedup_drops_dupes(spark, stream):
