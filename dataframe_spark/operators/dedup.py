@@ -65,7 +65,14 @@ def shingle_arrays(
 ) -> SparkDF:
     """(id, sh_arr: array<string> distinct shingles, n_sh) — produced
     by a single NARROW projection: no explode, no window, no distinct
-    shuffle. Docs with fewer than n tokens drop out (no shingles)."""
+    shuffle. Docs with fewer than n tokens drop out (no shingles).
+
+    The scan is widened first when it underuses the cores (small
+    single-row-group files): shingling + downstream minhashing are
+    CPU-bound map work, and a 1-split file would serialize them."""
+    from ..plans.hints import ensure_scan_parallelism
+
+    df = ensure_scan_parallelism(df)
     toks = F.filter(tokens_expr(text_col), lambda x: x != F.lit(""))
     return (
         df.select(
@@ -273,6 +280,9 @@ def simhash(df: SparkDF, id_col: str, text_col: str) -> SparkDF:
 
     Per-bit weighted vote over token xxhash64 values, expressed as
     64 conditional-sum aggregates (JVM codegen, one shuffle)."""
+    from ..plans.hints import ensure_scan_parallelism
+
+    df = ensure_scan_parallelism(df)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens_expr(text_col)).alias("tok"),

@@ -19,6 +19,28 @@ def broadcast_small(df: DataFrame) -> DataFrame:
     return DataFrame(F.broadcast(df.df))
 
 
+def ensure_scan_parallelism(sdf, min_fill: float = 0.5, max_bytes: int = 1 << 30):
+    """Repartition a SMALL scan whose file-split count underuses the
+    cores (a 5 MB single-row-group parquet file scans as ONE task, so
+    every narrow map op downstream — tokenizing, hashing, shingling —
+    runs single-threaded no matter how many cores exist).
+
+    Strictly gated for scale honesty: no-op when the scan already
+    yields >= min_fill x defaultParallelism splits (at 100 TB the
+    files themselves provide parallelism) or when the plan-size
+    estimate exceeds ``max_bytes`` (repartitioning a large input
+    would shuffle the corpus to fix nothing). Takes/returns a plain
+    pyspark DataFrame so operators can use it internally."""
+    sc = sdf.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if sdf.rdd.getNumPartitions() >= max(2, int(target * min_fill)):
+        return sdf
+    est = int(sdf._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if est > max_bytes:
+        return sdf
+    return sdf.repartition(target)
+
+
 def repartition_by(df: DataFrame, cols: list[str], n: int | None = None) -> DataFrame:
     """Pre-align partitioning with downstream join/agg keys so
     consecutive stages reuse one exchange."""
