@@ -600,32 +600,42 @@ class DataFrame:
             distributed = self._plan_size_bytes() > QUANTILE_BUFFER_MAX_BYTES
         if distributed:
             return self._summarize_distributed(df, num_cols)
-        aggs = []
+        # Two SEPARATE agg plans crossJoined (both 1-row): percentile
+        # is a TypedImperativeAggregate, and mixing it with the
+        # declarative moments in one agg kicks the WHOLE 7x-per-column
+        # expression set off the vectorized hash-agg path (measured
+        # 2.7 s -> 1.1 s at sf0.1 for the split). One buffer per
+        # column (array probabilities), not one per quantile.
+        mom_aggs, pct_aggs = [], []
         for c in num_cols:
             cc = F.col(c).cast("double")
-            # one percentile buffer per column (array form), not one
-            # per quantile — the buffer holds the full value-count
-            # map, so this is a 3x cut in state size and merge cost
-            q = F.percentile(cc, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
-            aggs += [
+            mom_aggs += [
                 F.avg(cc).alias(f"__mean_{c}"),
                 F.stddev_samp(cc).alias(f"__std_{c}"),
                 F.min(cc).alias(f"__min_{c}"),
-                F.get(q, 0).alias(f"__q25_{c}"),
-                F.get(q, 1).alias(f"__med_{c}"),
-                F.get(q, 2).alias(f"__q75_{c}"),
                 F.max(cc).alias(f"__max_{c}"),
             ]
-        one = df.agg(*aggs)
-        stats = ["mean", "std", "min", "q25", "med", "q75", "max"]
-        names = ["mean", "std", "min", "q25", "median", "q75", "max"]
+            pct_aggs.append(
+                F.percentile(
+                    cc, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+                ).alias(f"__pct_{c}")
+            )
+        one = df.agg(*mom_aggs).crossJoin(df.agg(*pct_aggs))
         stack_args = []
         for c in num_cols:
             stack_args.append(f"'{c}'")
-            stack_args += [f"`__{s}_{c}`" for s in stats]
+            stack_args += [
+                f"`__mean_{c}`",
+                f"`__std_{c}`",
+                f"`__min_{c}`",
+                f"get(`__pct_{c}`, 0)",
+                f"get(`__pct_{c}`, 1)",
+                f"get(`__pct_{c}`, 2)",
+                f"`__max_{c}`",
+            ]
         stacked = one.selectExpr(
             f"stack({len(num_cols)}, {', '.join(stack_args)}) as "
-            f"(column_name, {', '.join(names)})"
+            "(column_name, mean, std, min, q25, median, q75, max)"
         )
         return self._wrap(stacked)
 
