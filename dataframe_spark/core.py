@@ -726,6 +726,17 @@ class DataFrame:
     def full_outer_join(self, on: Sequence[str], other: "DataFrame") -> "DataFrame":
         return self._join(other, on, "outer", False)
 
+    def semi_join(self, on: Sequence[str], other: "DataFrame", broadcast: bool = False) -> "DataFrame":
+        """Keep rows with a match in ``other``; the right side is a
+        pure filter (never widens the row), so Spark ships only its
+        join keys — at scale this is the cheap way to express
+        EXISTS-style subqueries (a broadcast semi join is map-only)."""
+        return self._join(other, on, "left_semi", broadcast)
+
+    def anti_join(self, on: Sequence[str], other: "DataFrame", broadcast: bool = False) -> "DataFrame":
+        """Keep rows with NO match in ``other`` (NOT EXISTS)."""
+        return self._join(other, on, "left_anti", broadcast)
+
     # -- merge (Operations/Merge.hs) -----------------------------------
 
     def concat(self, other: "DataFrame") -> "DataFrame":

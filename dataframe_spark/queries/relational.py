@@ -221,6 +221,29 @@ def q_join_full(spark, sf_dir):
     return s.full_outer_join(["nationkey"], c).df
 
 
+def q_join_semi_anti(spark, sf_dir):
+    """Per nation: customers with orders (semi join) vs without
+    (anti join). Both joins ship only the key column of orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").rename("o_custkey", "c_custkey")
+    with_o = (
+        c.semi_join(["c_custkey"], o)
+        .group_by(["c_nationkey"])
+        .aggregate(n_with=F.count(F.lit(1)))
+    )
+    without = (
+        c.anti_join(["c_custkey"], o)
+        .group_by(["c_nationkey"])
+        .aggregate(n_without=F.count(F.lit(1)))
+    )
+    return (
+        with_o.full_outer_join(["c_nationkey"], without)
+        .derive("n_with", F.coalesce(F.col("n_with"), F.lit(0)))
+        .derive("n_without", F.coalesce(F.col("n_without"), F.lit(0)))
+        .df
+    )
+
+
 def q5_local_supplier(spark, sf_dir):
     """TPC-H Q5 shape: 6-way join with two broadcast dims; revenue
     per nation for ASIA, 1996."""
@@ -317,6 +340,7 @@ QUERIES = {
     "q_join_inner": q_join_inner,
     "q_join_left": q_join_left,
     "q_join_full": q_join_full,
+    "q_join_semi_anti": q_join_semi_anti,
     "q5_local_supplier": q5_local_supplier,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q_union": q_union,
@@ -399,6 +423,21 @@ ORACLES = {
         FROM (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
         FULL OUTER JOIN (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
           USING (nationkey)
+    """,
+    "q_join_semi_anti": """
+        SELECT COALESCE(w.c_nationkey, wo.c_nationkey) AS c_nationkey,
+               COALESCE(n_with, 0) AS n_with,
+               COALESCE(n_without, 0) AS n_without
+        FROM (
+          SELECT c_nationkey, COUNT(*) AS n_with FROM customer c
+          WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          GROUP BY 1
+        ) w
+        FULL OUTER JOIN (
+          SELECT c_nationkey, COUNT(*) AS n_without FROM customer c
+          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          GROUP BY 1
+        ) wo ON w.c_nationkey = wo.c_nationkey
     """,
     "q5_local_supplier": """
         SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -54,3 +54,26 @@ def test_concat_union_by_name(spark):
     assert out.n_rows() == 2
     rows = {r["k"]: r["a"] for r in out.collect()}
     assert rows[2] is None
+
+
+def test_semi_join(spark):
+    a = _mk(spark, [(1, "x"), (2, "y"), (3, "z")], "k int, a string")
+    b = _mk(spark, [(1, "p"), (1, "q"), (3, "r")], "k int, b string")
+    out = a.semi_join(["k"], b)
+    # right columns never appear; matched rows appear exactly once
+    assert set(out.column_names) == {"k", "a"}
+    assert sorted(r["k"] for r in out.collect()) == [1, 3]
+
+
+def test_anti_join(spark):
+    a = _mk(spark, [(1, "x"), (2, "y"), (3, "z")], "k int, a string")
+    b = _mk(spark, [(1, "p"), (3, "r")], "k int, b string")
+    out = a.anti_join(["k"], b)
+    assert [r["k"] for r in out.collect()] == [2]
+
+
+def test_broadcast_semi_join_plan(spark):
+    a = _mk(spark, [(i, str(i)) for i in range(100)], "k int, a string")
+    b = _mk(spark, [(1, "p")], "k int, b string")
+    plan = a.semi_join(["k"], b, broadcast=True).df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
