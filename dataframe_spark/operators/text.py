@@ -116,3 +116,47 @@ def fingerprint(text) -> Column:
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * 31 + F.ascii(ch)) % F.lit(1000000007),
     )
+
+
+# --- corpus-level: vocabulary and TF-IDF ------------------------------
+
+
+def vocabulary(df, text_col: str, top_n: int | None = None):
+    """Corpus vocabulary with token frequencies — explode + one
+    shuffled agg with map-side partial counts. ``top_n`` uses
+    orderBy+limit (TakeOrderedAndProject: per-partition heaps, no
+    full sort). Ties broken by token text for determinism."""
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if top_n is not None:
+        counts = counts.orderBy(F.desc("n"), F.asc("token")).limit(top_n)
+    return counts
+
+
+def tf_idf(df, id_col: str, text_col: str):
+    """Per (doc, token) TF-IDF: tf * ln(n_docs / df). Three shuffles
+    — tf groupBy (id, token), document frequency groupBy token, and
+    the tf ⋈ dfreq join on token — all key-partitioned and
+    size-of-data; the corpus row count rides in via a broadcast
+    one-row crossJoin (no driver collect)."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    total = df.select(F.col(id_col)).agg(F.count(F.lit(1)).alias("__n_docs"))
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (F.col("tf") * F.log(F.col("__n_docs") / F.col("df"))).alias("tfidf"),
+        )
+    )

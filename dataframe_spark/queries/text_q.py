@@ -49,11 +49,28 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def q_vocabulary(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    return T.vocabulary(docs, "text", top_n=50)
+
+
+def q_tfidf(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").df
+    out = T.tf_idf(docs, "doc_id", "text")
+    return (
+        out.withColumn("tfidf", F.round("tfidf", 4))
+        .orderBy(F.desc("tfidf"), F.asc("doc_id"), F.asc("token"))
+        .limit(100)
+    )
+
+
 QUERIES = {
     "q_token_count": q_token_count,
     "q_text_quality": q_text_quality,
     "q_lang_id": q_lang_id,
     "q_fingerprint": q_fingerprint,
+    "q_vocabulary": q_vocabulary,
+    "q_tfidf": q_tfidf,
 }
 
 
@@ -69,6 +86,27 @@ _LANG_SCORE = {
 }
 
 ORACLES = {
+    "q_vocabulary": f"""
+        SELECT token, COUNT(*) AS n
+        FROM (SELECT UNNEST({_TOKS}) AS token FROM documents)
+        GROUP BY token
+        ORDER BY n DESC, token ASC LIMIT 50
+    """,
+    "q_tfidf": f"""
+        WITH tok AS (
+          SELECT doc_id, UNNEST({_TOKS}) AS token FROM documents
+        ), tf AS (
+          SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        ), dfreq AS (
+          SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+        ), total AS (
+          SELECT COUNT(*) AS n_docs FROM documents
+        )
+        SELECT doc_id, token, tf, df,
+               ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+        FROM tf JOIN dfreq USING (token) CROSS JOIN total
+        ORDER BY tfidf DESC, doc_id ASC, token ASC LIMIT 100
+    """,
     "q_token_count": f"""
         SELECT doc_id,
           LEN({_TOKS}) AS n_tokens,

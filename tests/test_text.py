@@ -44,3 +44,31 @@ def test_fingerprint_deterministic_and_case_insensitive(spark):
     assert out[1] == out[2]  # normalized
     assert out[1] != out[3]
     assert 0 <= out[1] < 1000000007
+
+
+def test_vocabulary_top_n(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b b")], "id long, text string"
+    )
+    out = {r["token"]: r["n"] for r in T.vocabulary(df, "text").collect()}
+    assert out == {"a": 3, "b": 3, "c": 1}
+    top = T.vocabulary(df, "text", top_n=2).collect()
+    # ties on n broken by token text
+    assert [(r["token"], r["n"]) for r in top] == [("a", 3), ("b", 3)]
+
+
+def test_tf_idf(spark):
+    df = spark.createDataFrame(
+        [(1, "cat dog"), (2, "cat fish"), (3, "cat cat bird")],
+        "id long, text string",
+    )
+    import math
+
+    rows = T.tf_idf(df, "id", "text").collect()
+    by = {(r["doc_id"], r["token"]): r for r in rows}
+    # 'cat' appears in all 3 docs -> idf = ln(1) = 0
+    assert by[(1, "cat")]["tfidf"] == 0.0
+    # 'dog': tf=1, df=1 -> ln(3)
+    assert abs(by[(1, "dog")]["tfidf"] - math.log(3)) < 1e-9
+    # 'cat' in doc 3 has tf=2
+    assert by[(3, "cat")]["tf"] == 2
