@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..core import DataFrame
-from ..operators import dedup, graph, multimodal, similarity
+from ..operators import dedup, embeddings, graph, multimodal, similarity
 from ..tables import load_table
 
 
@@ -104,6 +104,32 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_embed_norm(spark, sf_dir):
+    """L2 normalization + int8 quantization, verified per row: the
+    raw norm, the first normalized element, and the integer checksum
+    of the quantized vector (exactly portable across engines)."""
+    emb = _t(spark, sf_dir, "embeddings").df
+    normed = embeddings.l2_normalize("embedding")
+    quant = embeddings.quantize_int8("embedding")
+    return emb.select(
+        "vec_id",
+        F.round(similarity.norm("embedding"), 4).alias("raw_norm"),
+        F.round(F.get(normed, 0), 5).alias("n0"),
+        F.aggregate(quant, F.lit(0), lambda a, x: a + x).alias("q8_sum"),
+        F.get(quant, 0).alias("q8_0"),
+    )
+
+
+def q_embed_centroid(spark, sf_dir):
+    """Per-label per-dimension centroid (first 8 dims)."""
+    emb = _t(spark, sf_dir, "embeddings").df
+    return (
+        embeddings.centroids(emb, "label", "embedding")
+        .where(F.col("pos") < 8)
+        .select("label", "pos", F.round("avg_val", 4).alias("avg_val"))
+    )
+
+
 def q_sample(spark, sf_dir):
     """Rows-only: seeded Bernoulli sample (engine-specific RNG);
     the driver checks schema + row production."""
@@ -122,6 +148,8 @@ QUERIES = {
     "q_knn_lsh": q_knn_lsh,
     "q_knn_ivf": q_knn_ivf,
     "q_multimodal_meta": q_multimodal_meta,
+    "q_embed_norm": q_embed_norm,
+    "q_embed_centroid": q_embed_centroid,
     "q_sample": q_sample,
 }
 
@@ -141,6 +169,35 @@ _SHINGLES = """
 """
 
 ORACLES = {
+    "q_embed_norm": """
+        WITH base AS (
+          SELECT vec_id,
+            LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v,
+            SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+            NULLIF(LIST_MAX(LIST_TRANSFORM(embedding,
+                 x -> ABS(CAST(x AS DOUBLE)))), 0.0) AS ma
+          FROM embeddings
+        )
+        SELECT vec_id,
+          ROUND(nrm, 4) AS raw_norm,
+          ROUND(v[1] / NULLIF(nrm, 0.0), 5) AS n0,
+          CAST(LIST_SUM(LIST_TRANSFORM(v,
+               x -> CAST(ROUND(127.0 * x / ma) AS INT))) AS INT) AS q8_sum,
+          CAST(ROUND(127.0 * v[1] / ma) AS INT) AS q8_0
+        FROM base
+    """,
+    "q_embed_centroid": """
+        SELECT label, pos, ROUND(AVG(val), 4) AS avg_val
+        FROM (
+          SELECT label,
+                 UNNEST(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))) AS val,
+                 UNNEST(GENERATE_SERIES(0, LEN(embedding) - 1)) AS pos
+          FROM embeddings
+        )
+        WHERE pos < 8
+        GROUP BY label, pos
+    """,
     "q_dedup_exact": """
         SELECT doc_id, source FROM (
           SELECT doc_id, source,

@@ -69,3 +69,37 @@ def test_knn_ivf_recall(spark, sf_dir):
     assert len(approx) == 10
     # nprobe = half the lists must recover at least half the true top-k
     assert len(exact & approx) >= 5
+
+
+def test_l2_normalize_and_quantize(spark):
+    from dataframe_spark.operators import embeddings as E
+    import math
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "id long, v array<float>"
+    )
+    from pyspark.sql import functions as F
+
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            E.l2_normalize("v").alias("n"),
+            E.quantize_int8("v").alias("q"),
+        ).collect()
+    }
+    assert abs(rows[1]["n"][0] - 0.6) < 1e-9 and abs(rows[1]["n"][1] - 0.8) < 1e-9
+    assert rows[1]["q"] == [95, 127]  # round(127*3/4)=95
+    # zero vector -> null elements, not Inf/error
+    assert rows[2]["n"] == [None, None] and rows[2]["q"] == [None, None]
+
+
+def test_centroids(spark):
+    from dataframe_spark.operators import embeddings as E
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [3.0, 4.0]), ("b", [5.0, 6.0])],
+        "label string, v array<float>",
+    )
+    out = {(r["label"], r["pos"]): r["avg_val"] for r in E.centroids(df, "label", "v").collect()}
+    assert out == {("a", 0): 2.0, ("a", 1): 3.0, ("b", 0): 5.0, ("b", 1): 6.0}
