@@ -182,6 +182,11 @@ class DataFrame:
     def random_split(self, weights: Sequence[float], seed: int = 42):
         return [self._wrap(d) for d in self.df.randomSplit(list(weights), seed)]
 
+    def sample_by(self, col: str, fractions: dict, seed: int = 42) -> "DataFrame":
+        """Stratified Bernoulli sample: per-stratum fraction, map-only
+        (no shuffle) — the scale path for class-balancing a corpus."""
+        return self._wrap(self.df.sampleBy(col, fractions, seed))
+
     def shuffle(self, seed: int = 42) -> "DataFrame":
         """Permutation.hs ``shuffle`` — distributed sort on a seeded
         pseudo-random key."""
@@ -519,6 +524,37 @@ class DataFrame:
         reference returning ``Maybe Double``)."""
         row = self.df.agg(F.corr(_c(c1), _c(c2)).alias("r")).first()
         return row["r"]
+
+    def approx_distinct(self, cols: Sequence[str], rsd: float = 0.05) -> "DataFrame":
+        """HLL++ approximate count-distinct per column — one agg pass
+        with FIXED-size sketch state per column (vs countDistinct's
+        full value set, which must be shuffled and merged whole).
+        This is the cardinality-profiling path that still works when
+        a column has billions of distinct values; guaranteed relative
+        standard deviation <= ``rsd``."""
+        aggs = [
+            F.approx_count_distinct(F.col(c), rsd).alias(f"__ad_{c}")
+            for c in cols
+        ]
+        one = self.df.agg(*aggs)
+        stack_args = []
+        for c in cols:
+            stack_args.append(f"'{c}'")
+            stack_args.append(f"`__ad_{c}`")
+        return self._wrap(
+            one.selectExpr(
+                f"stack({len(cols)}, {', '.join(stack_args)}) as "
+                "(column_name, approx_distinct)"
+            )
+        )
+
+    def freq_items(self, cols: Sequence[str], support: float = 0.01) -> "DataFrame":
+        """Heavy hitters per column (misra-gries style sketch, one
+        pass, bounded state) — items whose frequency exceeds
+        ``support``. May contain false positives, never false
+        negatives; the scale tool for spotting hot join keys before
+        they skew a shuffle."""
+        return self._wrap(self.df.freqItems(list(cols), support))
 
     def describe_columns(self) -> "DataFrame":
         """Core.hs:513 ``describeColumns`` — one row per column with

@@ -258,7 +258,18 @@ def q_skewness(spark, sf_dir):
     )
 
 
+def q_approx_distinct(spark, sf_dir):
+    """Rows-only: HLL sketch values are engine-specific; the <= rsd
+    error bound vs exact countDistinct is asserted in
+    tests/test_agg.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.approx_distinct(
+        ["l_orderkey", "l_partkey", "l_returnflag"], rsd=0.05
+    ).df
+
+
 QUERIES = {
+    "q_approx_distinct": q_approx_distinct,
     "q_skewness": q_skewness,
     "q_value_counts": q_value_counts,
     "q_describe": q_describe,

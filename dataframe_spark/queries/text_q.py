@@ -49,6 +49,34 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def q_corpus_filter(spark, sf_dir):
+    """End-to-end training-data filter pipeline: quality gate +
+    language gate + exact near-dup removal (fingerprint keep-first),
+    reporting per-source survivor counts. One narrow scoring
+    projection, one dedup window shuffle, one agg shuffle."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").df
+    scored = docs.select(
+        "doc_id",
+        "source",
+        T.quality_score("text").alias("quality"),
+        T.lang_id("text").alias("pred_lang"),
+        T.fingerprint("text").alias("fp"),
+    )
+    filt = scored.where(
+        (F.col("quality") > 0.3) & (F.col("pred_lang") == "en")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = filt.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") == 1
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+
+
 def q_vocabulary(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").df
     return T.vocabulary(docs, "text", top_n=50)
@@ -71,6 +99,7 @@ QUERIES = {
     "q_fingerprint": q_fingerprint,
     "q_vocabulary": q_vocabulary,
     "q_tfidf": q_tfidf,
+    "q_corpus_filter": q_corpus_filter,
 }
 
 
@@ -86,6 +115,43 @@ _LANG_SCORE = {
 }
 
 ORACLES = {
+    "q_corpus_filter": f"""
+        WITH base AS (
+          SELECT doc_id, source,
+            LEN({_TOKS}) AS n_tok,
+            {_LANG_SCORE['de']} AS s_de, {_LANG_SCORE['en']} AS s_en,
+            {_LANG_SCORE['es']} AS s_es, {_LANG_SCORE['fr']} AS s_fr,
+            (STRLEN(text) - STRLEN(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')))
+              / NULLIF(CAST(STRLEN(text) AS DOUBLE), 0.0) AS praw,
+            LIST_REDUCE(
+              LIST_PREPEND(CAST(0 AS BIGINT),
+                LIST_TRANSFORM(
+                  LIST_FILTER(STRING_SPLIT(LOWER(TRIM(text)), ''), c -> c <> ''),
+                  c -> CAST(ORD(c) AS BIGINT))),
+              (acc, ch) -> (acc * 31 + ch) % 1000000007) AS fp
+          FROM documents
+        ), scored AS (
+          SELECT doc_id, source, fp,
+            ROUND(GREATEST(
+              (LEAST(n_tok / 50.0, 1.0) * 0.5
+               + LEAST(s_en / NULLIF(CAST(n_tok AS DOUBLE), 0.0) * 5.0, 1.0) * 0.5)
+              - LEAST(praw * 2.0, 1.0) * 0.25, 0.0), 4) AS quality,
+            CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+                 WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                 WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                 WHEN s_es >= s_fr THEN 'es'
+                 ELSE 'fr' END AS pred_lang
+          FROM base
+        ), kept AS (
+          SELECT source, quality,
+            ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM scored
+          WHERE quality > 0.3 AND pred_lang = 'en'
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               ROUND(AVG(quality), 4) AS avg_quality
+        FROM kept WHERE rn = 1 GROUP BY source
+    """,
     "q_vocabulary": f"""
         SELECT token, COUNT(*) AS n
         FROM (SELECT UNNEST({_TOKS}) AS token FROM documents)

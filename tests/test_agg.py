@@ -144,3 +144,33 @@ def test_grouped_apply_in_pandas(small):
     )
     vals = {r["id"]: r["val"] for r in out.collect()}
     assert vals[1] == -10.0 and vals[3] == 10.0
+
+
+def test_approx_distinct_error_bound(spark):
+    import random
+
+    random.seed(7)
+    rows = [(random.randrange(5000), random.randrange(50)) for _ in range(20000)]
+    from dataframe_spark.core import DataFrame
+
+    df = DataFrame(spark.createDataFrame(rows, "hi int, lo int"))
+    approx = {
+        r["column_name"]: r["approx_distinct"]
+        for r in df.approx_distinct(["hi", "lo"], rsd=0.05).collect()
+    }
+    from pyspark.sql import functions as F
+
+    exact = df.df.agg(
+        F.countDistinct("hi").alias("hi"), F.countDistinct("lo").alias("lo")
+    ).first()
+    for c in ("hi", "lo"):
+        assert abs(approx[c] - exact[c]) <= max(3, 0.15 * exact[c])
+
+
+def test_freq_items_finds_heavy_hitter(spark):
+    rows = [(1 if i % 3 else 99,) for i in range(3000)]
+    from dataframe_spark.core import DataFrame
+
+    df = DataFrame(spark.createDataFrame(rows, "k int"))
+    out = df.freq_items(["k"], support=0.2).collect()[0]
+    assert 1 in out["k_freqItems"]

@@ -170,3 +170,13 @@ def test_recode_with_condition(small):
 def test_recode_with_condition_no_cases(small):
     out = small.derive("k", E.recode_with_condition(E.lit("x"), [], "val"))
     assert {r["k"] for r in out.collect()} == {"x"}
+
+
+def test_sample_by_strata(spark):
+    from dataframe_spark.core import DataFrame
+
+    rows = [(i, "a" if i % 2 else "b") for i in range(2000)]
+    df = DataFrame(spark.createDataFrame(rows, "id int, s string"))
+    out = df.sample_by("s", {"a": 0.5, "b": 0.0}, seed=1).collect()
+    assert 0 < len(out) < 1000
+    assert all(r["s"] == "a" for r in out)
