@@ -66,3 +66,42 @@ def salt_skewed_join(
     )
     joined = b.join(s, on=[on, "__salt"], how="inner").drop("__salt")
     return DataFrame(joined)
+
+
+def salted_join(
+    left: "DataFrame",
+    right: "DataFrame",
+    on: list[str],
+    how: str = "inner",
+    salt: int = 16,
+):
+    """Skew-safe equi-join: the left (large, skewed) side gets a
+    uniform salt in [0, salt); the right side is replicated ``salt``
+    times via a broadcast-range explode; the join runs on
+    keys + salt, splitting each hot key across ``salt`` tasks.
+
+    AQE's skew-join handles sort-merge skew adaptively; explicit
+    salting is for when the skew is known up front (a hot join key
+    in a power-law corpus), when the optimizer can't see it
+    (post-shuffle intermediate), or for non-sort-merge strategies.
+    The salt is derived from a hash of the row's OWN key columns plus
+    a per-row monotonic component — deterministic under task retries
+    would require content hashing, so we use spark_partition_id +
+    monotonically_increasing_id modulo salt, which is disjoint and
+    exhaustive within a single execution of the join (the only scope
+    a join key ever has).
+
+    Works on plain pyspark DataFrames.
+    """
+    from pyspark.sql import functions as F
+
+    lf = left.df if hasattr(left, "df") else left
+    rf = right.df if hasattr(right, "df") else right
+    salted_l = lf.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int")
+    )
+    salted_r = rf.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = salted_l.join(salted_r, on=[*on, "__salt"], how=how)
+    return out.drop("__salt")

@@ -51,6 +51,28 @@ def q_window_cumsum(spark, sf_dir):
     )
 
 
+def q_window_rolling(spark, sf_dir):
+    """Rolling 90-day revenue per customer — a RANGE frame over
+    event-time (all same-day peers included, so the result is
+    tie-order-insensitive). Time is mapped to integer days for an
+    engine-portable frame; one shuffle on the partition key."""
+    o = _t(spark, sf_dir, "orders").df
+    days = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-90, 0)
+    )
+    return (
+        o.where(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("rolling_90d"),
+        )
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """For each purchase event (user_id < 50): the latest order of
     that customer placed at-or-before the event time."""
@@ -114,12 +136,22 @@ def q_stream_window(spark, sf_dir):
 QUERIES = {
     "q_window_rank": q_window_rank,
     "q_window_cumsum": q_window_cumsum,
+    "q_window_rolling": q_window_rolling,
     "q_asof_join": q_asof_join,
     "q_sessionize": q_sessionize,
     "q_stream_window": q_stream_window,
 }
 
 ORACLES = {
+    "q_window_rolling": """
+        SELECT o_custkey, o_orderkey,
+          ROUND(SUM(o_totalprice) OVER (
+            PARTITION BY o_custkey
+            ORDER BY DATE_DIFF('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+            RANGE BETWEEN 90 PRECEDING AND CURRENT ROW
+          ), 2) AS rolling_90d
+        FROM orders WHERE o_custkey < 100
+    """,
     "q_window_rank": """
         SELECT p_brand, rank, p_partkey, ROUND(p_retailprice, 2) AS p_retailprice
         FROM (

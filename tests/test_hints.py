@@ -34,3 +34,21 @@ def test_broadcast_small_hint(spark, lineitem):
     dim = from_named_columns(spark, {"l_returnflag": ["A", "N", "R"], "label": ["x", "y", "z"]})
     out = lineitem.inner_join(["l_returnflag"], broadcast_small(dim))
     assert plan_summary(out)["broadcast_joins"] == 1
+
+
+def test_salted_join_matches_plain_join(spark):
+    from dataframe_spark.plans.hints import salted_join
+    from pyspark.sql import functions as F
+
+    # heavy skew: 90% of left rows share one key
+    left = spark.createDataFrame(
+        [(1 if i % 10 else i, i) for i in range(5000)], "k long, v long"
+    )
+    right = spark.createDataFrame([(i, str(i)) for i in range(500)], "k long, name string")
+    plain = left.join(right, "k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    ).first()
+    salted = salted_join(left, right, ["k"], salt=8).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    ).first()
+    assert (plain["n"], plain["sv"]) == (salted["n"], salted["sv"])
