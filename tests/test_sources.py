@@ -81,3 +81,23 @@ def test_json_flatten_structs(spark, tmpd):
     assert set(flat.column_names) == {"id", "meta.lang", "meta.n"}
     rows = {r["id"]: r["meta.lang"] for r in flat.collect()}
     assert rows == {1: "en", 2: "de"}
+
+
+def test_orc_roundtrip(spark, tmpd):
+    from dataframe_spark.sources.orc import read_orc, write_orc
+    from dataframe_spark.core import DataFrame
+
+    df = DataFrame(spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string"))
+    write_orc(df, tmpd + "/t.orc")
+    back = read_orc(spark, tmpd + "/t.orc")
+    assert sorted((r["id"], r["s"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_text_lines_roundtrip(spark, tmpd):
+    from dataframe_spark.sources.orc import read_text, write_text
+    from dataframe_spark.core import DataFrame
+
+    df = DataFrame(spark.createDataFrame([("hello",), ("world",)], "value string"))
+    write_text(df, tmpd + "/corpus")
+    back = read_text(spark, tmpd + "/corpus")
+    assert sorted(r["value"] for r in back.collect()) == ["hello", "world"]
