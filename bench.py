@@ -32,6 +32,10 @@ HEADLINE = [
     "q_summarize",
     "q_asof_join",
     "q_stream_window",
+    "q_tfidf",
+    "q_corpus_filter",
+    "q_embed_norm",
+    "q_window_rolling",
 ]
 
 

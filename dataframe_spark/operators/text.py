@@ -160,3 +160,69 @@ def tf_idf(df, id_col: str, text_col: str):
             (F.col("tf") * F.log(F.col("__n_docs") / F.col("df"))).alias("tfidf"),
         )
     )
+
+
+# --- sequence prep: chunking and token-budget selection ---------------
+
+
+def chunk_tokens(df, id_col: str, text_col: str, chunk_size: int, overlap: int = 0):
+    """Split each document into token chunks of ``chunk_size`` with
+    ``overlap`` (training sequence prep). The chunk grid is built
+    in-row with higher-order functions (sequence + slice) and then
+    posexploded — a narrow projection plus one generator, no shuffle,
+    no Python; composes into the scan at any corpus size.
+
+    Returns (id, chunk_idx, chunk: array<string>, n_tokens), empty
+    chunks dropped."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    step = chunk_size - overlap
+    toks = tokens(text_col)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - 1, F.lit(0)),
+        F.lit(step),
+    )
+    chunks = F.transform(starts, lambda s: F.slice(toks, s + 1, chunk_size))
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(chunks).alias("chunk_idx", "chunk"),
+        )
+        .withColumn("n_tokens", F.size("chunk"))
+        .where(F.col("n_tokens") > 0)
+    )
+
+
+def token_budget_select(
+    df,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    budget: int,
+    quality_col=None,
+):
+    """Greedy per-group selection under a token budget: within each
+    group, take documents best-quality-first while the running token
+    total stays within ``budget``. The cumsum window is PARTITIONED
+    by group — each group sorts independently on its own reducer, so
+    the plan scales with group count (a single global ordering would
+    serialize the corpus; if you need one, pre-shard by a hash of the
+    id into pseudo-groups and budget per shard)."""
+    from pyspark.sql import Window
+
+    quality = quality_col if quality_col is not None else quality_score(text_col)
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        token_count(text_col).alias("n_tokens"),
+        quality.alias("quality"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.desc("quality"), F.asc("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return scored.withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w)
+    ).where(F.col("cum_tokens") <= budget)

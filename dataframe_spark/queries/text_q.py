@@ -92,6 +92,35 @@ def q_tfidf(spark, sf_dir):
     )
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Chunk documents into 64-token windows (overlap 16); verify
+    the chunk grid by count/size/first-token per chunk."""
+    docs = _t(spark, sf_dir, "documents").df
+    out = T.chunk_tokens(docs, "doc_id", "text", chunk_size=64, overlap=16)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "chunk_idx",
+        "n_tokens",
+        F.get(F.col("chunk"), 0).alias("first_tok"),
+    )
+
+
+def q_token_budget(spark, sf_dir):
+    """Per-source greedy quality-first selection under a 10k-token
+    budget."""
+    docs = _t(spark, sf_dir, "documents").df
+    out = T.token_budget_select(
+        docs, "doc_id", "text", "source", budget=10_000
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("grp").alias("source"),
+        "n_tokens",
+        "quality",
+        "cum_tokens",
+    )
+
+
 QUERIES = {
     "q_token_count": q_token_count,
     "q_text_quality": q_text_quality,
@@ -100,6 +129,8 @@ QUERIES = {
     "q_vocabulary": q_vocabulary,
     "q_tfidf": q_tfidf,
     "q_corpus_filter": q_corpus_filter,
+    "q_doc_chunks": q_doc_chunks,
+    "q_token_budget": q_token_budget,
 }
 
 
@@ -115,6 +146,47 @@ _LANG_SCORE = {
 }
 
 ORACLES = {
+    "q_doc_chunks": f"""
+        WITH tok AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents
+        ), grid AS (
+          SELECT doc_id, t,
+            UNNEST(GENERATE_SERIES(0, GREATEST(LEN(t) - 1, 0), 48)) AS start
+          FROM tok
+        )
+        SELECT doc_id,
+          CAST(start / 48 AS INT) AS chunk_idx,
+          LEN(LIST_SLICE(t, start + 1, start + 64)) AS n_tokens,
+          LIST_SLICE(t, start + 1, start + 64)[1] AS first_tok
+        FROM grid
+        WHERE LEN(LIST_SLICE(t, start + 1, start + 64)) > 0
+    """,
+    "q_token_budget": f"""
+        WITH scored AS (
+          SELECT doc_id, source,
+            LEN({_TOKS}) AS n_tok,
+            {_LANG_SCORE['en']} AS n_stop,
+            (STRLEN(text) - STRLEN(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')))
+              / NULLIF(CAST(STRLEN(text) AS DOUBLE), 0.0) AS praw
+          FROM documents
+        ), q AS (
+          SELECT doc_id, source, n_tok,
+            ROUND(GREATEST(
+              (LEAST(n_tok / 50.0, 1.0) * 0.5
+               + LEAST(n_stop / NULLIF(CAST(n_tok AS DOUBLE), 0.0) * 5.0, 1.0) * 0.5)
+              - LEAST(praw * 2.0, 1.0) * 0.25, 0.0), 4) AS quality
+          FROM scored
+        ), cum AS (
+          SELECT doc_id, source, n_tok AS n_tokens, quality,
+            SUM(n_tok) OVER (PARTITION BY source
+                             ORDER BY quality DESC, doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS cum_tokens
+          FROM q
+        )
+        SELECT doc_id, source, n_tokens, quality, cum_tokens
+        FROM cum WHERE cum_tokens <= 10000
+    """,
     "q_corpus_filter": f"""
         WITH base AS (
           SELECT doc_id, source,

@@ -72,3 +72,30 @@ def test_tf_idf(spark):
     assert abs(by[(1, "dog")]["tfidf"] - math.log(3)) < 1e-9
     # 'cat' in doc 3 has tf=2
     assert by[(3, "cat")]["tf"] == 2
+
+
+def test_chunk_tokens_grid_and_overlap(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, ""), (3, "solo")],
+        "id long, text string",
+    )
+    out = T.chunk_tokens(df, "id", "text", chunk_size=4, overlap=1).collect()
+    by = {(r["id"], r["chunk_idx"]): r for r in out}
+    # doc 1: starts at 0,3,6,9 -> chunks of 4,4,4,1 tokens
+    assert [by[(1, i)]["n_tokens"] for i in range(4)] == [4, 4, 4, 1]
+    assert by[(1, 1)]["chunk"][0] == "t3"  # overlap of 1: second chunk starts at t3
+    # empty text -> no chunks; single token -> one chunk
+    assert not any(r["id"] == 2 for r in out)
+    assert by[(3, 0)]["n_tokens"] == 1
+
+
+def test_token_budget_select_greedy(spark):
+    df = spark.createDataFrame(
+        [(1, "a " * 30, "s"), (2, "b " * 30, "s"), (3, "c " * 30, "s")],
+        "id long, text string, grp string",
+    )
+    from pyspark.sql import functions as F
+
+    # equal quality -> tie-break by id; budget fits exactly 2 docs
+    out = T.token_budget_select(df, "id", "text", "grp", budget=60).collect()
+    assert sorted(r["id"] for r in out) == [1, 2]
