@@ -55,3 +55,30 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     final = plan.split("== Initial Plan ==")[0]
     assert "*(" in final  # WholeStageCodegen spans (starred operators)
     assert final.count("Exchange hashpartitioning") == 1  # single shuffle
+
+
+def test_chunk_tokens_is_shuffle_free(spark):
+    from dataframe_spark.operators import text as T
+
+    df = spark.createDataFrame([(1, "a b c d e f g h")], "id long, text string")
+    plan = (
+        T.chunk_tokens(df, "id", "text", 4, 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_vocabulary_topn_uses_bounded_sort(spark):
+    from dataframe_spark.operators import text as T
+
+    df = spark.createDataFrame([(1, "a b a")], "id long, text string")
+    plan = (
+        T.vocabulary(df, "text", top_n=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # top-N must be per-partition heaps + merge, never a global sort
+    assert "TakeOrderedAndProject" in plan
