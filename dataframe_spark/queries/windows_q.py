@@ -133,6 +133,19 @@ def q_stream_window(spark, sf_dir):
     )
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Batch twin of streaming/dedup.py (dropDuplicatesWithinWatermark):
+    one surviving row per (user, event_type) keyed by earliest event.
+    Expressed tie-insensitively (count + min-ts truncated to seconds)
+    so the check is stable across the engines' ns-vs-us timestamp
+    precision."""
+    ev = _t(spark, sf_dir, "events").df
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts_s"),
+    )
+
+
 QUERIES = {
     "q_window_rank": q_window_rank,
     "q_window_cumsum": q_window_cumsum,
@@ -140,6 +153,7 @@ QUERIES = {
     "q_asof_join": q_asof_join,
     "q_sessionize": q_sessionize,
     "q_stream_window": q_stream_window,
+    "q_stream_dedup": q_stream_dedup,
 }
 
 ORACLES = {
@@ -190,6 +204,11 @@ ORACLES = {
         )
         SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
         FROM marked GROUP BY user_id
+    """,
+    "q_stream_dedup": """
+        SELECT user_id, event_type, COUNT(*) AS n_events,
+               STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts_s
+        FROM events GROUP BY 1, 2
     """,
     "q_stream_window": """
         SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
