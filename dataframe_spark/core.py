@@ -782,6 +782,15 @@ class DataFrame:
             self.df.unionByName(other.df, allowMissingColumns=True)
         )
 
+    def intersect(self, other: "DataFrame") -> "DataFrame":
+        """Set intersection (distinct rows in both) — one shuffle on
+        the full row as key, same cost shape as distinct."""
+        return self._wrap(self.df.intersect(other.df))
+
+    def except_rows(self, other: "DataFrame") -> "DataFrame":
+        """Set difference (distinct rows of self not in other)."""
+        return self._wrap(self.df.subtract(other.df))
+
 
 class GroupedDataFrame:
     """Aggregation.hs:45 ``groupBy`` / :262 ``aggregate`` — a deferred groupBy.

@@ -306,6 +306,20 @@ def q_union(spark, sf_dir):
     )
 
 
+def q_set_ops(spark, sf_dir):
+    """Nations having customers INTERSECT/EXCEPT nations having
+    suppliers."""
+    c = _t(spark, sf_dir, "customer").select(["c_nationkey"]).rename(
+        "c_nationkey", "nationkey"
+    ).distinct()
+    s = _t(spark, sf_dir, "supplier").select(["s_nationkey"]).rename(
+        "s_nationkey", "nationkey"
+    ).distinct()
+    both = c.intersect(s).derive("op", F.lit("both"))
+    only_c = c.except_rows(s).derive("op", F.lit("cust_only"))
+    return both.concat(only_c).df
+
+
 def q_dates(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return (
@@ -344,6 +358,7 @@ QUERIES = {
     "q5_local_supplier": q5_local_supplier,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q_union": q_union,
+    "q_set_ops": q_set_ops,
     "q_dates": q_dates,
 }
 
@@ -466,6 +481,17 @@ ORACLES = {
           UNION ALL
           SELECT s_nationkey AS nationkey, 'supplier' AS kind FROM supplier
         ) GROUP BY 1, 2
+    """,
+    "q_set_ops": """
+        SELECT nationkey, 'both' AS op FROM
+          (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+           INTERSECT
+           SELECT DISTINCT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT nationkey, 'cust_only' AS op FROM
+          (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+           EXCEPT
+           SELECT DISTINCT s_nationkey FROM supplier)
     """,
     "q_dates": """
         SELECT EXTRACT(YEAR FROM o_orderdate) AS order_year,

@@ -77,3 +77,10 @@ def test_broadcast_semi_join_plan(spark):
     b = _mk(spark, [(1, "p")], "k int, b string")
     plan = a.semi_join(["k"], b, broadcast=True).df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_intersect_and_except(spark):
+    a = _mk(spark, [(1,), (2,), (2,), (3,)], "k int")
+    b = _mk(spark, [(2,), (4,)], "k int")
+    assert sorted(r["k"] for r in a.intersect(b).collect()) == [2]
+    assert sorted(r["k"] for r in a.except_rows(b).collect()) == [1, 3]
