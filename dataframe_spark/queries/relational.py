@@ -306,6 +306,53 @@ def q_union(spark, sf_dir):
     )
 
 
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS expressed as a semi join (the right
+    side ships only its join key; no row widening, no dedup
+    needed)."""
+    o = _t(spark, sf_dir, "orders").filter_where(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    # predicate adapted to the synthetic schema (no commit/receipt
+    # dates): orders containing at least one bulk line
+    late = _t(spark, sf_dir, "lineitem").filter_where(
+        F.col("l_quantity") > 45
+    ).select(["l_orderkey"]).rename("l_orderkey", "o_orderkey")
+    return (
+        o.semi_join(["o_orderkey"], late)
+        .group_by(["o_orderpriority"])
+        .aggregate(order_count=F.count(F.lit(1)))
+        .df
+    )
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20
+    — broadcast nation dim, TakeOrderedAndProject for the top-k."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter_where(
+        (F.col("o_orderdate") >= "1996-10-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter_where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.rename("l_orderkey", "o_orderkey")
+        .inner_join(["o_orderkey"], o)
+        .rename("o_custkey", "c_custkey")
+        .inner_join(["c_custkey"], c)
+        .rename("c_nationkey", "n_nationkey")
+        .inner_join(["n_nationkey"], n, broadcast=True)
+        .derive("rev", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .group_by(["c_custkey", "c_name", "n_name"])
+        .aggregate(revenue=F.round(F.sum("rev"), 2))
+        .sort_by(["revenue", "c_custkey"], ["desc", "asc"])
+        .take(20)
+        .df
+    )
+
+
 def q_set_ops(spark, sf_dir):
     """Nations having customers INTERSECT/EXCEPT nations having
     suppliers."""
@@ -360,6 +407,8 @@ QUERIES = {
     "q_union": q_union,
     "q_set_ops": q_set_ops,
     "q_dates": q_dates,
+    "q4_order_priority": q4_order_priority,
+    "q10_returned_items": q10_returned_items,
 }
 
 ORACLES = {
@@ -481,6 +530,30 @@ ORACLES = {
           UNION ALL
           SELECT s_nationkey AS nationkey, 'supplier' AS kind FROM supplier
         ) GROUP BY 1, 2
+    """,
+    "q4_order_priority": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o.o_orderkey AND l_quantity > 45
+          )
+        GROUP BY o_orderpriority
+    """,
+    "q10_returned_items": """
+        SELECT c_custkey, c_name, n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey ASC LIMIT 20
     """,
     "q_set_ops": """
         SELECT nationkey, 'both' AS op FROM
