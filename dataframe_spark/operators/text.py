@@ -126,6 +126,9 @@ def vocabulary(df, text_col: str, top_n: int | None = None):
     shuffled agg with map-side partial counts. ``top_n`` uses
     orderBy+limit (TakeOrderedAndProject: per-partition heaps, no
     full sort). Ties broken by token text for determinism."""
+    from ..plans.hints import ensure_scan_parallelism
+
+    df = ensure_scan_parallelism(df)
     counts = (
         df.select(F.explode(tokens(text_col)).alias("token"))
         .groupBy("token")
@@ -142,6 +145,9 @@ def tf_idf(df, id_col: str, text_col: str):
     the tf ⋈ dfreq join on token — all key-partitioned and
     size-of-data; the corpus row count rides in via a broadcast
     one-row crossJoin (no driver collect)."""
+    from ..plans.hints import ensure_scan_parallelism
+
+    df = ensure_scan_parallelism(df)
     tok = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(text_col)).alias("token"),
@@ -177,6 +183,9 @@ def chunk_tokens(df, id_col: str, text_col: str, chunk_size: int, overlap: int =
     if overlap >= chunk_size:
         raise ValueError("overlap must be < chunk_size")
     step = chunk_size - overlap
+    from ..plans.hints import ensure_scan_parallelism
+
+    df = ensure_scan_parallelism(df)
     toks = tokens(text_col)
     starts = F.sequence(
         F.lit(0),
@@ -211,6 +220,9 @@ def token_budget_select(
     id into pseudo-groups and budget per shard)."""
     from pyspark.sql import Window
 
+    from ..plans.hints import ensure_scan_parallelism
+
+    df = ensure_scan_parallelism(df)
     quality = quality_col if quality_col is not None else quality_score(text_col)
     scored = df.select(
         F.col(id_col).alias("id"),
