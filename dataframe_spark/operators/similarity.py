@@ -50,25 +50,26 @@ def cosine_pairs(
     vec_col: str,
     threshold: float = 0.9,
     num_blocks: int = 8,
-    broadcast_rows: int = 100_000,
+    broadcast_bytes: int = 64 << 20,
 ) -> SparkDF:
     """All pairs (a < b) with cosine >= threshold — broadcast or
     blocked GEMM, chosen like Spark's broadcast-join cutover.
 
-    When the corpus fits a broadcast (<= ``broadcast_rows``), ship
-    the whole matrix to every task and run one shuffle-free
-    mapInPandas scan: each Arrow batch is multiplied against the
-    broadcast matrix with one BLAS call, emitting only (a < b)
-    pairs. Otherwise tile the n×n similarity matrix into
-    (num_blocks choose 2)+num_blocks tiles, ship each tile's two
-    vector blocks through Arrow once, and compute the tile with one
-    BLAS matmul per group (applyInPandas). Either way the math is
-    identical float64 GEMM rounded to 4dp. This is the exact
-    baseline; LSH bucketing (knn_lsh) is the sub-quadratic scale
-    path."""
+    When the corpus fits a broadcast (plan size estimate <=
+    ``broadcast_bytes``, the same PLAN-side test a broadcast join
+    uses — no eager count job), ship the whole matrix to every task
+    and run one shuffle-free mapInPandas scan: each Arrow batch is
+    multiplied against the broadcast matrix with one BLAS call,
+    emitting only (a < b) pairs. Otherwise tile the n×n similarity
+    matrix into (num_blocks choose 2)+num_blocks tiles, ship each
+    tile's two vector blocks through Arrow once, and compute the
+    tile with one BLAS matmul per group (applyInPandas). Either way
+    the math is identical float64 GEMM rounded to 4dp. This is the
+    exact baseline; LSH bucketing (knn_lsh) is the sub-quadratic
+    scale path."""
     spark = df.sparkSession
-    n = df.count()
-    if n <= broadcast_rows:
+    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if est <= broadcast_bytes:
         corpus = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).toPandas()
         ids = corpus["id"].to_numpy(dtype="int64")
         M = np.stack(corpus["vec"].to_numpy()).astype("float64")
@@ -95,7 +96,7 @@ def cosine_pairs(
         parallelism = spark.sparkContext.defaultParallelism
         src = df.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-        ).repartition(max(2, min(parallelism, n // 64 + 1)))
+        ).repartition(max(2, min(parallelism, (est >> 15) + 1)))
         return src.mapInPandas(scan, "a_id long, b_id long, cosine double")
     v = df.select(
         F.col(id_col).alias("id"),
