@@ -85,3 +85,40 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+
+
+def resample(
+    df: SparkDF,
+    time_col: str,
+    group_cols: list[str],
+    aggs: dict,
+    unit: str = "day",
+) -> SparkDF:
+    """Downsample to one row per (group, time bucket) INCLUDING empty
+    buckets (gap-filled resample). The date spine is built from a
+    one-row min/max agg exploded into buckets (broadcast — it is
+    #buckets rows regardless of data size), cross-joined with the
+    distinct groups, and left-joined to the bucketed aggregates: every
+    piece is either broadcast-sized or a key-partitioned shuffle, so
+    the plan is the same at any scale. Missing buckets surface as
+    nulls — callers coalesce to their fill value."""
+    bucket = F.date_trunc(unit, F.col(time_col))
+    actual = (
+        df.withColumn("__bucket", bucket)
+        .groupBy(*group_cols, "__bucket")
+        .agg(*[e.alias(n) for n, e in aggs.items()])
+    )
+    bounds = df.agg(
+        F.date_trunc(unit, F.min(time_col)).alias("__lo"),
+        F.date_trunc(unit, F.max(time_col)).alias("__hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(
+                F.col("__lo"), F.col("__hi"), F.expr(f"interval 1 {unit}")
+            )
+        ).alias("__bucket")
+    )
+    groups = df.select(*group_cols).distinct()
+    grid = F.broadcast(spine).crossJoin(groups)
+    return grid.join(actual, on=[*group_cols, "__bucket"], how="left")

@@ -41,6 +41,11 @@ def q_summarize(spark, sf_dir):
 
 
 def q_stats_agg(spark, sf_dir):
+    """Grouped dispersion stats. Uses F.percentile directly: with a
+    HANDFUL of groups each buffer merges on its own reducer and the
+    state is bounded by per-group distinct values; for few-huge-group
+    or high-cardinality inputs the sharded radix plan is the scale
+    path (q_group_quantiles / GroupedDataFrame.quantiles)."""
     li = _t(spark, sf_dir, "lineitem")
     # one percentile buffer per source column (array form) instead of
     # four independent buffers — each buffer holds the group's full

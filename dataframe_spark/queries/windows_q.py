@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..core import DataFrame
-from ..operators.window import asof_join, sessionize
+from ..operators.window import asof_join, resample, sessionize
 from ..tables import load_table
 
 
@@ -133,6 +133,28 @@ def q_stream_window(spark, sf_dir):
     )
 
 
+def q_resample(spark, sf_dir):
+    """Monthly order counts per priority with gap filling — empty
+    months appear with n=0."""
+    o = _t(spark, sf_dir, "orders").df
+    out = resample(
+        o,
+        "o_orderdate",
+        ["o_orderpriority"],
+        {
+            "n": F.count(F.lit(1)),
+            "total": F.round(F.sum("o_totalprice"), 2),
+        },
+        unit="month",
+    )
+    return out.select(
+        "o_orderpriority",
+        F.date_format("__bucket", "yyyy-MM").alias("month"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.coalesce(F.col("total"), F.lit(0.0)).alias("total"),
+    )
+
+
 def q_stream_dedup(spark, sf_dir):
     """Batch twin of streaming/dedup.py (dropDuplicatesWithinWatermark):
     one surviving row per (user, event_type) keyed by earliest event.
@@ -154,6 +176,7 @@ QUERIES = {
     "q_sessionize": q_sessionize,
     "q_stream_window": q_stream_window,
     "q_stream_dedup": q_stream_dedup,
+    "q_resample": q_resample,
 }
 
 ORACLES = {
@@ -204,6 +227,26 @@ ORACLES = {
         )
         SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
         FROM marked GROUP BY user_id
+    """,
+    "q_resample": """
+        WITH b AS (
+          SELECT o_orderpriority, DATE_TRUNC('month', o_orderdate) AS bucket,
+                 COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+          FROM orders GROUP BY 1, 2
+        ), bounds AS (
+          SELECT DATE_TRUNC('month', MIN(o_orderdate)) AS lo,
+                 DATE_TRUNC('month', MAX(o_orderdate)) AS hi
+          FROM orders
+        ), spine AS (
+          SELECT UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 MONTH)) AS bucket
+          FROM bounds
+        ), groups AS (SELECT DISTINCT o_orderpriority FROM orders)
+        SELECT g.o_orderpriority,
+               STRFTIME(s.bucket, '%Y-%m') AS month,
+               COALESCE(n, 0) AS n,
+               COALESCE(total, 0.0) AS total
+        FROM spine s CROSS JOIN groups g
+        LEFT JOIN b ON b.o_orderpriority = g.o_orderpriority AND b.bucket = s.bucket
     """,
     "q_stream_dedup": """
         SELECT user_id, event_type, COUNT(*) AS n_events,

@@ -57,3 +57,19 @@ def test_sessionize_gap(spark):
     assert sess[(1, 0)] == 1 and sess[(1, 10)] == 1
     assert sess[(1, 50)] == 2
     assert sess[(2, 0)] == 1
+
+
+def test_resample_fills_gaps(spark):
+    from dataframe_spark.operators.window import resample
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", "2020-01-01 10:00:00", 1.0), ("a", "2020-01-04 09:00:00", 2.0)],
+        "g string, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = resample(df, "ts", ["g"], {"n": F.count(F.lit(1))}, unit="day")
+    rows = {r["__bucket"].day: r["n"] for r in out.collect()}
+    # days 1..4 present; 2 and 3 gap-filled with null
+    assert sorted(rows) == [1, 2, 3, 4]
+    assert rows[1] == 1 and rows[4] == 1
+    assert rows[2] is None and rows[3] is None
