@@ -51,3 +51,48 @@ def test_token_count_matches_python(spark, t):
     df = from_named_columns(spark, {"text": [t]}).df
     got = df.select(text.token_count("text").alias("n")).first()["n"]
     assert got == len(t.split())
+
+
+@given(st.lists(texts, min_size=1, max_size=6), st.integers(2, 6))
+@FEW
+def test_chunks_partition_tokens_exactly(spark, docs_, chunk_size):
+    """With overlap=0 the chunks partition the token stream: their
+    concatenation per doc equals the doc's tokens."""
+    df = from_named_columns(
+        spark, {"doc_id": list(range(len(docs_))), "text": docs_}
+    ).df
+    chunks = text.chunk_tokens(df, "doc_id", "text", chunk_size, overlap=0)
+    rebuilt = {
+        r["id"]: r["toks"]
+        for r in chunks.groupBy("id")
+        .agg(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk"))
+                ).chunk
+            ).alias("toks")
+        )
+        .collect()
+    }
+    for i, d in enumerate(docs_):
+        toks = [t for t in d.lower().split() if t]
+        if toks:
+            assert rebuilt[i] == toks
+        else:
+            assert i not in rebuilt
+
+
+@given(st.lists(texts, min_size=1, max_size=6))
+@FEW
+def test_tfidf_tf_sums_to_token_count(spark, docs_):
+    df = from_named_columns(
+        spark, {"doc_id": list(range(len(docs_))), "text": docs_}
+    ).df
+    out = text.tf_idf(df, "doc_id", "text")
+    sums = {
+        r["doc_id"]: r["s"]
+        for r in out.groupBy("doc_id").agg(F.sum("tf").alias("s")).collect()
+    }
+    for i, d in enumerate(docs_):
+        n = len([t for t in d.lower().split() if t])
+        assert sums.get(i, 0) == n
