@@ -1,0 +1,73 @@
+"""In-pytest DuckDB-oracle parity (SURVEY §5): a fast subset of the
+driver's correctness gate at sf0.001. The full sweep lives in
+tools/parity.py; this keeps a regression tripwire inside `pytest
+tests/` for the most load-bearing query shapes."""
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# cheap-but-representative: agg, join, window, dedup, text, embedding
+SUBSET = [
+    "q1_pricing_summary",
+    "q_join_semi_anti",
+    "q_window_rolling",
+    "q_dedup_exact",
+    "q_corpus_filter",
+    "q_embed_norm",
+    "q_resample",
+]
+
+
+def _normalize(rows, columns):
+    idx = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in idx:
+            v = r[i]
+            if isinstance(v, float):
+                if v != v:
+                    vals.append("nan")
+                elif v == int(v) and abs(v) < 1e15:
+                    vals.append(str(int(v)))
+                else:
+                    vals.append(f"{v:.6g}")
+            else:
+                vals.append(str(v))
+        out.append("|".join(vals))
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, duck, name):
+    import __spark_entry__ as entry
+
+    sdf = entry.queries()[name](spark, SF_DIR)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    res = duck.execute(entry.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows)
+    assert _normalize(spark_rows, spark_cols) == _normalize(duck_rows, duck_cols)
