@@ -101,3 +101,31 @@ def test_text_lines_roundtrip(spark, tmpd):
     write_text(df, tmpd + "/corpus")
     back = read_text(spark, tmpd + "/corpus")
     assert sorted(r["value"] for r in back.collect()) == ["hello", "world"]
+
+
+def test_write_parquet_sorted_yields_disjoint_file_ranges(spark, tmpd):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dataframe_spark.core import DataFrame
+    from dataframe_spark.sources.parquet import write_parquet_sorted
+
+    rows = [(i * 37 % 10_000, f"v{i}") for i in range(10_000)]
+    df = DataFrame(spark.createDataFrame(rows, "k int, v string"))
+    write_parquet_sorted(df, tmpd + "/sorted", ["k"], num_files=8)
+
+    ranges = []
+    for f in glob.glob(tmpd + "/sorted/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    # files cover disjoint key ranges -> min/max stats prune scans
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
