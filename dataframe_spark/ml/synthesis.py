@@ -244,9 +244,22 @@ def _score(
                 .when(F.isnan(c) | (F.abs(c) == _INF), 1)
                 .otherwise(0)
             ).alias(f"b{i}")
-            sig = F.sum(F.xxhash64(c)).alias(f"g{i}")
+            # pmod keeps the dedup signature inside int64 under ANSI
+            # (raw xxhash64 sums overflow -> hard error in ANSI mode)
+            sig = F.sum(F.pmod(F.xxhash64(c), F.lit(1 << 30))).alias(f"g{i}")
             if loss == "pearson":
-                score_exprs = [F.corr(t, c).alias(f"s{i}")]
+                # explicit covar/stddev form, not F.corr: a CONSTANT
+                # candidate column makes corr's internal division 0/0
+                # (null normally, hard DIVIDE_BY_ZERO under ANSI);
+                # nullif makes the degenerate case null in both modes
+                score_exprs = [
+                    (
+                        F.covar_samp(t, c)
+                        / F.nullif(
+                            F.stddev_samp(t) * F.stddev_samp(c), F.lit(0.0)
+                        )
+                    ).alias(f"s{i}")
+                ]
             elif loss == "mse":
                 score_exprs = [F.avg((t - c) * (t - c)).alias(f"s{i}")]
             elif loss == "f1":

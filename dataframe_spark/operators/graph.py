@@ -81,7 +81,15 @@ def connected_components(
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         chk = e.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64(F.least("u", "v"), F.greatest("u", "v"))).alias("h"),
+            # pmod before summing: raw xxhash64 sums overflow int64
+            # (an ANSI-mode session turns that into a hard error);
+            # 2^30-bounded terms keep the sum exact to ~8e9 edges
+            F.sum(
+                F.pmod(
+                    F.xxhash64(F.least("u", "v"), F.greatest("u", "v")),
+                    F.lit(1 << 30),
+                )
+            ).alias("h"),
         ).first()
         cur = (chk["n"], chk["h"])
         if cur == prev:
