@@ -1,0 +1,35 @@
+"""ANSI-mode compatibility tripwires.
+
+The driver runs queries in ITS OWN session, where ANSI may be on
+(it is Spark 4's default). Any bare division, overflow-prone sum, or
+0/0 aggregate that silently nulls in non-ANSI mode becomes a hard
+error there. These tests flip the runtime conf on the shared session
+and run the historically risky paths at sf0.001."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+RISKY = [
+    "q_dedup_cluster",   # hash-sum convergence checksum (overflow)
+    "q_synthesis",       # pearson corr on constant candidates (0/0)
+    "q_numeric_fns",     # division-heavy expression surface
+    "q_histogram",       # zero-width bucket division
+    "q_text_quality",    # ratio expressions with nullif guards
+    "q_embed_norm",      # zero-vector normalization
+]
+
+
+@pytest.fixture()
+def ansi(spark):
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    yield spark
+    spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+@pytest.mark.parametrize("name", RISKY)
+def test_query_survives_ansi(ansi, name):
+    import __spark_entry__ as entry
+
+    assert entry.queries()[name](ansi, SF).count() >= 0
