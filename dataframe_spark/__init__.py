@@ -22,6 +22,8 @@ from .constructors import (
     from_named_columns,
     from_rows,
     from_unnamed_columns,
+    to_float_matrix,
+    to_int_matrix,
     to_matrix,
 )
 from .core import Asc, DataFrame, Desc, GroupedDataFrame
@@ -30,12 +32,18 @@ from .typing import parse_defaults, parse_with_types
 from .sources import (
     read_csv,
     read_json,
+    read_orc,
     read_parquet,
+    read_text,
     read_tsv,
+    scan_csv,
     write_csv,
     write_json,
+    write_orc,
     write_parquet,
     write_parquet_bucketed,
+    write_parquet_sorted,
+    write_text,
 )
 
 __version__ = "0.1.0"
@@ -57,12 +65,20 @@ __all__ = [
     "to_matrix",
     "parse_defaults",
     "parse_with_types",
+    "to_int_matrix",
+    "to_float_matrix",
     "read_csv",
     "read_tsv",
+    "scan_csv",
     "read_json",
+    "read_orc",
+    "read_text",
     "read_parquet",
     "write_csv",
     "write_json",
+    "write_orc",
+    "write_text",
     "write_parquet",
     "write_parquet_bucketed",
+    "write_parquet_sorted",
 ]

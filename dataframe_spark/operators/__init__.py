@@ -1,3 +1,3 @@
-from . import dedup, multimodal, quantiles, similarity, text, window
+from . import dedup, embeddings, graph, multimodal, quantiles, similarity, text, window
 
-__all__ = ["dedup", "quantiles", "similarity", "text", "window", "multimodal"]
+__all__ = ["dedup", "embeddings", "graph", "quantiles", "similarity", "text", "window", "multimodal"]

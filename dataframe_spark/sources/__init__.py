@@ -1,14 +1,26 @@
-from .csv import read_csv, read_tsv, write_csv
+from .csv import read_csv, read_tsv, scan_csv, write_csv
 from .json import read_json, write_json
-from .parquet import read_parquet, write_parquet, write_parquet_bucketed
+from .orc import read_orc, read_text, write_orc, write_text
+from .parquet import (
+    read_parquet,
+    write_parquet,
+    write_parquet_bucketed,
+    write_parquet_sorted,
+)
 
 __all__ = [
     "read_csv",
     "read_tsv",
+    "scan_csv",
     "write_csv",
     "read_json",
     "write_json",
+    "read_orc",
+    "write_orc",
+    "read_text",
+    "write_text",
     "read_parquet",
     "write_parquet",
     "write_parquet_bucketed",
+    "write_parquet_sorted",
 ]
