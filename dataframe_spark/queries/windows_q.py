@@ -105,7 +105,11 @@ def q_asof_join(spark, sf_dir):
 
 def q_sessionize(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").df
-    sess = sessionize(ev, "user_id", "ts", gap_minutes=30)
+    # event_id tiebreak: equal-ts events at a gap boundary would
+    # otherwise be ordered arbitrarily and Spark's tie order differs
+    # from other engines', flipping which row carries the new-session
+    # flag (CORRECTNESS_r01 hash mismatch).
+    sess = sessionize(ev, "user_id", "ts", gap_minutes=30, tiebreak="event_id")
     return (
         sess.groupBy("user_id")
         .agg(
@@ -223,7 +227,7 @@ ORACLES = {
                         OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
                       THEN 1 ELSE 0 END AS new_sess
           FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         )
         SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
         FROM marked GROUP BY user_id

@@ -84,13 +84,17 @@ def test_summarize_auto_cutover(lineitem, monkeypatch):
     import dataframe_spark.core as core
 
     li = lineitem.select(["l_quantity", "l_discount"])
-    # small input → built-in percentile buffer in the plan
+    # small input → bounded single-group Arrow quartile kernel
     default = li.summarize()
-    assert "percentile" in default.df._jdf.queryExecution().optimizedPlan().toString()
+    plan = default.df._jdf.queryExecution().optimizedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
     # above-threshold input → sharded exact-quantile plan engages
+    # (pure JVM: no Arrow kernel, no percentile buffer)
     monkeypatch.setattr(core, "QUANTILE_BUFFER_MAX_BYTES", 0)
     dist = li.summarize()
-    assert "percentile" not in dist.df._jdf.queryExecution().optimizedPlan().toString()
+    plan_d = dist.df._jdf.queryExecution().optimizedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan_d
+    assert "percentile" not in plan_d
     # both paths agree (exact quantiles, same interpolation)
     a = {r["column_name"]: r for r in default.collect()}
     b = {r["column_name"]: r for r in dist.collect()}

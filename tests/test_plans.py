@@ -57,6 +57,18 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     assert final.count("Exchange hashpartitioning") == 1  # single shuffle
 
 
+def test_z_score_has_no_global_window(spark, sf_dir):
+    """z_score must be agg + broadcast crossJoin, never an
+    empty-partition window (which funnels the whole table through a
+    single executor). The only SinglePartition exchange allowed is
+    the one-row agg's partial->final merge, which carries one row per
+    upstream partition, not the data."""
+    li = DataFrame(load_table(spark, sf_dir, "lineitem"))
+    plan = _plan(li.z_score("l_quantity", "q_z").df)
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
 def test_chunk_tokens_is_shuffle_free(spark):
     from dataframe_spark.operators import text as T
 
