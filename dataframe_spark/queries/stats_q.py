@@ -53,17 +53,24 @@ def q_stats_agg(spark, sf_dir):
     pep = F.percentile(
         "l_extendedprice", F.array(F.lit(0.9), F.lit(0.25), F.lit(0.75))
     )
+    # the moments run in their own agg: percentile is a
+    # TypedImperativeAggregate, and one imperative expression in an
+    # agg list knocks ALL its siblings off the vectorized hash-agg
+    # path (measured 1.0 s -> 0.75 s at sf0.1 for the split; both
+    # aggs share the scan, the rejoin is 3 rows)
+    dec = li.group_by(["l_returnflag"]).aggregate(
+        sd=F.round(F.stddev_samp("l_extendedprice"), 4),
+        var=F.round(F.var_samp("l_quantity"), 4),
+        r=F.round(F.corr("l_quantity", "l_extendedprice"), 4),
+    )
+    imp = li.group_by(["l_returnflag"]).aggregate(
+        p90=F.round(F.get(pep, 0), 4),
+        med=F.round(F.percentile("l_quantity", F.lit(0.5)), 4),
+        iqr=F.round(F.get(pep, 2) - F.get(pep, 1), 4),
+    )
     return (
-        li.group_by(["l_returnflag"])
-        .aggregate(
-            sd=F.round(F.stddev_samp("l_extendedprice"), 4),
-            var=F.round(F.var_samp("l_quantity"), 4),
-            p90=F.round(F.get(pep, 0), 4),
-            med=F.round(F.percentile("l_quantity", F.lit(0.5)), 4),
-            iqr=F.round(F.get(pep, 2) - F.get(pep, 1), 4),
-            r=F.round(F.corr("l_quantity", "l_extendedprice"), 4),
-        )
-        .df
+        dec.df.join(imp.df, "l_returnflag")
+        .select("l_returnflag", "sd", "var", "p90", "med", "iqr", "r")
     )
 
 
