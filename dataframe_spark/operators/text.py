@@ -118,6 +118,80 @@ def fingerprint(text) -> Column:
     )
 
 
+def repetition_metrics(df, id_col: str, text_col: str):
+    """Gopher-style repetition quality signals per document:
+    (id, n_tokens, dup_word_frac, top_word_frac, dup_2gram_frac).
+
+    - dup_word_frac: 1 − distinct/total tokens
+    - top_word_frac: share of the single most-repeated token
+    - dup_2gram_frac: 1 − distinct/total word bigrams
+
+    High values flag boilerplate/spam for corpus filtering (the
+    "repetitious text" filters of quality-pipeline papers). Entirely
+    IN-ROW: the most-common-token count comes from run lengths of
+    the sorted token array (array_sort + boundary scan, O(n log n)
+    per doc), not an explode + groupBy — a narrow projection that
+    fuses into the scan with zero shuffles at any corpus size."""
+    from ..plans.hints import ensure_scan_parallelism
+
+    df = ensure_scan_parallelism(df)
+    toks = tokens(text_col)
+    n = F.size(toks)
+    s = F.array_sort(toks)
+    # indices (1-based) where a new run of equal tokens starts; the
+    # greatest() guard keeps element_at in-bounds for i == 1 (ANSI)
+    starts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == 1)
+        | (F.element_at(s, i) != F.element_at(s, F.greatest(i - 1, F.lit(1)))),
+    )
+    run_lengths = F.zip_with(
+        starts,
+        F.concat(
+            F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+            F.array(n + 1),
+        ),
+        lambda a, b: b - a,
+    )
+    top_run = F.array_max(run_lengths)
+    nd = F.size(F.array_distinct(toks))
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    ng = F.size(grams)
+    ngd = F.size(F.array_distinct(grams))
+    frac = lambda num, den: F.round(  # noqa: E731
+        num / F.nullif(den.cast("double"), F.lit(0.0)), 4
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n.alias("n_tokens"),
+        frac(n - nd, n).alias("dup_word_frac"),
+        frac(top_run, n).alias("top_word_frac"),
+        frac(ng - ngd, ng).alias("dup_2gram_frac"),
+    )
+
+
+def redact(df, text_col: str, patterns: dict[str, str], out_col: str = "redacted"):
+    """PII scrubbing: replace every match of each named pattern with
+    ``<NAME>`` and count total redactions per row (column
+    ``n_redactions``). A chained regexp_replace — pure JVM, fused
+    into the scan; patterns should stay in the RE2-compatible subset
+    (character classes, quantifiers, alternation) so the same
+    pattern text runs on any engine."""
+    t = _c(text_col)
+    n_red = None
+    for name, pat in patterns.items():
+        cnt = F.regexp_count(t, F.lit(pat))
+        n_red = cnt if n_red is None else n_red + cnt
+        t = F.regexp_replace(t, pat, f"<{name.upper()}>")
+    return df.withColumn(out_col, t).withColumn(
+        "n_redactions", F.coalesce(n_red, F.lit(0))
+    )
+
+
 # --- corpus-level: vocabulary and TF-IDF ------------------------------
 
 

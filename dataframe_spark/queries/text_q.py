@@ -121,8 +121,51 @@ def q_token_budget(spark, sf_dir):
     )
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (shuffle-free in-row
+    plan; see operators/text.py repetition_metrics)."""
+    docs = _t(spark, sf_dir, "documents").df
+    out = T.repetition_metrics(docs, "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        "dup_word_frac",
+        "top_word_frac",
+        "dup_2gram_frac",
+    )
+
+
+def q_redact(spark, sf_dir):
+    """PII scrubbing over synthetic contact strings: both engines
+    derive the same 'contact userN@example.com or 555-NNNN' suffix,
+    then redact emails and phone numbers with identical RE2-safe
+    patterns. Redaction counts are SEQUENTIAL (each pattern counts
+    on the text as already redacted by earlier patterns)."""
+    docs = _t(spark, sf_dir, "documents").df
+    aug = docs.withColumn(
+        "t",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    out = T.redact(
+        aug,
+        "t",
+        {"email": "[a-z0-9.]+@[a-z0-9.]+", "phone": "555-[0-9]{4}"},
+    )
+    return out.select(
+        "doc_id", "n_redactions", F.expr("right(redacted, 50)").alias("tail")
+    )
+
+
 QUERIES = {
     "q_token_count": q_token_count,
+    "q_repetition": q_repetition,
+    "q_redact": q_redact,
     "q_text_quality": q_text_quality,
     "q_lang_id": q_lang_id,
     "q_fingerprint": q_fingerprint,
@@ -146,6 +189,45 @@ _LANG_SCORE = {
 }
 
 ORACLES = {
+    "q_repetition": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS l FROM documents
+        ), g AS (
+          SELECT doc_id, LEN(l) AS n, LEN(LIST_DISTINCT(l)) AS nd,
+            CASE WHEN LEN(l) >= 2
+                 THEN [l[i] || ' ' || l[i+1] FOR i IN RANGE(1, LEN(l))]
+                 ELSE [] END AS grams
+          FROM toks
+        ), top AS (
+          SELECT doc_id AS tid, MAX(c) AS top_run FROM (
+            SELECT doc_id, w, COUNT(*) AS c
+            FROM (SELECT doc_id, UNNEST(l) AS w FROM toks) GROUP BY 1, 2
+          ) GROUP BY 1
+        )
+        SELECT g.doc_id, n AS n_tokens,
+          ROUND((n - nd) / NULLIF(CAST(n AS DOUBLE), 0.0), 4) AS dup_word_frac,
+          ROUND(top_run / NULLIF(CAST(n AS DOUBLE), 0.0), 4) AS top_word_frac,
+          ROUND((LEN(grams) - LEN(LIST_DISTINCT(grams)))
+                / NULLIF(CAST(LEN(grams) AS DOUBLE), 0.0), 4) AS dup_2gram_frac
+        FROM g JOIN top ON g.doc_id = top.tid
+    """,
+    "q_redact": """
+        WITH aug AS (
+          SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com or 555-'
+                 || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+          FROM documents
+        ), s1 AS (
+          SELECT doc_id,
+                 LEN(REGEXP_EXTRACT_ALL(t, '[a-z0-9.]+@[a-z0-9.]+')) AS c1,
+                 REGEXP_REPLACE(t, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g') AS t1
+          FROM aug
+        )
+        SELECT doc_id,
+               c1 + LEN(REGEXP_EXTRACT_ALL(t1, '555-[0-9]{4}')) AS n_redactions,
+               RIGHT(REGEXP_REPLACE(t1, '555-[0-9]{4}', '<PHONE>', 'g'), 50) AS tail
+        FROM s1
+    """,
     "q_doc_chunks": f"""
         WITH tok AS (
           SELECT doc_id, {_TOKS} AS t FROM documents

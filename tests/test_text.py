@@ -99,3 +99,52 @@ def test_token_budget_select_greedy(spark):
     # equal quality -> tie-break by id; budget fits exactly 2 docs
     out = T.token_budget_select(df, "id", "text", "grp", budget=60).collect()
     assert sorted(r["id"] for r in out) == [1, 2]
+
+
+def test_repetition_metrics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # top word 3/4, dup words 2/4 (distinct a,b)
+            (2, "x y z"),           # no repetition
+            (3, "go go go go"),     # fully repeated; bigrams all equal
+            (4, ""),                # empty -> null fractions
+        ],
+        "id long, text string",
+    )
+    by = {r["id"]: r for r in T.repetition_metrics(df, "id", "text").collect()}
+    assert by[1]["top_word_frac"] == 0.75
+    assert by[1]["dup_word_frac"] == 0.5
+    assert by[2]["dup_word_frac"] == 0.0
+    assert by[2]["dup_2gram_frac"] == 0.0
+    assert by[3]["top_word_frac"] == 1.0
+    # 3 bigrams "go go", 1 distinct -> 2/3 duplicated
+    assert abs(by[3]["dup_2gram_frac"] - 0.6667) < 1e-4
+    assert by[4]["n_tokens"] == 0 and by[4]["dup_word_frac"] is None
+
+
+def test_redact_sequential_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a@b.com or a@b.com call 555-1234"), (2, "clean text")],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in T.redact(
+            df, "text", {"email": "[a-z0-9.]+@[a-z0-9.]+", "phone": "555-[0-9]{4}"}
+        ).collect()
+    }
+    assert out[1]["n_redactions"] == 3
+    assert out[1]["redacted"] == "mail <EMAIL> or <EMAIL> call <PHONE>"
+    assert out[2]["n_redactions"] == 0
+    assert out[2]["redacted"] == "clean text"
+
+
+def test_repetition_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "a b a")], "id long, text string")
+    plan = (
+        T.repetition_metrics(df, "id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
