@@ -240,6 +240,50 @@ def _verify_jaccard(
     )
 
 
+def contamination_scores(
+    df: SparkDF,
+    id_col: str,
+    text_col: str,
+    bench_df: SparkDF,
+    bench_text_col: str,
+    n: int = 5,
+    broadcast_bench: bool = True,
+) -> SparkDF:
+    """Benchmark decontamination: per corpus document, the fraction
+    of its distinct word n-grams that also occur in the benchmark
+    set — (id, n_sh, n_contaminated, contamination). Docs with zero
+    overlap are dropped (callers treat absence as clean).
+
+    The benchmark's distinct shingle set is the join's build side:
+    eval suites are tiny relative to a training corpus, so it
+    broadcasts (flip ``broadcast_bench`` off to shuffle-join a huge
+    benchmark). The corpus side is one explode + one count groupBy —
+    size-of-data work, no pairwise comparisons anywhere."""
+    corpus = shingle_arrays(df, id_col, text_col, n)
+    bench_toks = F.filter(tokens_expr(bench_text_col), lambda x: x != F.lit(""))
+    bench = bench_df.select(
+        F.explode(shingle_array_expr(bench_toks, n)).alias("shingle")
+    ).distinct()
+    if broadcast_bench:
+        bench = F.broadcast(bench)
+    hits = (
+        corpus.select("id", "n_sh", F.explode("sh_arr").alias("shingle"))
+        .join(bench, "shingle")
+        .groupBy("id", "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return hits.select(
+        "id",
+        "n_sh",
+        "n_contaminated",
+        F.round(
+            F.col("n_contaminated")
+            / F.nullif(F.col("n_sh").cast("double"), F.lit(0.0)),
+            4,
+        ).alias("contamination"),
+    )
+
+
 # --- MinHash + LSH ----------------------------------------------------
 
 

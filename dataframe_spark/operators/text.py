@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"],
@@ -189,6 +190,33 @@ def redact(df, text_col: str, patterns: dict[str, str], out_col: str = "redacted
         t = F.regexp_replace(t, pat, f"<{name.upper()}>")
     return df.withColumn(out_col, t).withColumn(
         "n_redactions", F.coalesce(n_red, F.lit(0))
+    )
+
+
+def pack_sequences(
+    chunks,
+    seq_len: int,
+    group_col: str,
+    order_by: list[str],
+    tokens_col: str = "n_tokens",
+):
+    """Assign chunks to fixed-budget training sequences (GPT-style
+    document packing): within each ``group_col`` partition, chunks
+    are laid end-to-end in ``order_by`` order and chunk c belongs to
+    pack floor(start_offset(c) / seq_len) — contiguous greedy
+    packing, deterministic, one windowed cumsum.
+
+    Packing is per-group so the plan stays parallel at corpus scale
+    (a single global order would serialize); choose a group key with
+    enough cardinality (source, shard, date) for your cluster."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return chunks.withColumn(
+        "pack_id", F.floor(start / F.lit(seq_len)).cast("int")
     )
 
 

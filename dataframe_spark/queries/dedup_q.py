@@ -130,6 +130,21 @@ def q_embed_centroid(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 97 == 0 act as
+    the held-out eval set; every other doc is scored by the fraction
+    of its distinct 3-gram shingles that appear in that set."""
+    from ..operators.dedup import contamination_scores
+
+    docs = _t(spark, sf_dir, "documents").df
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    out = contamination_scores(corpus, "doc_id", "text", bench, "text", n=3)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_sh", "n_contaminated", "contamination"
+    )
+
+
 def q_sample(spark, sf_dir):
     """Rows-only: seeded Bernoulli sample (engine-specific RNG);
     the driver checks schema + row production."""
@@ -141,6 +156,7 @@ QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_cluster": q_dedup_cluster,
+    "q_decontaminate": q_decontaminate,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_embedding": q_dedup_embedding,
@@ -169,6 +185,28 @@ _SHINGLES = """
 """
 
 ORACLES = {
+    "q_decontaminate": """
+        WITH tok AS (
+          SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+                                     x -> x <> '') AS t
+          FROM documents
+        ), sh3 AS (
+          SELECT doc_id,
+                 LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+          FROM tok WHERE LEN(t) >= 3
+        ), bench AS (
+          SELECT DISTINCT UNNEST(sh) AS shingle FROM sh3 WHERE doc_id % 97 = 0
+        ), corp AS (
+          SELECT doc_id, LEN(sh) AS n_sh, UNNEST(sh) AS shingle
+          FROM sh3 WHERE doc_id % 97 <> 0
+        )
+        SELECT doc_id, n_sh, COUNT(*) AS n_contaminated,
+               ROUND(COUNT(*) / NULLIF(CAST(n_sh AS DOUBLE), 0.0), 4)
+                 AS contamination
+        FROM corp JOIN bench USING (shingle)
+        GROUP BY doc_id, n_sh
+    """,
     "q_embed_norm": """
         WITH base AS (
           SELECT vec_id,

@@ -162,10 +162,28 @@ def q_redact(spark, sf_dir):
     )
 
 
+def q_pack(spark, sf_dir):
+    """Training-sequence packing: 64-token chunks laid end-to-end
+    into 512-token packs within 8 shards; one pack-level summary row
+    per (shard, pack_id)."""
+    docs = _t(spark, sf_dir, "documents").df
+    chunks = T.chunk_tokens(docs, "doc_id", "text", chunk_size=64).withColumn(
+        "shard", (F.col("id") % 8).cast("int")
+    )
+    packed = T.pack_sequences(
+        chunks, seq_len=512, group_col="shard", order_by=["id", "chunk_idx"]
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+
+
 QUERIES = {
     "q_token_count": q_token_count,
     "q_repetition": q_repetition,
     "q_redact": q_redact,
+    "q_pack": q_pack,
     "q_text_quality": q_text_quality,
     "q_lang_id": q_lang_id,
     "q_fingerprint": q_fingerprint,
@@ -189,6 +207,29 @@ _LANG_SCORE = {
 }
 
 ORACLES = {
+    "q_pack": f"""
+        WITH tok AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents
+        ), grid AS (
+          SELECT doc_id, t,
+            UNNEST(GENERATE_SERIES(0, GREATEST(LEN(t) - 1, 0), 64)) AS start
+          FROM tok
+        ), chunks AS (
+          SELECT doc_id, CAST(start / 64 AS INT) AS chunk_idx,
+                 LEN(LIST_SLICE(t, start + 1, start + 64)) AS n_tokens,
+                 CAST(doc_id % 8 AS INT) AS shard
+          FROM grid WHERE LEN(LIST_SLICE(t, start + 1, start + 64)) > 0
+        ), packed AS (
+          SELECT shard, n_tokens,
+            CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+              PARTITION BY shard ORDER BY doc_id, chunk_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512)
+            AS INT) AS pack_id
+          FROM chunks
+        )
+        SELECT shard, pack_id, COUNT(*) AS n_chunks, SUM(n_tokens) AS n_tokens
+        FROM packed GROUP BY 1, 2
+    """,
     "q_repetition": f"""
         WITH toks AS (
           SELECT doc_id, {_TOKS} AS l FROM documents

@@ -105,3 +105,21 @@ def test_dedup_corpus_keeps_canonical(spark, docs):
     # idempotent: survivors contain no pair above threshold
     again = jaccard_pairs(kept, "doc_id", "text", n=3, threshold=0.8)
     assert again.count() == 0
+
+
+def test_contamination_scores(spark):
+    from dataframe_spark.operators.dedup import contamination_scores
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z w v")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "a b c q r s")], "doc_id long, text string")
+    out = {
+        r["id"]: r
+        for r in contamination_scores(
+            corpus, "doc_id", "text", bench, "text", n=3
+        ).collect()
+    }
+    # doc 1 shares exactly the shingle "a b c" of its 3; doc 2 clean (absent)
+    assert out[1]["n_contaminated"] == 1 and abs(out[1]["contamination"] - 0.3333) < 1e-4
+    assert 2 not in out

@@ -148,3 +148,14 @@ def test_repetition_plan_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_pack_sequences(spark):
+    rows = [(1, i, 40, "s") for i in range(10)]  # 10 chunks x 40 tokens
+    df = spark.createDataFrame(rows, "id long, chunk_idx int, n_tokens int, shard string")
+    out = T.pack_sequences(
+        df, seq_len=100, group_col="shard", order_by=["id", "chunk_idx"]
+    ).collect()
+    # offsets 0,40,80,... -> packs: floor(offset/100)
+    packs = {r["chunk_idx"]: r["pack_id"] for r in out}
+    assert packs == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 2, 8: 3, 9: 3}
