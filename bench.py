@@ -36,6 +36,10 @@ HEADLINE = [
     "q_corpus_filter",
     "q_embed_norm",
     "q_window_rolling",
+    "q_repetition",
+    "q_decontaminate",
+    "q_pack",
+    "q_group_quantiles",
 ]
 
 

@@ -69,6 +69,39 @@ def test_z_score_has_no_global_window(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+def test_contamination_broadcasts_bench_side(spark):
+    """The eval-set shingle table must be the broadcast build side —
+    the corpus side streams map-only through the join."""
+    from dataframe_spark.operators.dedup import contamination_scores
+
+    corpus = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    plan = (
+        contamination_scores(corpus, "doc_id", "text", bench, "text", n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_window_is_group_partitioned(spark):
+    """Packing must never use a global (empty-partition) window."""
+    from dataframe_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 0, 40, "s")], "id long, chunk_idx int, n_tokens int, shard string"
+    )
+    plan = (
+        pack_sequences(df, 100, "shard", ["id", "chunk_idx"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition(shard" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_chunk_tokens_is_shuffle_free(spark):
     from dataframe_spark.operators import text as T
 
