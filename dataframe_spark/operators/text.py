@@ -222,6 +222,44 @@ def pack_sequences(
     )
 
 
+def mixture_select(
+    df,
+    group_col: str,
+    weights: dict[str, float],
+    key_cols: list[str],
+    default_rate: float = 0.0,
+):
+    """Deterministic data-mixture downsampling: keep each row with
+    its group's target rate, decided by a PORTABLE per-row uniform —
+    the first 8 hex chars of md5 over the key columns, scaled to
+    [0, 1) — so the same rows are selected on any engine/run/retry
+    (unlike rand()-based sampling, which depends on partition
+    layout). Map-only: fuses into the scan, no shuffle; rates
+    compile to one chained CASE."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("\x1f", *key_cols)), 1, 8), 16, 10
+        )
+        .cast("bigint")
+        .cast("double")
+        / F.lit(float(1 << 32))
+    )
+    rate = None
+    g = _c(group_col)
+    for grp, w in weights.items():
+        rate = (
+            F.when(g == grp, F.lit(float(w)))
+            if rate is None
+            else rate.when(g == grp, F.lit(float(w)))
+        )
+    rate = (
+        F.lit(float(default_rate))
+        if rate is None
+        else rate.otherwise(F.lit(float(default_rate)))
+    )
+    return df.where(u < rate)
+
+
 # --- corpus-level: vocabulary and TF-IDF ------------------------------
 
 

@@ -179,11 +179,33 @@ def q_pack(spark, sf_dir):
     )
 
 
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25, "src4": 0.1}
+
+
+def q_mixture(spark, sf_dir):
+    """Deterministic weighted mixture: each source kept at its target
+    rate by a portable md5-derived uniform (same selection on any
+    engine — unlike rand() sampling); summarized per source."""
+    docs = _t(spark, sf_dir, "documents").df
+    kept = T.mixture_select(
+        docs,
+        "source",
+        _MIX_WEIGHTS,
+        key_cols=[F.col("doc_id").cast("string")],
+        default_rate=0.05,
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("checksum"),
+    )
+
+
 QUERIES = {
     "q_token_count": q_token_count,
     "q_repetition": q_repetition,
     "q_redact": q_redact,
     "q_pack": q_pack,
+    "q_mixture": q_mixture,
     "q_text_quality": q_text_quality,
     "q_lang_id": q_lang_id,
     "q_fingerprint": q_fingerprint,
@@ -206,7 +228,24 @@ _LANG_SCORE = {
     for lang in T.STOPWORDS
 }
 
+_MIX_CASE = " ".join(
+    f"WHEN '{s}' THEN {w}" for s, w in
+    [("src0", 1.0), ("src1", 0.75), ("src2", 0.5), ("src3", 0.25), ("src4", 0.1)]
+)
+
 ORACLES = {
+    "q_mixture": f"""
+        WITH u AS (
+          SELECT doc_id, source,
+            CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              / 4294967296.0 AS u
+          FROM documents
+        )
+        SELECT source, COUNT(*) AS n_docs, SUM(doc_id) AS checksum
+        FROM u
+        WHERE u < CASE source {_MIX_CASE} ELSE 0.05 END
+        GROUP BY source
+    """,
     "q_pack": f"""
         WITH tok AS (
           SELECT doc_id, {_TOKS} AS t FROM documents

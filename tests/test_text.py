@@ -159,3 +159,27 @@ def test_pack_sequences(spark):
     # offsets 0,40,80,... -> packs: floor(offset/100)
     packs = {r["chunk_idx"]: r["pack_id"] for r in out}
     assert packs == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 2, 8: 3, 9: 3}
+
+
+def test_mixture_select_deterministic_rates(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)],
+        "id long, grp string",
+    )
+    kept = T.mixture_select(
+        df, "grp", {"a": 1.0, "b": 0.25}, key_cols=[F.col("id").cast("string")]
+    )
+    counts = {r["grp"]: r["n"] for r in kept.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["a"] == 1000                # rate 1.0 keeps everything
+    assert 150 < counts["b"] < 350            # ~250 expected
+    # deterministic: identical selection on re-run
+    ids1 = sorted(r["id"] for r in kept.collect())
+    ids2 = sorted(r["id"] for r in kept.collect())
+    assert ids1 == ids2
+    # default_rate=0 drops unlisted groups
+    none_kept = T.mixture_select(
+        df, "grp", {"a": 0.5}, key_cols=[F.col("id").cast("string")]
+    ).where(F.col("grp") == "b")
+    assert none_kept.count() == 0
