@@ -59,6 +59,7 @@ def sessionize(
     time_col: str,
     gap_minutes: float = 30.0,
     tiebreak: str | None = None,
+    flag_col: str | None = None,
 ) -> SparkDF:
     """Assign gap-based session ids per key (batch analogue of
     Structured Streaming's session_window; single shuffle on key).
@@ -67,7 +68,14 @@ def sessionize(
     with microsecond fraction), not ``unix_timestamp`` which truncates
     to whole seconds and mis-classifies gaps that straddle the
     threshold by less than a second. Pass ``tiebreak`` for a
-    deterministic total order when timestamps can collide."""
+    deterministic total order when timestamps can collide.
+
+    ``flag_col`` additionally exposes the session-start indicator
+    (1 on the first event of each session, else 0). Per-key
+    ``sum(flag)`` equals the session count and — unlike
+    ``max(session_id)`` — is insensitive to which of two equal-ts
+    boundary rows carries the flag, so it is the right column to
+    aggregate when comparing against other engines."""
     order = [time_col] if tiebreak is None else [time_col, tiebreak]
     w = Window.partitionBy(key_col).orderBy(*order)
     gap_s = gap_minutes * 60
@@ -79,12 +87,17 @@ def sessionize(
         prev.isNull() | (ts_s - prev > gap_s),
         1,
     ).otherwise(0)
-    return df.withColumn(
+    out = df.withColumn(
         "session_id",
         F.sum(new_sess).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+    if flag_col is not None:
+        # recomputed over the same window spec — Catalyst collapses
+        # both into one Window exec, so this costs nothing extra
+        out = out.withColumn(flag_col, new_sess)
+    return out
 
 
 def resample(

@@ -109,11 +109,17 @@ def q_sessionize(spark, sf_dir):
     # otherwise be ordered arbitrarily and Spark's tie order differs
     # from other engines', flipping which row carries the new-session
     # flag (CORRECTNESS_r01 hash mismatch).
-    sess = sessionize(ev, "user_id", "ts", gap_minutes=30, tiebreak="event_id")
+    # Aggregate sum(new_sess) rather than max(session_id): the session
+    # COUNT is identical under any tie order of equal-ts boundary rows,
+    # while max(session_id) depends on which row carried the flag
+    # (CORRECTNESS_r02 residual hash mismatch).
+    sess = sessionize(
+        ev, "user_id", "ts", gap_minutes=30, tiebreak="event_id", flag_col="__new"
+    )
     return (
         sess.groupBy("user_id")
         .agg(
-            F.max("session_id").alias("n_sessions"),
+            F.sum("__new").cast("long").alias("n_sessions"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )
@@ -229,7 +235,9 @@ ORACLES = {
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         )
-        SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+        SELECT user_id,
+               CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
         FROM marked GROUP BY user_id
     """,
     "q_resample": """
