@@ -827,15 +827,38 @@ class GroupedDataFrame:
             )
         )
 
-    def quantiles(self, value_col: str, probs: Sequence[float]) -> DataFrame:
-        """Per-group EXACT interpolated quantiles via the sharded
-        radix-bin plan (operators/quantiles.py) — scale-safe where
-        ``F.percentile`` would buffer each group's full value multiset
-        on one reducer (pathological for few huge groups)."""
-        from .operators.quantiles import exact_quantiles_grouped
+    def quantiles(
+        self,
+        value_col: str,
+        probs: Sequence[float],
+        distributed: bool | None = None,
+    ) -> DataFrame:
+        """Per-group EXACT interpolated quantiles.
 
+        Strategy is picked from the plan-size estimate (same gate as
+        ``summarize``): inputs under QUANTILE_BUFFER_MAX_BYTES use the
+        built-in ``percentile`` aggregate (one buffer per group — one
+        hash-agg stage, ~10x cheaper when the buffer is known small);
+        larger inputs use the sharded radix-bin plan
+        (operators/quantiles.py), which is scale-safe where the
+        buffer would hold a huge group's full value multiset on one
+        reducer. Both paths emit identical (keys..., prob, value)
+        rows. Pass True/False to force a side."""
+        from .operators.quantiles import (
+            exact_quantiles_grouped,
+            grouped_quantiles_buffered,
+        )
+
+        if distributed is None:
+            distributed = (
+                DataFrame(self.df)._plan_size_bytes() > QUANTILE_BUFFER_MAX_BYTES
+            )
+        if distributed:
+            return DataFrame(
+                exact_quantiles_grouped(self.df, self.keys, value_col, probs)
+            )
         return DataFrame(
-            exact_quantiles_grouped(self.df, self.keys, value_col, probs)
+            grouped_quantiles_buffered(self.df, self.keys, value_col, probs)
         )
 
     def apply_in_pandas(self, fn, schema) -> DataFrame:

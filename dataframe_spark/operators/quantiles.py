@@ -166,6 +166,45 @@ def exact_quantiles(
     ).withColumnRenamed("__name", "column_name")
 
 
+def grouped_quantiles_buffered(
+    df: SparkDF,
+    group_cols: Sequence[str],
+    value_col: str,
+    probs: Sequence[float],
+) -> SparkDF:
+    """Small-input per-group quantiles via the built-in exact
+    ``percentile`` aggregate — ONE buffer per group holding the
+    group's value multiset. Below the plan-size gate this is ~10x
+    cheaper than the sharded radix plan (one hash-agg stage instead
+    of 5+); above it the buffer is the memory hazard the radix plan
+    exists to avoid. Output schema and values are identical to
+    :func:`exact_quantiles_grouped` (verified in tests)."""
+    cc = F.col(value_col).cast("double")
+    agg = df.groupBy(*group_cols).agg(
+        F.percentile(cc, F.array(*[F.lit(float(p)) for p in probs])).alias("__qs")
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(float(p)).alias("prob"),
+                F.get("__qs", i).alias("value"),
+            )
+            for i, p in enumerate(probs)
+        ]
+    )
+    return (
+        agg.select(*group_cols, F.explode(pairs).alias("__pv"))
+        .select(
+            *group_cols,
+            F.col("__pv.prob").alias("prob"),
+            F.col("__pv.value").alias("value"),
+        )
+        # all-null groups: percentile yields null; the radix plan
+        # drops such groups (rows filtered pre-agg), so mirror that
+        .where(F.col("value").isNotNull())
+    )
+
+
 def exact_quantiles_grouped(
     df: SparkDF,
     group_cols: Sequence[str],

@@ -97,6 +97,43 @@ def test_radix_bin_monotone(spark):
     assert nan_bin > max(b for b, v in zip(bins, vals) if not math.isnan(v))
 
 
+def test_grouped_quantiles_paths_agree_and_gate_engages(lineitem):
+    """Both per-group strategies produce identical rows, and the
+    auto gate picks buffered below the threshold / radix above it
+    (observable from the physical plan: the radix path has Window
+    execs, the buffered path a `percentile` aggregate)."""
+    from dataframe_spark.core import DataFrame
+
+    grouped = DataFrame(lineitem.df).group_by(["l_returnflag"])
+    small = grouped.quantiles("l_extendedprice", [0.25, 0.5, 0.9], distributed=False)
+    big = grouped.quantiles("l_extendedprice", [0.25, 0.5, 0.9], distributed=True)
+    assert small.df.columns == big.df.columns
+    k = lambda r: (r["l_returnflag"], r["prob"])
+    s = {k(r): r["value"] for r in small.df.collect()}
+    b = {k(r): r["value"] for r in big.df.collect()}
+    assert set(s) == set(b)
+    for key in s:
+        assert s[key] == pytest.approx(b[key], rel=1e-12), key
+
+    auto = grouped.quantiles("l_extendedprice", [0.5])
+    plan = auto.df._jdf.queryExecution().executedPlan().toString()
+    # sf0.001 fixture is far below the gate → buffered percentile path
+    assert "percentile" in plan and "Window" not in plan
+    forced = grouped.quantiles("l_extendedprice", [0.5], distributed=True)
+    plan_d = forced.df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan_d
+
+    import dataframe_spark.core as core_mod
+
+    old = core_mod.QUANTILE_BUFFER_MAX_BYTES
+    core_mod.QUANTILE_BUFFER_MAX_BYTES = 0
+    try:
+        gated = grouped.quantiles("l_extendedprice", [0.5])
+        assert "Window" in gated.df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        core_mod.QUANTILE_BUFFER_MAX_BYTES = old
+
+
 def test_grouped_exact_quantiles_match_builtin(lineitem):
     from dataframe_spark.operators.quantiles import exact_quantiles_grouped
 
