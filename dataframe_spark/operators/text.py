@@ -281,21 +281,67 @@ def vocabulary(df, text_col: str, top_n: int | None = None):
     return counts
 
 
+def term_freq_pairs(text) -> Column:
+    """Per-document term frequencies computed IN-ROW:
+    ``array<struct<token, tf>>`` via a single O(n) aggregate scan
+    over the sorted token array (state: previous token, current run
+    length, emitted pairs — the same run-length pattern as
+    repetition_metrics' top-run scan). Appends happen only at run
+    boundaries, so copying is bounded by the doc's DISTINCT token
+    count, not its length. Eliminates the (doc, token) shuffle of
+    the full token stream that an explode+groupBy term-frequency
+    plan pays — at corpus scale that shuffle is the dominant cost."""
+    s = F.array_sort(tokens(text))
+    emit = lambda acc: F.concat(  # noqa: E731 — close the open run
+        acc["acc"],
+        F.array(F.struct(acc["prev"].alias("token"), acc["cnt"].alias("tf"))),
+    )
+    return F.aggregate(
+        s,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("cnt"),
+            F.array().cast("array<struct<token:string,tf:int>>").alias("acc"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["cnt"] + 1).otherwise(F.lit(1)).alias("cnt"),
+            F.when(acc["prev"].isNull() | (x == acc["prev"]), acc["acc"])
+            .otherwise(emit(acc))
+            .alias("acc"),
+        ),
+        lambda acc: F.when(acc["prev"].isNull(), acc["acc"]).otherwise(emit(acc)),
+    )
+
+
 def tf_idf(df, id_col: str, text_col: str):
-    """Per (doc, token) TF-IDF: tf * ln(n_docs / df). Three shuffles
-    — tf groupBy (id, token), document frequency groupBy token, and
-    the tf ⋈ dfreq join on token — all key-partitioned and
-    size-of-data; the corpus row count rides in via a broadcast
-    one-row crossJoin (no driver collect)."""
+    """Per (doc, token) TF-IDF: tf * ln(n_docs / df).
+
+    Plan shape (the 100 TB design): tf is computed IN-ROW
+    (term_freq_pairs — narrow projection + generator, zero shuffle);
+    document frequency explodes each doc's DISTINCT tokens and
+    aggregates with map-side partials, so its shuffle volume is
+    bounded by vocabulary × map tasks, not the token stream; the
+    tf ⋈ dfreq join is left to AQE, which broadcasts dfreq when the
+    runtime vocabulary fits. The corpus row count rides in via a
+    broadcast one-row crossJoin (no driver collect). Nothing in the
+    plan ever shuffles the full token stream."""
     from ..plans.hints import ensure_scan_parallelism
 
     df = ensure_scan_parallelism(df)
-    tok = df.select(
+    tf = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(tokens(text_col)).alias("token"),
+        F.explode(term_freq_pairs(text_col)).alias("__p"),
+    ).select(
+        "doc_id",
+        F.col("__p.token").alias("token"),
+        F.col("__p.tf").cast("long").alias("tf"),
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = (
+        df.select(F.explode(F.array_distinct(tokens(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     total = df.select(F.col(id_col)).agg(F.count(F.lit(1)).alias("__n_docs"))
     return (
         tf.join(dfreq, "token")

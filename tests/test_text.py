@@ -74,6 +74,47 @@ def test_tf_idf(spark):
     assert by[(3, "cat")]["tf"] == 2
 
 
+def test_term_freq_pairs_matches_explode_groupby(docs):
+    """The in-row run-length tf must equal the explode+groupBy tf on
+    real corpus text (including empty/whitespace-edge docs)."""
+    from pyspark.sql import functions as F
+
+    docs = docs.limit(200)
+    inrow = {
+        (r["doc_id"], r["token"]): r["tf"]
+        for r in docs.select(
+            "doc_id", F.explode(T.term_freq_pairs("text")).alias("p")
+        )
+        .select("doc_id", "p.token", "p.tf")
+        .collect()
+    }
+    ref = {
+        (r["doc_id"], r["token"]): r["tf"]
+        for r in docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .collect()
+    }
+    assert inrow == ref and len(ref) > 0
+
+
+def test_term_freq_pairs_edge_cases(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, ""), (3, "   "), (4, None), (5, "x")],
+        "id long, text string",
+    )
+    rows = df.select(
+        "id", T.term_freq_pairs("text").alias("p")
+    ).collect()
+    by = {r["id"]: r["p"] for r in rows}
+    assert [(p["token"], p["tf"]) for p in by[1]] == [("a", 3)]
+    assert by[2] == [] and by[3] == []
+    assert by[4] is None  # null text propagates
+    assert [(p["token"], p["tf"]) for p in by[5]] == [("x", 1)]
+
+
 def test_chunk_tokens_grid_and_overlap(spark):
     df = spark.createDataFrame(
         [(1, " ".join(f"t{i}" for i in range(10))), (2, ""), (3, "solo")],
