@@ -68,11 +68,13 @@ def main():
         _noop_batch, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # best-of-2: the box shares CPU with other tenants, so a single
-    # pass can catch a noisy-neighbor burst; min per query reflects
+    # best-of-3: the box shares CPU with other tenants and steal
+    # arrives in multi-minute bursts (measured: identical plans vary
+    # 3.3s -> 11s back-to-back); three passes spread over ~2-3 min
+    # give each query a shot at a quiet window, and the min reflects
     # the plan's actual cost
     times: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             fn = qs[name]
             t0 = time.monotonic()

@@ -27,10 +27,12 @@ from .constructors import (
     to_matrix,
 )
 from .core import Asc, DataFrame, Desc, GroupedDataFrame
+from .monad import FrameM
 from .session import get_spark
 from .typing import parse_defaults, parse_with_types
 from .sources import (
     read_csv,
+    read_jdbc,
     read_json,
     read_orc,
     read_parquet,
@@ -41,6 +43,7 @@ from .sources import (
     write_json,
     write_orc,
     write_parquet,
+    write_jdbc,
     write_parquet_bucketed,
     write_parquet_sorted,
     write_text,
@@ -51,6 +54,7 @@ __version__ = "0.1.0"
 __all__ = [
     "DataFrame",
     "GroupedDataFrame",
+    "FrameM",
     "Asc",
     "Desc",
     "expr",
@@ -70,11 +74,13 @@ __all__ = [
     "read_csv",
     "read_tsv",
     "scan_csv",
+    "read_jdbc",
     "read_json",
     "read_orc",
     "read_text",
     "read_parquet",
     "write_csv",
+    "write_jdbc",
     "write_json",
     "write_orc",
     "write_text",

@@ -29,6 +29,29 @@ def to_string(df: DataFrame, n: int = 10) -> str:
     return "\n".join(out)
 
 
+def to_markdown(df: DataFrame, n: int = 10) -> str:
+    """GitHub-style markdown table (reference ``toMarkdownTable``,
+    src/DataFrame/Internal/DataFrame.hs:91 / Display/Terminal/
+    PrettyPrint.hs:50 ``showTable properMarkdown=True``): header
+    cells are ``name<br>type``, one ``---`` separator row, padded
+    pipe-delimited value rows. Collects only the displayed slice."""
+    rows = df.take(n).collect()
+    cols = df.column_names
+    types = dict(df.df.dtypes)
+    header = [f"{c}<br>{types[c]}" for c in cols]
+    body = [["" if r[c] is None else str(r[c]) for c in cols] for r in rows]
+    widths = [
+        max(len(header[i]), *(len(b[i]) for b in body)) if body else len(header[i])
+        for i in range(len(cols))
+    ]
+
+    def line(cells):
+        return "| " + " | ".join(v.ljust(w) for v, w in zip(cells, widths)) + " |"
+
+    sep = "| " + "-|-".join("-" * w for w in widths) + " |"
+    return "\n".join([line(header), sep, *[line(b) for b in body]])
+
+
 def plot_histogram(df: DataFrame, column: str, bins: int = 10, width: int = 50) -> str:
     """ASCII histogram (Display/Terminal/Plot.hs analogue)."""
     buckets = df.histogram(column, bins).collect()

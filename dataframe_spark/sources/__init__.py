@@ -1,4 +1,5 @@
 from .csv import read_csv, read_tsv, scan_csv, write_csv
+from .jdbc import read_jdbc, write_jdbc
 from .json import read_json, write_json
 from .orc import read_orc, read_text, write_orc, write_text
 from .parquet import (
@@ -15,6 +16,8 @@ __all__ = [
     "write_csv",
     "read_json",
     "write_json",
+    "read_jdbc",
+    "write_jdbc",
     "read_orc",
     "write_orc",
     "read_text",

@@ -1,5 +1,18 @@
-from dataframe_spark.display import plot_histogram, to_string
+from dataframe_spark.display import plot_histogram, to_markdown, to_string
 from dataframe_spark.errors import ColumnNotFoundError
+
+
+def test_to_markdown(small):
+    """Reference toMarkdownTable shape: name<br>type header, one
+    --- separator row, pipe-delimited padded value rows."""
+    s = to_markdown(small.sort_by(["id"]), n=2)
+    lines = s.splitlines()
+    assert len(lines) == 4  # header, separator, 2 rows
+    assert lines[0].startswith("| ") and lines[0].endswith(" |")
+    assert "id<br>int" in lines[0].replace(" ", "")
+    assert set(lines[1]) <= {"|", "-", " "}
+    # every row has the same pipe structure
+    assert {ln.count("|") for ln in lines} == {lines[0].count("|")}
 
 
 def test_to_string_boxed(small):

@@ -129,3 +129,45 @@ def test_write_parquet_sorted_yields_disjoint_file_ranges(spark, tmpd):
     # files cover disjoint key ranges -> min/max stats prune scans
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmpd):
+    """read_jdbc/write_jdbc against the embedded Derby that ships
+    with Spark (reference dataframe-persistent parity: frames
+    to/from a SQL store). Covers plain, query, and partitioned
+    reads (4 range-predicated partitions)."""
+    url = f"jdbc:derby:{tmpd}/jdbcdb;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    # uppercase column names: Spark CREATEs them quoted, and Derby
+    # resolves unquoted identifiers in later SQL to uppercase
+    src = spark.createDataFrame(
+        [(i, float(i) * 1.5, f"n{i}") for i in range(20)],
+        "ID int, SCORE double, NAME string",
+    )
+    D.write_jdbc(D.DataFrame(src), url, "people", mode="overwrite", driver=driver)
+
+    back = D.read_jdbc(spark, url, table="people", driver=driver)
+    assert back.n_rows() == 20
+    assert dict(back.df.dtypes)["SCORE"] == "double"
+
+    q = D.read_jdbc(
+        spark,
+        url,
+        query="SELECT COUNT(*) AS N, SUM(SCORE) AS TOTAL FROM people",
+        driver=driver,
+    )
+    row = q.collect()[0]
+    assert row["N"] == 20
+
+    part = D.read_jdbc(
+        spark,
+        url,
+        table="people",
+        partition_column="ID",
+        num_partitions=4,
+        driver=driver,
+    )
+    assert part.df.rdd.getNumPartitions() == 4
+    assert part.n_rows() == 20
+    got = sorted(r["ID"] for r in part.collect())
+    assert got == list(range(20))
