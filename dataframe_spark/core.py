@@ -213,6 +213,30 @@ class DataFrame:
         pseudo-random key."""
         return self._wrap(self.df.orderBy(F.rand(seed)))
 
+    def sample_k_per_group(
+        self, group_col: str, k: int, key_cols: Sequence[str]
+    ) -> "DataFrame":
+        """Deterministic k-per-group sample: within each group keep
+        the k rows ranked first by the portable md5 row-uniform over
+        ``key_cols`` (the same retry-safe ordering as mixture
+        sampling — engine- and run-independent, unlike ``rand()``).
+
+        One shuffle on the group key; each group ranks on its own
+        reducer, so the plan scales with group COUNT. For few huge
+        groups prefer ``sample_by`` with fraction ≈ k/|group| as a
+        pre-filter before this exact cut."""
+        from pyspark.sql.window import Window
+
+        u = F.md5(F.concat_ws("\x1f", *key_cols))
+        w = Window.partitionBy(group_col).orderBy(
+            u.asc(), *[F.col(c).asc() for c in key_cols]
+        )
+        return self._wrap(
+            self.df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
     def pipe(self, fn, *args, **kwargs) -> "DataFrame":
         """Operators.hs ``|>`` — apply fn(df, *args) in a fluent
         chain."""

@@ -240,6 +240,37 @@ def _verify_jaccard(
     )
 
 
+def source_overlap(
+    df: SparkDF, source_col: str, text_col: str, n: int = 3
+) -> SparkDF:
+    """Inter-source n-gram overlap matrix: for every pair of corpus
+    sources, the number of DISTINCT word n-gram shingles they share
+    — (source_a, source_b, n_shared), a < b. The cross-source twin
+    of decontamination: high overlap between two ingest sources
+    flags mirrored / syndicated content before it inflates a
+    training mix.
+
+    Plan: per-(source, shingle) distinct set via the narrow in-row
+    shingle build + one explode + distinct shuffle (size-of-data),
+    then a self-join on shingle. Per-shingle fan-out is bounded by
+    #sources² — sources are an operational handful, so the join
+    output is |shingle set| × O(#sources²) worst case and the final
+    agg collapses it to #source-pairs rows."""
+    arrs = shingle_arrays(df, source_col, text_col, n)
+    sh = (
+        arrs.select(F.col("id").alias("source"), F.explode("sh_arr").alias("shingle"))
+        .distinct()
+    )
+    a = sh.select(F.col("source").alias("source_a"), "shingle")
+    b = sh.select(F.col("source").alias("source_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 def contamination_scores(
     df: SparkDF,
     id_col: str,

@@ -228,6 +228,44 @@ def exact_quantiles_grouped(
     )
 
 
+def winsorize(
+    df: SparkDF,
+    value_col: str,
+    group_cols: Sequence[str],
+    lower: float = 0.05,
+    upper: float = 0.95,
+    distributed: bool | None = None,
+) -> SparkDF:
+    """Clip ``value_col`` into its per-group [lower, upper] quantile
+    band (outlier treatment before training-statistics aggregation).
+    Adds ``<value_col>_winsorized``; other columns pass through.
+
+    The quantile bounds use the same gated strategy as
+    ``GroupedDataFrame.quantiles`` (buffered percentile small /
+    sharded radix large) and join back as a BROADCAST side — the
+    bounds frame is one row per (group) regardless of data size, so
+    the clip is a map-side operation at any scale."""
+    if distributed is None:
+        distributed = (
+            int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            > 256 * 1024 * 1024
+        )
+    fn = exact_quantiles_grouped if distributed else grouped_quantiles_buffered
+    q = fn(df, list(group_cols), value_col, [float(lower), float(upper)])
+    bounds = q.groupBy(*group_cols).agg(
+        F.min(F.when(F.col("prob") == float(lower), F.col("value"))).alias("__lo"),
+        F.max(F.when(F.col("prob") == float(upper), F.col("value"))).alias("__hi"),
+    )
+    clipped = F.least(
+        F.greatest(F.col(value_col).cast("double"), F.col("__lo")), F.col("__hi")
+    )
+    return (
+        df.join(F.broadcast(bounds), list(group_cols))
+        .withColumn(f"{value_col}_winsorized", clipped)
+        .drop("__lo", "__hi")
+    )
+
+
 def exact_quantiles_wide(
     df: SparkDF,
     cols: Sequence[str],

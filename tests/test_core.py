@@ -180,3 +180,18 @@ def test_sample_by_strata(spark):
     out = df.sample_by("s", {"a": 0.5, "b": 0.0}, seed=1).collect()
     assert 0 < len(out) < 1000
     assert all(r["s"] == "a" for r in out)
+
+
+def test_sample_k_per_group_deterministic(docs):
+    from dataframe_spark.core import DataFrame
+
+    d = DataFrame(docs)
+    s1 = d.sample_k_per_group("source", 3, ["doc_id"])
+    s2 = d.sample_k_per_group("source", 3, ["doc_id"])
+    rows1 = sorted((r["source"], r["doc_id"]) for r in s1.df.collect())
+    rows2 = sorted((r["source"], r["doc_id"]) for r in s2.df.collect())
+    assert rows1 == rows2  # deterministic across runs
+    from collections import Counter
+
+    per = Counter(s for s, _ in rows1)
+    assert all(v == 3 for v in per.values())

@@ -123,3 +123,32 @@ def test_contamination_scores(spark):
     # doc 1 shares exactly the shingle "a b c" of its 3; doc 2 clean (absent)
     assert out[1]["n_contaminated"] == 1 and abs(out[1]["contamination"] - 0.3333) < 1e-4
     assert 2 not in out
+
+
+def test_source_overlap_symmetric_bounds(docs):
+    from pyspark.sql import functions as F
+
+    from dataframe_spark.operators.dedup import source_overlap
+
+    out = source_overlap(docs, "source", "text", n=3).collect()
+    assert len(out) > 0
+    n_sources = docs.select("source").distinct().count()
+    assert len(out) <= n_sources * (n_sources - 1) // 2
+    for r in out:
+        assert r["source_a"] < r["source_b"] and r["n_shared"] > 0
+    # spot-check one pair against a direct distinct-shingle intersect
+    from dataframe_spark.operators.dedup import shingle_arrays
+
+    a, b = out[0]["source_a"], out[0]["source_b"]
+    sh = (
+        shingle_arrays(docs.where(F.col("source").isin(a, b)), "source", "text", 3)
+        .select(F.col("id").alias("s"), F.explode("sh_arr").alias("g"))
+        .distinct()
+    )
+    direct = (
+        sh.where(F.col("s") == a)
+        .select("g")
+        .intersect(sh.where(F.col("s") == b).select("g"))
+        .count()
+    )
+    assert direct == out[0]["n_shared"]

@@ -134,6 +134,31 @@ def test_grouped_quantiles_paths_agree_and_gate_engages(lineitem):
         core_mod.QUANTILE_BUFFER_MAX_BYTES = old
 
 
+def test_winsorize_clips_to_quantile_band(lineitem):
+    from dataframe_spark.operators.quantiles import winsorize
+
+    out = winsorize(lineitem.df, "l_extendedprice", ["l_returnflag"], 0.1, 0.9)
+    assert "l_extendedprice_winsorized" in out.columns
+    # per group: clipped min/max equal the exact p10/p90
+    ref = lineitem.df.groupBy("l_returnflag").agg(
+        F.percentile(F.col("l_extendedprice").cast("double"),
+                     F.array(F.lit(0.1), F.lit(0.9))).alias("q")
+    ).collect()
+    got = {
+        r["l_returnflag"]: r
+        for r in out.groupBy("l_returnflag").agg(
+            F.min("l_extendedprice_winsorized").alias("lo"),
+            F.max("l_extendedprice_winsorized").alias("hi"),
+        ).collect()
+    }
+    for r in ref:
+        g = got[r["l_returnflag"]]
+        assert g["lo"] == pytest.approx(r["q"][0], rel=1e-12)
+        assert g["hi"] == pytest.approx(r["q"][1], rel=1e-12)
+    # row count unchanged (clip, not filter)
+    assert out.count() == lineitem.df.count()
+
+
 def test_grouped_exact_quantiles_match_builtin(lineitem):
     from dataframe_spark.operators.quantiles import exact_quantiles_grouped
 
