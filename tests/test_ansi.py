@@ -17,6 +17,12 @@ RISKY = [
     "q_histogram",       # zero-width bucket division
     "q_text_quality",    # ratio expressions with nullif guards
     "q_embed_norm",      # zero-vector normalization
+    "q_tfidf",           # r3 in-row run-length tf + log(n/df) division
+    "q_winsorize",       # r3 quantile-band clip (casts, percentile)
+    "q_group_quantiles", # r3 buffered/radix gate (floor/casts in radix)
+    "q_sessionize",      # r3 sum-of-flags aggregate (epoch arithmetic)
+    "q_sample_group",    # r3 md5 row-order ranking
+    "q_source_overlap",  # r3 shingle self-join matrix
 ]
 
 
