@@ -117,6 +117,25 @@ class DataFrame:
     def dimensions(self) -> tuple[int, int]:
         return (self.n_rows(), self.n_columns())
 
+    def is_empty(self) -> bool:
+        """Reference ``null`` — no rows (action; uses isEmpty, which
+        stops at the first produced row instead of counting)."""
+        return self.df.isEmpty()
+
+    def is_numeric(self, col: str) -> bool:
+        """Column.hs ``isNumeric`` (schema-level, no job)."""
+        if col not in self.df.columns:
+            raise ColumnNotFoundError(col, self.df.columns)
+        t = dict(self.df.dtypes)[col]
+        return t in ("int", "bigint", "double", "float", "smallint", "tinyint", "decimal")
+
+    def has_missing(self, col: str) -> bool:
+        """Column.hs ``hasMissing`` — any nulls in the column
+        (action; one filtered isEmpty probe, no full count)."""
+        if col not in self.df.columns:
+            raise ColumnNotFoundError(col, self.df.columns)
+        return not self.df.where(F.col(col).isNull()).isEmpty()
+
     # -- subset (Operations/Subset.hs) ---------------------------------
 
     def select(self, cols: Sequence) -> "DataFrame":
@@ -405,9 +424,26 @@ class DataFrame:
         return self._wrap(self.df.withColumn(dst, F.col(src)))
 
     def rename(self, old: str, new: str) -> "DataFrame":
+        """Core.hs:427 ``rename`` — raises the typed error on a
+        missing source column (Spark's withColumnRenamed silently
+        no-ops, which hides typos; the reference throws)."""
+        if old not in self.df.columns:
+            raise ColumnNotFoundError(old, self.df.columns)
         return self._wrap(self.df.withColumnRenamed(old, new))
 
+    def rename_safe(self, old: str, new: str) -> tuple["DataFrame", str | None]:
+        """Core.hs:478 ``renameSafe`` — Either-style: returns
+        (renamed frame, None) on success, (self unchanged, error
+        message) if the column is absent."""
+        try:
+            return self.rename(old, new), None
+        except ColumnNotFoundError as e:
+            return self, str(e)
+
     def rename_many(self, mapping: dict[str, str]) -> "DataFrame":
+        missing = [c for c in mapping if c not in self.df.columns]
+        if missing:
+            raise ColumnNotFoundError(missing[0], self.df.columns)
         return self._wrap(self.df.withColumnsRenamed(mapping))
 
     # -- sorting & row addressing (Operations/Permutation.hs) ----------

@@ -195,3 +195,29 @@ def test_sample_k_per_group_deterministic(docs):
 
     per = Counter(s for s, _ in rows1)
     assert all(v == 3 for v in per.values())
+
+
+def test_rename_raises_on_missing_column(small):
+    import pytest as _pytest
+
+    from dataframe_spark.errors import ColumnNotFoundError
+
+    with _pytest.raises(ColumnNotFoundError):
+        small.rename("nope", "x")
+    with _pytest.raises(ColumnNotFoundError):
+        small.rename_many({"id": "id2", "nope": "x"})
+    out, err = small.rename_safe("nope", "x")
+    assert err is not None and out.column_names == small.column_names
+    out2, err2 = small.rename_safe("id", "id2")
+    assert err2 is None and "id2" in out2.column_names
+
+
+def test_introspection_helpers(small):
+    assert not small.is_empty()
+    from pyspark.sql import functions as F
+
+    assert small.filter_where(F.col("id") > 99).is_empty()
+    assert small.is_numeric("id") and small.is_numeric("val")
+    assert not small.is_numeric("grp")
+    assert small.has_missing("val") and small.has_missing("grp")
+    assert not small.has_missing("id")
