@@ -127,3 +127,30 @@ def test_vocabulary_topn_uses_bounded_sort(spark):
     )
     # top-N must be per-partition heaps + merge, never a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_no_token_stream_shuffle(spark, sf_dir):
+    """r3 tf-idf plan contract: term frequencies are in-row, so NO
+    exchange may partition on (doc_id, token) — the only hash
+    exchange on the token stream is the vocabulary-bounded dfreq
+    aggregation, and it must have a map-side partial agg below it."""
+    from dataframe_spark.operators.text import tf_idf
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(tf_idf(docs, "doc_id", "text"))
+    assert "hashpartitioning(doc_id" not in plan
+    assert "partial_count" in plan  # dfreq partial aggregation
+
+
+def test_winsorize_broadcasts_bounds(spark, sf_dir):
+    from dataframe_spark.operators.quantiles import winsorize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = _plan(winsorize(li, "l_extendedprice", ["l_returnflag"]))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_sample_k_per_group_single_shuffle(spark, sf_dir):
+    docs = DataFrame(load_table(spark, sf_dir, "documents"))
+    plan = _plan(docs.sample_k_per_group("source", 5, ["doc_id"]).df)
+    assert plan.count("Exchange hashpartitioning") == 1

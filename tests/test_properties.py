@@ -2,6 +2,7 @@
 SURVEY §5. Kept to few examples per property: each example is a
 Spark round-trip."""
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -96,3 +97,52 @@ def test_tfidf_tf_sums_to_token_count(spark, docs_):
     for i, d in enumerate(docs_):
         n = len([t for t in d.lower().split() if t])
         assert sums.get(i, 0) == n
+
+
+@given(st.lists(texts, min_size=1, max_size=6))
+@FEW
+def test_term_freq_pairs_is_a_counter(spark, docs_):
+    """In-row run-length tf == collections.Counter of the tokens."""
+    from collections import Counter
+
+    df = from_named_columns(
+        spark, {"doc_id": list(range(len(docs_))), "text": docs_}
+    ).df
+    rows = df.select(
+        "doc_id", F.explode(text.term_freq_pairs("text")).alias("p")
+    ).collect()
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], {})[r["p"]["token"]] = r["p"]["tf"]
+    for i, d in enumerate(docs_):
+        want = dict(Counter(t for t in d.lower().split() if t))
+        assert got.get(i, {}) == want
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=4,
+        max_size=40,
+    )
+)
+@FEW
+def test_winsorize_bounded_monotone_and_lossless(spark, vals):
+    """Clipped values equal numpy's interpolated quantile band clip,
+    row count is preserved, and clipping is monotone (order of raw
+    values never inverts). NOTE: winsorization is deliberately NOT
+    idempotent — a second pass clips at the CLIPPED data's
+    quantiles, which sit inside the first band."""
+    import numpy as np
+
+    from dataframe_spark.operators.quantiles import winsorize
+
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, x double")
+    out = winsorize(df, "x", ["g"], 0.1, 0.9)
+    rows = sorted((r["x"], r["x_winsorized"]) for r in out.collect())
+    assert len(rows) == len(vals)
+    lo, hi = np.quantile(np.array(vals), [0.1, 0.9])
+    want = sorted(float(np.clip(v, lo, hi)) for v in vals)
+    assert [w for _, w in rows] == pytest.approx(want, rel=1e-9, abs=1e-9)
+    clipped = [w for _, w in rows]
+    assert clipped == sorted(clipped)  # monotone in the raw order
