@@ -1,5 +1,6 @@
 from .windows import session_agg_stream, windowed_agg_stream
 from .dedup import streaming_dedup
+from .join import enrich_stream
 from .source import events_stream
 from .stateful import running_user_totals
 
@@ -8,5 +9,6 @@ __all__ = [
     "session_agg_stream",
     "streaming_dedup",
     "events_stream",
+    "enrich_stream",
     "running_user_totals",
 ]

@@ -110,3 +110,37 @@ def test_streaming_dedup_drops_dupes(spark, stream):
         "select user_id, count(*) c from dedup_stream group by 1 having count(*) > 1"
     ).collect()
     assert rows == []
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, stream):
+    """Events enriched with the customer dimension (user_id →
+    c_custkey): stream-static left join, batch-twin checked."""
+    from dataframe_spark.streaming import enrich_stream
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    q = (
+        enrich_stream(stream, cust, on=["user_id"])
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["c_mktsegment"]: r["n"]
+        for r in spark.sql("select * from enriched").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r["c_mktsegment"]: r["n"]
+        for r in ev.join(cust, "user_id", "left")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
