@@ -606,6 +606,47 @@ class DataFrame:
         row = self.df.agg(F.corr(_c(c1), _c(c2)).alias("r")).first()
         return row["r"]
 
+    def covariance(self, c1: str, c2: str, sample: bool = True) -> float | None:
+        """Sample (or population) covariance — the Statistics.hs
+        moment family's missing pair statistic; one agg pass."""
+        fn = F.covar_samp if sample else F.covar_pop
+        return self.df.agg(fn(_c(c1), _c(c2)).alias("v")).first()["v"]
+
+    def approx_quantiles(
+        self, cols: Sequence[str], probs: Sequence[float], rel_err: float = 0.01
+    ) -> "DataFrame":
+        """Approximate quantiles with BOUNDED sketch state
+        (percentile_approx / Greenwald-Khanna): rank error ≤
+        ``rel_err``·n with state O(1/rel_err · log(rel_err·n)) per
+        column, independent of data size. This is the 100 TB
+        profiling path when exact interpolation isn't required —
+        the exact paths (quantiles / group quantiles, gated radix
+        plan) stay the correctness tools. Same long output shape as
+        ``quantiles``: (column_name, prob, value)."""
+        acc = max(2, int(round(1.0 / max(rel_err, 1e-6))))
+        parr = F.array(*[F.lit(float(p)) for p in probs])
+        aggs = [
+            F.percentile_approx(F.col(c).cast("double"), parr, F.lit(acc)).alias(c)
+            for c in cols
+        ]
+        one = self.df.agg(*aggs)
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.lit(float(p)).alias("prob"),
+                    F.get(F.col(c), i).alias("value"),
+                )
+                for c in cols
+                for i, p in enumerate(probs)
+            ]
+        )
+        return self._wrap(
+            one.select(F.explode(pairs).alias("__q")).select(
+                "__q.column_name", "__q.prob", "__q.value"
+            )
+        )
+
     def approx_distinct(self, cols: Sequence[str], rsd: float = 0.05) -> "DataFrame":
         """HLL++ approximate count-distinct per column — one agg pass
         with FIXED-size sketch state per column (vs countDistinct's

@@ -178,3 +178,37 @@ def test_freq_items_finds_heavy_hitter(spark):
     df = DataFrame(spark.createDataFrame(rows, "k int"))
     out = df.freq_items(["k"], support=0.2).collect()[0]
     assert 1 in out["k_freqItems"]
+
+
+def test_covariance(lineitem):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    got = lineitem.covariance("l_quantity", "l_extendedprice")
+    want = lineitem.df.agg(
+        F.covar_samp("l_quantity", "l_extendedprice")
+    ).first()[0]
+    assert got == _pytest.approx(want)
+    pop = lineitem.covariance("l_quantity", "l_extendedprice", sample=False)
+    assert pop != got
+
+
+def test_approx_quantiles_within_rank_error(lineitem):
+    """GK sketch guarantee: value at prob p has true rank within
+    p*n ± rel_err*n."""
+    probs = [0.25, 0.5, 0.75]
+    out = {
+        (r["column_name"], r["prob"]): r["value"]
+        for r in lineitem.approx_quantiles(
+            ["l_quantity", "l_extendedprice"], probs, rel_err=0.01
+        ).collect()
+    }
+    n = lineitem.df.count()
+    for c in ("l_quantity", "l_extendedprice"):
+        vals = sorted(r[c] for r in lineitem.df.select(c).collect())
+        for p in probs:
+            v = out[(c, p)]
+            import bisect
+
+            rank = bisect.bisect_right(vals, v)
+            assert abs(rank - p * n) <= 0.02 * n + 1, (c, p)
