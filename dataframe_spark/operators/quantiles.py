@@ -266,6 +266,51 @@ def winsorize(
     )
 
 
+def quantile_bucket(
+    df: SparkDF,
+    value_col: str,
+    n_buckets: int,
+    out_col: str | None = None,
+    rel_err: float | None = None,
+) -> SparkDF:
+    """Equi-depth discretization: assign each row the quantile bucket
+    (0..n_buckets-1) of ``value_col`` — the feature-engineering twin
+    of NTILE without NTILE's scale problem. A window NTILE is a
+    GLOBAL sort with every row through one ordering; here the bucket
+    BOUNDS are computed once (exact via the distributed radix plan,
+    or Greenwald-Khanna sketch when ``rel_err`` is given), broadcast
+    as one tiny row, and assignment is a pure map-side comparison —
+    the same plan at any data size.
+
+    Ties across a boundary all land in the lower bucket (stable,
+    engine-portable); nulls stay null."""
+    out_col = out_col or f"{value_col}_bucket"
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    v = F.col(value_col).cast("double")
+    if rel_err is not None:
+        acc = max(2, int(round(1.0 / max(rel_err, 1e-6))))
+        bounds = df.agg(
+            F.percentile_approx(
+                v, F.array(*[F.lit(p) for p in probs]), F.lit(acc)
+            ).alias("__cuts")
+        )
+    else:
+        long = exact_quantiles(df, [value_col], probs)
+        bounds = long.agg(
+            F.array_sort(F.collect_list("value")).alias("__cuts")
+        )
+    bucket = F.aggregate(
+        F.col("__cuts"),
+        F.lit(0),
+        lambda acc, cut: acc + F.when(v > cut, 1).otherwise(0),
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(out_col, F.when(v.isNull(), F.lit(None)).otherwise(bucket))
+        .drop("__cuts")
+    )
+
+
 def exact_quantiles_wide(
     df: SparkDF,
     cols: Sequence[str],

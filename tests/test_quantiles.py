@@ -174,3 +174,54 @@ def test_grouped_exact_quantiles_match_builtin(lineitem):
     for r in ref:
         for p, v in zip((0.25, 0.5, 0.9), r["q"]):
             assert got[(r["l_returnflag"], p)] == pytest.approx(v, rel=1e-12)
+
+
+def test_quantile_bucket_equi_depth(lineitem):
+    """Buckets are equi-depth within interpolation tolerance, nulls
+    propagate, and the plan has no global-sort window."""
+    from dataframe_spark.operators.quantiles import quantile_bucket
+
+    out = quantile_bucket(lineitem.df, "l_extendedprice", 4)
+    counts = {
+        r["l_extendedprice_bucket"]: r["n"]
+        for r in out.groupBy("l_extendedprice_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n = lineitem.df.count()
+    assert set(counts) == {0, 1, 2, 3}
+    for b, c in counts.items():
+        assert abs(c - n / 4) <= n * 0.02 + 2, (b, c)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # no NTILE: assignment is a broadcast of the one-row bounds, and
+    # any Window in the plan is the radix plan's bin-scoped cumsum
+    # (partitioned), never an unpartitioned whole-table ordering
+    assert "ntile" not in plan.lower()
+    for spec in plan.split("windowspecdefinition(")[1:]:
+        assert not spec.startswith("__v")  # always has partition keys first
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # sketch path agrees with exact path on bucket sizes within error
+    approx = quantile_bucket(lineitem.df, "l_extendedprice", 4, rel_err=0.01)
+    ac = {
+        r["l_extendedprice_bucket"]: r["n"]
+        for r in approx.groupBy("l_extendedprice_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for b in counts:
+        assert abs(ac[b] - counts[b]) <= n * 0.05 + 2
+
+
+def test_quantile_bucket_null_and_order(spark):
+    from dataframe_spark.operators.quantiles import quantile_bucket
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(100)] + [(None,)], "x double"
+    )
+    out = quantile_bucket(df, "x", 5, out_col="b").collect()
+    by = {r["x"]: r["b"] for r in out}
+    assert by[None] is None
+    # monotone: larger value -> same or larger bucket
+    xs = sorted(v for v in by if v is not None)
+    bs = [by[v] for v in xs]
+    assert bs == sorted(bs) and bs[0] == 0 and bs[-1] == 4
