@@ -139,6 +139,12 @@ class DataFrame:
     # -- subset (Operations/Subset.hs) ---------------------------------
 
     def select(self, cols: Sequence) -> "DataFrame":
+        """Subset.hs ``select`` — missing NAMES raise the typed
+        did-you-mean error up front (Spark's AnalysisException comes
+        later and without the hint); expression args pass through."""
+        for c in cols:
+            if isinstance(c, str) and c not in self.df.columns:
+                raise ColumnNotFoundError(c, self.df.columns)
         return self._wrap(self.df.select(*[_c(c) for c in cols]))
 
     def select_by_name_range(self, start: str, end: str) -> "DataFrame":
@@ -156,6 +162,11 @@ class DataFrame:
         return self.select([c for c in self.df.columns if pred(c)])
 
     def exclude(self, cols: Sequence[str]) -> "DataFrame":
+        """Subset.hs ``exclude`` — typed error on unknown names
+        (Spark's drop silently ignores them, which hides typos)."""
+        for c in cols:
+            if c not in self.df.columns:
+                raise ColumnNotFoundError(c, self.df.columns)
         return self._wrap(self.df.drop(*cols))
 
     def take(self, n: int) -> "DataFrame":

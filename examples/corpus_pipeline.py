@@ -1,0 +1,109 @@
+"""End-to-end training-corpus curation with dataframe_spark.
+
+Mirrors the reference's examples/ directory style (Chipotle.hs walks
+one dataset through the API) but for the engine's real target: a
+large-scale LLM data pipeline. Every step is a lazy Spark plan —
+nothing materializes until the final actions — so Catalyst optimizes
+the whole flow and the same code runs on a cluster at corpus scale.
+
+Run: python examples/corpus_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import dataframe_spark as D
+from dataframe_spark.operators import text
+from dataframe_spark.operators.dedup import jaccard_pairs
+from dataframe_spark.operators.graph import connected_components
+from dataframe_spark.tables import load_table
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001"):
+    spark = D.get_spark("corpus_pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, sf_dir, "documents")
+    print(f"corpus: {docs.count()} docs from {sf_dir}")
+
+    # 1. Quality + language scoring (all in-row, fuses into the scan)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        text.quality_score("text").alias("quality"),
+        text.lang_id("text").alias("lang"),
+        text.token_count("text").alias("n_tokens"),
+    )
+
+    # 2. Gopher-style repetition filters (in-row run-length scans)
+    rep = text.repetition_metrics(docs, "doc_id", "text")
+    scored = scored.join(
+        rep.select(F.col("id").alias("doc_id"), "dup_word_frac", "top_word_frac"),
+        "doc_id",
+    )
+    kept = scored.where(
+        (F.col("quality") >= 0.3)
+        & (F.col("dup_word_frac") <= 0.9)
+        & (F.col("n_tokens") >= 5)
+    )
+
+    # 3. Near-duplicate clusters: exact n-gram Jaccard pairs (PPJoin
+    #    prefix filtering) → distributed connected components; keep
+    #    one canonical doc per cluster
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    comp = connected_components(pairs, "a_id", "b_id")  # (node, component)
+    canonical = comp.groupBy("component").agg(F.min("node").alias("keep_id"))
+    dupes = comp.join(
+        canonical, comp["node"] == canonical["keep_id"], "left_anti"
+    ).select(F.col("node").alias("doc_id"))
+    kept = kept.join(dupes, "doc_id", "left_anti")
+
+    # 4. PII redaction (chained regexp_replace, pure JVM)
+    kept = text.redact(
+        kept,
+        "text",
+        {
+            "email": r"[a-zA-Z0-9.+-]+@[a-zA-Z0-9-]+\.[a-zA-Z]{2,}",
+            "phone": r"\b\d{3}[- .]\d{3}[- .]\d{4}\b",
+        },
+    )
+
+    # 5. Deterministic per-source mixture (portable md5 row-uniform)
+    mixed = text.mixture_select(
+        kept,
+        "source",
+        weights={"src0": 1.0, "src1": 1.0},
+        key_cols=[F.col("doc_id").cast("string")],
+        default_rate=0.5,
+    )
+
+    # 6. Chunk into training sequences and pack greedily per source
+    chunks = text.chunk_tokens(mixed, "doc_id", "redacted", chunk_size=64)
+    chunks = chunks.join(
+        mixed.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    packed = text.pack_sequences(
+        chunks, seq_len=256, group_col="source", order_by=["id", "chunk_idx"]
+    )
+
+    # Report
+    from dataframe_spark.display import to_markdown
+
+    n_kept = mixed.count()
+    print(f"kept after quality/dedup/mixture gates: {n_kept}")
+    per_source = (
+        mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n")).orderBy("source")
+    )
+    print(to_markdown(D.DataFrame(per_source), n=5))
+    n_packs = packed.select("source", "pack_id").distinct().count()
+    print(f"packed sequences: {n_packs}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")

@@ -221,3 +221,19 @@ def test_introspection_helpers(small):
     assert not small.is_numeric("grp")
     assert small.has_missing("val") and small.has_missing("grp")
     assert not small.has_missing("id")
+
+
+def test_select_exclude_typed_errors(small):
+    import pytest as _pytest
+
+    from dataframe_spark.errors import ColumnNotFoundError
+
+    with _pytest.raises(ColumnNotFoundError) as e:
+        small.select(["id", "vall"])
+    assert "val" in str(e.value)  # did-you-mean hint
+    with _pytest.raises(ColumnNotFoundError):
+        small.exclude(["nope"])
+    # expressions still pass through select
+    from pyspark.sql import functions as F
+
+    assert small.select([F.col("id") * 2]).n_rows() == 4
