@@ -79,9 +79,23 @@ def sessionize(
     order = [time_col] if tiebreak is None else [time_col, tiebreak]
     w = Window.partitionBy(key_col).orderBy(*order)
     gap_s = gap_minutes * 60
-    # ntz timestamps cannot cast straight to double; hop through
-    # timestamp (session tz is pinned UTC so the hop is lossless)
-    ts_s = F.col(time_col).cast("timestamp").cast("double")
+    # TZ-naive timestamps: use pure calendar arithmetic
+    # (timestampdiff), NOT a hop through timestamp+cast — that hop
+    # interprets the naive value in the SESSION timezone, and a
+    # DST-observing session tz distorts gaps that straddle a
+    # transition by ±1h (the driver's own session need not be UTC).
+    # Instant-typed timestamps cast to epoch directly (tz-free).
+    if dict(df.dtypes).get(time_col) == "timestamp_ntz":
+        ts_s = (
+            F.timestamp_diff(
+                "MICROSECOND",
+                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+                F.col(time_col),
+            )
+            / F.lit(1e6)
+        )
+    else:
+        ts_s = F.col(time_col).cast("timestamp").cast("double")
     prev = F.lag(ts_s).over(w)
     new_sess = F.when(
         prev.isNull() | (ts_s - prev > gap_s),

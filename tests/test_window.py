@@ -73,3 +73,26 @@ def test_resample_fills_gaps(spark):
     assert sorted(rows) == [1, 2, 3, 4]
     assert rows[1] == 1 and rows[4] == 1
     assert rows[2] is None and rows[3] is None
+
+
+def test_sessionize_timezone_independent(spark, sf_dir):
+    """Session counts must be identical under any session timezone —
+    the driver's session need not be UTC, and a DST-observing tz
+    would distort naive-timestamp gap arithmetic near transitions
+    if the epoch conversion went through the session clock."""
+    from dataframe_spark.queries.windows_q import q_sessionize
+
+    def run():
+        return {
+            r["user_id"]: (r["n_sessions"], r["n_events"])
+            for r in q_sessionize(spark, sf_dir).collect()
+        }
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    base = run()
+    try:
+        for tz in ("America/Los_Angeles", "Australia/Lord_Howe"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            assert run() == base, tz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
