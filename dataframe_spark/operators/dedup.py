@@ -252,21 +252,39 @@ def source_overlap(
 
     Plan: per-(source, shingle) distinct set via the narrow in-row
     shingle build + one explode + distinct shuffle (size-of-data),
-    then a self-join on shingle. Per-shingle fan-out is bounded by
-    #sources² — sources are an operational handful, so the join
-    output is |shingle set| × O(#sources²) worst case and the final
-    agg collapses it to #source-pairs rows."""
+    then ``collect_set(source)`` per shingle — state bounded by the
+    source count, an operational handful — and IN-ROW pair
+    expansion. No self-join: a join formulation would compute the
+    distinct shingle stream twice (column pruning defeats exchange
+    reuse across the two branches) and shuffle it a third time for
+    the join; this shape computes it once and the per-shingle agg
+    state can never exceed #sources."""
     arrs = shingle_arrays(df, source_col, text_col, n)
     sh = (
         arrs.select(F.col("id").alias("source"), F.explode("sh_arr").alias("shingle"))
         .distinct()
     )
-    a = sh.select(F.col("source").alias("source_a"), "shingle")
-    b = sh.select(F.col("source").alias("source_b"), "shingle")
+    sets = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("source")).alias("__ss"))
+        .where(F.size("__ss") >= 2)
+    )
+    ss = F.col("__ss")
+    pairs = F.flatten(
+        F.transform(
+            ss,
+            lambda a, i: F.transform(
+                F.slice(ss, i + 2, F.size(ss)),
+                lambda b: F.struct(a.alias("source_a"), b.alias("source_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "shingle")
-        .where(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
+        sets.select(F.explode(pairs).alias("__p"))
+        .groupBy(
+            F.col("__p.source_a").alias("source_a"),
+            F.col("__p.source_b").alias("source_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
 
