@@ -240,6 +240,64 @@ def _verify_jaccard(
     )
 
 
+def duplicated_spans(
+    df: SparkDF,
+    id_col: str,
+    text_col: str,
+    window: int = 20,
+    min_docs: int = 2,
+) -> SparkDF:
+    """Cross-document duplicated-SPAN detection — the window-hash
+    simplification of the suffix-array method in Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"
+    (ACL 2022). Document-level dedup misses boilerplate repeated
+    INSIDE otherwise-unique pages (headers, license blocks,
+    templated paragraphs); this scores each document by how much of
+    it is covered by ``window``-token spans that also appear in at
+    least ``min_docs`` documents.
+
+    Returns (id, n_windows, n_dup_windows, dup_span_frac) — filter
+    on ``dup_span_frac`` to drop template-heavy documents, distinct
+    from repetition_metrics (IN-doc repetition) and jaccard/minhash
+    (whole-doc near-duplication).
+
+    Plan: per-doc distinct window hashes built IN-ROW (token
+    shingles → xxhash64, a narrow projection), one explode, one
+    (hash)-keyed count agg with map-side partials, and a key-
+    partitioned join back — size-of-data everywhere, no pairwise
+    work. In-doc repeats collapse via the distinct so ``df`` counts
+    documents, mirroring the paper's cross-document criterion."""
+    toks = F.filter(tokens_expr(text_col), lambda x: x != F.lit(""))
+    spans = F.transform(
+        shingle_array_expr(toks, window), lambda s: F.xxhash64(s)
+    )
+    win = df.select(
+        F.col(id_col).alias("id"), F.explode(spans).alias("__h")
+    )
+    wfreq = (
+        win.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") >= min_docs)
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        win.join(wfreq.select("__h", "__dup"), "__h", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count("__dup").alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_span_frac",
+            F.round(
+                F.col("n_dup_windows")
+                / F.nullif(F.col("n_windows").cast("double"), F.lit(0.0)),
+                4,
+            ),
+        )
+    )
+
+
 def source_overlap(
     df: SparkDF, source_col: str, text_col: str, n: int = 3
 ) -> SparkDF:

@@ -152,3 +152,44 @@ def test_source_overlap_symmetric_bounds(docs):
         .count()
     )
     assert direct == out[0]["n_shared"]
+
+
+def test_duplicated_spans_flags_shared_boilerplate(spark):
+    from dataframe_spark.operators.dedup import duplicated_spans
+
+    boiler = "this license text is identical across documents " * 2
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta"),
+            (2, boiler + " unrelated words entirely here"),
+            (3, "totally unique content with no shared spans at all xyz"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in duplicated_spans(docs, "doc_id", "text", window=5).collect()
+    }
+    # docs 1 and 2 share the boilerplate spans; doc 3 shares nothing
+    assert out[1]["dup_span_frac"] > 0.3
+    assert out[2]["dup_span_frac"] > 0.3
+    assert out[3]["n_dup_windows"] == 0 and out[3]["dup_span_frac"] == 0.0
+    # every window counted, none double-counted
+    for r in out.values():
+        assert 0 <= r["n_dup_windows"] <= r["n_windows"]
+
+
+def test_duplicated_spans_in_doc_repeat_not_cross_doc(spark):
+    """A span repeated only WITHIN one document is not a cross-doc
+    duplicate (distinct-per-doc collapses it; df counts docs)."""
+    from dataframe_spark.operators.dedup import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e " * 10), (2, "v w x y z q r s t u")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r for r in duplicated_spans(docs, "doc_id", "text", 5).collect()
+    }
+    assert out[1]["n_dup_windows"] == 0
+    assert out[2]["n_dup_windows"] == 0
