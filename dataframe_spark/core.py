@@ -244,25 +244,42 @@ class DataFrame:
         return self._wrap(self.df.orderBy(F.rand(seed)))
 
     def sample_k_per_group(
-        self, group_col: str, k: int, key_cols: Sequence[str]
+        self,
+        group_col: str,
+        k: int,
+        key_cols: Sequence[str],
+        salt: int | None = None,
     ) -> "DataFrame":
         """Deterministic k-per-group sample: within each group keep
         the k rows ranked first by the portable md5 row-uniform over
         ``key_cols`` (the same retry-safe ordering as mixture
         sampling — engine- and run-independent, unlike ``rand()``).
 
-        One shuffle on the group key; each group ranks on its own
-        reducer, so the plan scales with group COUNT. For few huge
-        groups prefer ``sample_by`` with fraction ≈ k/|group| as a
-        pre-filter before this exact cut."""
+        Default: one shuffle on the group key; each group ranks on
+        its own reducer, so the plan scales with group COUNT. For
+        FEW HUGE groups pass ``salt`` (e.g. 256): phase one ranks
+        within (group, hash-salt cell) — parallelism #groups×salt —
+        and keeps k per cell; phase two ranks only the ≤ k·salt
+        survivors per group. The global top-k of a group is always
+        inside the union of its cell top-ks, so the result is
+        IDENTICAL to the unsalted plan (asserted in tests), but no
+        reducer ever sees more than max(|group|/salt, k·salt) rows."""
         from pyspark.sql.window import Window
 
         u = F.md5(F.concat_ws("\x1f", *key_cols))
-        w = Window.partitionBy(group_col).orderBy(
-            u.asc(), *[F.col(c).asc() for c in key_cols]
-        )
+        order = [u.asc(), *[F.col(c).asc() for c in key_cols]]
+        df = self.df
+        if salt:
+            cell = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(salt))
+            w1 = Window.partitionBy(F.col(group_col), cell).orderBy(*order)
+            df = (
+                df.withColumn("__rn1", F.row_number().over(w1))
+                .where(F.col("__rn1") <= k)
+                .drop("__rn1")
+            )
+        w = Window.partitionBy(group_col).orderBy(*order)
         return self._wrap(
-            self.df.withColumn("__rn", F.row_number().over(w))
+            df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= k)
             .drop("__rn")
         )

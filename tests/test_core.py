@@ -237,3 +237,20 @@ def test_select_exclude_typed_errors(small):
     from pyspark.sql import functions as F
 
     assert small.select([F.col("id") * 2]).n_rows() == 4
+
+
+def test_sample_k_per_group_salted_identical(docs):
+    """The salted two-phase top-k must return exactly the unsalted
+    result (global top-k ⊆ union of cell top-ks)."""
+    from dataframe_spark.core import DataFrame
+
+    d = DataFrame(docs)
+    plain = sorted(
+        (r["source"], r["doc_id"])
+        for r in d.sample_k_per_group("source", 4, ["doc_id"]).df.collect()
+    )
+    salted = sorted(
+        (r["source"], r["doc_id"])
+        for r in d.sample_k_per_group("source", 4, ["doc_id"], salt=8).df.collect()
+    )
+    assert plain == salted and len(plain) > 0
