@@ -241,7 +241,7 @@ ORACLES = {
               / 4294967296.0 AS u
           FROM documents
         )
-        SELECT source, COUNT(*) AS n_docs, SUM(doc_id) AS checksum
+        SELECT source, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS checksum
         FROM u
         WHERE u < CASE source {_MIX_CASE} ELSE 0.05 END
         GROUP BY source
@@ -266,7 +266,8 @@ ORACLES = {
             AS INT) AS pack_id
           FROM chunks
         )
-        SELECT shard, pack_id, COUNT(*) AS n_chunks, SUM(n_tokens) AS n_tokens
+        SELECT shard, pack_id, COUNT(*) AS n_chunks,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
         FROM packed GROUP BY 1, 2
     """,
     "q_repetition": f"""
@@ -340,10 +341,10 @@ ORACLES = {
           FROM scored
         ), cum AS (
           SELECT doc_id, source, n_tok AS n_tokens, quality,
-            SUM(n_tok) OVER (PARTITION BY source
+            CAST(SUM(n_tok) OVER (PARTITION BY source
                              ORDER BY quality DESC, doc_id ASC
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-            ) AS cum_tokens
+            ) AS BIGINT) AS cum_tokens
           FROM q
         )
         SELECT doc_id, source, n_tokens, quality, cum_tokens

@@ -73,13 +73,26 @@ def main():
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = [str(t) for t in rel.types]
+            drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             continue
+        # our stringifying compare hides value-TYPE mismatches that a
+        # type-sensitive driver hasher can still flag (r2 lesson:
+        # DuckDB SUM yields HUGEINT vs Spark bigint — local parity
+        # green, driver hash red). Surface risky oracle types loudly.
+        risky = {
+            c: t
+            for c, t in zip(dcols, dtypes)
+            if any(k in t.upper() for k in ("HUGEINT", "INT128", "DECIMAL", "UINT"))
+        }
+        if risky:
+            print(f"WARN  {name}: oracle emits driver-risky types {risky} "
+                  "— CAST them (e.g. AS BIGINT/DOUBLE) in the oracle SQL")
         problems = []
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
