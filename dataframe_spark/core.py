@@ -482,6 +482,9 @@ class DataFrame:
         arbitrary expressions (Asc/Desc Expr in the reference)."""
         if isinstance(orders, str):
             orders = [orders] * len(cols)
+        for c in cols:
+            if isinstance(c, str) and c not in self.df.columns:
+                raise ColumnNotFoundError(c, self.df.columns)
         sort_cols = [
             _c(c).asc() if o == Asc else _c(c).desc()
             for c, o in zip(cols, orders)
@@ -591,6 +594,12 @@ class DataFrame:
     # -- grouping / aggregation (Operations/Aggregation.hs) ------------
 
     def group_by(self, cols: Sequence[str]) -> "GroupedDataFrame":
+        """Aggregation.hs:45 ``groupBy`` — typed error if any key is
+        missing (test_coverage.md: "If any column doesn't exist
+        throw an error")."""
+        for c in cols:
+            if isinstance(c, str) and c not in self.df.columns:
+                raise ColumnNotFoundError(c, self.df.columns)
         return GroupedDataFrame(self.df, list(cols))
 
     def aggregate(self, **named: Column) -> "DataFrame":
@@ -614,7 +623,10 @@ class DataFrame:
     def value_counts(self, col: str, normalize: bool = False) -> "DataFrame":
         """Core.hs:683 ``valueCounts`` / ``valueProportions`` —
         partial (map-side) aggregation then a single shuffle on the
-        value; proportion via a broadcast one-row total."""
+        value; proportion via a broadcast one-row total. Typed error
+        on a missing column (test_coverage.md)."""
+        if col not in self.df.columns:
+            raise ColumnNotFoundError(col, self.df.columns)
         counts = self.df.groupBy(col).agg(F.count(F.lit(1)).alias("count"))
         if normalize:
             total = self.df.agg(F.count(F.lit(1)).alias("__total"))

@@ -254,3 +254,16 @@ def test_sample_k_per_group_salted_identical(docs):
         for r in d.sample_k_per_group("source", 4, ["doc_id"], salt=8).df.collect()
     )
     assert plain == salted and len(plain) > 0
+
+
+def test_groupby_sortby_valuecounts_typed_errors(small):
+    import pytest as _pytest
+
+    from dataframe_spark.errors import ColumnNotFoundError
+
+    with _pytest.raises(ColumnNotFoundError):
+        small.group_by(["id", "nope"])
+    with _pytest.raises(ColumnNotFoundError):
+        small.sort_by(["nope"])
+    with _pytest.raises(ColumnNotFoundError):
+        small.value_counts("nope")
