@@ -50,7 +50,10 @@ def test_windowed_agg_matches_batch(spark, sf_dir, stream):
     assert got == want
 
 
-def test_session_stream_runs(stream):
+def test_session_stream_matches_batch_sessionize(spark, sf_dir, stream):
+    """session_window sessions must agree with the batch sessionize
+    operator on per-user session counts and total events (the
+    all-data-arrived limit of the stream)."""
     q = (
         session_agg_stream(stream)
         .writeStream.format("memory")
@@ -60,6 +63,24 @@ def test_session_stream_runs(stream):
         .start()
     )
     q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in spark.sql(
+            "select user_id, count(*) as n_sessions, sum(n_events) as n_events "
+            "from sess_agg group by user_id"
+        ).collect()
+    }
+    from dataframe_spark.operators.window import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, "user_id", "ts", gap_minutes=30, flag_col="__new")
+    want = {
+        r["user_id"]: (r["ns"], r["ne"])
+        for r in sess.groupBy("user_id")
+        .agg(F.sum("__new").alias("ns"), F.count(F.lit(1)).alias("ne"))
+        .collect()
+    }
+    assert got == want
 
 
 def test_stateful_running_totals_match_batch(spark, sf_dir, stream):
