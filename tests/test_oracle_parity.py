@@ -71,3 +71,46 @@ def test_query_matches_oracle(spark, duck, name):
     assert sorted(spark_cols) == sorted(duck_cols)
     assert len(spark_rows) == len(duck_rows)
     assert _normalize(spark_rows, spark_cols) == _normalize(duck_rows, duck_cols)
+
+
+# session-config-sensitive shapes: epoch/tz arithmetic, ANSI-risky
+# division/casts, md5 ordering, window sums (the driver's session may
+# run ANSI-on in a non-UTC timezone — r2/r3 lesson)
+HOSTILE_SUBSET = [
+    "q_sessionize",
+    "q_stream_window",
+    "q_asof_join",
+    "q_sample_group",
+    "q_winsorize",
+    "q_pack",
+    "q_token_budget",
+    "q_mixture",
+]
+
+
+@pytest.mark.parametrize("name", HOSTILE_SUBSET)
+def test_query_matches_oracle_hostile_session(spark, duck, name):
+    """Same oracle compare, but under ANSI=true and a DST-observing
+    session timezone — any dependence on the builder's session
+    defaults shows up here before the driver sees it."""
+    import __spark_entry__ as entry
+
+    prev_ansi = spark.conf.get("spark.sql.ansi.enabled")
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        sdf = entry.queries()[name](spark, SF_DIR)
+        spark_rows = [tuple(r) for r in sdf.collect()]
+        spark_cols = sdf.columns
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+    res = duck.execute(entry.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows)
+    assert _normalize(spark_rows, spark_cols) == _normalize(duck_rows, duck_cols)
