@@ -23,7 +23,7 @@ from pyspark.sql import Column
 from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import functions as F
 
-from .errors import ColumnNotFoundError
+from .errors import ColumnNotFoundError, MissingOrderError
 
 __all__ = ["DataFrame", "GroupedDataFrame", "Asc", "Desc"]
 
@@ -184,15 +184,46 @@ class DataFrame:
         """Subset.hs ``range (start, end)`` — rows [start, end)."""
         return self._wrap(self.df.offset(start).limit(max(end - start, 0)))
 
-    def take_last(self, n: int) -> "DataFrame":
-        """Requires a count (action) — last-n has no distributed
-        meaning without an explicit order; prefer sort_by + take."""
-        total = self.df.count()
-        return self._wrap(self.df.offset(max(total - n, 0)))
+    def take_last(self, n: int, order_by: Sequence[str] | str | None = None) -> "DataFrame":
+        """Subset.hs ``takeLast`` under an EXPLICIT order: "last n" has
+        no distributed meaning on an unordered frame (count+offset
+        returns run-arbitrary rows), so the order is required —
+        MissingOrderError otherwise, matching the typed-error
+        discipline of select/sort_by. Result rows come back in
+        ascending ``order_by`` order. The plan is sort-desc + limit
+        (TakeOrderedAndProject — no global sort materialized), then an
+        n-row re-sort."""
+        if not order_by:
+            raise MissingOrderError(
+                "take_last needs order_by=[cols]: last-n of an unordered "
+                "distributed frame is nondeterministic (use sort_by + take, "
+                "or pass order_by here)"
+            )
+        cols = [order_by] if isinstance(order_by, str) else list(order_by)
+        for c in cols:
+            if c not in self.df.columns:
+                raise ColumnNotFoundError(c, self.df.columns)
+        if n < 0:
+            n = 0
+        tail = self.df.orderBy(*[F.col(c).desc() for c in cols]).limit(n)
+        return self._wrap(tail.orderBy(*[F.col(c).asc() for c in cols]))
 
-    def drop_last(self, n: int) -> "DataFrame":
+    def drop_last(self, n: int, order_by: Sequence[str] | str | None = None) -> "DataFrame":
+        """Drop the last n rows under an explicit order (required,
+        like take_last). Needs one count action to size the limit."""
+        if not order_by:
+            raise MissingOrderError(
+                "drop_last needs order_by=[cols]: last-n of an unordered "
+                "distributed frame is nondeterministic"
+            )
+        cols = [order_by] if isinstance(order_by, str) else list(order_by)
+        for c in cols:
+            if c not in self.df.columns:
+                raise ColumnNotFoundError(c, self.df.columns)
         total = self.df.count()
-        return self._wrap(self.df.limit(max(total - n, 0)))
+        return self._wrap(
+            self.df.orderBy(*[F.col(c).asc() for c in cols]).limit(max(total - n, 0))
+        )
 
     def filter_where(self, cond: Column) -> "DataFrame":
         """Subset.hs:169 ``filterWhere`` — predicate stays JVM-side and is
@@ -266,7 +297,15 @@ class DataFrame:
         reducer ever sees more than max(|group|/salt, k·salt) rows."""
         from pyspark.sql.window import Window
 
-        u = F.md5(F.concat_ws("\x1f", *key_cols))
+        # concat_ws SKIPS null parts, so ('a',NULL,'b') and ('a','b',NULL)
+        # would collide; coalesce each key to a sentinel to keep the
+        # row-uniform injective over distinct key tuples. Ties on fully
+        # identical tuples still sort engine-arbitrarily — key_cols
+        # should be (near-)unique.
+        keyed = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in key_cols
+        ]
+        u = F.md5(F.concat_ws("\x1f", *keyed))
         order = [u.asc(), *[F.col(c).asc() for c in key_cols]]
         df = self.df
         if salt:

@@ -38,8 +38,19 @@ def to_markdown(df: DataFrame, n: int = 10) -> str:
     rows = df.take(n).collect()
     cols = df.column_names
     types = dict(df.df.dtypes)
-    header = [f"{c}<br>{types[c]}" for c in cols]
-    body = [["" if r[c] is None else str(r[c]) for c in cols] for r in rows]
+
+    def cell(v) -> str:
+        # pipes break the table structure, newlines break the row;
+        # escape/replace so arbitrary document text renders intact
+        if v is None:
+            return ""
+        return (
+            str(v).replace("|", "\\|").replace("\r\n", "<br>")
+            .replace("\n", "<br>").replace("\r", "<br>")
+        )
+
+    header = [cell(f"{c}<br>{types[c]}") for c in cols]
+    body = [[cell(r[c]) for c in cols] for r in rows]
     widths = [
         max(len(header[i]), *(len(b[i]) for b in body)) if body else len(header[i])
         for i in range(len(cols))

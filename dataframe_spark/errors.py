@@ -29,3 +29,9 @@ class ColumnNotFoundError(DataFrameError, KeyError):
 
 class TypeMismatchError(DataFrameError, TypeError):
     pass
+
+
+class MissingOrderError(DataFrameError, ValueError):
+    """Raised by tail-relative verbs (take_last/drop_last) when no
+    ordering is given: count+offset over an unordered distributed
+    frame returns arbitrary rows that differ run to run."""

@@ -36,9 +36,23 @@ def _name_of(col: str | Column) -> str:
     ``Col name``; pyspark Columns expose it via the expression)."""
     if isinstance(col, str):
         return col
-    # unqualified attribute name, e.g. Column<'total'>
-    s = col._jc.toString()
-    if not s.replace("_", "").isalnum():
+    # Connect-safe extraction first: repr(Column) is "Column<'expr'>"
+    # in both classic and Connect modes; fall back to the classic-only
+    # JVM handle. (Connect Columns have no _jc — reaching for it first
+    # would break every column-reference verb under a Connect session.)
+    s = None
+    r = repr(col)
+    if r.startswith("Column<'") and r.endswith("'>"):
+        s = r[8:-2]
+    elif hasattr(col, "_jc"):  # pragma: no cover - classic fallback
+        s = col._jc.toString()
+    if s is None:
+        raise ValueError(f"cannot extract a column name from {col!r}")
+    # plain identifier per Spark rules: letters/digits/_/./- but not
+    # function-call/operator syntax
+    import re
+
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.\-]*", s):
         raise ValueError(
             f"need a plain column reference, got compound expression {s!r}"
         )

@@ -256,11 +256,16 @@ def winsorize(
         F.min(F.when(F.col("prob") == float(lower), F.col("value"))).alias("__lo"),
         F.max(F.when(F.col("prob") == float(upper), F.col("value"))).alias("__hi"),
     )
-    clipped = F.least(
-        F.greatest(F.col(value_col).cast("double"), F.col("__lo")), F.col("__hi")
-    )
+    v = F.col(value_col).cast("double")
+    # greatest/least skip nulls: a NULL value would collapse to __lo,
+    # and a group with no non-null values has no bounds row at all.
+    # Null values stay NULL; boundless groups pass through unclipped
+    # (clip-not-filter contract), hence the LEFT join + coalesce.
+    clipped = F.when(
+        v.isNull() | F.col("__lo").isNull(), v
+    ).otherwise(F.least(F.greatest(v, F.col("__lo")), F.col("__hi")))
     return (
-        df.join(F.broadcast(bounds), list(group_cols))
+        df.join(F.broadcast(bounds), list(group_cols), "left")
         .withColumn(f"{value_col}_winsorized", clipped)
         .drop("__lo", "__hi")
     )

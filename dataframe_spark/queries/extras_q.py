@@ -74,6 +74,9 @@ ORACLES = {
         GROUP BY 1
     """,
     "q_sample_group": """
+        -- Spark side coalesces NULL keys to a \\x00 sentinel inside the
+        -- md5 input; doc_id is non-null here so the hashes are identical
+        -- without mirroring the coalesce (DuckDB cannot embed NUL chars).
         SELECT source, doc_id FROM (
           SELECT source, doc_id,
                  ROW_NUMBER() OVER (

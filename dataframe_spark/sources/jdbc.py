@@ -62,7 +62,7 @@ def read_jdbc(
         if num_partitions is None:
             raise ValueError("partition_column requires num_partitions")
         if lower_bound is None or upper_bound is None:
-            row = (
+            probe = (
                 spark.read.format("jdbc")
                 .option("url", url)
                 .option(
@@ -72,10 +72,20 @@ def read_jdbc(
                     f"SELECT MIN({partition_column}) AS part_lo, "
                     f"MAX({partition_column}) AS part_hi FROM {table}",
                 )
-                .options(**({"driver": driver} if driver else {}))
-                .load()
-                .first()
             )
+            if driver:
+                probe = probe.option("driver", driver)
+            # credentials (user/password) ride in properties — the
+            # probe needs them exactly like the main read does
+            for k, v in (properties or {}).items():
+                probe = probe.option(k, v)
+            row = probe.load().first()
+            if row[0] is None or row[1] is None:
+                raise ValueError(
+                    f"cannot infer partition bounds for {table}.{partition_column}: "
+                    "the min/max probe returned NULL (empty table or all-NULL "
+                    "column); pass lower_bound/upper_bound explicitly"
+                )
             lower_bound = lower_bound if lower_bound is not None else row[0]
             upper_bound = upper_bound if upper_bound is not None else row[1]
         reader = (

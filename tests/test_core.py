@@ -33,8 +33,27 @@ def test_take_drop_range(small):
     assert s.take(2).n_rows() == 2
     assert s.drop_rows(3).n_rows() == 1
     assert s.range_rows(1, 3).n_rows() == 2
-    assert s.take_last(1).n_rows() == 1
-    assert s.drop_last(3).n_rows() == 1
+    assert s.take_last(1, order_by="id").n_rows() == 1
+    assert s.drop_last(3, order_by="id").n_rows() == 1
+
+
+def test_take_last_requires_order(small):
+    from dataframe_spark.errors import ColumnNotFoundError, MissingOrderError
+
+    with pytest.raises(MissingOrderError):
+        small.take_last(1)
+    with pytest.raises(MissingOrderError):
+        small.drop_last(1)
+    with pytest.raises(ColumnNotFoundError):
+        small.take_last(1, order_by="nope")
+
+
+def test_take_last_deterministic(small):
+    ids = sorted(r["id"] for r in small.collect())
+    last2 = [r["id"] for r in small.take_last(2, order_by="id").collect()]
+    assert last2 == ids[-2:]
+    kept = sorted(r["id"] for r in small.drop_last(1, order_by="id").collect())
+    assert kept == ids[:-1]
 
 
 def test_filter_where(small):
@@ -267,3 +286,18 @@ def test_groupby_sortby_valuecounts_typed_errors(small):
         small.sort_by(["nope"])
     with _pytest.raises(ColumnNotFoundError):
         small.value_counts("nope")
+
+
+def test_sample_k_per_group_null_keys_distinct(spark):
+    """concat_ws skips NULL parts; the coalesce-to-sentinel keeps the
+    md5 order key injective over distinct key tuples, so rows like
+    ('a', NULL) and (NULL, 'a') don't collide and results stay
+    deterministic across runs."""
+    from dataframe_spark import DataFrame
+
+    rows = [("g", "a", None), ("g", None, "a"), ("g", "b", "c"), ("g", None, None)]
+    df = DataFrame(spark.createDataFrame(rows, "grp string, k1 string, k2 string"))
+    key = lambda t: tuple("" if v is None else str(v) for v in t)
+    out1 = sorted(map(tuple, df.sample_k_per_group("grp", 2, ["k1", "k2"]).collect()), key=key)
+    out2 = sorted(map(tuple, df.sample_k_per_group("grp", 2, ["k1", "k2"]).collect()), key=key)
+    assert out1 == out2 and len(out1) == 2

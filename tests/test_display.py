@@ -46,3 +46,20 @@ def test_pipe_and_fold(small):
         lambda col, d: d.derive(f"{col}_copy", F.col(col)), ["id", "val"]
     )
     assert "id_copy" in out2.column_names and "val_copy" in out2.column_names
+
+
+def test_to_markdown_escapes_pipes_and_newlines(spark):
+    from dataframe_spark import DataFrame
+    from dataframe_spark.display import to_markdown
+
+    df = DataFrame(
+        spark.createDataFrame([("a|b", "l1\nl2")], "p string, m string")
+    )
+    md = to_markdown(df)
+    lines = md.splitlines()
+    # one header + one separator + exactly one body row: the newline
+    # did not split the row, and every row has the same cell count
+    assert len(lines) == 3
+    assert "a\\|b" in lines[2] and "l1<br>l2" in lines[2]
+    counts = {line.count("|") - line.count("\\|") for line in lines}
+    assert len(counts) == 1

@@ -72,3 +72,23 @@ def test_framem_compound_reference_rejected(small):
     fm = FrameM(small)
     with pytest.raises(ValueError):
         fm.filter_just(F.col("val") + 1)  # Monad.hs:80 error case
+
+
+def test_name_of_connect_safe(small):
+    """_name_of must not require the classic-only _jc handle: repr
+    extraction works in both classic and Connect modes."""
+    from pyspark.sql import functions as F
+
+    from dataframe_spark.monad import _name_of
+
+    class FakeConnectColumn:
+        # no _jc attribute, repr like pyspark.sql.connect Column
+        def __repr__(self):
+            return "Column<'some_col'>"
+
+    assert _name_of(FakeConnectColumn()) == "some_col"
+    assert _name_of(F.col("plain")) == "plain"
+    import pytest
+
+    with pytest.raises(ValueError):
+        _name_of(F.col("a") + F.col("b"))

@@ -225,3 +225,25 @@ def test_quantile_bucket_null_and_order(spark):
     xs = sorted(v for v in by if v is not None)
     bs = [by[v] for v in xs]
     assert bs == sorted(bs) and bs[0] == 0 and bs[-1] == 4
+
+
+def test_winsorize_preserves_nulls_and_boundless_groups(spark):
+    """NULL values must stay NULL (greatest/least would collapse them
+    to __lo) and a group whose values are ALL null has no quantile
+    bounds — its rows must pass through unclipped, not be dropped
+    (clip-not-filter contract)."""
+    from dataframe_spark.operators.quantiles import winsorize
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 21)]
+        + [("a", None), ("b", None), ("b", None)],
+        "g string, x double",
+    )
+    out = winsorize(df, "x", ["g"], 0.1, 0.9, distributed=False)
+    rows = out.collect()
+    assert len(rows) == 23  # no rows dropped
+    for r in rows:
+        if r["x"] is None:
+            assert r["x_winsorized"] is None
+    b = [r for r in rows if r["g"] == "b"]
+    assert len(b) == 2 and all(r["x_winsorized"] is None for r in b)

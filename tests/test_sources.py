@@ -171,3 +171,20 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmpd):
     assert part.n_rows() == 20
     got = sorted(r["ID"] for r in part.collect())
     assert got == list(range(20))
+
+
+def test_jdbc_partitioned_empty_table_raises(spark, tmpd):
+    """The min/max bounds probe on an empty table yields NULL bounds;
+    the reader must raise a clear error instead of passing NULL to
+    lowerBound/upperBound."""
+    import pytest
+
+    url = f"jdbc:derby:{tmpd}/jdbcdb2;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    src = spark.createDataFrame([], "ID int, NAME string")
+    D.write_jdbc(D.DataFrame(src), url, "empty_t", mode="overwrite", driver=driver)
+    with pytest.raises(ValueError, match="partition bounds"):
+        D.read_jdbc(
+            spark, url, table="empty_t",
+            partition_column="ID", num_partitions=4, driver=driver,
+        )
