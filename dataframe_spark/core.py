@@ -980,6 +980,44 @@ class DataFrame:
             self.df.unionByName(other.df, allowMissingColumns=True)
         )
 
+    def hcat(
+        self,
+        other: "DataFrame",
+        order_by: Sequence[str],
+        other_order_by: Sequence[str] | None = None,
+    ) -> "DataFrame":
+        """Merge.hs:59 ``(|||)`` — glue two frames side by side BY
+        POSITION. Spark frames carry no row order, so position is
+        defined by the explicit per-side orders (``other_order_by``
+        defaults to ``order_by``). Length mismatch null-fills the
+        shorter side (reference expandColumn semantics); a column of
+        ``other`` that exists in ``self`` replaces it in place
+        (reference insertColumn semantics).
+
+        Plan: with_row_index on each side (two parallel range-
+        partitioned passes, no single-partition stage) + one
+        full-outer equi-join on the index — the join keys are dense
+        integers, so the shuffle is balanced by construction."""
+        left_cols = list(order_by)
+        right_cols = list(other_order_by) if other_order_by else list(order_by)
+        for c in left_cols:
+            if c not in self.df.columns:
+                raise ColumnNotFoundError(c, self.df.columns)
+        for c in right_cols:
+            if c not in other.df.columns:
+                raise ColumnNotFoundError(c, other.df.columns)
+        idx = "__hcat_idx"
+        a = self.with_row_index(left_cols, idx).df
+        b = other.with_row_index(right_cols, idx).df
+        joined = a.join(b, idx, "outer")
+        out_cols = []
+        for c in self.df.columns:
+            # duplicate name: other's column wins (insertColumn replace)
+            src = b if c in other.df.columns else a
+            out_cols.append(src[c].alias(c))
+        out_cols += [b[c].alias(c) for c in other.df.columns if c not in self.df.columns]
+        return self._wrap(joined.select(*out_cols))
+
     def intersect(self, other: "DataFrame") -> "DataFrame":
         """Set intersection (distinct rows in both) — one shuffle on
         the full row as key, same cost shape as distinct."""

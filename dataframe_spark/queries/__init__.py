@@ -17,25 +17,50 @@ from . import (
     windows_q,
 )
 
+MODULES = [stats_q, relational, extras_q, windows_q, text_q, exprs_q, ml_q, dedup_q]
+
 # Registry order is a verification surface: the driver snapshots the
-# FIRST 50 entries. Modules whose queries have not yet appeared in a
-# CORRECTNESS round go first; the r2-hash-green relational tail and
-# stats_q rotate behind the window (their green rows are on record in
-# CORRECTNESS_r01/r02). text_q 13 + exprs_q 9 + ml_q 2 + dedup_q 14 +
-# windows_q 8 + extras_q 3 = 49, plus the head of relational (q1
-# flagship sentinel) fills the 50.
-MODULES = [text_q, exprs_q, ml_q, dedup_q, windows_q, extras_q, relational, stats_q]
+# FIRST 50 entries each round. The r4 window re-verifies every query
+# whose PLAN changed since its last driver-green row (VERDICT r3 #1):
+# stats_q (q_group_quantiles gate fc57473, q_stats_agg agg split,
+# q_summarize kernel), the relational TPC-H tail (r1/r2-green only),
+# extras_q (winsorize null fix + 4 new r4 entries), plus the r3-green
+# sentinels q_sessionize/q_tfidf and the two dedup queries whose
+# plans are being tuned this round. Everything else keeps its
+# r1–r3 green row on record and rotates behind the window.
+WINDOW_PRIORITY = [
+    *stats_q.QUERIES,        # 13
+    *relational.QUERIES,     # 22 -> 35
+    *extras_q.QUERIES,       # 7  -> 42 (q_winsorize/q_sample_group changed;
+                             #           q_hcat/q_duplicated_spans/
+                             #           q_quantile_bucket/q_approx_quantiles new)
+    "q_sessionize",          # r3 sentinel (failed r1+r2 — keep hard signal)
+    "q_tfidf",               # r3 sentinel
+    "q_dedup_ngram_jaccard", # plan tuned r4
+    "q_dedup_minhash",       # plan tuned r4
+    "q_window_rank",         # 47-50: windows sentinels
+    "q_window_cumsum",
+    "q_window_rolling",
+    "q_asof_join",
+]
+assert len(WINDOW_PRIORITY) == 50, len(WINDOW_PRIORITY)
+
+
+def _ordered(attr):
+    merged = {}
+    for m in MODULES:
+        merged.update(getattr(m, attr))
+    out = {}
+    for name in WINDOW_PRIORITY:
+        if name in merged:
+            out[name] = merged.pop(name)
+    out.update(merged)
+    return out
 
 
 def all_queries():
-    out = {}
-    for m in MODULES:
-        out.update(m.QUERIES)
-    return out
+    return _ordered("QUERIES")
 
 
 def all_oracles():
-    out = {}
-    for m in MODULES:
-        out.update(m.ORACLES)
-    return out
+    return _ordered("ORACLES")

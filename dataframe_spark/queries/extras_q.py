@@ -42,6 +42,65 @@ def q_sample_group(spark, sf_dir):
     )
 
 
+def q_hcat(spark, sf_dir):
+    """Positional horizontal concat (core.py hcat, reference
+    Merge.hs:59 ``|||``): nation (25 rows) glued beside region
+    (5 rows) under explicit per-side orders — region columns
+    null-fill past row 5."""
+    nation = _t(spark, sf_dir, "nation").select(["n_nationkey", "n_name"])
+    region = _t(spark, sf_dir, "region").select(["r_regionkey", "r_name"])
+    return nation.hcat(
+        region, order_by=["n_nationkey"], other_order_by=["r_regionkey"]
+    ).df
+
+
+def q_duplicated_spans(spark, sf_dir):
+    """Cross-document duplicated-span scoring (operators/dedup.py
+    duplicated_spans — window-hash simplification of Lee et al.
+    suffix-array dedup): fraction of each doc covered by 20-token
+    spans appearing in ≥2 documents. The oracle recomputes with span
+    STRINGS instead of xxhash64 (same counts absent 2^-64 hash
+    collisions)."""
+    from ..operators.dedup import duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents").df
+    return duplicated_spans(docs, "doc_id", "text", window=20, min_docs=2)
+
+
+def q_quantile_bucket(spark, sf_dir):
+    """Equi-depth bucketing (operators/quantiles.py quantile_bucket):
+    exact quartile cuts broadcast as one row, assignment map-side —
+    NTILE semantics without NTILE's single-ordering scale problem.
+    Reported as per-bucket count + value band."""
+    from ..operators.quantiles import quantile_bucket
+
+    li = _t(spark, sf_dir, "lineitem").df
+    out = quantile_bucket(li, "l_extendedprice", 4)
+    return out.groupBy(
+        F.col("l_extendedprice_bucket").cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min(F.col("l_extendedprice").cast("double")), 2).alias("lo"),
+        F.round(F.max(F.col("l_extendedprice").cast("double")), 2).alias("hi"),
+    )
+
+
+def q_approx_quantiles(spark, sf_dir):
+    """Greenwald-Khanna bounded-state quantile sketch (core.py
+    approx_quantiles) — the 100 TB profiling path. Rows-only by
+    design: sketch values are implementation-defined within the
+    rank-error bound (the bound itself is asserted in pytest)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.approx_quantiles(
+        ["l_quantity", "l_extendedprice"], [0.1, 0.5, 0.9], rel_err=0.01
+    ).df
+    return out.select(
+        "column_name",
+        F.round("prob", 2).alias("prob"),
+        F.round("value", 4).alias("value"),
+    )
+
+
 def q_source_overlap(spark, sf_dir):
     """Cross-source 3-gram overlap matrix (operators/dedup.py
     source_overlap): shared distinct shingles per source pair."""
@@ -54,6 +113,10 @@ def q_source_overlap(spark, sf_dir):
 QUERIES = {
     "q_winsorize": q_winsorize,
     "q_sample_group": q_sample_group,
+    "q_hcat": q_hcat,
+    "q_duplicated_spans": q_duplicated_spans,
+    "q_quantile_bucket": q_quantile_bucket,
+    "q_approx_quantiles": q_approx_quantiles,
     "q_source_overlap": q_source_overlap,
 }
 
@@ -84,6 +147,61 @@ ORACLES = {
                    ORDER BY MD5(CONCAT_WS(CHR(31), doc_id)), doc_id) AS rn
           FROM documents
         ) WHERE rn <= 5
+    """,
+    "q_hcat": """
+        WITH a AS (
+          SELECT n_nationkey, n_name,
+                 ROW_NUMBER() OVER (ORDER BY n_nationkey) AS idx
+          FROM nation
+        ),
+        b AS (
+          SELECT r_regionkey, r_name,
+                 ROW_NUMBER() OVER (ORDER BY r_regionkey) AS idx
+          FROM region
+        )
+        SELECT n_nationkey, n_name, r_regionkey, r_name
+        FROM a FULL OUTER JOIN b USING (idx)
+    """,
+    "q_duplicated_spans": """
+        WITH tok AS (
+          SELECT doc_id AS id,
+                 LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        win AS (
+          SELECT DISTINCT id,
+                 UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 19),
+                        i -> ARRAY_TO_STRING(t[i:i+19], ' '))) AS span
+          FROM tok
+        ),
+        wfreq AS (
+          SELECT span FROM win GROUP BY span HAVING COUNT(*) >= 2
+        )
+        SELECT w.id AS id,
+               COUNT(*) AS n_windows,
+               COUNT(f.span) AS n_dup_windows,
+               ROUND(COUNT(f.span) / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0), 4)
+                 AS dup_span_frac
+        FROM win w LEFT JOIN wfreq f ON w.span = f.span
+        GROUP BY w.id
+    """,
+    "q_quantile_bucket": """
+        WITH cuts AS (
+          SELECT QUANTILE_CONT(CAST(l_extendedprice AS DOUBLE),
+                               [0.25, 0.5, 0.75]) AS c
+          FROM lineitem
+        ),
+        assigned AS (
+          SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+                 CAST(CASE WHEN v > c[1] THEN 1 ELSE 0 END
+                    + CASE WHEN v > c[2] THEN 1 ELSE 0 END
+                    + CASE WHEN v > c[3] THEN 1 ELSE 0 END AS INT) AS bucket
+          FROM lineitem, cuts
+        )
+        SELECT bucket, COUNT(*) AS n,
+               ROUND(MIN(v), 2) AS lo, ROUND(MAX(v), 2) AS hi
+        FROM assigned GROUP BY bucket
     """,
     "q_source_overlap": """
         WITH tok AS (

@@ -23,6 +23,9 @@ RISKY = [
     "q_sessionize",      # r3 sum-of-flags aggregate (epoch arithmetic)
     "q_sample_group",    # r3 md5 row-order ranking
     "q_source_overlap",  # r3 shingle self-join matrix
+    "q_duplicated_spans",  # r4 span-frac division (nullif guarded)
+    "q_quantile_bucket",   # r4 bucket-cut comparisons over casts
+    "q_hcat",              # r4 row-index offsets (count arithmetic)
 ]
 
 

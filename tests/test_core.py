@@ -301,3 +301,29 @@ def test_sample_k_per_group_null_keys_distinct(spark):
     out1 = sorted(map(tuple, df.sample_k_per_group("grp", 2, ["k1", "k2"]).collect()), key=key)
     out2 = sorted(map(tuple, df.sample_k_per_group("grp", 2, ["k1", "k2"]).collect()), key=key)
     assert out1 == out2 and len(out1) == 2
+
+
+def test_hcat_positional(spark):
+    """Merge.hs (|||): positional glue, null-fill on the shorter
+    side, other's column replaces same-named column in place."""
+    from dataframe_spark import DataFrame
+
+    a = DataFrame(spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "id int, tag string"))
+    b = DataFrame(spark.createDataFrame(
+        [(10, "p"), (20, "q")], "score int, tag string"))
+    out = a.hcat(b, order_by=["id"], other_order_by=["score"])
+    assert out.column_names == ["id", "tag", "score"]
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["score"] == 10 and rows[1]["tag"] == "p"  # b's tag wins
+    assert rows[3]["score"] is None and rows[3]["tag"] is None  # null-fill
+    assert out.n_rows() == 3
+
+    # longer right side extends the frame with nulls on the left
+    out2 = b.hcat(a.select(["id"]), order_by=["score"], other_order_by=["id"])
+    assert out2.n_rows() == 3
+    assert [r["score"] for r in out2.sort_by(["id"]).collect()][2] is None
+
+    from dataframe_spark.errors import ColumnNotFoundError
+    with pytest.raises(ColumnNotFoundError):
+        a.hcat(b, order_by=["nope"])

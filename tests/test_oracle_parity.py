@@ -114,3 +114,37 @@ def test_query_matches_oracle_hostile_session(spark, duck, name):
     assert sorted(spark_cols) == sorted(duck_cols)
     assert len(spark_rows) == len(duck_rows)
     assert _normalize(spark_rows, spark_cols) == _normalize(duck_rows, duck_cols)
+
+
+@pytest.mark.slow
+def test_full_registry_parity(spark, duck):
+    """Full-registry pre-flight: every oracle-backed queries() entry
+    against its DuckDB oracle at sf0.001 in ONE sweep. The driver's
+    per-round window covers 50 entries; with an 88-entry registry
+    this is the only per-round all-queries signal (VERDICT r3 #6).
+    Runs on the shared session/connection to amortize startup."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        sql = oracles.get(name)
+        if sql is None:
+            continue  # rows-only by design
+        try:
+            sdf = fn(spark, SF_DIR)
+            spark_rows = [tuple(r) for r in sdf.collect()]
+            spark_cols = sdf.columns
+            res = duck.execute(sql)
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+            if sorted(spark_cols) != sorted(duck_cols):
+                failures.append(f"{name}: cols {sorted(spark_cols)} != {sorted(duck_cols)}")
+            elif len(spark_rows) != len(duck_rows):
+                failures.append(f"{name}: rows {len(spark_rows)} != {len(duck_rows)}")
+            elif _normalize(spark_rows, spark_cols) != _normalize(duck_rows, duck_cols):
+                failures.append(f"{name}: value hash mismatch")
+        except Exception as e:  # noqa: BLE001 - collect, report all at once
+            failures.append(f"{name}: {type(e).__name__}: {e}")
+    assert not failures, "\n".join(failures)
