@@ -124,12 +124,22 @@ def jaccard_pairs(
     shingle table — verification shuffle is O(candidates + docs),
     not O(total shingles). At 100 TB this is the difference between
     a size-of-data shuffle and a quadratic one."""
-    arrs = shingle_arrays(df, id_col, text_col, n)
+    # The ENTIRE pipeline runs on xxhash64(shingle) longs, never the
+    # shingle strings: document frequency, the rarest-first order
+    # (df asc, hash asc — any consistent total order is lossless for
+    # prefix filtering), the candidate join key, and verification all
+    # only need a stable shingle identity, so every shuffle moves
+    # 8-byte fixed-width keys instead of n-gram strings and every
+    # sort compares longs. A 64-bit cross-doc collision (~pairs/2^64)
+    # could only ADD a candidate, which exact verification rejects —
+    # except for in-verify collisions, the same vanishing risk
+    # _hash_arrays already documents.
+    arrs = _hash_arrays(shingle_arrays(df, id_col, text_col, n))
     exploded = arrs.select("id", "n_sh", F.explode("sh_arr").alias("shingle"))
     # Global document frequency, but only for REPEATED shingles: a
     # shingle with df == 1 can never produce a candidate pair, and in
     # the rarest-first order all df==1 shingles tie anyway (break by
-    # shingle text). The df>=2 set is a small fraction of the corpus
+    # shingle hash). The df>=2 set is a small fraction of the corpus
     # vocabulary, so it broadcasts — turning the df lookup from a
     # full shuffle join of the exploded table into a map-side join.
     # Shuffles left: dfreq groupBy, the per-doc rank window, the
@@ -140,21 +150,40 @@ def jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= 2)
     )
-    w_rank = Window.partitionBy("id").orderBy(
-        F.col("df").asc(), F.col("shingle").asc()
-    )
-    ranked = (
-        exploded.join(F.broadcast(dfreq), "shingle", "left")
-        .withColumn("df", F.coalesce(F.col("df"), F.lit(1)))
-        .withColumn("__rank", F.row_number().over(w_rank))
+    # Rarest-first rank WITHOUT a full-corpus window: in the
+    # (df asc, shingle asc) order every df==1 shingle sorts before
+    # every repeated one, so a repeated shingle's global rank inside
+    # its doc is n1 + (rank among the doc's repeated shingles),
+    # where n1 = n_sh - n2 needs only counts. And df==1 shingles
+    # never join across docs, so only repeated prefix entries need
+    # emitting at all. That turns the old row_number window — a
+    # shuffle+sort of EVERY shingle occurrence in the corpus — into
+    # a groupBy of just the repeated occurrences (a small fraction),
+    # with the sort done per-row over the collected struct array.
+    # Shuffles left: dfreq groupBy, the repeated-occurrence groupBy,
+    # the candidate join, and verification — each bounded by data or
+    # candidate size, nothing quadratic.
+    rep = exploded.join(F.broadcast(dfreq), "shingle")  # inner: df>=2 only
+    per_doc = rep.groupBy("id", "n_sh").agg(
+        F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("__reps")
     )
     # prefix length: n_sh - ceil(t * n_sh) + 1 (n_sh rides along from
-    # shingle_arrays — no second window); keep size + position for
-    # the in-join filters
-    prefix = ranked.where(
-        F.col("__rank")
-        <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    ).select("id", "shingle", "n_sh", F.col("__rank").alias("pos"))
+    # shingle_arrays — no second pass); keep size + position for the
+    # in-join filters
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    n1 = F.col("n_sh") - F.size("__reps")
+    k = (prefix_len - n1).cast("int")  # repeated entries inside the prefix
+    prefix = per_doc.select(
+        "id",
+        "n_sh",
+        n1.alias("__n1"),
+        F.posexplode(F.slice("__reps", F.lit(1), F.greatest(k, F.lit(0)))),
+    ).select(
+        "id",
+        F.col("col.shingle").alias("shingle"),
+        "n_sh",
+        (F.col("__n1") + F.col("pos") + 1).alias("pos"),
+    )
     a = prefix.select(
         F.col("id").alias("a_id"),
         "shingle",
@@ -189,7 +218,7 @@ def jaccard_pairs(
         .select("a_id", "b_id")
         .distinct()
     )
-    return _verify_jaccard(cands, _hash_arrays(arrs), threshold)
+    return _verify_jaccard(cands, arrs, threshold)
 
 
 def _hash_arrays(arrs: SparkDF) -> SparkDF:
