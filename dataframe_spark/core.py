@@ -44,23 +44,21 @@ def _c(x) -> Column:
 
 def _np_quartiles(pdf):
     """Arrow kernel for summarize's small path: exact interpolated
-    quartiles (numpy 'linear' == SQL percentile_cont) for every
-    column of the single-group frame. Bit-identical to
-    ``F.percentile`` (verified in tests), ~2.3x faster locally."""
+    quartiles (numpy 'linear' == SQL percentile_cont) of ONE
+    column's values, keyed by column index — each numeric column is
+    its own group so the kernels run column-parallel instead of
+    funnelling the whole numeric projection through one worker.
+    Bit-identical to ``F.percentile`` (verified in tests)."""
     import numpy as np
     import pandas as pd
 
-    rows = []
-    for c in pdf.columns:
-        if c == "__g":
-            continue
-        v = pdf[c].dropna().to_numpy()
-        if len(v):
-            q = np.quantile(v, [0.25, 0.5, 0.75])
-            rows.append((c, float(q[0]), float(q[1]), float(q[2])))
-        else:
-            rows.append((c, None, None, None))
-    return pd.DataFrame(rows, columns=["column_name", "q25", "median", "q75"])
+    ci = int(pdf["ci"].iloc[0])
+    v = pdf["v"].to_numpy()  # nulls filtered plan-side
+    q = np.quantile(v, [0.25, 0.5, 0.75])
+    return pd.DataFrame(
+        [(ci, float(q[0]), float(q[1]), float(q[2]))],
+        columns=["ci", "q25", "median", "q75"],
+    )
 
 
 class DataFrame:
@@ -859,14 +857,29 @@ class DataFrame:
             f"stack({len(num_cols)}, {', '.join(stack_args)}) as "
             "(column_name, mean, std, min, max)"
         )
-        proj = df.select(
-            *[F.col(c).cast("double").alias(c) for c in num_cols]
-        ).withColumn("__g", F.lit(1))
-        quarts = proj.groupBy("__g").applyInPandas(
-            _np_quartiles, "column_name string, q25 double, median double, q75 double"
+        # melt to (column-index, value) so the shuffle lands each
+        # column on its own reducer and the Arrow quantile kernels
+        # run column-parallel; nulls drop plan-side (np.quantile has
+        # no skipna), and an all-null column simply has no group —
+        # the left join below restores its all-null quartile row
+        pairs = df.select(
+            F.posexplode(
+                F.array(*[F.col(c).cast("double") for c in num_cols])
+            ).alias("ci", "v")
+        ).where(F.col("v").isNotNull())
+        quarts = (
+            pairs.groupBy("ci")
+            .applyInPandas(
+                _np_quartiles, "ci int, q25 double, median double, q75 double"
+            )
+            .withColumn(
+                "column_name",
+                F.element_at(
+                    F.array(*[F.lit(c) for c in num_cols]), F.col("ci") + 1
+                ),
+            )
+            .drop("ci")
         )
-        # left join: an all-empty frame has no quartile rows but the
-        # moments agg still yields one (all-null) row per column
         return self._wrap(
             moments.join(F.broadcast(quarts), "column_name", "left").select(
                 "column_name", "mean", "std", "min", "q25", "median", "q75", "max"

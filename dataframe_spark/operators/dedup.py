@@ -391,20 +391,49 @@ def contamination_scores(
     overlap are dropped (callers treat absence as clean).
 
     The benchmark's distinct shingle set is the join's build side:
-    eval suites are tiny relative to a training corpus, so it
-    broadcasts (flip ``broadcast_bench`` off to shuffle-join a huge
-    benchmark). The corpus side is one explode + one count groupBy —
-    size-of-data work, no pairwise comparisons anywhere."""
-    corpus = shingle_arrays(df, id_col, text_col, n)
+    eval suites are tiny relative to a training corpus, so the
+    default collects their xxhash64'd shingles into ONE broadcast
+    array row and scores each corpus doc IN-ROW with array_intersect
+    — a single narrow pass over the corpus, no explode fan-out and
+    no per-doc groupBy shuffle (the 8-byte hashes make the set
+    compact; a cross-set collision could only add ~1/2^64 noise to a
+    count). Flip ``broadcast_bench`` off to shuffle-join a benchmark
+    too large to hold as one array — the corpus side is then one
+    explode + one count groupBy, still size-of-data work."""
+    corpus = _hash_arrays(shingle_arrays(df, id_col, text_col, n))
     bench_toks = F.filter(tokens_expr(bench_text_col), lambda x: x != F.lit(""))
     bench = bench_df.select(
         F.explode(shingle_array_expr(bench_toks, n)).alias("shingle")
-    ).distinct()
+    )
     if broadcast_bench:
-        bench = F.broadcast(bench)
+        bench_row = bench.agg(
+            F.collect_set(F.xxhash64("shingle")).alias("__bench")
+        )
+        hits = (
+            corpus.join(F.broadcast(bench_row))
+            .select(
+                "id",
+                "n_sh",
+                F.size(F.array_intersect("sh_arr", "__bench")).alias(
+                    "n_contaminated"
+                ),
+            )
+            .where(F.col("n_contaminated") > 0)
+        )
+        return hits.select(
+            "id",
+            "n_sh",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated")
+                / F.nullif(F.col("n_sh").cast("double"), F.lit(0.0)),
+                4,
+            ).alias("contamination"),
+        )
     hits = (
         corpus.select("id", "n_sh", F.explode("sh_arr").alias("shingle"))
-        .join(bench, "shingle")
+        .join(bench.select(F.xxhash64("shingle").alias("shingle")).distinct(),
+              "shingle")
         .groupBy("id", "n_sh")
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )

@@ -70,19 +70,24 @@ def test_z_score_has_no_global_window(spark, sf_dir):
 
 
 def test_contamination_broadcasts_bench_side(spark):
-    """The eval-set shingle table must be the broadcast build side —
-    the corpus side streams map-only through the join."""
+    """The eval-set shingle set must be the broadcast build side (a
+    single collected array row), and the per-doc score must be
+    computed in-row: no aggregate may run downstream of the join —
+    the corpus side streams map-only start to finish."""
     from dataframe_spark.operators.dedup import contamination_scores
 
     corpus = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     bench = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
-    plan = (
+    qe = (
         contamination_scores(corpus, "doc_id", "text", bench, "text", n=3)
         ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
     )
-    assert "BroadcastHashJoin" in plan
+    plan = qe.executedPlan().toString()
+    assert "Broadcast" in plan and "Join" in plan
+    # the only aggregate is the bench-side collect_set, which sits
+    # BELOW the broadcast exchange; nothing aggregates the corpus
+    join_side = plan.split("Join", 1)[0]
+    assert "HashAggregate" not in join_side
 
 
 def test_pack_sequences_window_is_group_partitioned(spark):
