@@ -93,6 +93,16 @@ def main():
         ).save()
         floor = min(floor, time.monotonic() - t0)
 
+    # One untimed warmup pass: the first execution of each plan pays
+    # one-off Catalyst analysis + whole-stage codegen compilation +
+    # JVM JIT (measured 2-4x the steady-state wall; q_dedup_ngram's
+    # first run is 7.7s vs 2.2s warm). A long-lived cluster pays that
+    # once per deployed query, not per run — timing the steady state
+    # is what matches both the deployment and the (also-warm) DuckDB
+    # baseline loop.
+    for name in HEADLINE:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     # best-of-3: the box shares CPU with other tenants and steal
     # arrives in multi-minute bursts (measured: identical plans vary
     # 3.3s -> 11s back-to-back); three passes spread over ~2-3 min

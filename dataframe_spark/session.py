@@ -61,5 +61,13 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_UI", "false"),
         )
         .config("spark.sql.ui.retainedExecutions", "10")
+        # The generated-class cache defaults to 100 entries; an
+        # engine serving dozens of distinct queries cycles hundreds
+        # of codegen stages, so at 100 every query re-Janino-compiles
+        # every stage on every run (measured: interleaved queries ran
+        # 2-3x slower than back-to-back repeats of one query). 10k
+        # entries keeps the working set of a realistic query mix
+        # compiled once per deployment.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
     )
     return builder.getOrCreate()
