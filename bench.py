@@ -118,6 +118,8 @@ def main():
             elapsed = round(time.monotonic() - t0, 3)
             times[name] = min(times.get(name, elapsed), elapsed)
 
+    scaling = _scaling_check(spark, qs, sf_dir, times)
+
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
         sf = float(sf)
@@ -131,6 +133,8 @@ def main():
         "sf": sf,
         "fixed_overhead_sec": round(floor, 3),
     }
+    if scaling:
+        out["scaling_10x"] = scaling
     baseline = _load_baseline(sf)
     if baseline:
         ratios = {
@@ -144,6 +148,50 @@ def main():
             sum(times[q] for q in ratios) / sum(baseline[q] for q in ratios), 2
         )
     print(json.dumps(out))
+
+
+SCALING_QUERIES = ["q1_pricing_summary", "q_dedup_minhash"]
+
+
+def _scaling_check(spark, qs, sf_dir, times) -> dict:
+    """Empirical 10x scale-up: replicate sf0.1 to 10x its rows
+    (tools/scale_data.py — token-salted copies keep the dedup
+    pipeline's true pair count exactly 10x) and re-run two flagship
+    queries. A wall-clock factor near (or below) 10 on a fixed-core
+    box validates that no stage collects, buffers, or re-plans
+    super-linearly in the input. Skipped unless timing sf0.1
+    (SPARK_GRAFT_SCALING=0 also disables)."""
+    import time as _time
+
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") == "0":
+        return {}
+    if not sf_dir.rstrip("/").endswith("sf0.1"):
+        return {}
+    from tools.scale_data import ensure
+
+    big_dir = "/tmp/spark_graft_sf1"
+    if not ensure(spark, sf_dir, big_dir):
+        return {}
+    from dataframe_spark.tables import load_table
+
+    for t in ("lineitem", "documents"):
+        load_table(spark, big_dir, t).count()  # warm, same as sf0.1
+    out = {}
+    for name in SCALING_QUERIES:
+        best = None
+        for _ in range(2):
+            t0 = _time.monotonic()
+            qs[name](spark, big_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            el = _time.monotonic() - t0
+            best = el if best is None else min(best, el)
+        out[name] = {
+            "sf0.1_sec": times[name],
+            "10x_sec": round(best, 3),
+            "wall_factor": round(best / times[name], 2),
+        }
+    return out
 
 
 def _load_baseline(sf) -> dict[str, float]:
