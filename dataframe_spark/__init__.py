@@ -27,6 +27,7 @@ from .constructors import (
     to_matrix,
 )
 from .core import Asc, DataFrame, Desc, GroupedDataFrame
+from .interop import to_int_tensor, to_tensor
 from .monad import FrameM
 from .session import get_spark
 from .typing import parse_defaults, parse_with_types
@@ -67,6 +68,8 @@ __all__ = [
     "from_rows",
     "column_as_list",
     "to_matrix",
+    "to_tensor",
+    "to_int_tensor",
     "parse_defaults",
     "parse_with_types",
     "to_int_matrix",

@@ -63,3 +63,48 @@ def test_to_markdown_escapes_pipes_and_newlines(spark):
     assert "a\\|b" in lines[2] and "l1<br>l2" in lines[2]
     counts = {line.count("|") - line.count("\\|") for line in lines}
     assert len(counts) == 1
+
+
+def test_terminal_plots_render(spark):
+    """Display/Terminal/Plot.hs surface: each plot kind reduces in
+    Spark and renders a non-empty ASCII block."""
+    from dataframe_spark import DataFrame
+    from dataframe_spark import display as disp
+
+    df = DataFrame(
+        spark.createDataFrame(
+            [(i, float(i % 7), float(i * i % 13), "g" + str(i % 3))
+             for i in range(1, 101)],
+            "id long, a double, b double, grp string",
+        )
+    )
+    hist = disp.plot_histogram(df, "a", bins=5)
+    assert hist.count("\n") == 4 and "#" in hist
+    bars = disp.plot_bars(df, "grp")
+    assert bars.splitlines()[0].startswith("g1")  # 34 rows, most frequent
+    scat = disp.plot_scatter(df, "a", "b", width=20, height=8)
+    assert "|" in scat and "a" in scat.splitlines()[-1]
+    lines = disp.plot_lines(df, "id", ["a", "b"], width=20, height=6)
+    assert "*=a" in lines.splitlines()[-1]
+    box = disp.plot_box_plots(df, ["a", "b"], width=30)
+    assert box.count("#") == 2  # one median marker per column
+    stacked = disp.plot_stacked_bars(df, "grp", ["a", "b"], width=20)
+    assert len(stacked.splitlines()) == 4  # 3 categories + legend
+    corr = disp.plot_correlation_matrix(df, ["id", "a", "b"])
+    assert "1.00" in corr
+    allh = disp.plot_all_histograms(df, bins=4)
+    assert "== id ==" in allh and "== a ==" in allh
+
+
+def test_terminal_plots_empty_and_constant(spark):
+    from dataframe_spark import DataFrame
+    from dataframe_spark import display as disp
+
+    empty = DataFrame(spark.createDataFrame([], "a double, b double"))
+    assert disp.plot_scatter(empty, "a", "b") == "(empty)"
+    assert disp.plot_lines(empty, "a", ["b"]) == "(empty)"
+    assert disp.plot_box_plots(empty, ["a"]) == "(empty)"
+    const = DataFrame(spark.createDataFrame([(1.0, 2.0)] * 5, "a double, b double"))
+    # zero-span axes must not divide by zero
+    assert "|" in disp.plot_scatter(const, "a", "b", width=10, height=4)
+    assert "#" in disp.plot_box_plots(const, ["a", "b"], width=20)
