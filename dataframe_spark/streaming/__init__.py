@@ -1,6 +1,6 @@
 from .windows import session_agg_stream, windowed_agg_stream
 from .dedup import streaming_dedup
-from .join import enrich_stream
+from .join import enrich_stream, interval_join_streams
 from .source import events_stream
 from .stateful import running_user_totals
 
@@ -10,5 +10,6 @@ __all__ = [
     "streaming_dedup",
     "events_stream",
     "enrich_stream",
+    "interval_join_streams",
     "running_user_totals",
 ]

@@ -165,3 +165,57 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, stream):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, stream):
+    """Attribution shape: each click paired with same-user purchases
+    within 30 minutes — stream-stream interval join with watermarks
+    on both sides, batch-twin checked on the pair count."""
+    from dataframe_spark.streaming import interval_join_streams
+
+    def split(ev):
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("click_ts")
+        )
+        buys = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("buy_ts"), "value"
+        )
+        return clicks, buys
+
+    clicks_s, buys_s = split(stream)
+    q = (
+        interval_join_streams(
+            clicks_s, buys_s, on=["user_id"],
+            left_ts="click_ts", right_ts="buy_ts",
+            upper_bound="30 minutes",
+        )
+        .writeStream.format("memory")
+        .queryName("attributed")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select count(*) n from attributed").first()["n"]
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks_b, buys_b = split(ev)
+    want = (
+        clicks_b.join(buys_b, "user_id")
+        .where(
+            (F.col("buy_ts") >= F.col("click_ts"))
+            & (F.col("buy_ts") <= F.col("click_ts") + F.expr("interval 30 minutes"))
+        )
+        .count()
+    )
+    assert got == want and want > 0
+
+
+def test_interval_join_rejects_same_ts_name(spark):
+    from dataframe_spark.streaming import interval_join_streams
+
+    df = spark.readStream.format("rate").load()
+    import pytest
+
+    with pytest.raises(ValueError, match="rename"):
+        interval_join_streams(df, df, on=["value"])
