@@ -17,6 +17,7 @@ plans, so they remain fully distributed.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column
@@ -35,7 +36,12 @@ Desc = "desc"
 # map buffered and merged on ONE reducer) to the sharded exact plan
 # in operators/quantiles.py. The buffer's memory is bounded by the
 # column's distinct values, for which scan size is the cheap proxy.
-QUANTILE_BUFFER_MAX_BYTES = 256 * 1024 * 1024
+# Size it like a broadcast threshold: well under one executor's
+# task memory (the default assumes >= 1 GiB per task slot).
+# Deployments tune it via SPARK_GRAFT_QUANTILE_BUFFER_MB.
+QUANTILE_BUFFER_MAX_BYTES = (
+    int(os.environ.get("SPARK_GRAFT_QUANTILE_BUFFER_MB", "256")) * 1024 * 1024
+)
 
 
 def _c(x) -> Column:
