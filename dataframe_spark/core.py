@@ -100,10 +100,12 @@ class DataFrame:
         """Catalyst's plan-side size estimate for this frame (file
         sizes for scans, propagated through the plan). Reading it
         runs NO job — it is the same statistic AQE and the broadcast
-        threshold consult."""
-        return int(
-            self.df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
+        threshold consult. Under Spark Connect (no JVM handle) this
+        reports "large", routing gated verbs to their distributed
+        path (plans/stats.py)."""
+        from .plans.stats import plan_size_bytes
+
+        return plan_size_bytes(self.df)
 
     # -- core / exploration (Operations/Core.hs) -----------------------
 

@@ -246,10 +246,9 @@ def winsorize(
     bounds frame is one row per (group) regardless of data size, so
     the clip is a map-side operation at any scale."""
     if distributed is None:
-        distributed = (
-            int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-            > 256 * 1024 * 1024
-        )
+        from ..plans.stats import plan_size_bytes
+
+        distributed = plan_size_bytes(df) > 256 * 1024 * 1024
     fn = exact_quantiles_grouped if distributed else grouped_quantiles_buffered
     q = fn(df, list(group_cols), value_col, [float(lower), float(upper)])
     bounds = q.groupBy(*group_cols).agg(

@@ -68,7 +68,9 @@ def cosine_pairs(
     exact baseline; LSH bucketing (knn_lsh) is the sub-quadratic
     scale path."""
     spark = df.sparkSession
-    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    from ..plans.stats import plan_size_bytes
+
+    est = plan_size_bytes(df)
     if est <= broadcast_bytes:
         corpus = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).toPandas()
         ids = corpus["id"].to_numpy(dtype="int64")

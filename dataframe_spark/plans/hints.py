@@ -31,12 +31,21 @@ def ensure_scan_parallelism(sdf, min_fill: float = 0.5, max_bytes: int = 1 << 30
     estimate exceeds ``max_bytes`` (repartitioning a large input
     would shuffle the corpus to fix nothing). Takes/returns a plain
     pyspark DataFrame so operators can use it internally."""
-    sc = sdf.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if sdf.rdd.getNumPartitions() >= max(2, int(target * min_fill)):
+    try:
+        sc = sdf.sparkSession.sparkContext
+        target = sc.defaultParallelism
+        n_parts = sdf.rdd.getNumPartitions()
+    except Exception:
+        # Spark Connect: no sparkContext/rdd handle. AQE still fixes
+        # post-shuffle parallelism; only the single-split-scan case
+        # loses this hint, and guessing a repartition without the
+        # split count would shuffle blindly.
         return sdf
-    est = int(sdf._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    if est > max_bytes:
+    if n_parts >= max(2, int(target * min_fill)):
+        return sdf
+    from .stats import plan_size_bytes
+
+    if plan_size_bytes(sdf) > max_bytes:
         return sdf
     return sdf.repartition(target)
 

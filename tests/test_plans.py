@@ -159,3 +159,24 @@ def test_sample_k_per_group_single_shuffle(spark, sf_dir):
     docs = DataFrame(load_table(spark, sf_dir, "documents"))
     plan = _plan(docs.sample_k_per_group("source", 5, ["doc_id"]).df)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_summarize_quartiles_are_column_parallel(spark):
+    """summarize's small path must shuffle quartile work BY COLUMN
+    INDEX (one reducer per numeric column), never funnel the whole
+    numeric projection through a single constant-key group."""
+    from dataframe_spark import DataFrame
+
+    df = DataFrame(
+        spark.createDataFrame(
+            [(float(i), float(i * 2)) for i in range(100)],
+            "a double, b double",
+        )
+    )
+    plan = (
+        df.summarize(distributed=False)
+        .df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(ci" in plan
