@@ -150,7 +150,11 @@ def main():
     print(json.dumps(out))
 
 
-SCALING_QUERIES = ["q1_pricing_summary", "q_dedup_minhash"]
+SCALING_QUERIES = [
+    "q1_pricing_summary",
+    "q_dedup_minhash",
+    "q_dedup_ngram_jaccard",
+]
 
 
 def _scaling_check(spark, qs, sf_dir, times) -> dict:

@@ -178,6 +178,28 @@ def q_stream_dedup(spark, sf_dir):
     )
 
 
+def q_interval_join(spark, sf_dir):
+    """Attribution: per user, purchases within 30 minutes of any of
+    their clicks — the batch twin of
+    streaming/join.py interval_join_streams (equi-join on user plus
+    a two-sided event-time band; never a cross product)."""
+    ev = _t(spark, sf_dir, "events").df
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("buy_ts"), "value"
+    )
+    pairs = clicks.join(buys, "user_id").where(
+        (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("interval 30 minutes"))
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        F.round(F.sum("value"), 2).alias("attributed_value"),
+    )
+
+
 QUERIES = {
     "q_window_rank": q_window_rank,
     "q_window_cumsum": q_window_cumsum,
@@ -187,9 +209,23 @@ QUERIES = {
     "q_stream_window": q_stream_window,
     "q_stream_dedup": q_stream_dedup,
     "q_resample": q_resample,
+    "q_interval_join": q_interval_join,
 }
 
 ORACLES = {
+    "q_interval_join": """
+        SELECT c.user_id,
+               COUNT(*) AS n_attributed,
+               ROUND(SUM(b.value), 2) AS attributed_value
+        FROM (SELECT user_id, ts AS click_ts FROM events
+              WHERE event_type = 'click') c
+        JOIN (SELECT user_id, ts AS buy_ts, value FROM events
+              WHERE event_type = 'purchase') b
+          ON c.user_id = b.user_id
+         AND b.buy_ts >= c.click_ts
+         AND b.buy_ts <= c.click_ts + INTERVAL 30 MINUTE
+        GROUP BY c.user_id
+    """,
     "q_window_rolling": """
         SELECT o_custkey, o_orderkey,
           ROUND(SUM(o_totalprice) OVER (

@@ -26,6 +26,7 @@ RISKY = [
     "q_duplicated_spans",  # r4 span-frac division (nullif guarded)
     "q_quantile_bucket",   # r4 bucket-cut comparisons over casts
     "q_hcat",              # r4 row-index offsets (count arithmetic)
+    "q_interval_join",     # r4 timestamp + interval arithmetic
 ]
 
 
