@@ -79,7 +79,7 @@ def main():
         _noop_batch, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    if os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1":
+    if os.environ.get("SPARK_GRAFT_CACHE_TABLES") not in (None, "", "0"):
         warm_cache(spark, sf_dir)
 
     # Fixed per-query floor on this box: one shuffle stage over an

@@ -867,14 +867,16 @@ class DataFrame:
         )
         # melt to (column-index, value) so the shuffle lands each
         # column on its own reducer and the Arrow quantile kernels
-        # run column-parallel; nulls drop plan-side (np.quantile has
-        # no skipna), and an all-null column simply has no group —
-        # the left join below restores its all-null quartile row
+        # run column-parallel; nulls AND NaN drop plan-side
+        # (np.quantile has no skipna and one NaN poisons it — the
+        # old dropna() path excluded both), and an all-null column
+        # simply has no group — the left join below restores its
+        # all-null quartile row
         pairs = df.select(
             F.posexplode(
                 F.array(*[F.col(c).cast("double") for c in num_cols])
             ).alias("ci", "v")
-        ).where(F.col("v").isNotNull())
+        ).where(F.col("v").isNotNull() & ~F.isnan("v"))
         quarts = (
             pairs.groupBy("ci")
             .applyInPandas(

@@ -123,7 +123,12 @@ def plot_scatter(
     groupBy, each cell shaded by its point count."""
     from pyspark.sql import functions as F
 
-    sdf = df.df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
+    sdf = df.df.where(
+        F.col(x).isNotNull()
+        & F.col(y).isNotNull()
+        & ~F.isnan(F.col(x).cast("double"))
+        & ~F.isnan(F.col(y).cast("double"))
+    )
     ext = sdf.agg(
         F.min(F.col(x).cast("double")).alias("x0"),
         F.max(F.col(x).cast("double")).alias("x1"),
@@ -171,7 +176,9 @@ def plot_lines(
     from pyspark.sql import functions as F
 
     glyphs = "*o+x#@%&"
-    sdf = df.df.where(F.col(x).isNotNull())
+    sdf = df.df.where(
+        F.col(x).isNotNull() & ~F.isnan(F.col(x).cast("double"))
+    )
     ext = sdf.agg(
         F.min(F.col(x).cast("double")).alias("x0"),
         F.max(F.col(x).cast("double")).alias("x1"),
@@ -180,6 +187,12 @@ def plot_lines(
         return "(empty)"
     x0, x1 = ext["x0"], ext["x1"]
     xs = (x1 - x0) or 1.0
+    def clean(c):
+        # Spark avg skips nulls but propagates NaN; drop both so a
+        # single NaN can't poison a bin (or the axis min/max below)
+        cc = F.col(c).cast("double")
+        return F.avg(F.when(~F.isnan(cc), cc)).alias(c)
+
     binned = (
         sdf.groupBy(
             F.least(
@@ -187,12 +200,13 @@ def plot_lines(
                 F.lit(width - 1),
             ).alias("xi")
         )
-        .agg(*[F.avg(F.col(c).cast("double")).alias(c) for c in cols])
+        .agg(*[clean(c) for c in cols])
         .collect()
     )
     vals = {r["xi"]: r for r in binned}
     flat = [
-        r[c] for r in binned for c in cols if r[c] is not None
+        r[c] for r in binned for c in cols
+        if r[c] is not None and r[c] == r[c]
     ]
     if not flat:
         return "(empty)"
@@ -230,9 +244,11 @@ def plot_box_plots(df: DataFrame, cols: list[str], width: int = 60) -> str:
     aggs = []
     for c in cols:
         cc = F.col(c).cast("double")
+        # NaN's unordered comparisons corrupt the quantile sketch;
+        # map it to null, which percentile_approx skips
         aggs.append(
             F.percentile_approx(
-                cc, [0.0, 0.25, 0.5, 0.75, 1.0], 10000
+                F.when(~F.isnan(cc), cc), [0.0, 0.25, 0.5, 0.75, 1.0], 10000
             ).alias(c)
         )
     row = df.df.agg(*aggs).first()

@@ -142,9 +142,6 @@ def jaccard_pairs(
     # shingle hash). The df>=2 set is a small fraction of the corpus
     # vocabulary, so it broadcasts — turning the df lookup from a
     # full shuffle join of the exploded table into a map-side join.
-    # Shuffles left: dfreq groupBy, the per-doc rank window, the
-    # candidate join, and verification — each bounded by data or
-    # candidate size, nothing quadratic.
     dfreq = (
         exploded.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -420,23 +417,16 @@ def contamination_scores(
             )
             .where(F.col("n_contaminated") > 0)
         )
-        return hits.select(
-            "id",
-            "n_sh",
-            "n_contaminated",
-            F.round(
-                F.col("n_contaminated")
-                / F.nullif(F.col("n_sh").cast("double"), F.lit(0.0)),
-                4,
-            ).alias("contamination"),
+    else:
+        hits = (
+            corpus.select("id", "n_sh", F.explode("sh_arr").alias("shingle"))
+            .join(
+                bench.select(F.xxhash64("shingle").alias("shingle")).distinct(),
+                "shingle",
+            )
+            .groupBy("id", "n_sh")
+            .agg(F.count(F.lit(1)).alias("n_contaminated"))
         )
-    hits = (
-        corpus.select("id", "n_sh", F.explode("sh_arr").alias("shingle"))
-        .join(bench.select(F.xxhash64("shingle").alias("shingle")).distinct(),
-              "shingle")
-        .groupBy("id", "n_sh")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
-    )
     return hits.select(
         "id",
         "n_sh",

@@ -108,3 +108,24 @@ def test_terminal_plots_empty_and_constant(spark):
     # zero-span axes must not divide by zero
     assert "|" in disp.plot_scatter(const, "a", "b", width=10, height=4)
     assert "#" in disp.plot_box_plots(const, ["a", "b"], width=20)
+
+
+def test_plots_tolerate_nan(spark):
+    """One NaN must not poison quartiles, axes, or bins (review r4):
+    summarize/plot paths drop NaN like the old dropna() kernel."""
+    from dataframe_spark import DataFrame
+    from dataframe_spark import display as disp
+
+    df = DataFrame(
+        spark.createDataFrame(
+            [(1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (float("nan"), 4.0)],
+            "a double, x double",
+        )
+    )
+    row = {r["column_name"]: r for r in df.summarize(distributed=False).collect()}
+    assert row["a"]["median"] == 2.0 and row["a"]["q25"] == 1.5
+    out = disp.plot_lines(df, "x", ["a"], width=10, height=4)
+    assert "(empty)" not in out  # and no ValueError
+    box = disp.plot_box_plots(df, ["a"], width=20)
+    assert "3" in box.splitlines()[-1]  # true max survives the NaN
+    assert "|" in disp.plot_scatter(df, "a", "x", width=10, height=4)

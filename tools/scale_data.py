@@ -40,9 +40,16 @@ def generate(spark: SparkSession, src_dir: str, out_dir: str) -> None:
 
     docs = spark.read.parquet(f"{src_dir}/documents.parquet")
     max_id = docs.agg(F.max("doc_id")).first()[0] + 1
+    # trim + drop empty tokens BEFORE tagging: splitting untrimmed
+    # text yields '' tokens whose tags ('c0_') would be shared across
+    # every doc of a copy, silently breaking the exactly-10x
+    # pair-count invariant
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
     tagged = F.array_join(
         F.transform(
-            F.split(F.col("text"), r"\s+"),
+            toks,
             lambda t: F.concat(F.lit("c"), F.col("__c").cast("string"),
                                F.lit("_"), t),
         ),
