@@ -29,19 +29,17 @@ MODULES = [stats_q, relational, extras_q, windows_q, text_q, exprs_q, ml_q, dedu
 # plans are being tuned this round. Everything else keeps its
 # r1–r3 green row on record and rotates behind the window.
 WINDOW_PRIORITY = [
-    *stats_q.QUERIES,        # 13
-    *relational.QUERIES,     # 22 -> 35
-    *extras_q.QUERIES,       # 7  -> 42 (q_winsorize/q_sample_group changed;
-                             #           q_hcat/q_duplicated_spans/
-                             #           q_quantile_bucket/q_approx_quantiles new)
-    "q_sessionize",          # r3 sentinel (failed r1+r2 — keep hard signal)
-    "q_tfidf",               # r3 sentinel
-    "q_dedup_ngram_jaccard", # plan tuned r4
-    "q_dedup_minhash",       # plan tuned r4
-    "q_window_rank",         # 47-50: windows sentinels
-    "q_window_cumsum",
-    "q_window_rolling",
-    "q_asof_join",
+    *stats_q.QUERIES,        # 13 (q_summarize kernel re-parallelized r4)
+    *relational.QUERIES,     # 28 -> 41 (6 new TPC-H composites r4)
+    "q_winsorize",           # 42-46: extras with oracles (changed/new r3-r4)
+    "q_sample_group",
+    "q_hcat",
+    "q_duplicated_spans",
+    "q_quantile_bucket",
+    "q_dedup_ngram_jaccard", # prefix-rank plan rewritten r4
+    "q_decontaminate",       # in-row broadcast rewrite r4
+    "q_interval_join",       # new r4 (stream-stream join batch twin)
+    "q_sessionize",          # sentinel (failed r1+r2 — keep hard signal)
 ]
 assert len(WINDOW_PRIORITY) == 50, len(WINDOW_PRIORITY)
 

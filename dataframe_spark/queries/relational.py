@@ -386,6 +386,182 @@ def q_dates(spark, sf_dir):
     )
 
 
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bidirectional trade volume between two
+    nations by (supplier nation, customer nation, ship year).
+    Supplier-side dim chain broadcasts (tiny at any scale); the
+    customer join shuffles — at 100 TB customers are not a
+    broadcastable side."""
+    n = _t(spark, sf_dir, "nation").filter_where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .rename("s_nationkey", "n_nationkey")
+        .inner_join(["n_nationkey"], n, broadcast=True)
+        .rename("n_name", "supp_nation")
+        .select(["s_suppkey", "supp_nation"])
+    )
+    cn = (
+        _t(spark, sf_dir, "customer")
+        .rename("c_nationkey", "n_nationkey")
+        .inner_join(["n_nationkey"], n, broadcast=True)
+        .rename("n_name", "cust_nation")
+        .select(["c_custkey", "cust_nation"])
+    )
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rename("l_suppkey", "s_suppkey")
+        .inner_join(["s_suppkey"], sn, broadcast=True)
+        .rename("l_orderkey", "o_orderkey")
+        .inner_join(["o_orderkey"], o)
+        .rename("o_custkey", "c_custkey")
+        .inner_join(["c_custkey"], cn)
+        .filter_where(F.col("supp_nation") != F.col("cust_nation"))
+        .derive("l_year", F.year("l_shipdate"))
+        .derive("volume", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .group_by(["supp_nation", "cust_nation", "l_year"])
+        .aggregate(revenue=F.round(F.sum("volume"), 2))
+        .df
+    )
+
+
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: the synthetic schema has no
+    partsupp, so supply cost is proxied as 10% of retail price x
+    quantity): profit by supplier nation and order year over parts
+    named like '%gear%'."""
+    p = _t(spark, sf_dir, "part").filter_where(
+        F.col("p_name").contains("gear")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sn = (
+        s.rename("s_nationkey", "n_nationkey")
+        .inner_join(["n_nationkey"], n, broadcast=True)
+        .select(["s_suppkey", "n_name"])
+    )
+    return (
+        li.rename("l_partkey", "p_partkey")
+        .inner_join(["p_partkey"], p, broadcast=True)
+        .rename("l_suppkey", "s_suppkey")
+        .inner_join(["s_suppkey"], sn, broadcast=True)
+        .rename("l_orderkey", "o_orderkey")
+        .inner_join(["o_orderkey"], o)
+        .derive("o_year", F.year("o_orderdate"))
+        .derive(
+            "amount",
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity"),
+        )
+        .group_by(["n_name", "o_year"])
+        .aggregate(sum_profit=F.round(F.sum("amount"), 2))
+        .df
+    )
+
+
+def q12_priority_lines(spark, sf_dir):
+    """TPC-H Q12 shape (adapted: no shipmode column — lines are
+    classed by l_linestatus): per line status, counts of lines from
+    high- vs low-priority orders shipped in 1996."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter_where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.rename("l_orderkey", "o_orderkey")
+        .inner_join(["o_orderkey"], o)
+        .group_by(["l_linestatus"])
+        .aggregate(
+            high_line_count=F.sum(if_then_else(high, F.lit(1), F.lit(0))),
+            low_line_count=F.sum(if_then_else(high, F.lit(0), F.lit(1))),
+        )
+        .df
+    )
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: share of September-1996 revenue from ECONOMY
+    parts (stand-in for the PROMO type class) — broadcast part dim,
+    conditional-sum ratio, null-safe division."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter_where(
+        (F.col("l_shipdate") >= "1996-09-01")
+        & (F.col("l_shipdate") < "1996-10-01")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.rename("l_partkey", "p_partkey")
+        .inner_join(["p_partkey"], p, broadcast=True)
+        .aggregate(
+            promo_revenue=F.round(
+                F.lit(100.0)
+                * F.sum(
+                    if_then_else(F.col("p_type") == "ECONOMY", rev, F.lit(0.0))
+                )
+                / F.nullif(F.sum(rev), F.lit(0.0)),
+                4,
+            )
+        )
+        .df
+    )
+
+
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity exceeds a
+    threshold (HAVING over a pre-aggregated lineitem), joined back
+    to customer — top 20 by order value."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.group_by(["l_orderkey"])
+        .aggregate(sum_qty=F.round(F.sum("l_quantity"), 2))
+        .filter_where(F.col("sum_qty") > 150)
+        .rename("l_orderkey", "o_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.inner_join(["o_orderkey"], big)
+        .rename("o_custkey", "c_custkey")
+        .inner_join(["c_custkey"], c)
+        .select(["c_name", "c_custkey", "o_orderkey", "o_totalprice", "sum_qty"])
+        .derive("o_totalprice", F.round(F.col("o_totalprice"), 2))
+        .sort_by(["o_totalprice", "o_orderkey"], ["desc", "asc"])
+        .take(20)
+        .df
+    )
+
+
+def q19_basket_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs predicate baskets over a
+    broadcast part join (brand x quantity bands) — exercises
+    disjunctive predicate pushdown through the join."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    basket = (
+        ((F.col("p_brand") == "Brand#12") & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#23") & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#3") & (q >= 20) & (q <= 30))
+    )
+    return (
+        li.rename("l_partkey", "p_partkey")
+        .inner_join(["p_partkey"], p, broadcast=True)
+        .filter_where(basket)
+        .aggregate(
+            revenue=F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            )
+        )
+        .df
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_select": q_select,
@@ -409,9 +585,85 @@ QUERIES = {
     "q_dates": q_dates,
     "q4_order_priority": q4_order_priority,
     "q10_returned_items": q10_returned_items,
+    "q7_nation_volume": q7_nation_volume,
+    "q9_product_profit": q9_product_profit,
+    "q12_priority_lines": q12_priority_lines,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q19_basket_revenue": q19_basket_revenue,
 }
 
 ORACLES = {
+    "q7_nation_volume": """
+        SELECT sn.supp_nation, cn.cust_nation,
+               EXTRACT(year FROM CAST(l.l_shipdate AS DATE)) AS l_year,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name IN ('NATION_1','NATION_2')) sn
+          ON l.l_suppkey = sn.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN (SELECT c_custkey, n_name AS cust_nation FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              WHERE n_name IN ('NATION_1','NATION_2')) cn
+          ON o.o_custkey = cn.c_custkey
+        WHERE sn.supp_nation <> cn.cust_nation
+        GROUP BY sn.supp_nation, cn.cust_nation, l_year
+    """,
+    "q9_product_profit": """
+        SELECT n.n_name,
+               EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) AS o_year,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.1 * p.p_retailprice * l.l_quantity), 2)
+                 AS sum_profit
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE p.p_name LIKE '%gear%'
+        GROUP BY n.n_name, o_year
+    """,
+    "q12_priority_lines": """
+        SELECT l.l_linestatus,
+               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1997-01-01'
+        GROUP BY l.l_linestatus
+    """,
+    "q14_promo_revenue": """
+        SELECT ROUND(
+                 100.0 * SUM(CASE WHEN p.p_type = 'ECONOMY'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0.0 END)
+                 / NULLIF(SUM(l.l_extendedprice * (1 - l.l_discount)), 0),
+               4) AS promo_revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= '1996-09-01' AND l.l_shipdate < '1996-10-01'
+    """,
+    "q18_large_orders": """
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               ROUND(o.o_totalprice, 2) AS o_totalprice, big.sum_qty
+        FROM (SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING ROUND(SUM(l_quantity), 2) > 150) big
+        JOIN orders o ON big.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY ROUND(o.o_totalprice, 2) DESC, o.o_orderkey ASC
+        LIMIT 20
+    """,
+    "q19_basket_revenue": """
+        SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                 AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3'  AND l.l_quantity BETWEEN 20 AND 30)
+    """,
     "q1_pricing_summary": Q1_SQL,
     "q_select": "SELECT n_nationkey, n_name FROM nation",
     "q_exclude": "SELECT n_nationkey, n_name FROM nation",
