@@ -426,3 +426,54 @@ def token_budget_select(
     return scored.withColumn(
         "cum_tokens", F.sum("n_tokens").over(w)
     ).where(F.col("cum_tokens") <= budget)
+
+
+def remove_boilerplate_lines(
+    df,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 3,
+    out_col: str = "cleaned",
+):
+    """CCNet-style line-level boilerplate removal: a line whose
+    normalized (lowercased, trimmed) form appears in >= ``min_docs``
+    DISTINCT documents is dropped from every document; blank lines
+    and doc-specific lines pass through, line order is preserved.
+
+    Plan shape mirrors contamination_scores: one shuffle computes
+    per-line document frequency over IN-ROW distinct line hashes
+    (explode of the deduped per-doc hash array — never the raw
+    lines), the repeated-line set collects into a single broadcast
+    array row, and the rebuild is a narrow per-row filter over
+    split(text) — no reassembly groupBy, no second pass over the
+    corpus. Boilerplate vocabularies are bounded by repetition
+    (a line must recur across docs to qualify), the same broadcast
+    rationale as the jaccard df table."""
+    raw_lines = F.split(F.col(text_col), "\n")
+    norm = lambda l: F.lower(F.trim(l))  # noqa: E731
+    doc_hashes = F.array_distinct(
+        F.transform(
+            F.filter(raw_lines, lambda l: F.trim(l) != F.lit("")),
+            lambda l: F.xxhash64(norm(l)),
+        )
+    )
+    dfreq = (
+        df.select(F.explode(doc_hashes).alias("__lh"))
+        .groupBy("__lh")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= min_docs)
+    )
+    boiler_row = dfreq.agg(F.collect_set("__lh").alias("__boiler"))
+    kept = F.filter(
+        raw_lines,
+        lambda l: (F.trim(l) == F.lit(""))
+        | ~F.array_contains(F.col("__boiler"), F.xxhash64(norm(l))),
+    )
+    return (
+        df.join(F.broadcast(boiler_row))
+        .withColumn(out_col, F.array_join(kept, "\n"))
+        .withColumn(
+            "n_lines_removed", F.size(raw_lines) - F.size(kept)
+        )
+        .drop("__boiler")
+    )

@@ -224,3 +224,40 @@ def test_mixture_select_deterministic_rates(spark):
         df, "grp", {"a": 0.5}, key_cols=[F.col("id").cast("string")]
     ).where(F.col("grp") == "b")
     assert none_kept.count() == 0
+
+
+def test_remove_boilerplate_lines(spark):
+    """Lines recurring in >= min_docs docs vanish everywhere; blank
+    and doc-specific lines survive with order intact."""
+    from dataframe_spark.operators.text import remove_boilerplate_lines
+
+    footer = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha one\n\n{footer}"),
+            (2, f"beta two\nSubscribe To Our Newsletter  "),  # case/trim variant
+            (3, f"gamma three\n{footer}\ngamma tail"),
+            (4, "delta only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(docs, "doc_id", "text", min_docs=3)
+        .collect()
+    }
+    assert out[1]["cleaned"] == "alpha one\n"          # blank line kept
+    assert out[2]["cleaned"] == "beta two"
+    assert out[3]["cleaned"] == "gamma three\ngamma tail"
+    assert out[4]["cleaned"] == "delta only"
+    assert out[3]["n_lines_removed"] == 1 and out[4]["n_lines_removed"] == 0
+
+
+def test_remove_boilerplate_lines_no_boilerplate(spark):
+    from dataframe_spark.operators.text import remove_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb"), (2, "c\nd")], "doc_id long, text string"
+    )
+    out = remove_boilerplate_lines(docs, "doc_id", "text").collect()
+    assert {r["cleaned"] for r in out} == {"a\nb", "c\nd"}
