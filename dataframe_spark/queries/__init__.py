@@ -52,6 +52,11 @@ def _ordered(attr):
     for name in WINDOW_PRIORITY:
         if name in merged:
             out[name] = merged.pop(name)
+    if attr == "QUERIES":
+        # a typo'd window name would otherwise silently shrink the
+        # driver-verified set
+        missing = [n for n in WINDOW_PRIORITY if n not in out]
+        assert not missing, f"window names not in registry: {missing}"
     out.update(merged)
     return out
 
