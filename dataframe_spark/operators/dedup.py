@@ -99,7 +99,12 @@ def shingles(df: SparkDF, id_col: str, text_col: str, n: int = 3) -> SparkDF:
 
 
 def jaccard_pairs(
-    df: SparkDF, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+    df: SparkDF,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    broadcast_df_table: bool = True,
 ) -> SparkDF:
     """All pairs (a < b) with word-n-gram Jaccard >= threshold —
     EXACT result via prefix filtering (PPJoin-style).
@@ -160,7 +165,11 @@ def jaccard_pairs(
     # Shuffles left: dfreq groupBy, the repeated-occurrence groupBy,
     # the candidate join, and verification — each bounded by data or
     # candidate size, nothing quadratic.
-    rep = exploded.join(F.broadcast(dfreq), "shingle")  # inner: df>=2 only
+    # broadcast_df_table=False shuffle-joins instead, for corpora
+    # whose repeated-shingle vocabulary outgrows a broadcast
+    rep = exploded.join(
+        F.broadcast(dfreq) if broadcast_df_table else dfreq, "shingle"
+    )  # inner: df >= 2 only
     per_doc = rep.groupBy("id", "n_sh").agg(
         F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("__reps")
     )
