@@ -200,7 +200,21 @@ def q_mixture(spark, sf_dir):
     )
 
 
+def q_boilerplate(spark, sf_dir):
+    """Line-level boilerplate removal. The synthetic corpus has no
+    newlines, so both engines derive identical line structure first
+    (break on the literal token ' the '); a line recurring in >= 2
+    distinct docs is then dropped everywhere, order preserved."""
+    docs = _t(spark, sf_dir, "documents").df
+    lined = docs.select(
+        "doc_id", F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text")
+    )
+    out = T.remove_boilerplate_lines(lined, "doc_id", "text", min_docs=2)
+    return out.select("doc_id", "cleaned", "n_lines_removed")
+
+
 QUERIES = {
+    "q_boilerplate": q_boilerplate,
     "q_token_count": q_token_count,
     "q_repetition": q_repetition,
     "q_redact": q_redact,
@@ -234,6 +248,39 @@ _MIX_CASE = " ".join(
 )
 
 ORACLES = {
+    "q_boilerplate": """
+        WITH lined AS (
+          SELECT doc_id, replace(text, ' the ', chr(10)) AS text
+          FROM documents
+        ),
+        ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM lined),
+        lines AS (
+          SELECT doc_id, unnest(arr) AS line,
+                 generate_subscripts(arr, 1) AS ord
+          FROM ls
+        ),
+        freq AS (
+          SELECT lower(trim(line)) AS nl, COUNT(DISTINCT doc_id) AS n
+          FROM lines WHERE trim(line) <> '' GROUP BY 1
+        ),
+        boiler AS (SELECT nl FROM freq WHERE n >= 2),
+        kept AS (
+          SELECT l.doc_id, l.line, l.ord
+          FROM lines l LEFT JOIN boiler b ON lower(trim(l.line)) = b.nl
+          WHERE b.nl IS NULL
+        ),
+        rebuilt AS (
+          SELECT doc_id,
+                 string_agg(line, chr(10) ORDER BY ord) AS cleaned,
+                 COUNT(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT ls.doc_id,
+               COALESCE(r.cleaned, '') AS cleaned,
+               (len(ls.arr) - COALESCE(r.n_kept, 0))::BIGINT
+                 AS n_lines_removed
+        FROM ls LEFT JOIN rebuilt r ON ls.doc_id = r.doc_id
+    """,
     "q_mixture": f"""
         WITH u AS (
           SELECT doc_id, source,

@@ -27,6 +27,7 @@ RISKY = [
     "q_quantile_bucket",   # r4 bucket-cut comparisons over casts
     "q_hcat",              # r4 row-index offsets (count arithmetic)
     "q_interval_join",     # r4 timestamp + interval arithmetic
+    "q_boilerplate",       # r4 line-hash size arithmetic
 ]
 
 

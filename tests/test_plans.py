@@ -180,3 +180,22 @@ def test_summarize_quartiles_are_column_parallel(spark):
         .toString()
     )
     assert "hashpartitioning(ci" in plan
+
+
+def test_tpch_composites_broadcast_dims(spark, sf_dir):
+    """r4 TPC-H composites: every dimension chain must broadcast;
+    the only sort-merge/shuffle joins allowed are the fact-fact
+    (orders/customer) joins, and aggregation must be the only hash
+    exchange in q9/q19."""
+    from dataframe_spark.queries.relational import (
+        q9_product_profit,
+        q19_basket_revenue,
+    )
+
+    p9 = _plan(q9_product_profit(spark, sf_dir))
+    f9 = p9.split("== Initial Plan ==")[0]
+    assert f9.count("BroadcastHashJoin") >= 3
+    p19 = _plan(q19_basket_revenue(spark, sf_dir))
+    f19 = p19.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in f19
+    assert "SortMergeJoin" not in f19
