@@ -12,7 +12,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import SparkSession
 
-from .core import DataFrame
+from .core import NUMERIC_TYPES, DataFrame
 
 
 _PY_TO_SPARK = {
@@ -65,8 +65,7 @@ def to_matrix(df: DataFrame, cols: Sequence[str] | None = None, dtype=float):
 
     sdf = df.df
     if cols is None:
-        num_types = ("int", "bigint", "double", "float", "smallint", "tinyint")
-        cols = [c for c, t in sdf.dtypes if t in num_types]
+        cols = [c for c, t in sdf.dtypes if t in NUMERIC_TYPES]
     pdf = sdf.select(*cols).toPandas()
     try:
         return np.asarray(pdf, dtype=dtype)

@@ -26,10 +26,19 @@ from pyspark.sql import functions as F
 
 from .errors import ColumnNotFoundError, MissingOrderError
 
-__all__ = ["DataFrame", "GroupedDataFrame", "Asc", "Desc"]
+__all__ = ["DataFrame", "GroupedDataFrame", "Asc", "Desc", "NUMERIC_TYPES"]
 
 Asc = "asc"
 Desc = "desc"
+
+# The dtype strings treated as numeric by summarize/plots/matrix
+# exports — ONE list so adding a type (e.g. decimal) lands everywhere
+# at once. decimal renders as 'decimal(p,s)'; match it by prefix.
+NUMERIC_TYPES = ("int", "bigint", "double", "float", "smallint", "tinyint")
+
+
+def is_numeric_dtype(t: str) -> bool:
+    return t in NUMERIC_TYPES or t.startswith("decimal")
 
 # Input-size threshold (plan-estimated bytes) above which quantile
 # verbs switch from the built-in ``F.percentile`` (full value-count
@@ -133,7 +142,7 @@ class DataFrame:
         if col not in self.df.columns:
             raise ColumnNotFoundError(col, self.df.columns)
         t = dict(self.df.dtypes)[col]
-        return t in ("int", "bigint", "double", "float", "smallint", "tinyint", "decimal")
+        return is_numeric_dtype(t)
 
     def has_missing(self, col: str) -> bool:
         """Column.hs ``hasMissing`` — any nulls in the column
@@ -841,15 +850,17 @@ class DataFrame:
         end — the 100 TB path. Pass True/False to force a side.
         All three paths produce identical quantile_cont values."""
         df = self.df
-        num_types = ("int", "bigint", "double", "float", "smallint", "tinyint")
-        num_cols = [c for c, t in df.dtypes if t in num_types]
+        num_cols = [c for c, t in df.dtypes if t in NUMERIC_TYPES]
         if distributed is None:
             distributed = self._plan_size_bytes() > QUANTILE_BUFFER_MAX_BYTES
         if distributed:
             return self._summarize_distributed(df, num_cols)
         mom_aggs = []
         for c in num_cols:
+            # NaN skipped like the quartile path below, else one NaN
+            # poisons mean/std/max while q25..q75 stay clean
             cc = F.col(c).cast("double")
+            cc = F.when(~F.isnan(cc), cc)
             mom_aggs += [
                 F.avg(cc).alias(f"__mean_{c}"),
                 F.stddev_samp(cc).alias(f"__std_{c}"),
@@ -904,7 +915,10 @@ class DataFrame:
 
         aggs = []
         for c in num_cols:
+            # NaN skipped to match the small path (quartiles below
+            # run over a NaN-cleaned projection for the same reason)
             cc = F.col(c).cast("double")
+            cc = F.when(~F.isnan(cc), cc)
             aggs += [
                 F.avg(cc).alias(f"__mean_{c}"),
                 F.stddev_samp(cc).alias(f"__std_{c}"),
@@ -920,8 +934,19 @@ class DataFrame:
             f"stack({len(num_cols)}, {', '.join(stack_args)}) as "
             "(column_name, mean, std, min, max)"
         )
+        # exact_quantiles keeps NaN sorts-high (Spark percentile
+        # semantics); summarize's contract is NaN-dropped (matching
+        # the small path's np kernel), so feed it a cleaned projection
+        cleaned = df.select(
+            *[
+                F.when(
+                    ~F.isnan(F.col(c).cast("double")), F.col(c).cast("double")
+                ).alias(c)
+                for c in num_cols
+            ]
+        )
         quarts = exact_quantiles_wide(
-            df, num_cols, [0.25, 0.5, 0.75], names=["q25", "median", "q75"]
+            cleaned, num_cols, [0.25, 0.5, 0.75], names=["q25", "median", "q75"]
         )
         return self._wrap(
             moments.join(F.broadcast(quarts), "column_name").select(
@@ -1012,7 +1037,12 @@ class DataFrame:
         """Merge.hs:59 ``(|||)`` — glue two frames side by side BY
         POSITION. Spark frames carry no row order, so position is
         defined by the explicit per-side orders (``other_order_by``
-        defaults to ``order_by``). Length mismatch null-fills the
+        defaults to ``order_by``) — each side's keys must be UNIQUE:
+        ties are broken engine-arbitrarily, so duplicate keys pair
+        rows nondeterministically run to run (same hazard class
+        take_last rejects; uniqueness is not validated here because
+        checking costs a count job per call — callers own the key
+        contract). Length mismatch null-fills the
         shorter side (reference expandColumn semantics); a column of
         ``other`` that exists in ``self`` replaces it in place
         (reference insertColumn semantics).

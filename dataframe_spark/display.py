@@ -7,7 +7,7 @@ ASCII histograms. Rendering collects only the displayed slice
 
 from __future__ import annotations
 
-from .core import DataFrame
+from .core import NUMERIC_TYPES, DataFrame
 
 
 def to_string(df: DataFrame, n: int = 10) -> str:
@@ -289,9 +289,14 @@ def plot_stacked_bars(
     from pyspark.sql import functions as F
 
     glyphs = "#=+:*o%&"
+
+    def _sum(c):
+        cc = F.col(c).cast("double")
+        return F.sum(F.when(~F.isnan(cc), cc)).alias(c)
+
     rows = (
         df.df.groupBy(category)
-        .agg(*[F.sum(F.col(c).cast("double")).alias(c) for c in value_cols])
+        .agg(*[_sum(c) for c in value_cols])
         .orderBy(category)
         .collect()
     )
@@ -322,9 +327,8 @@ def plot_correlation_matrix(df: DataFrame, cols: list[str] | None = None) -> str
     k(k-1)/2 correlations in ONE agg pass."""
     from pyspark.sql import functions as F
 
-    num_types = ("int", "bigint", "double", "float", "smallint", "tinyint")
     if cols is None:
-        cols = [c for c, t in df.df.dtypes if t in num_types]
+        cols = [c for c, t in df.df.dtypes if t in NUMERIC_TYPES]
     if not cols:
         return "(empty)"
     aggs = [
@@ -362,8 +366,7 @@ def plot_all_histograms(
 ) -> str:
     """One histogram per numeric column (Display/Terminal/Plot.hs:148
     plotAllHistograms)."""
-    num_types = ("int", "bigint", "double", "float", "smallint", "tinyint")
-    cols = [c for c, t in df.df.dtypes if t in num_types]
+    cols = [c for c, t in df.df.dtypes if t in NUMERIC_TYPES]
     if not cols:
         return "(empty)"
     parts = []

@@ -27,6 +27,8 @@ from pyspark.sql import Column
 from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import functions as F
 
+from ..core import NUMERIC_TYPES
+
 
 @dataclass
 class Tree:
@@ -91,8 +93,7 @@ def fit_decision_tree(
     midpoints are global, the per-node conditional counts still come
     from the same single pass-B aggregation."""
     if features is None:
-        num_types = ("int", "bigint", "double", "float", "smallint", "tinyint")
-        features = [c for c, t in df.dtypes if t in num_types and c != target]
+        features = [c for c, t in df.dtypes if t in NUMERIC_TYPES and c != target]
     if not features:
         raise ValueError("no numeric feature columns")
 

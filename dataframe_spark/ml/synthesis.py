@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 _INF = float("inf")
 
-_NUM_TYPES = ("int", "bigint", "double", "float", "smallint", "tinyint")
+from ..core import NUMERIC_TYPES as _NUM_TYPES
 
 
 @dataclass(frozen=True)

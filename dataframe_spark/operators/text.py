@@ -440,13 +440,13 @@ def remove_boilerplate_lines(
     DISTINCT documents is dropped from every document; blank lines
     and doc-specific lines pass through, line order is preserved.
 
-    Plan shape mirrors contamination_scores: one shuffle computes
-    per-line document frequency over IN-ROW distinct line hashes
-    (explode of the deduped per-doc hash array — never the raw
-    lines), the repeated-line set collects into a single broadcast
-    array row, and the rebuild is a narrow per-row filter over
-    split(text) — no reassembly groupBy, no second pass over the
-    corpus. Boilerplate vocabularies are bounded by repetition
+    Plan shape mirrors contamination_scores: document frequency is a
+    countDistinct(id) over IN-ROW distinct line hashes (explode of
+    the deduped per-doc hash array — never the raw lines; the
+    distinct handles ids that span multiple rows), the repeated-line
+    set collects into a single broadcast array row, and the rebuild
+    is a narrow per-row filter over split(text) — no reassembly
+    groupBy, no second pass over the corpus. Boilerplate vocabularies are bounded by repetition
     (a line must recur across docs to qualify), the same broadcast
     rationale as the jaccard df table."""
     raw_lines = F.split(F.col(text_col), "\n")
@@ -458,9 +458,9 @@ def remove_boilerplate_lines(
         )
     )
     dfreq = (
-        df.select(F.explode(doc_hashes).alias("__lh"))
+        df.select(F.col(id_col).alias("__id"), F.explode(doc_hashes).alias("__lh"))
         .groupBy("__lh")
-        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.countDistinct("__id").alias("__n"))
         .where(F.col("__n") >= min_docs)
     )
     boiler_row = dfreq.agg(F.collect_set("__lh").alias("__boiler"))

@@ -41,7 +41,9 @@ WINDOW_PRIORITY = [
     "q_interval_join",       # new r4 (stream-stream join batch twin)
     "q_sessionize",          # sentinel (failed r1+r2 — keep hard signal)
 ]
-assert len(WINDOW_PRIORITY) == 50, len(WINDOW_PRIORITY)
+# plain raise, not assert: the guard must survive python -O
+if len(WINDOW_PRIORITY) != 50:
+    raise ValueError(f"window must have 50 slots, has {len(WINDOW_PRIORITY)}")
 
 
 def _ordered(attr):
@@ -56,7 +58,8 @@ def _ordered(attr):
         # a typo'd window name would otherwise silently shrink the
         # driver-verified set
         missing = [n for n in WINDOW_PRIORITY if n not in out]
-        assert not missing, f"window names not in registry: {missing}"
+        if missing:
+            raise ValueError(f"window names not in registry: {missing}")
     out.update(merged)
     return out
 

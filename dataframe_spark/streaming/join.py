@@ -63,6 +63,15 @@ def interval_join_streams(
             "rename one timestamp column: both sides' event-time "
             "columns survive the join and must be distinguishable"
         )
+    clash = sorted(
+        (set(left.columns) & set(right.columns)) - set(on)
+    )
+    if clash:
+        raise ValueError(
+            f"columns {clash} exist on both sides but are not join "
+            "keys: rename them upstream or the result carries "
+            "ambiguous duplicate names"
+        )
     lw = left.withWatermark(left_ts, watermark).alias("l")
     rw = right.withWatermark(right_ts, watermark).alias("r")
     conds = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in on]

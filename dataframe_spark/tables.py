@@ -63,15 +63,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> SparkDF:
             # Spark Connect fall through to the plain (uncached)
             # read rather than erroring on the opt-in fast path
             key = (spark.sparkContext.applicationId, sf_dir, name)
-            if key not in _CACHE:
-                df = _load_raw(spark, sf_dir, name)
-                target = spark.sparkContext.defaultParallelism
-                if df.rdd.getNumPartitions() < max(2, target // 2):
-                    df = df.repartition(target)
-                _CACHE[key] = df.cache()
-            return _CACHE[key]
-        except Exception:
-            pass
+        except AttributeError:
+            return _load_raw(spark, sf_dir, name)
+        if key not in _CACHE:
+            df = _load_raw(spark, sf_dir, name)
+            target = spark.sparkContext.defaultParallelism
+            if df.rdd.getNumPartitions() < max(2, target // 2):
+                df = df.repartition(target)
+            _CACHE[key] = df.cache()
+        return _CACHE[key]
     return _load_raw(spark, sf_dir, name)
 
 

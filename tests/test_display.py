@@ -124,8 +124,24 @@ def test_plots_tolerate_nan(spark):
     )
     row = {r["column_name"]: r for r in df.summarize(distributed=False).collect()}
     assert row["a"]["median"] == 2.0 and row["a"]["q25"] == 1.5
+    # moments must be NaN-cleaned like the quartiles (review r4):
+    # a NaN-poisoned max would sit below the clean q75
+    assert row["a"]["mean"] == 2.0 and row["a"]["max"] == 3.0
+    drow = {
+        r["column_name"]: r for r in df.summarize(distributed=True).collect()
+    }
+    assert drow["a"]["mean"] == 2.0 and drow["a"]["max"] == 3.0
     out = disp.plot_lines(df, "x", ["a"], width=10, height=4)
     assert "(empty)" not in out  # and no ValueError
     box = disp.plot_box_plots(df, ["a"], width=20)
     assert "3" in box.splitlines()[-1]  # true max survives the NaN
     assert "|" in disp.plot_scatter(df, "a", "x", width=10, height=4)
+    # stacked bars: NaN in a value column must not reach round()
+    cat = DataFrame(
+        spark.createDataFrame(
+            [("u", 1.0, 2.0), ("v", float("nan"), 3.0)],
+            "k string, a double, b double",
+        )
+    )
+    stacked = disp.plot_stacked_bars(cat, "k", ["a", "b"], width=10)
+    assert "v" in stacked and "nan" not in stacked.lower()

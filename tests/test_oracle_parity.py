@@ -120,7 +120,7 @@ def test_query_matches_oracle_hostile_session(spark, duck, name):
 def test_full_registry_parity(spark, duck):
     """Full-registry pre-flight: every oracle-backed queries() entry
     against its DuckDB oracle at sf0.001 in ONE sweep. The driver's
-    per-round window covers 50 entries; with an 88-entry registry
+    per-round window covers 50 entries; with a 96-entry registry
     this is the only per-round all-queries signal (VERDICT r3 #6).
     Runs on the shared session/connection to amortize startup."""
     import __spark_entry__ as entry

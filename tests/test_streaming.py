@@ -219,3 +219,24 @@ def test_interval_join_rejects_same_ts_name(spark):
 
     with pytest.raises(ValueError, match="rename"):
         interval_join_streams(df, df, on=["value"])
+
+
+def test_interval_join_rejects_colliding_columns(spark):
+    """Non-key columns sharing a name would silently duplicate in
+    the output; the join must reject them up front (review r4)."""
+    from pyspark.sql import functions as F
+
+    from dataframe_spark.streaming import interval_join_streams
+
+    left = spark.readStream.format("rate").load().withColumn("amt", F.lit(1))
+    right = (
+        spark.readStream.format("rate").load()
+        .withColumnRenamed("timestamp", "r_ts")
+        .withColumn("amt", F.lit(2))
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="amt"):
+        interval_join_streams(
+            left, right, on=["value"], left_ts="timestamp", right_ts="r_ts"
+        )

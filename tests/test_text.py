@@ -253,6 +253,22 @@ def test_remove_boilerplate_lines(spark):
     assert out[3]["n_lines_removed"] == 1 and out[4]["n_lines_removed"] == 0
 
 
+def test_remove_boilerplate_lines_counts_distinct_docs(spark):
+    """Duplicate rows of the SAME document must not inflate a line's
+    document frequency (review r4): dfreq is countDistinct(id), so a
+    doc-specific line repeated across a doc's rows stays intact."""
+    from dataframe_spark.operators.text import remove_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [(1, "unique alpha\nfooter"), (1, "unique alpha\nfooter"),
+         (2, "solo beta")],
+        "doc_id long, text string",
+    )
+    out = remove_boilerplate_lines(docs, "doc_id", "text", min_docs=2).collect()
+    assert all(r["cleaned"] == r["text"] for r in out)
+    assert all(r["n_lines_removed"] == 0 for r in out)
+
+
 def test_remove_boilerplate_lines_no_boilerplate(spark):
     from dataframe_spark.operators.text import remove_boilerplate_lines
 
