@@ -139,7 +139,7 @@ def jaccard_pairs(
     # could only ADD a candidate, which exact verification rejects —
     # except for in-verify collisions, the same vanishing risk
     # _hash_arrays already documents.
-    arrs = _hash_arrays(shingle_arrays(df, id_col, text_col, n))
+    arrs = _reusable(_hash_arrays(shingle_arrays(df, id_col, text_col, n)))
     exploded = arrs.select("id", "n_sh", F.explode("sh_arr").alias("shingle"))
     # Global document frequency, but only for REPEATED shingles: a
     # shingle with df == 1 can never produce a candidate pair, and in
@@ -225,6 +225,24 @@ def jaccard_pairs(
         .distinct()
     )
     return _verify_jaccard(cands, arrs, threshold)
+
+
+def _reusable(df: SparkDF) -> SparkDF:
+    """Disk-spillable persist for a plan with MULTIPLE downstream
+    consumers (jaccard reads the hashed shingle arrays three times:
+    document frequency, prefix build, verification; minhash twice).
+    Without it Spark re-runs the scan + tokenize + shingle + hash
+    chain once per consumer — at 100 TB that triples the most
+    CPU-intensive stage, so materializing once (memory, spilling to
+    disk when it doesn't fit) is the cheaper side of the trade. The
+    cache is left to LRU eviction: the operator returns a LAZY
+    result, so there is no safe point to unpersist inside it."""
+    from pyspark import StorageLevel
+
+    try:
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+    except Exception:
+        return df  # Spark Connect: persist API differences — plan still correct
 
 
 def _hash_arrays(arrs: SparkDF) -> SparkDF:
@@ -525,7 +543,7 @@ def minhash_dedup_pairs(
     The verify join re-uses the per-doc shingle arrays, so false
     positives from banding never survive; false-negative rate is the
     standard (1 - s^r)^b curve."""
-    arrs_h = _hash_arrays(shingle_arrays(df, id_col, text_col, n))
+    arrs_h = _reusable(_hash_arrays(shingle_arrays(df, id_col, text_col, n)))
     sigs = arrs_h.select("id", _minhash_sig_expr(num_perm).alias("sig"))
     cands = lsh_candidate_pairs(sigs, bands, num_perm // bands)
     return _verify_jaccard(cands, arrs_h, threshold)

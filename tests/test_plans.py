@@ -199,3 +199,19 @@ def test_tpch_composites_broadcast_dims(spark, sf_dir):
     f19 = p19.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in f19
     assert "SortMergeJoin" not in f19
+
+
+def test_dedup_reuses_shingle_arrays(spark, sf_dir):
+    """jaccard/minhash read the hashed shingle arrays multiple times
+    (df table, prefix build, verify); the shared subplan must be a
+    persisted InMemoryRelation so the scan+shingle+hash chain runs
+    once, not once per consumer."""
+    from dataframe_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    for out in (
+        dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8),
+        dedup.minhash_dedup_pairs(docs, "doc_id", "text"),
+    ):
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" in plan
