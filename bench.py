@@ -103,13 +103,13 @@ def main():
     for name in HEADLINE:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # best-of-3: the box shares CPU with other tenants and steal
+    # best-of-4: the box shares CPU with other tenants and steal
     # arrives in multi-minute bursts (measured: identical plans vary
-    # 3.3s -> 11s back-to-back); three passes spread over ~2-3 min
+    # 3.3s -> 11s back-to-back); four passes spread over ~3-4 min
     # give each query a shot at a quiet window, and the min reflects
     # the plan's actual cost
     times: dict[str, float] = {}
-    for _pass in range(3):
+    for _pass in range(4):
         for name in HEADLINE:
             fn = qs[name]
             t0 = time.monotonic()

@@ -183,6 +183,25 @@ def match_all(pattern: str, a) -> Column:
     return F.regexp_extract_all(_c(a), F.lit(pattern), F.lit(0))
 
 
+# --- semi-structured (beyond the reference: JSON columns) -------------
+
+def json_get(path: str, a) -> Column:
+    """Extract a JSON path (``$.k`` / ``$.a.b[0]``) from a JSON
+    string column, null on missing key or malformed JSON. JVM-side
+    (get_json_object) — parses only the requested path, so it
+    composes into the scan for metadata-bearing event/props columns
+    without a full from_json schema pass."""
+    return F.get_json_object(_c(a), path)
+
+
+def json_parse(schema: str, a) -> Column:
+    """Parse a JSON string column into a typed struct with the given
+    DDL schema (``"k INT, tags ARRAY<STRING>"``). Malformed rows
+    yield a null struct (PERMISSIVE). Use when several fields are
+    consumed downstream — one parse instead of N path extractions."""
+    return F.from_json(_c(a), schema)
+
+
 # --- dates (Functions.hs: daysBetween/parseDate) ----------------------
 
 def days_between(a, b) -> Column:

@@ -13,6 +13,27 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def epoch_seconds(df: SparkDF, time_col: str):
+    """Epoch seconds (with fractional microseconds) of a timestamp
+    column, independent of the session timezone. TZ-naive timestamps
+    use pure calendar arithmetic (timestampdiff), NOT a hop through
+    timestamp+cast — that hop interprets the naive value in the
+    SESSION timezone, and a DST-observing session tz distorts
+    differences that straddle a transition by ±1h (the driver's own
+    session need not be UTC). Instant-typed timestamps cast to epoch
+    directly (tz-free)."""
+    if dict(df.dtypes).get(time_col) == "timestamp_ntz":
+        return (
+            F.timestamp_diff(
+                "MICROSECOND",
+                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+                F.col(time_col),
+            )
+            / F.lit(1e6)
+        )
+    return F.col(time_col).cast("timestamp").cast("double")
+
+
 def asof_join(
     left: SparkDF,
     right: SparkDF,
@@ -79,23 +100,9 @@ def sessionize(
     order = [time_col] if tiebreak is None else [time_col, tiebreak]
     w = Window.partitionBy(key_col).orderBy(*order)
     gap_s = gap_minutes * 60
-    # TZ-naive timestamps: use pure calendar arithmetic
-    # (timestampdiff), NOT a hop through timestamp+cast — that hop
-    # interprets the naive value in the SESSION timezone, and a
-    # DST-observing session tz distorts gaps that straddle a
-    # transition by ±1h (the driver's own session need not be UTC).
-    # Instant-typed timestamps cast to epoch directly (tz-free).
-    if dict(df.dtypes).get(time_col) == "timestamp_ntz":
-        ts_s = (
-            F.timestamp_diff(
-                "MICROSECOND",
-                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
-                F.col(time_col),
-            )
-            / F.lit(1e6)
-        )
-    else:
-        ts_s = F.col(time_col).cast("timestamp").cast("double")
+    # tz-safe epoch (see epoch_seconds: session-tz hops distort
+    # gaps straddling a DST transition)
+    ts_s = epoch_seconds(df, time_col)
     prev = F.lag(ts_s).over(w)
     new_sess = F.when(
         prev.isNull() | (ts_s - prev > gap_s),

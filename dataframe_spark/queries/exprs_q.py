@@ -130,6 +130,25 @@ def q_decision_tree(spark, sf_dir):
     )
 
 
+def q_json_extract(spark, sf_dir):
+    """Semi-structured metadata: pull a typed field out of the JSON
+    ``props`` column two ways — path extraction (json_get, parses
+    only the requested path) and a typed struct parse (json_parse) —
+    and aggregate per event type. Both are JVM expressions that
+    compose into the scan; no Python, no shuffle beyond the agg."""
+    from ..expr import json_get, json_parse
+
+    ev = _t(spark, sf_dir, "events").df
+    k_path = json_get("$.k", "props").cast("long")
+    k_struct = json_parse("k BIGINT", "props")["k"]
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k_path).alias("sum_k"),
+        F.round(F.avg(k_path), 4).alias("avg_k"),
+        F.max(k_struct).alias("max_k"),
+    )
+
+
 def q_melt(spark, sf_dir):
     """Wide→long unpivot over lineitem quantity/price columns."""
     li = _t(spark, sf_dir, "lineitem")
@@ -171,6 +190,7 @@ QUERIES = {
     "q_frequencies": q_frequencies,
     "q_cube": q_cube,
     "q_parse_defaults": q_parse_defaults,
+    "q_json_extract": q_json_extract,
 }
 
 ORACLES = {
@@ -230,6 +250,14 @@ ORACLES = {
                ROUND(SUM(o_totalprice), 2) AS total,
                MAX(o_orderkey) AS max_k
         FROM orders GROUP BY 1
+    """,
+    "q_json_extract": """
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type
     """,
     "q_decision_tree": """
         SELECT tier, tier AS predicted, COUNT(*) AS n FROM (

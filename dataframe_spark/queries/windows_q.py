@@ -200,8 +200,57 @@ def q_interval_join(spark, sf_dir):
     )
 
 
+def q_lead_lag(spark, sf_dir):
+    """Inter-event gap analytics: per user, the time since that
+    user's previous event (lag over an event-time window, unique
+    event_id tiebreak so tie order is engine-independent), then the
+    per-event-type distribution of gaps. One shuffle on user_id.
+    The gap is an exact integer (microseconds via timestamp_diff —
+    calendar arithmetic, so session-tz-independent) and the mean is
+    sum/count over exact integers: no float-summation-order drift
+    between engines."""
+    ev = _t(spark, sf_dir, "events").df
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap_us = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
+    n = F.count(F.lit(1))
+    return (
+        ev.withColumn("gap_us", gap_us)
+        .where(F.col("gap_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            n.alias("n_gaps"),
+            F.round(F.sum("gap_us") / n / F.lit(1e6), 2).alias("avg_gap_s"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+    )
+
+
+def q_ntile(spark, sf_dir):
+    """Quartile bucketing by ntile over a unique total order
+    (o_totalprice, o_orderkey tiebreak): per-quartile count and
+    price bounds. A single global sort — the one window shape that
+    genuinely serializes; acceptable for ranked bucketing of agg-
+    sized outputs, and quantile_bucket (broadcast bounds) is the
+    scale path for row-level bucketing."""
+    o = _t(spark, sf_dir, "orders").df
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
 QUERIES = {
     "q_window_rank": q_window_rank,
+    "q_lead_lag": q_lead_lag,
+    "q_ntile": q_ntile,
     "q_window_cumsum": q_window_cumsum,
     "q_window_rolling": q_window_rolling,
     "q_asof_join": q_asof_join,
@@ -213,6 +262,31 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_lead_lag": """
+        WITH g AS (
+          SELECT event_type,
+                 DATE_DIFF('microseconds', LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ), ts) AS gap_us
+          FROM events
+        )
+        SELECT event_type, COUNT(*) AS n_gaps,
+               ROUND(SUM(gap_us) / COUNT(*) / 1e6, 2) AS avg_gap_s,
+               CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+        FROM g WHERE gap_us IS NOT NULL GROUP BY event_type
+    """,
+    "q_ntile": """
+        WITH t AS (
+          SELECT o_totalprice,
+                 NTILE(4) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)
+                   AS quartile
+          FROM orders
+        )
+        SELECT quartile, COUNT(*) AS n,
+               ROUND(MIN(o_totalprice), 2) AS lo,
+               ROUND(MAX(o_totalprice), 2) AS hi
+        FROM t GROUP BY quartile
+    """,
     "q_interval_join": """
         SELECT c.user_id,
                COUNT(*) AS n_attributed,

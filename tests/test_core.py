@@ -327,3 +327,26 @@ def test_hcat_positional(spark):
     from dataframe_spark.errors import ColumnNotFoundError
     with pytest.raises(ColumnNotFoundError):
         a.hcat(b, order_by=["nope"])
+
+
+def test_json_get_and_parse(spark):
+    from dataframe_spark.expr import json_get, json_parse
+
+    df = spark.createDataFrame(
+        [
+            ('{"k": 7, "tags": ["a", "b"]}',),
+            ('{"k": null}',),
+            ("not json",),
+            (None,),
+        ],
+        "props string",
+    )
+    rows = df.select(
+        json_get("$.k", "props").cast("long").alias("k"),
+        json_parse("k BIGINT, tags ARRAY<STRING>", "props").alias("s"),
+    ).collect()
+    assert rows[0]["k"] == 7 and list(rows[0]["s"]["tags"]) == ["a", "b"]
+    assert rows[1]["k"] is None
+    # malformed and null inputs degrade to nulls, never raise
+    assert rows[2]["k"] is None and rows[3]["k"] is None
+    assert rows[3]["s"] is None

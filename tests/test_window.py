@@ -96,3 +96,36 @@ def test_sessionize_timezone_independent(spark, sf_dir):
             assert run() == base, tz
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_lead_lag_gaps_tz_independent(spark, sf_dir):
+    """Inter-event gaps use calendar arithmetic on naive timestamps:
+    results must not move with the session timezone."""
+    from dataframe_spark.queries.windows_q import q_lead_lag
+
+    def run():
+        return {
+            r["event_type"]: (r["n_gaps"], r["avg_gap_s"], r["max_gap_us"])
+            for r in q_lead_lag(spark, sf_dir).collect()
+        }
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    base = run()
+    assert base and all(v[0] > 0 for v in base.values())
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        assert run() == base
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_ntile_quartiles_partition_rows_evenly(spark, sf_dir):
+    from dataframe_spark.queries.windows_q import q_ntile
+
+    rows = {r["quartile"]: r for r in q_ntile(spark, sf_dir).collect()}
+    assert sorted(rows) == [1, 2, 3, 4]
+    sizes = [rows[q]["n"] for q in sorted(rows)]
+    assert max(sizes) - min(sizes) <= 1  # ntile's even-split contract
+    # bucket price ranges are non-overlapping and ascending
+    for q in (1, 2, 3):
+        assert rows[q]["hi"] <= rows[q + 1]["lo"]
