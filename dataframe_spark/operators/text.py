@@ -356,6 +356,83 @@ def tf_idf(df, id_col: str, text_col: str):
     )
 
 
+def unigram_lm(df, text_col: str, top_v: int | None = None):
+    """Add-one-smoothed unigram language model over the corpus
+    (CCNet-style perplexity filtering, Wenzek et al. 2020 — trained
+    here on the corpus itself; swap ``df`` for a clean reference
+    corpus to score against external text).
+
+    Retains the ``top_v`` most frequent tokens (ties broken by token
+    text; per-partition heaps via orderBy+limit, no full sort) and
+    folds everything else into one OOV bucket:
+    ``logp(tok) = ln(n_tok + 1) - ln(N + V + 1)`` with
+    ``logp(OOV) = -ln(N + V + 1)``, where N counts ALL token
+    occurrences and V the retained vocabulary.
+
+    Returns ``(lm, totals)``: lm = (token, logp) bounded by top_v;
+    totals = one row (__n_total, __v, __oov_logp) for the scorer.
+    One token-count shuffle total; no driver collect."""
+    counts = vocabulary(df, text_col)
+    n_total = counts.agg(F.sum("n").alias("__n_total"))
+    if top_v is not None:
+        counts = counts.orderBy(F.desc("n"), F.asc("token")).limit(top_v)
+    v = counts.agg(F.count(F.lit(1)).alias("__v"))
+    denom = F.log(F.col("__n_total") + F.col("__v") + 1)
+    totals = (
+        n_total.crossJoin(F.broadcast(v))
+        .select("__n_total", "__v", (-denom).alias("__oov_logp"))
+    )
+    lm = (
+        counts.crossJoin(F.broadcast(totals))
+        .select("token", (F.log(F.col("n") + 1) + F.col("__oov_logp")).alias("logp"))
+    )
+    return lm, totals
+
+
+def perplexity_score(df, id_col: str, text_col: str, lm, totals):
+    """Per-document cross-entropy and perplexity under a unigram LM
+    from ``unigram_lm`` — the standard LM-based quality filter for
+    training corpora (low ppl ≈ fluent text, high ppl ≈ noise).
+
+    Plan shape (the 100 TB design): term frequencies are computed
+    IN-ROW (term_freq_pairs), so only each doc's DISTINCT tokens
+    explode; the lm side is bounded by top_v and broadcasts; the
+    only shuffle is the per-doc aggregation of distinct-token rows.
+    The full token stream is never shuffled.
+
+    Returns (id, n_tokens, cross_entropy, ppl); docs with zero
+    tokens are absent (no distribution to score)."""
+    from ..plans.hints import ensure_scan_parallelism
+
+    df = ensure_scan_parallelism(df)
+    pairs = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(term_freq_pairs(text_col)).alias("__p"),
+    ).select(
+        "id",
+        F.col("__p.token").alias("token"),
+        F.col("__p.tf").cast("long").alias("tf"),
+    )
+    scored = (
+        pairs.join(F.broadcast(lm), "token", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "id",
+            "tf",
+            F.coalesce("logp", F.col("__oov_logp")).alias("logp"),
+        )
+    )
+    ce = -F.sum(F.col("tf") * F.col("logp")) / F.sum("tf")
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            ce.alias("cross_entropy"),
+        )
+        .withColumn("ppl", F.exp("cross_entropy"))
+    )
+
+
 # --- sequence prep: chunking and token-budget selection ---------------
 
 

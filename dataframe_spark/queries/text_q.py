@@ -92,6 +92,22 @@ def q_tfidf(spark, sf_dir):
     )
 
 
+def q_perplexity(spark, sf_dir):
+    """Unigram-LM perplexity quality filter (CCNet-style): train an
+    add-one-smoothed LM with a 1000-token vocabulary on the corpus,
+    score every document. Cross-entropy is a bounded per-doc float
+    sum, rounded on both sides."""
+    docs = _t(spark, sf_dir, "documents").df
+    lm, totals = T.unigram_lm(docs, "text", top_v=1000)
+    out = T.perplexity_score(docs, "doc_id", "text", lm, totals)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.round("cross_entropy", 4).alias("cross_entropy"),
+        F.round("ppl", 2).alias("ppl"),
+    )
+
+
 def q_doc_chunks(spark, sf_dir):
     """Chunk documents into 64-token windows (overlap 16); verify
     the chunk grid by count/size/first-token per chunk."""
@@ -226,6 +242,7 @@ QUERIES = {
     "q_vocabulary": q_vocabulary,
     "q_tfidf": q_tfidf,
     "q_corpus_filter": q_corpus_filter,
+    "q_perplexity": q_perplexity,
     "q_doc_chunks": q_doc_chunks,
     "q_token_budget": q_token_budget,
 }
@@ -439,6 +456,33 @@ ORACLES = {
         FROM (SELECT UNNEST({_TOKS}) AS token FROM documents)
         GROUP BY token
         ORDER BY n DESC, token ASC LIMIT 50
+    """,
+    "q_perplexity": f"""
+        WITH tok AS (
+          SELECT doc_id, UNNEST({_TOKS}) AS token FROM documents
+        ), counts AS (
+          SELECT token, COUNT(*) AS n FROM tok GROUP BY 1
+        ), n_tot AS (
+          SELECT SUM(n) AS n_total FROM counts
+        ), vocab AS (
+          SELECT token, n FROM counts ORDER BY n DESC, token ASC LIMIT 1000
+        ), vsize AS (
+          SELECT COUNT(*) AS v FROM vocab
+        ), lm AS (
+          SELECT token, LN(n + 1) - LN(n_total + v + 1) AS logp
+          FROM vocab CROSS JOIN n_tot CROSS JOIN vsize
+        ), tf AS (
+          SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        )
+        SELECT doc_id,
+          CAST(SUM(tf) AS BIGINT) AS n_tokens,
+          ROUND(-SUM(tf * COALESCE(logp, -LN(n_total + v + 1))) / SUM(tf), 4)
+            AS cross_entropy,
+          ROUND(EXP(-SUM(tf * COALESCE(logp, -LN(n_total + v + 1))) / SUM(tf)), 2)
+            AS ppl
+        FROM tf LEFT JOIN lm USING (token)
+        CROSS JOIN n_tot CROSS JOIN vsize
+        GROUP BY doc_id
     """,
     "q_tfidf": f"""
         WITH tok AS (

@@ -182,6 +182,20 @@ def test_summarize_quartiles_are_column_parallel(spark):
     assert "hashpartitioning(ci" in plan
 
 
+def test_perplexity_lm_broadcasts_and_tf_stays_in_row(spark, sf_dir):
+    """Perplexity plan contract: the LM side is bounded by top_v and
+    must BROADCAST into the scoring join; term frequencies are in-row
+    so no exchange partitions on (id, token) pairs."""
+    from dataframe_spark.operators.text import perplexity_score, unigram_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm, totals = unigram_lm(docs, "text", top_v=100)
+    plan = _plan(perplexity_score(docs, "doc_id", "text", lm, totals))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the only id-keyed exchange is the final per-doc aggregation
+    assert plan.count("hashpartitioning(id") <= 1
+
+
 def test_tpch_composites_broadcast_dims(spark, sf_dir):
     """r4 TPC-H composites: every dimension chain must broadcast;
     the only sort-merge/shuffle joins allowed are the fact-fact

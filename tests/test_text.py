@@ -277,3 +277,33 @@ def test_remove_boilerplate_lines_no_boilerplate(spark):
     )
     out = remove_boilerplate_lines(docs, "doc_id", "text").collect()
     assert {r["cleaned"] for r in out} == {"a\nb", "c\nd"}
+
+
+def test_perplexity_ranks_fluent_below_gibberish(spark):
+    """Docs made of corpus-frequent tokens must score lower ppl than
+    all-OOV gibberish; uniform-token docs match the closed form."""
+    import math
+
+    rows = [(i, "the cat sat on the mat") for i in range(20)]
+    rows.append((100, "qqq www zzz ppp fff ggg"))
+    docs = spark.createDataFrame(rows, "id long, text string")
+    lm, totals = T.unigram_lm(docs, "text", top_v=5)
+    out = {
+        r["id"]: r
+        for r in T.perplexity_score(docs, "id", "text", lm, totals).collect()
+    }
+    fluent = [out[i]["ppl"] for i in range(20)]
+    assert all(p < out[100]["ppl"] for p in fluent)
+    assert all(out[i]["n_tokens"] == 6 for i in range(20))
+    # all-OOV doc: ce = -logp_oov = ln(N + V + 1) exactly
+    n_total = 20 * 6 + 6
+    assert out[100]["cross_entropy"] == pytest.approx(math.log(n_total + 5 + 1))
+
+
+def test_perplexity_zero_token_docs_absent(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "   "), (3, None)], "id long, text string"
+    )
+    lm, totals = T.unigram_lm(docs, "text")
+    ids = {r["id"] for r in T.perplexity_score(docs, "id", "text", lm, totals).collect()}
+    assert ids == {1}
