@@ -1,4 +1,10 @@
 from .decision_tree import Tree, fit_decision_tree, tree_to_expr
+from .logreg import (
+    LogisticModel,
+    fit_logistic_regression,
+    predict_expr,
+    predict_proba_expr,
+)
 from .synthesis import (
     BeamConfig,
     SynthesisResult,
@@ -10,6 +16,10 @@ from .synthesis import (
 )
 
 __all__ = [
+    "LogisticModel",
+    "fit_logistic_regression",
+    "predict_expr",
+    "predict_proba_expr",
     "fit_decision_tree",
     "tree_to_expr",
     "Tree",

@@ -86,11 +86,56 @@ def q_synthesis(spark, sf_dir):
     return spark.createDataFrame(rows, "expr string, score double")
 
 
+def q_logreg_classifier(spark, sf_dir):
+    """Distributed logistic regression recovers a margin-separated
+    linear rule on lineitem (``l_quantity - 200*l_discount > 10``,
+    ±5 margin band excluded — the synthetic tables carry no natural
+    cross-column signal, so like q_decision_tree the label is the
+    rule itself and perfect recovery is the contract).
+
+    Oracle-checkable even though fitting is iterative: on separable
+    data with this margin the fitted boundary classifies every row
+    correctly, so the one-row confusion counts must equal the static
+    class counts (fp = fn = 0) — which IS static SQL. A driver
+    mismatch means the optimizer stopped converging."""
+    from ..ml import fit_logistic_regression, predict_expr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    marg = F.col("l_quantity") - 200 * F.col("l_discount") - 10
+    feats = li.select(
+        (marg > 0).cast("int").alias("y"),
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.col("l_discount").cast("double").alias("disc"),
+    ).where(F.abs(marg) > 5)
+    m = fit_logistic_regression(feats, "y", ["qty", "disc"], iters=60)
+    pred = feats.select("y", predict_expr(m).alias("p"))
+    return pred.agg(
+        F.sum(((F.col("y") == 1) & (F.col("p") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("y") == 0) & (F.col("p") == 1)).cast("long")).alias("fp"),
+        F.sum(((F.col("y") == 1) & (F.col("p") == 0)).cast("long")).alias("fn"),
+        F.sum(((F.col("y") == 0) & (F.col("p") == 0)).cast("long")).alias("tn"),
+    )
+
+
 QUERIES = {
     "q_mutual_info": q_mutual_info,
     "q_synthesis": q_synthesis,
+    "q_logreg_classifier": q_logreg_classifier,
 }
 
 ORACLES = {
     "q_mutual_info": _MI_ORACLE,
+    "q_logreg_classifier": """
+        WITH f AS (
+          SELECT CASE WHEN l_quantity - 200 * l_discount - 10 > 0
+                 THEN 1 ELSE 0 END AS y
+          FROM lineitem
+          WHERE ABS(l_quantity - 200 * l_discount - 10) > 5
+        )
+        SELECT CAST(SUM(y) AS BIGINT) AS tp,
+               CAST(0 AS BIGINT) AS fp,
+               CAST(0 AS BIGINT) AS fn,
+               CAST(SUM(1 - y) AS BIGINT) AS tn
+        FROM f
+    """,
 }

@@ -53,6 +53,73 @@ def write_parquet_bucketed(
     )
 
 
+def write_parquet_zordered(
+    df: DataFrame,
+    path: str,
+    z_cols: list[str],
+    num_files: int = 32,
+    bits: int = 8,
+    mode: str = "overwrite",
+):
+    """Z-order (Morton-curve) clustered parquet — MULTI-column data
+    skipping. ``write_parquet_sorted`` gives perfect pruning on one
+    leading key; z-ordering interleaves the bit patterns of several
+    keys so every file covers a narrow range of EACH column, and
+    selective filters on ANY of them prune most files via row-group
+    min/max stats (the same layout Delta's OPTIMIZE ZORDER BY and
+    Iceberg's sort-order rewrite produce).
+
+    Plan: one bounded agg computes 2^bits equal-frequency bucket
+    boundaries per column (approx_percentile — skew-robust, unlike
+    equal-width); each row's per-column bucket ids are found by an
+    in-row scan of the broadcast boundary arrays and bit-interleaved
+    into a Morton code, all in codegen'd JVM expressions; then one
+    range exchange on the code + within-file sort. No driver data,
+    no Python: the costs are one stats agg and one shuffle — the
+    same as a plain sorted write."""
+    from pyspark.sql import functions as F
+
+    k = len(z_cols)
+    if k == 0:
+        raise ValueError("z_cols must be non-empty")
+    if k * bits > 62:
+        raise ValueError("k * bits must fit in a long")
+    d = df.df
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    bnd = d.agg(
+        *[
+            F.approx_percentile(
+                F.col(c).cast("double"), F.array(*[F.lit(p) for p in probs])
+            ).alias(f"__b{i}")
+            for i, c in enumerate(z_cols)
+        ]
+    )
+    with_b = d.join(F.broadcast(bnd))
+    # bucket id = #boundaries <= value (nulls sort to bucket 0)
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(z_cols):
+        v = F.col(c).cast("double")
+        bucket = F.aggregate(
+            F.col(f"__b{i}"),
+            F.lit(0),
+            lambda acc, b: acc + F.when(v >= b, 1).otherwise(0),
+        ).cast("long")
+        for j in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(bucket, j).bitwiseAND(F.lit(1)), j * k + i
+            )
+    coded = with_b.withColumn("__z", z).drop(
+        *[f"__b{i}" for i in range(k)]
+    )
+    (
+        coded.repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_parquet_sorted(
     df: DataFrame,
     path: str,

@@ -55,3 +55,48 @@ def test_deterministic_fit(spark):
     t1 = fit_decision_tree(df, "label", max_depth=2)
     t2 = fit_decision_tree(df, "label", max_depth=2)
     assert (t1.feature, t1.threshold) == (t2.feature, t2.threshold)
+
+
+# --- logistic regression ----------------------------------------------
+
+
+def test_logreg_separable_perfect(spark):
+    from dataframe_spark.ml import fit_logistic_regression, predict_expr
+
+    rows = [(float(a), float(b), 1 if 2 * a - b > 0 else 0)
+            for a in range(-5, 6) for b in range(-5, 6) if 2 * a != b]
+    df = spark.createDataFrame(rows, "a double, b double, y int")
+    m = fit_logistic_regression(df, "y", ["a", "b"], iters=80)
+    acc = (
+        df.select((predict_expr(m) == F.col("y")).cast("int").alias("ok"))
+        .agg(F.avg("ok"))
+        .collect()[0][0]
+    )
+    assert acc == 1.0
+    # separating direction recovered: w_a > 0 > w_b
+    assert m.weights[0] > 0 > m.weights[1]
+    assert m.final_loss < 0.3
+
+
+def test_logreg_proba_bounds_and_null_drop(spark):
+    from dataframe_spark.ml import fit_logistic_regression, predict_proba_expr
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (-1.0, 0), (-2.0, 0), (None, 1)],
+        "x double, y int",
+    )
+    m = fit_logistic_regression(df, "y", ["x"], iters=30)
+    assert m.n_rows == 4  # null row dropped
+    ps = [r["p"] for r in df.dropna().select(predict_proba_expr(m).alias("p")).collect()]
+    assert all(0.0 <= p <= 1.0 for p in ps)
+
+
+def test_logreg_zero_variance_feature_guarded(spark):
+    from dataframe_spark.ml import fit_logistic_regression
+
+    df = spark.createDataFrame(
+        [(1.0, 7.0, 1), (2.0, 7.0, 1), (-1.0, 7.0, 0), (-2.0, 7.0, 0)],
+        "x double, c double, y int",
+    )
+    m = fit_logistic_regression(df, "y", ["x", "c"], iters=40)
+    assert all(w == w for w in m.weights)  # no NaN from std=0

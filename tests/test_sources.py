@@ -131,6 +131,50 @@ def test_write_parquet_sorted_yields_disjoint_file_ranges(spark, tmpd):
         assert hi1 <= lo2
 
 
+def test_write_parquet_zordered_clusters_both_columns(spark, tmpd):
+    """Z-ordered layout: EVERY z column's per-file min/max range must
+    be much narrower than its global range (the multi-column data-
+    skipping property a single-key sort cannot give: sorting by a
+    alone leaves b's per-file ranges full-width)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dataframe_spark.core import DataFrame
+    from dataframe_spark.sources.parquet import write_parquet_zordered
+
+    # two independent uniform columns
+    rows = [((i * 37) % 4096, (i * 101) % 4096) for i in range(8192)]
+    df = DataFrame(spark.createDataFrame(rows, "a int, b int"))
+    write_parquet_zordered(df, tmpd + "/zord", ["a", "b"], num_files=16)
+
+    def spans(col_idx):
+        out = []
+        for f in glob.glob(tmpd + "/zord/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            out.append(max(maxs) - min(mins))
+        return out
+
+    n_files = len(glob.glob(tmpd + "/zord/*.parquet"))
+    assert n_files >= 8
+    for ci in (0, 1):
+        avg_span = sum(spans(ci)) / n_files
+        assert avg_span < 4096 * 0.55, f"col {ci} not clustered: {avg_span}"
+    # rows survive the reshuffle intact
+    back = spark.read.parquet(tmpd + "/zord")
+    assert back.count() == 8192
+    assert back.selectExpr("sum(a)", "sum(b)").collect()[0][:] == (
+        spark.createDataFrame(rows, "a int, b int")
+        .selectExpr("sum(a)", "sum(b)")
+        .collect()[0][:]
+    )
+
+
 def test_jdbc_roundtrip_embedded_derby(spark, tmpd):
     """read_jdbc/write_jdbc against the embedded Derby that ships
     with Spark (reference dataframe-persistent parity: frames
