@@ -466,6 +466,115 @@ def contamination_scores(
     )
 
 
+# --- edit-distance (fuzzy key) pairs ----------------------------------
+
+
+def edit_distance_pairs(
+    df: SparkDF,
+    id_col: str,
+    text_col: str,
+    k: int = 2,
+    q: int = 2,
+) -> SparkDF:
+    """All pairs (a < b) with levenshtein(a, b) <= k — EXACT result
+    via Ed-Join-style q-gram prefix filtering (Xiao et al., VLDB'08
+    family), the entity-resolution companion to ``jaccard_pairs``
+    for short fuzzy keys (names, codes, titles).
+
+    Losslessness: one edit changes at most q of a string's distinct
+    q-gram TYPES, so ed(a,b) <= k forces the gram sets to overlap by
+    at least max(|Ga|,|Gb|) - q*k; under any shared total order two
+    such sets must collide within their first q*k + 1 grams. Using
+    (df asc, hash asc) as that order makes the prefixes exactly the
+    grams with the smallest join buckets, and df==1 grams — which
+    sort first and can never collide across strings — consume prefix
+    slots WITHOUT being emitted, so the candidate join only ever
+    touches repeated grams. Candidates then verify with the built-in
+    levenshtein. Shuffles: gram dfreq agg (broadcast back), the
+    per-string repeated-gram groupBy, the candidate join, and the
+    two verify joins — all bounded by data or candidate size, never
+    the quadratic pair space.
+
+    The overlap bound is vacuous when BOTH strings have at most q*k
+    grams (then ed <= k requires no shared gram at all — e.g. 'ab'
+    vs 'zz' at k=2): such strings are shorter than q*k + q chars,
+    so all pairs among that short-string population are recovered
+    from a dedicated block join (assumed a vanishing fraction of
+    real key corpora; pairs of a short with a longer-than-q*k-grams
+    string still must share a prefix gram and ride the main path)."""
+    pre_len = q * k + 1
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("s")
+    ).where(F.col("s").isNotNull())
+    grams_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length("s") - (q - 1)),
+            lambda i: F.xxhash64(F.col("s").substr(i, F.lit(q))),
+        )
+    )
+    arrs = _reusable(
+        base.select(
+            "id",
+            "s",
+            F.length("s").alias("len"),
+            F.when(F.length("s") >= q, grams_arr)
+            .otherwise(F.array().cast("array<bigint>"))
+            .alias("g_arr"),
+        ).withColumn("n_g", F.size("g_arr"))
+    )
+    exploded = arrs.select("id", "len", "n_g", F.explode("g_arr").alias("g"))
+    dfreq = (
+        exploded.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 2)
+    )
+    rep = exploded.join(F.broadcast(dfreq), "g")
+    per_str = rep.groupBy("id", "len", "n_g").agg(
+        F.sort_array(F.collect_list(F.struct("df", "g"))).alias("__reps")
+    )
+    n1 = F.col("n_g") - F.size("__reps")
+    keep = (F.lit(pre_len) - n1).cast("int")  # repeated slots in the prefix
+    prefix = per_str.select(
+        "id",
+        "len",
+        F.explode(F.slice("__reps", F.lit(1), F.greatest(keep, F.lit(0)))).alias("e"),
+    ).select("id", "len", F.col("e.g").alias("g"))
+    a = prefix.select(F.col("id").alias("a_id"), "g", F.col("len").alias("__la"))
+    b = prefix.select(F.col("id").alias("b_id"), "g", F.col("len").alias("__lb"))
+    cands = (
+        a.join(b, "g")
+        .where(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("__la") - F.col("__lb")) <= k)
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    # short-string block: strings with <= q*k grams (len < q*k + q)
+    # may pair within the block without sharing any gram
+    shorts = arrs.where(F.col("len") < q * k + q).select("id", "len")
+    s_a = shorts.select(F.col("id").alias("a_id"), F.col("len").alias("__la"))
+    s_b = shorts.select(F.col("id").alias("b_id"), F.col("len").alias("__lb"))
+    short_pairs = (
+        s_a.crossJoin(F.broadcast(s_b))
+        .where(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("__la") - F.col("__lb")) <= k)
+        )
+        .select("a_id", "b_id")
+    )
+    all_cands = cands.unionByName(short_pairs).distinct()
+    sa = arrs.select(F.col("id").alias("a_id"), F.col("s").alias("__sa"))
+    sb = arrs.select(F.col("id").alias("b_id"), F.col("s").alias("__sb"))
+    return (
+        all_cands.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("dist", F.levenshtein("__sa", "__sb"))
+        .where(F.col("dist") <= k)
+        .select("a_id", "b_id", "dist")
+    )
+
+
 # --- MinHash + LSH ----------------------------------------------------
 
 

@@ -145,6 +145,16 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_fuzzy_pairs(spark, sf_dir):
+    """Entity resolution: all part-name pairs within levenshtein
+    distance 2 (Ed-Join q-gram prefix filtering + exact verify).
+    The oracle is the quadratic self-join — feasible at oracle
+    scale, which is exactly why the prefix-filtered plan must agree
+    with it while staying size-of-data at corpus scale."""
+    parts = _t(spark, sf_dir, "part").df
+    return dedup.edit_distance_pairs(parts, "p_partkey", "p_name", k=2, q=2)
+
+
 def q_sample(spark, sf_dir):
     """Rows-only: seeded Bernoulli sample (engine-specific RNG);
     the driver checks schema + row production."""
@@ -166,6 +176,7 @@ QUERIES = {
     "q_multimodal_meta": q_multimodal_meta,
     "q_embed_norm": q_embed_norm,
     "q_embed_centroid": q_embed_centroid,
+    "q_fuzzy_pairs": q_fuzzy_pairs,
     "q_sample": q_sample,
 }
 
@@ -185,6 +196,13 @@ _SHINGLES = """
 """
 
 ORACLES = {
+    "q_fuzzy_pairs": """
+        SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+               LEVENSHTEIN(a.p_name, b.p_name) AS dist
+        FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        WHERE ABS(LEN(a.p_name) - LEN(b.p_name)) <= 2
+          AND LEVENSHTEIN(a.p_name, b.p_name) <= 2
+    """,
     "q_decontaminate": """
         WITH tok AS (
           SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),

@@ -193,3 +193,56 @@ def test_duplicated_spans_in_doc_repeat_not_cross_doc(spark):
     }
     assert out[1]["n_dup_windows"] == 0
     assert out[2]["n_dup_windows"] == 0
+
+
+# --- edit-distance pairs ----------------------------------------------
+
+
+def test_edit_distance_pairs_matches_brute_force(spark):
+    from itertools import combinations
+
+    from dataframe_spark.operators.dedup import edit_distance_pairs
+
+    names = [
+        "red widget", "red widgit", "red widget", "blue widget",
+        "small bolt", "small bolts", "smol bolt", "ring", "rings",
+        "a", "ab", "b", "zz", "completely different thing",
+    ]
+    rows = [(i, s) for i, s in enumerate(names)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r["a_id"], r["b_id"], r["dist"])
+        for r in edit_distance_pairs(df, "id", "s", k=2, q=2).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {
+        (i, j, lev(names[i], names[j]))
+        for i, j in combinations(range(len(names)), 2)
+        if lev(names[i], names[j]) <= 2
+    }
+    assert got == want
+    # the gramless strings ('a','b') still pair via the short block
+    assert (9, 11, 1) in got
+
+
+def test_edit_distance_pairs_empty_and_null(spark):
+    from dataframe_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, None), (3, "")], "id long, s string"
+    )
+    got = {
+        (r["a_id"], r["b_id"], r["dist"])
+        for r in edit_distance_pairs(df, "id", "s", k=2, q=2).collect()
+    }
+    assert got == set()  # null dropped; ''<->'abc' is distance 3
