@@ -475,11 +475,21 @@ def edit_distance_pairs(
     text_col: str,
     k: int = 2,
     q: int = 2,
+    dedup_values: bool = True,
 ) -> SparkDF:
     """All pairs (a < b) with levenshtein(a, b) <= k — EXACT result
     via Ed-Join-style q-gram prefix filtering (Xiao et al., VLDB'08
     family), the entity-resolution companion to ``jaccard_pairs``
     for short fuzzy keys (names, codes, titles).
+
+    ``dedup_values`` (default) first collapses identical strings to
+    one row (representative id = min id), so the output is pairs of
+    DISTINCT values at distance 1..k. This is the scale-correct
+    contract: real key corpora have huge exact-duplicate groups, and
+    expanding a g-copy group against itself is O(g²) pairs that say
+    nothing fuzzy matching needs to say — exact duplicates belong to
+    ``exact_dedup``. Pass False for raw id-level pairs (including
+    distance 0) on corpora known to be duplicate-light.
 
     Losslessness: one edit changes at most q of a string's distinct
     q-gram TYPES, so ed(a,b) <= k forces the gram sets to overlap by
@@ -506,6 +516,8 @@ def edit_distance_pairs(
     base = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("s")
     ).where(F.col("s").isNotNull())
+    if dedup_values:
+        base = base.groupBy("s").agg(F.min("id").alias("id"))
     grams_arr = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.length("s") - (q - 1)),

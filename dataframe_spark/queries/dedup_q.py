@@ -146,11 +146,14 @@ def q_decontaminate(spark, sf_dir):
 
 
 def q_fuzzy_pairs(spark, sf_dir):
-    """Entity resolution: all part-name pairs within levenshtein
-    distance 2 (Ed-Join q-gram prefix filtering + exact verify).
-    The oracle is the quadratic self-join — feasible at oracle
-    scale, which is exactly why the prefix-filtered plan must agree
-    with it while staying size-of-data at corpus scale."""
+    """Entity resolution: all DISTINCT part-name pairs within
+    levenshtein distance 2 (Ed-Join q-gram prefix filtering + exact
+    verify; identical names collapse to their min-key representative
+    first — exact duplicates are exact_dedup's job, and expanding
+    g-copy groups is O(g²) noise). The oracle is the quadratic
+    self-join over distinct names — feasible at oracle scale, which
+    is exactly why the prefix-filtered plan must agree with it while
+    staying size-of-data at corpus scale."""
     parts = _t(spark, sf_dir, "part").df
     return dedup.edit_distance_pairs(parts, "p_partkey", "p_name", k=2, q=2)
 
@@ -197,9 +200,13 @@ _SHINGLES = """
 
 ORACLES = {
     "q_fuzzy_pairs": """
-        SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+        WITH v AS (
+          SELECT p_name, MIN(p_partkey) AS id FROM part
+          WHERE p_name IS NOT NULL GROUP BY p_name
+        )
+        SELECT a.id AS a_id, b.id AS b_id,
                LEVENSHTEIN(a.p_name, b.p_name) AS dist
-        FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        FROM v a JOIN v b ON a.id < b.id
         WHERE ABS(LEN(a.p_name) - LEN(b.p_name)) <= 2
           AND LEVENSHTEIN(a.p_name, b.p_name) <= 2
     """,

@@ -212,7 +212,7 @@ def test_edit_distance_pairs_matches_brute_force(spark):
     df = spark.createDataFrame(rows, "id long, s string")
     got = {
         (r["a_id"], r["b_id"], r["dist"])
-        for r in edit_distance_pairs(df, "id", "s", k=2, q=2).collect()
+        for r in edit_distance_pairs(df, "id", "s", k=2, q=2, dedup_values=False).collect()
     }
 
     def lev(a, b):
@@ -233,6 +233,19 @@ def test_edit_distance_pairs_matches_brute_force(spark):
     assert got == want
     # the gramless strings ('a','b') still pair via the short block
     assert (9, 11, 1) in got
+    # default mode collapses identical values to min-id representatives
+    vals = {
+        (r["a_id"], r["b_id"], r["dist"])
+        for r in edit_distance_pairs(df, "id", "s", k=2, q=2).collect()
+    }
+    reps = {s: min(i for i, x in enumerate(names) if x == s) for s in set(names)}
+    want_v = {
+        (min(reps[x], reps[y]), max(reps[x], reps[y]), lev(x, y))
+        for x in reps
+        for y in reps
+        if x < y and 1 <= lev(x, y) <= 2
+    }
+    assert vals == want_v
 
 
 def test_edit_distance_pairs_empty_and_null(spark):
