@@ -371,6 +371,40 @@ class DataFrame:
             .drop("__rn")
         )
 
+    def sample_weighted(
+        self, k: int, weight_col, key_cols: Sequence[str]
+    ) -> "DataFrame":
+        """Deterministic weighted k-sample WITHOUT replacement
+        (Efraimidis–Spirakis A-ES): rank every row by u^(1/w) — u the
+        portable md5 row-uniform over ``key_cols``, w the row weight
+        — and keep the top k. Inclusion probability is proportional
+        to weight; the selection is engine/run/retry-stable like
+        mixture_select, and the plan is a TakeOrderedAndProject
+        (per-partition heaps — no global sort, no shuffle of
+        non-winners). Rows with null or non-positive weight are
+        excluded. The standard importance-weighted corpus
+        downsampler (e.g. quality-weighted document selection)."""
+        keyed = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in key_cols
+        ]
+        u = (
+            F.conv(F.substring(F.md5(F.concat_ws("\x1f", *keyed)), 1, 8), 16, 10)
+            .cast("bigint")
+            .cast("double")
+            / F.lit(float(1 << 32))
+        )
+        w = _c(weight_col).cast("double")
+        key = F.pow(u, 1.0 / w)
+        return self._wrap(
+            self.df.where(w.isNotNull() & (w > 0))
+            .withColumn("__aes", key)
+            .orderBy(
+                F.col("__aes").desc(), *[F.col(c).asc() for c in key_cols]
+            )
+            .limit(k)
+            .drop("__aes")
+        )
+
     def pipe(self, fn, *args, **kwargs) -> "DataFrame":
         """Operators.hs ``|>`` — apply fn(df, *args) in a fluent
         chain."""
@@ -705,6 +739,24 @@ class DataFrame:
     def cube(self, cols: Sequence[str], **named: Column) -> "DataFrame":
         return self._wrap(
             self.df.cube(*cols).agg(*[e.alias(n) for n, e in named.items()])
+        )
+
+    def grouping_sets(
+        self, sets: Sequence[Sequence[str]], **named: Column
+    ) -> "DataFrame":
+        """Explicit multi-level aggregation (the general form of
+        rollup/cube): one pass, one shuffle, each requested grouping
+        computed from the same scan. Columns absent from a grouping
+        come back null, as in SQL GROUPING SETS."""
+        cols = []
+        for s in sets:
+            for c in s:
+                if c not in cols:
+                    cols.append(c)
+        return self._wrap(
+            self.df.groupingSets([list(s) for s in sets], *cols).agg(
+                *[e.alias(n) for n, e in named.items()]
+            )
         )
 
     def value_counts(self, col: str, normalize: bool = False) -> "DataFrame":

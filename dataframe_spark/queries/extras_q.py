@@ -42,6 +42,32 @@ def q_sample_group(spark, sf_dir):
     )
 
 
+def q_sample_weighted(spark, sf_dir):
+    """Quality-weighted 100-doc sample (Efraimidis–Spirakis over the
+    portable md5 uniform): inclusion odds proportional to n_chars,
+    deterministic on any engine. The u^(1/w) rank keys are computed
+    identically on both sides, so the SELECTED SET matches exactly;
+    only ids and the integer weight are emitted (no float key)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.sample_weighted(100, F.col("n_chars"), ["doc_id"])
+        .df.select("doc_id", "n_chars")
+    )
+
+
+def q_grouping_sets(spark, sf_dir):
+    """Explicit grouping sets: (returnflag, linestatus) detail,
+    returnflag subtotals, and the grand total — one pass, one
+    shuffle, skipping the (linestatus)-only level a cube would
+    also compute."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.grouping_sets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        n=F.count(F.lit(1)),
+        sum_qty=F.round(F.sum("l_quantity"), 2),
+    ).df
+
+
 def q_hcat(spark, sf_dir):
     """Positional horizontal concat (core.py hcat, reference
     Merge.hs:59 ``|||``): nation (25 rows) glued beside region
@@ -113,6 +139,8 @@ def q_source_overlap(spark, sf_dir):
 QUERIES = {
     "q_winsorize": q_winsorize,
     "q_sample_group": q_sample_group,
+    "q_sample_weighted": q_sample_weighted,
+    "q_grouping_sets": q_grouping_sets,
     "q_hcat": q_hcat,
     "q_duplicated_spans": q_duplicated_spans,
     "q_quantile_bucket": q_quantile_bucket,
@@ -121,6 +149,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_sample_weighted": """
+        SELECT doc_id, n_chars FROM (
+          SELECT doc_id, n_chars,
+                 POW(
+                   CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) / 4294967296.0,
+                   1.0 / CAST(n_chars AS DOUBLE)
+                 ) AS aes
+          FROM documents
+          WHERE n_chars IS NOT NULL AND n_chars > 0
+        )
+        ORDER BY aes DESC, doc_id ASC LIMIT 100
+    """,
+    "q_grouping_sets": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+    """,
     "q_winsorize": """
         WITH b AS (
           SELECT l_returnflag,

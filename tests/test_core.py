@@ -350,3 +350,52 @@ def test_json_get_and_parse(spark):
     # malformed and null inputs degrade to nulls, never raise
     assert rows[2]["k"] is None and rows[3]["k"] is None
     assert rows[3]["s"] is None
+
+
+def test_sample_weighted_deterministic_and_weight_biased(spark):
+    import hashlib
+
+    from dataframe_spark import DataFrame
+
+    rows = [(i, 1.0 if i else 1e6) for i in range(200)]
+    df = DataFrame(spark.createDataFrame(rows, "id long, w double"))
+    out1 = sorted(r["id"] for r in df.sample_weighted(20, F.col("w"), ["id"]).df.collect())
+    out2 = sorted(r["id"] for r in df.sample_weighted(20, F.col("w"), ["id"]).df.collect())
+    assert out1 == out2  # deterministic across runs
+    assert 0 in out1  # the 1e6-weight row is (near-)surely selected
+
+    # matches the A-ES formula computed by hand
+    def key(i, w):
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 2**32
+        return u ** (1.0 / w)
+
+    want = sorted(
+        sorted(rows, key=lambda r: (-key(r[0], r[1]), r[0]))[:20]
+    )
+    assert out1 == sorted(i for i, _ in want)
+
+
+def test_sample_weighted_drops_nonpositive_weights(spark):
+    from dataframe_spark import DataFrame
+
+    df = DataFrame(
+        spark.createDataFrame(
+            [(1, 0.0), (2, -3.0), (3, None), (4, 2.0)], "id long, w double"
+        )
+    )
+    got = [r["id"] for r in df.sample_weighted(10, F.col("w"), ["id"]).df.collect()]
+    assert got == [4]
+
+
+def test_grouping_sets_levels(lineitem):
+    out = lineitem.grouping_sets(
+        [["l_returnflag", "l_linestatus"], []], n=F.count(F.lit(1))
+    ).df.collect()
+    total = [r for r in out if r["l_returnflag"] is None and r["l_linestatus"] is None]
+    detail = [r for r in out if r["l_returnflag"] is not None]
+    assert len(total) == 1
+    assert total[0]["n"] == sum(r["n"] for r in detail)
+    # no returnflag-only subtotal level was computed
+    assert not any(
+        r["l_returnflag"] is not None and r["l_linestatus"] is None for r in out
+    )
