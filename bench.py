@@ -154,6 +154,11 @@ SCALING_QUERIES = [
     "q1_pricing_summary",
     "q_dedup_minhash",
     "q_dedup_ngram_jaccard",
+    "q_tfidf",
+    # summarize's plan-size gate flips to the distributed radix
+    # quantile path at 10x — the scaling row exercises the cutover
+    # the small-scale bench never sees
+    "q_summarize",
 ]
 
 

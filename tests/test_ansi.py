@@ -28,6 +28,13 @@ RISKY = [
     "q_hcat",              # r4 row-index offsets (count arithmetic)
     "q_interval_join",     # r4 timestamp + interval arithmetic
     "q_boilerplate",       # r4 line-hash size arithmetic
+    "q_json_extract",      # r4 JSON path casts (malformed -> null vs error)
+    "q_lead_lag",          # r4 sum/count/1e6 gap division
+    "q_perplexity",        # r4 cross-entropy division + log
+    "q_fuzzy_pairs",       # r4 substr/sequence gram window arithmetic
+    "q_logreg_classifier", # r4 GD sigmoid/exp + standardization division
+    "q_sample_weighted",   # r4 pow(u, 1/w) + md5 conv casts
+    "q_grouping_sets",     # r4 multi-level agg null group keys
 ]
 
 
