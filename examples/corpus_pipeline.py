@@ -53,6 +53,14 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
         & (F.col("n_tokens") >= 5)
     )
 
+    # 2b. LM-perplexity gate (CCNet-style): train a unigram LM on the
+    #     corpus, drop the highest-perplexity tail (noise/gibberish).
+    #     In-row tf + broadcast LM — the token stream never shuffles.
+    lm, totals = text.unigram_lm(docs, "text", top_v=2000)
+    ppl = text.perplexity_score(docs, "doc_id", "text", lm, totals)
+    noisy = ppl.where(F.col("ppl") > 4000).select(F.col("id").alias("doc_id"))
+    kept = kept.join(noisy, "doc_id", "left_anti")
+
     # 3. Near-duplicate clusters: exact n-gram Jaccard pairs (PPJoin
     #    prefix filtering) → distributed connected components; keep
     #    one canonical doc per cluster
