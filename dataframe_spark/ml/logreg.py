@@ -81,6 +81,12 @@ def fit_logistic_regression(
             for i, c in enumerate(feature_cols)
         ],
     ).dropna()
+    # dropna removes nulls but NOT NaN, and one NaN feature poisons
+    # the moments and every gradient pass into an all-NaN model that
+    # predict_expr would silently turn into all-1 labels (NaN sorts
+    # greater than any threshold). Exclude NaN rows like nulls.
+    for c in ["__y"] + [f"__x{i}" for i in range(k)]:
+        proj = proj.where(~F.isnan(F.col(c)))
     from pyspark import StorageLevel
 
     try:
@@ -106,27 +112,35 @@ def fit_logistic_regression(
     ]
     zdf = proj.select("__y", *std_x)
 
-    w = [0.0] * k
-    b = 0.0
-    loss = float("inf")
-    for _ in range(iters):
-        margin = F.lit(b)
+    def _margin(w, b):
+        m = F.lit(b)
         for i in range(k):
-            margin = margin + F.lit(w[i]) * F.col(f"__z{i}")
-        p = _sigmoid(margin)
-        resid = p - y
-        grad_aggs = [F.sum(resid * F.col(f"__z{i}")).alias(f"g{i}") for i in range(k)]
-        grad_aggs.append(F.sum(resid).alias("gb"))
-        # stable log-loss: ln(1+e^-|m|) + max(0,-m*sign) via softplus form
-        ll = F.log(F.lit(1.0) + F.exp(-F.abs(margin))) + F.when(
+            m = m + F.lit(w[i]) * F.col(f"__z{i}")
+        return m
+
+    def _loss_expr(margin):
+        # stable log-loss: ln(1+e^-|m|) + max(0,-m*sign), softplus form
+        return F.log(F.lit(1.0) + F.exp(-F.abs(margin))) + F.when(
             ((y * 2 - 1) * margin) < 0, F.abs(margin)
         ).otherwise(F.lit(0.0))
-        grad_aggs.append(F.sum(ll).alias("loss"))
+
+    w = [0.0] * k
+    b = 0.0
+    for _ in range(iters):
+        margin = _margin(w, b)
+        resid = _sigmoid(margin) - y
+        grad_aggs = [F.sum(resid * F.col(f"__z{i}")).alias(f"g{i}") for i in range(k)]
+        grad_aggs.append(F.sum(resid).alias("gb"))
         g = zdf.agg(*grad_aggs).collect()[0]
         for i in range(k):
             w[i] -= learning_rate * (float(g[f"g{i}"]) / n + l2 * w[i])
         b -= learning_rate * float(g["gb"]) / n
-        loss = float(g["loss"]) / n
+    # one loss-only pass over the FINAL weights: folding the loss
+    # into the gradient agg would report the pre-update model's loss
+    loss = (
+        float(zdf.agg(F.sum(_loss_expr(_margin(w, b))).alias("l")).collect()[0]["l"])
+        / n
+    )
 
     try:
         proj.unpersist()

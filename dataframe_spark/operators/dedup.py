@@ -553,6 +553,8 @@ def edit_distance_pairs(
     ).select("id", "len", F.col("e.g").alias("g"))
     a = prefix.select(F.col("id").alias("a_id"), "g", F.col("len").alias("__la"))
     b = prefix.select(F.col("id").alias("b_id"), "g", F.col("len").alias("__lb"))
+    # no .distinct() here: the union below deduplicates once — an
+    # inner distinct would shuffle the largest intermediate twice
     cands = (
         a.join(b, "g")
         .where(
@@ -560,7 +562,6 @@ def edit_distance_pairs(
             & (F.abs(F.col("__la") - F.col("__lb")) <= k)
         )
         .select("a_id", "b_id")
-        .distinct()
     )
     # short-string block: strings with <= q*k grams (len < q*k + q)
     # may pair within the block without sharing any gram

@@ -413,8 +413,17 @@ def perplexity_score(df, id_col: str, text_col: str, lm, totals):
         F.col("__p.token").alias("token"),
         F.col("__p.tf").cast("long").alias("tf"),
     )
+    # broadcast only a BOUNDED lm: with top_v=None the lm is the full
+    # corpus vocabulary, and forcing a broadcast would ship it to the
+    # driver at corpus scale — leave that case to AQE (same escape
+    # hatch rationale as jaccard_pairs' broadcast_df_table)
+    from ..plans.stats import plan_size_bytes
+
+    lm_side = (
+        F.broadcast(lm) if plan_size_bytes(lm) <= 256 * 1024 * 1024 else lm
+    )
     scored = (
-        pairs.join(F.broadcast(lm), "token", "left")
+        pairs.join(lm_side, "token", "left")
         .crossJoin(F.broadcast(totals))
         .select(
             "id",

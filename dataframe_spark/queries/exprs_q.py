@@ -251,13 +251,22 @@ ORACLES = {
                MAX(o_orderkey) AS max_k
         FROM orders GROUP BY 1
     """,
+    # json_valid guard: Spark's get_json_object nulls malformed JSON,
+    # DuckDB's json_extract_string raises — the guard keeps the
+    # oracle comparable if the fixture ever gains a malformed row
     "q_json_extract": """
+        WITH j AS (
+          SELECT event_type,
+                 CASE WHEN props IS NOT NULL AND json_valid(props)
+                   THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                 END AS k
+          FROM events
+        )
         SELECT event_type, COUNT(*) AS n,
-               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                    AS BIGINT) AS sum_k,
-               ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
-               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-        FROM events GROUP BY event_type
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               ROUND(AVG(k), 4) AS avg_k,
+               MAX(k) AS max_k
+        FROM j GROUP BY event_type
     """,
     "q_decision_tree": """
         SELECT tier, tier AS predicted, COUNT(*) AS n FROM (

@@ -100,3 +100,23 @@ def test_logreg_zero_variance_feature_guarded(spark):
     )
     m = fit_logistic_regression(df, "y", ["x", "c"], iters=40)
     assert all(w == w for w in m.weights)  # no NaN from std=0
+
+
+def test_logreg_nan_rows_excluded(spark):
+    """NaN features must be dropped like nulls — one NaN otherwise
+    poisons every aggregation pass into an all-NaN model whose
+    predictions silently go all-1."""
+    from dataframe_spark.ml import fit_logistic_regression, predict_expr
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (-1.0, 0), (-2.0, 0), (float("nan"), 0)],
+        "x double, y int",
+    )
+    m = fit_logistic_regression(df, "y", ["x"], iters=40)
+    assert m.n_rows == 4
+    assert all(w == w for w in m.weights) and m.intercept == m.intercept
+    preds = [
+        r["p"]
+        for r in df.where("NOT isnan(x)").select(predict_expr(m).alias("p")).collect()
+    ]
+    assert preds == [1, 1, 0, 0]

@@ -146,3 +146,38 @@ def test_winsorize_bounded_monotone_and_lossless(spark, vals):
     assert [w for _, w in rows] == pytest.approx(want, rel=1e-9, abs=1e-9)
     clipped = [w for _, w in rows]
     assert clipped == sorted(clipped)  # monotone in the raw order
+
+
+# short alphabet strings maximize near-collisions (shared grams,
+# vacuous-bound shorties, empty strings)
+fuzzy_strings = st.text(alphabet="abc ", min_size=0, max_size=8)
+
+
+@given(st.lists(fuzzy_strings, min_size=2, max_size=10, unique=True))
+@FEW
+def test_edit_distance_pairs_equals_brute_force(spark, vals):
+    from itertools import combinations
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    df = from_named_columns(
+        spark, {"id": list(range(len(vals))), "s": vals}
+    ).df
+    got = {
+        (r["a_id"], r["b_id"], r["dist"])
+        for r in dedup.edit_distance_pairs(
+            df, "id", "s", k=2, q=2, dedup_values=False
+        ).collect()
+    }
+    want = {
+        (i, j, lev(vals[i], vals[j]))
+        for i, j in combinations(range(len(vals)), 2)
+        if lev(vals[i], vals[j]) <= 2
+    }
+    assert got == want
