@@ -183,6 +183,21 @@ def match_all(pattern: str, a) -> Column:
     return F.regexp_extract_all(_c(a), F.lit(pattern), F.lit(0))
 
 
+# --- argmin/argmax aggregates (beyond the reference) ------------------
+
+def arg_min(value, *order) -> Column:
+    """Value of ``value`` on the row minimizing ``order`` (struct-
+    ordered, so pass a tiebreak column for determinism). One
+    bounded-state aggregate — the scale-safe form of 'first row by
+    time' that needs no window or sort."""
+    return F.min_by(_c(value), F.struct(*[_c(o) for o in order]))
+
+
+def arg_max(value, *order) -> Column:
+    """Value of ``value`` on the row maximizing ``order``."""
+    return F.max_by(_c(value), F.struct(*[_c(o) for o in order]))
+
+
 # --- semi-structured (beyond the reference: JSON columns) -------------
 
 def json_get(path: str, a) -> Column:

@@ -247,10 +247,32 @@ def q_ntile(spark, sf_dir):
     )
 
 
+def q_ohlc(spark, sf_dir):
+    """OHLC-style daily bars per event type: open/close via
+    argmin/argmax aggregates ((ts, event_id)-ordered — bounded
+    state, no window sort), high/low/n as plain aggs. One shuffle
+    on the (type, day) key."""
+    from ..expr import arg_max, arg_min
+
+    ev = _t(spark, sf_dir, "events").df
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    return (
+        ev.groupBy(F.col("event_type"), day.alias("day"))
+        .agg(
+            F.round(arg_min("value", "ts", "event_id"), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(arg_max("value", "ts", "event_id"), 2).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 QUERIES = {
     "q_window_rank": q_window_rank,
     "q_lead_lag": q_lead_lag,
     "q_ntile": q_ntile,
+    "q_ohlc": q_ohlc,
     "q_window_cumsum": q_window_cumsum,
     "q_window_rolling": q_window_rolling,
     "q_asof_join": q_asof_join,
@@ -262,6 +284,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_ohlc": """
+        WITH r AS (
+          SELECT event_type, STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+                 value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('day', ts)
+                                    ORDER BY ts ASC, event_id ASC) AS rf,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('day', ts)
+                                    ORDER BY ts DESC, event_id DESC) AS rl
+          FROM events
+        )
+        SELECT event_type, day,
+               ROUND(MAX(CASE WHEN rf = 1 THEN value END), 2) AS open,
+               ROUND(MAX(value), 2) AS high,
+               ROUND(MIN(value), 2) AS low,
+               ROUND(MAX(CASE WHEN rl = 1 THEN value END), 2) AS close,
+               COUNT(*) AS n
+        FROM r GROUP BY event_type, day
+    """,
     "q_lead_lag": """
         WITH g AS (
           SELECT event_type,

@@ -35,6 +35,7 @@ RISKY = [
     "q_logreg_classifier", # r4 GD sigmoid/exp + standardization division
     "q_sample_weighted",   # r4 pow(u, 1/w) + md5 conv casts
     "q_grouping_sets",     # r4 multi-level agg null group keys
+    "q_ohlc",              # r4 argmin/argmax struct-ordered aggregates
 ]
 
 
