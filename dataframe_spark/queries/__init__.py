@@ -20,26 +20,55 @@ from . import (
 MODULES = [stats_q, relational, extras_q, windows_q, text_q, exprs_q, ml_q, dedup_q]
 
 # Registry order is a verification surface: the driver snapshots the
-# FIRST 50 entries each round. The r4 window re-verifies every query
-# whose PLAN changed since its last driver-green row (VERDICT r3 #1):
-# stats_q (q_group_quantiles gate fc57473, q_stats_agg agg split,
-# q_summarize kernel), the relational TPC-H tail (r1/r2-green only),
-# extras_q (winsorize null fix + 4 new r4 entries), plus the r3-green
-# sentinels q_sessionize/q_tfidf and the two dedup queries whose
-# plans are being tuned this round. Everything else keeps its
-# r1–r3 green row on record and rotates behind the window.
+# FIRST 50 entries each round. The r4 window prioritizes (a) every
+# stats plan changed since its last driver-green row (VERDICT r3 #1:
+# group-quantiles gate, stats-agg split, summarize kernel — repacked
+# AGAIN late-r4), (b) all 18 TPC-H composite shapes (12 of them new
+# or never driver-checked this round), (c) the changed/new r4 extras
+# and dedup rewrites plus the q_sessionize sentinel, and (d) every
+# late-r4 query (never driver-checked). The r1/r2-green core verbs
+# (q_select/q_exclude/...) rotate behind the window — they keep
+# their recorded green rows plus continuous full-registry parity in
+# pytest at sf0.001.
 WINDOW_PRIORITY = [
-    *stats_q.QUERIES,        # 13 (q_summarize kernel re-parallelized r4)
-    *relational.QUERIES,     # 28 -> 41 (6 new TPC-H composites r4)
-    "q_winsorize",           # 42-46: extras with oracles (changed/new r3-r4)
+    *stats_q.QUERIES,          # 13 changed-plan stats queries
+    "q1_pricing_summary",      # 14-31: all TPC-H composite shapes
+    "q_join_inner",            # (Q3)
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",         # new late-r4
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_priority_lines",
+    "q13_order_counts",        # new late-r4
+    "q14_promo_revenue",
+    "q15_top_supplier",        # new late-r4
+    "q17_small_quantity",      # new late-r4
+    "q18_large_orders",
+    "q19_basket_revenue",
+    "q21_waiting_supplier",    # new late-r4
+    "q22_global_sales",        # new late-r4
+    "q_winsorize",             # 32-40: changed/new r3-r4 extras
     "q_sample_group",
     "q_hcat",
     "q_duplicated_spans",
     "q_quantile_bucket",
-    "q_dedup_ngram_jaccard", # prefix-rank plan rewritten r4
-    "q_decontaminate",       # in-row broadcast rewrite r4
-    "q_interval_join",       # new r4 (stream-stream join batch twin)
-    "q_sessionize",          # sentinel (failed r1+r2 — keep hard signal)
+    "q_dedup_ngram_jaccard",   # prefix-rank plan rewritten r4
+    "q_decontaminate",         # in-row broadcast rewrite r4
+    "q_interval_join",
+    "q_sessionize",            # sentinel (failed r1+r2 — keep hard signal)
+    "q_json_extract",          # 41-49: late-r4 additions, never checked
+    "q_lead_lag",
+    "q_ntile",
+    "q_ohlc",
+    "q_perplexity",
+    "q_logreg_classifier",
+    "q_fuzzy_pairs",
+    "q_sample_weighted",
+    "q_grouping_sets",
+    "q_join_left",             # 50: core join variant representative
 ]
 # plain raise, not assert: the guard must survive python -O
 if len(WINDOW_PRIORITY) != 50:

@@ -562,8 +562,203 @@ def q19_basket_revenue(spark, sf_dir):
     )
 
 
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_1's share of ASIA-customer widget
+    revenue per order year. All dim chains broadcast; the only
+    shuffles are the fact-fact orders join and the final tiny agg.
+    The share is a conditional-sum ratio inside one aggregation —
+    no second pass over the data."""
+    r = _t(spark, sf_dir, "region").filter_where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter_where(F.col("p_name").contains("widget"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cn = (
+        _t(spark, sf_dir, "customer")
+        .rename("c_nationkey", "n_nationkey")
+        .inner_join(
+            ["n_nationkey"],
+            n.inner_join(
+                ["n_regionkey"], r.rename("r_regionkey", "n_regionkey"),
+                broadcast=True,
+            ).select(["n_nationkey"]),
+            broadcast=True,
+        )
+        .select(["c_custkey"])
+    )
+    sn = (
+        s.rename("s_nationkey", "n_nationkey")
+        .inner_join(["n_nationkey"], n, broadcast=True)
+        .rename("n_name", "supp_nation")
+        .select(["s_suppkey", "supp_nation"])
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.rename("l_partkey", "p_partkey")
+        .inner_join(["p_partkey"], p.select(["p_partkey"]), broadcast=True)
+        .rename("l_suppkey", "s_suppkey")
+        .inner_join(["s_suppkey"], sn, broadcast=True)
+        .rename("l_orderkey", "o_orderkey")
+        .inner_join(["o_orderkey"], o.select(["o_orderkey", "o_custkey", "o_orderdate"]))
+        .rename("o_custkey", "c_custkey")
+        .inner_join(["c_custkey"], cn)
+        .derive("o_year", F.year("o_orderdate"))
+        .derive("volume", vol)
+        .group_by(["o_year"])
+        .aggregate(
+            mkt_share=F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(0.0)
+                )
+                / F.sum("volume"),
+                4,
+            )
+        )
+        .df
+    )
+
+
+def q13_order_counts(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of per-customer order counts
+    INCLUDING zero-order customers (left join, null-counted), orders
+    filtered to non-'P' status. Two shuffles: the count agg and the
+    distribution agg (the left join broadcasts the per-customer
+    counts' dimension side is the fact — it shuffles)."""
+    c = _t(spark, sf_dir, "customer").select(["c_custkey"])
+    o = _t(spark, sf_dir, "orders").filter_where(F.col("o_orderstatus") != "P")
+    per_cust = o.group_by(["o_custkey"]).aggregate(
+        c_count=F.count(F.lit(1))
+    ).rename("o_custkey", "c_custkey")
+    return (
+        c.left_join(["c_custkey"], per_cust)
+        .derive("c_count", F.coalesce(F.col("c_count"), F.lit(0)))
+        .group_by(["c_count"])
+        .aggregate(custdist=F.count(F.lit(1)))
+        .df
+    )
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly
+    revenue — the max rides back as a broadcast one-row join (no
+    driver collect, tie-complete like the spec's view formulation)."""
+    li = _t(spark, sf_dir, "lineitem").filter_where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.derive(
+        "r", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).group_by(["l_suppkey"]).aggregate(total_revenue=F.round(F.sum("r"), 2))
+    mx = DataFrame(rev.df.agg(F.max("total_revenue").alias("__mx")))
+    return (
+        rev.df.crossJoin(F.broadcast(mx.df))
+        .where(F.col("total_revenue") == F.col("__mx"))
+        .join(s.df, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: revenue impact of small-quantity orders for
+    one brand — the per-part average quantity is an aggregation of
+    the SAME lineitem scan, joined back broadcast (the brand filter
+    makes that side dimension-sized at any scale)."""
+    p = _t(spark, sf_dir, "part").filter_where(F.col("p_brand") == "Brand#23")
+    li = _t(spark, sf_dir, "lineitem")
+    li_p = li.rename("l_partkey", "p_partkey").inner_join(
+        ["p_partkey"], p.select(["p_partkey"]), broadcast=True
+    )
+    avg_q = li_p.group_by(["p_partkey"]).aggregate(
+        avg_qty=F.avg("l_quantity")
+    )
+    return (
+        li_p.inner_join(["p_partkey"], avg_q, broadcast=True)
+        .filter_where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .aggregate(
+            avg_yearly=F.round(F.sum("l_extendedprice") / 7.0, 2),
+            n_lines=F.count(F.lit(1)),
+        )
+        .df
+    )
+
+
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: no commit/receipt dates in the
+    synthetic schema — 'late' is a ship date past 1997-06-30):
+    suppliers who were the ONLY late shipper in a multi-supplier
+    finished order. The exists/not-exists pair collapses into one
+    per-order aggregation (distinct suppliers vs distinct late
+    suppliers) — a single shuffle on the order key instead of two
+    correlated self-joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter_where(F.col("o_orderstatus") == "F")
+    late = F.col("l_shipdate") > "1997-06-30"
+    per_order = (
+        li.rename("l_orderkey", "o_orderkey")
+        .semi_join(["o_orderkey"], o.select(["o_orderkey"]))
+        .group_by(["o_orderkey"])
+        .aggregate(
+            n_supp=F.countDistinct(F.col("l_suppkey")),
+            n_late_supp=F.countDistinct(F.when(late, F.col("l_suppkey"))),
+            late_supp=F.max(F.when(late, F.col("l_suppkey"))),
+        )
+    )
+    flagged = per_order.filter_where(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        flagged.df.groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(
+            F.broadcast(s.df), F.col("late_supp") == F.col("s_suppkey")
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+def q22_global_sales(spark, sf_dir):
+    """TPC-H Q22 shape (adapted: nation key stands in for the phone
+    country code, and 'lapsed' means no order since 2000 — every
+    synthetic customer has SOME order, so the spec's no-orders-ever
+    test selects nothing): rich customers (acctbal above the
+    positive-balance average) who lapsed, counted per nation. The
+    global average rides in as a broadcast one-row crossJoin; the
+    lapsed test is an anti join shipping only order keys."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter_where(F.col("o_orderdate") >= "2000-01-01")
+        .select(["o_custkey"])
+        .rename("o_custkey", "c_custkey")
+    )
+    avg_bal = DataFrame(
+        c.filter_where(F.col("c_acctbal") > 0.0)
+        .df.agg(F.avg("c_acctbal").alias("__avg_bal"))
+    )
+    return (
+        c.df.crossJoin(F.broadcast(avg_bal.df))
+        .where(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(o.df, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q8_market_share": q8_market_share,
+    "q13_order_counts": q13_order_counts,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity": q17_small_quantity,
+    "q21_waiting_supplier": q21_waiting_supplier,
+    "q22_global_sales": q22_global_sales,
     "q_select": q_select,
     "q_exclude": q_exclude,
     "q_filter": q_filter,
@@ -594,6 +789,96 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q8_market_share": """
+        WITH base AS (
+          SELECT YEAR(o.o_orderdate) AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume,
+                 ns.n_name AS supp_nation
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+          JOIN region r ON nc.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'ASIA' AND p.p_name LIKE '%widget%'
+        )
+        SELECT o_year,
+               ROUND(SUM(CASE WHEN supp_nation = 'NATION_1'
+                              THEN volume ELSE 0.0 END) / SUM(volume), 4)
+                 AS mkt_share
+        FROM base GROUP BY o_year
+    """,
+    "q13_order_counts": """
+        WITH per_cust AS (
+          SELECT c.c_custkey, COUNT(o.o_custkey) AS c_count
+          FROM customer c
+          LEFT JOIN (SELECT o_custkey FROM orders
+                     WHERE o_orderstatus <> 'P') o
+            ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey
+        )
+        SELECT c_count, COUNT(*) AS custdist
+        FROM per_cust GROUP BY c_count
+    """,
+    "q15_top_supplier": """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    "q17_small_quantity": """
+        WITH li_p AS (
+          SELECT l.* FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE p.p_brand = 'Brand#23'
+        ), avg_q AS (
+          SELECT l_partkey, AVG(l_quantity) AS avg_qty
+          FROM li_p GROUP BY l_partkey
+        )
+        SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+               COUNT(*) AS n_lines
+        FROM li_p l JOIN avg_q a ON l.l_partkey = a.l_partkey
+        WHERE l.l_quantity < 0.2 * a.avg_qty
+    """,
+    "q21_waiting_supplier": """
+        WITH per_order AS (
+          SELECT l.l_orderkey,
+                 COUNT(DISTINCT l.l_suppkey) AS n_supp,
+                 COUNT(DISTINCT CASE WHEN l.l_shipdate > '1997-06-30'
+                                     THEN l.l_suppkey END) AS n_late_supp,
+                 MAX(CASE WHEN l.l_shipdate > '1997-06-30'
+                          THEN l.l_suppkey END) AS late_supp
+          FROM lineitem l
+          WHERE l.l_orderkey IN
+                (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+          GROUP BY l.l_orderkey
+        )
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM per_order f JOIN supplier s ON f.late_supp = s.s_suppkey
+        WHERE f.n_supp >= 2 AND f.n_late_supp = 1
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name ASC LIMIT 10
+    """,
+    "q22_global_sales": """
+        SELECT c_nationkey, COUNT(*) AS numcust,
+               ROUND(SUM(c_acctbal), 2) AS totacctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= '2000-01-01')
+        GROUP BY c_nationkey
+    """,
     "q7_nation_volume": """
         SELECT sn.supp_nation, cn.cust_nation,
                EXTRACT(year FROM CAST(l.l_shipdate AS DATE)) AS l_year,

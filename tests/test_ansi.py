@@ -36,6 +36,8 @@ RISKY = [
     "q_sample_weighted",   # r4 pow(u, 1/w) + md5 conv casts
     "q_grouping_sets",     # r4 multi-level agg null group keys
     "q_ohlc",              # r4 argmin/argmax struct-ordered aggregates
+    "q8_market_share",     # r4 conditional-sum ratio division
+    "q17_small_quantity",  # r4 avg-threshold comparison + /7.0
 ]
 
 

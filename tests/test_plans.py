@@ -215,6 +215,17 @@ def test_tpch_composites_broadcast_dims(spark, sf_dir):
     assert "SortMergeJoin" not in f19
 
 
+def test_q8_market_share_broadcasts_all_dims(spark, sf_dir):
+    """q8's part/supplier-nation/customer-nation chains must all
+    broadcast; the only shuffle joins allowed are the lineitem-orders
+    and orders-customer fact joins."""
+    from dataframe_spark.queries.relational import q8_market_share
+
+    plan = _plan(q8_market_share(spark, sf_dir)).split("== Initial Plan ==")[0]
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") <= 2
+
+
 def test_dedup_reuses_shingle_arrays(spark, sf_dir):
     """jaccard/minhash read the hashed shingle arrays multiple times
     (df table, prefix build, verify); the shared subplan must be a
