@@ -791,6 +791,43 @@ class DataFrame:
         fn = F.covar_samp if sample else F.covar_pop
         return self.df.agg(fn(_c(c1), _c(c2)).alias("v")).first()["v"]
 
+    def chi_square(self, c1: str, c2: str) -> "DataFrame":
+        """Pearson chi-square test of independence between two
+        categorical columns: one (a, b) contingency aggregation,
+        margins re-aggregated from its (category-bounded) output and
+        joined back broadcast, statistic summed in a final tiny agg.
+        The data shuffles ONCE; everything after is bounded by the
+        category-pair cardinality. Returns one row
+        (chi2, dof, n) — pair the statistic with a chi-square CDF
+        externally for a p-value (no SciPy dependency here).
+        Null categories are excluded (both engines group them as a
+        level otherwise — excluded for a cleaner contract)."""
+        a, b = _c(c1), _c(c2)
+        obs = (
+            self.df.where(a.isNotNull() & b.isNotNull())
+            .groupBy(a.alias("__a"), b.alias("__b"))
+            .agg(F.count(F.lit(1)).alias("__o"))
+        )
+        row_m = obs.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+        col_m = obs.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+        tot = obs.agg(F.sum("__o").alias("__n"))
+        exp = F.col("__ra") * F.col("__cb") / F.col("__n")
+        d = F.col("__o") - exp
+        joined = (
+            obs.join(F.broadcast(row_m), "__a")
+            .join(F.broadcast(col_m), "__b")
+            .crossJoin(F.broadcast(tot))
+        )
+        return self._wrap(
+            joined.agg(
+                F.sum(d * d / exp).alias("chi2"),
+                (
+                    (F.countDistinct("__a") - 1) * (F.countDistinct("__b") - 1)
+                ).cast("long").alias("dof"),
+                F.max("__n").alias("n"),
+            )
+        )
+
     def approx_quantiles(
         self, cols: Sequence[str], probs: Sequence[float], rel_err: float = 0.01
     ) -> "DataFrame":

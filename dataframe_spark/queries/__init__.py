@@ -31,7 +31,7 @@ MODULES = [stats_q, relational, extras_q, windows_q, text_q, exprs_q, ml_q, dedu
 # their recorded green rows plus continuous full-registry parity in
 # pytest at sf0.001.
 WINDOW_PRIORITY = [
-    *stats_q.QUERIES,          # 13 changed-plan stats queries
+    *stats_q.QUERIES,          # 14 stats queries (changed plans + new chi-square)
     "q1_pricing_summary",      # 14-31: all TPC-H composite shapes
     "q_join_inner",            # (Q3)
     "q4_order_priority",
@@ -67,8 +67,7 @@ WINDOW_PRIORITY = [
     "q_logreg_classifier",
     "q_fuzzy_pairs",
     "q_sample_weighted",
-    "q_grouping_sets",
-    "q_join_left",             # 50: core join variant representative
+    "q_grouping_sets",         # 50
 ]
 # plain raise, not assert: the guard must survive python -O
 if len(WINDOW_PRIORITY) != 50:

@@ -175,6 +175,14 @@ def q_correlation(spark, sf_dir):
     )
 
 
+def q_chi_square(spark, sf_dir):
+    """Chi-square independence of order status vs priority (one
+    contingency shuffle; margins broadcast back)."""
+    o = _t(spark, sf_dir, "orders")
+    out = o.chi_square("o_orderstatus", "o_orderpriority").df
+    return out.select(F.round("chi2", 4).alias("chi2"), "dof", "n")
+
+
 def q_histogram(spark, sf_dir):
     return _t(spark, sf_dir, "lineitem").histogram("l_extendedprice", 10).df
 
@@ -289,6 +297,7 @@ QUERIES = {
     "q_quantiles": q_quantiles,
     "q_group_quantiles": q_group_quantiles,
     "q_stats_agg": q_stats_agg,
+    "q_chi_square": q_chi_square,
     "q_mode": q_mode,
     "q_collect_list": q_collect_list,
     "q_correlation": q_correlation,
@@ -328,6 +337,21 @@ ORACLES = {
           ROUND(QUANTILE_CONT(l_extendedprice, 0.75) - QUANTILE_CONT(l_extendedprice, 0.25), 4) AS iqr,
           ROUND(CORR(l_quantity, l_extendedprice), 4) AS r
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_chi_square": """
+        WITH obs AS (
+          SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*) AS o
+          FROM orders
+          WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+          GROUP BY 1, 2
+        ), rm AS (SELECT a, SUM(o) AS ra FROM obs GROUP BY a),
+           cm AS (SELECT b, SUM(o) AS cb FROM obs GROUP BY b),
+           tt AS (SELECT SUM(o) AS n FROM obs)
+        SELECT ROUND(SUM(POW(o - ra * cb / n, 2) / (ra * cb / n)), 4) AS chi2,
+               CAST((SELECT COUNT(DISTINCT a) - 1 FROM obs)
+                    * (SELECT COUNT(DISTINCT b) - 1 FROM obs) AS BIGINT) AS dof,
+               CAST(MAX(n) AS BIGINT) AS n
+        FROM obs JOIN rm USING (a) JOIN cm USING (b) CROSS JOIN tt
     """,
     "q_mode": """
         SELECT l_returnflag, l_quantity AS mode_qty, n FROM (

@@ -212,3 +212,27 @@ def test_approx_quantiles_within_rank_error(lineitem):
 
             rank = bisect.bisect_right(vals, v)
             assert abs(rank - p * n) <= 0.02 * n + 1, (c, p)
+
+
+def test_chi_square_known_value(spark):
+    """2x2 contingency with a hand-computable statistic."""
+    from dataframe_spark import DataFrame
+
+    # obs: (x,1)=30 (x,2)=10 / (y,1)=10 (y,2)=30 -> chi2 = 20.0, dof 1
+    rows = (
+        [("x", "1")] * 30 + [("x", "2")] * 10
+        + [("y", "1")] * 10 + [("y", "2")] * 30
+    )
+    df = DataFrame(spark.createDataFrame(rows, "a string, b string"))
+    r = df.chi_square("a", "b").df.collect()[0]
+    assert r["dof"] == 1 and r["n"] == 80
+    assert abs(r["chi2"] - 20.0) < 1e-9
+
+
+def test_chi_square_independent_is_zero(spark):
+    from dataframe_spark import DataFrame
+
+    rows = [("x", "1")] * 10 + [("x", "2")] * 10 + [("y", "1")] * 20 + [("y", "2")] * 20
+    df = DataFrame(spark.createDataFrame(rows, "a string, b string"))
+    r = df.chi_square("a", "b").df.collect()[0]
+    assert abs(r["chi2"]) < 1e-9
