@@ -828,6 +828,80 @@ class DataFrame:
             )
         )
 
+    def ks_test(self, value_col, group_col, a, b) -> "DataFrame":
+        """Exact two-sample Kolmogorov–Smirnov statistic between the
+        ``a`` and ``b`` populations of ``group_col`` — the standard
+        numeric-distribution drift check between two corpus slices.
+
+        Fully parallel exact plan (no single-partition sort window):
+        per-distinct-value group counts (ONE data-sized shuffle),
+        then the with_row_index partition-offset pattern — range
+        repartition so each partition holds a contiguous slice of
+        the value order, per-partition totals cumsum'd into offsets
+        on a ≤ shuffle.partitions-row side relation and broadcast
+        back, cumulative counts from a per-partition window plus the
+        offset. KS = max |ecdf_a - ecdf_b| over distinct values.
+        Returns one row (ks, n_a, n_b, n_values)."""
+        from pyspark.sql.window import Window
+
+        v, g = _c(value_col), _c(group_col)
+        counts = (
+            self.df.where(v.isNotNull() & g.isin(a, b))
+            .groupBy(v.alias("__v"))
+            .agg(
+                F.sum(F.when(g == a, 1).otherwise(0)).alias("__na"),
+                F.sum(F.when(g == b, 1).otherwise(0)).alias("__nb"),
+            )
+        )
+        tagged = (
+            counts.repartitionByRange("__v")
+            .sortWithinPartitions("__v")
+            .withColumn("__pid", F.spark_partition_id())
+        )
+        w_off = Window.orderBy("__pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = (
+            tagged.groupBy("__pid")
+            .agg(F.sum("__na").alias("__pa"), F.sum("__nb").alias("__pb"))
+            .select(
+                "__pid",
+                F.coalesce(F.sum("__pa").over(w_off), F.lit(0)).alias("__offa"),
+                F.coalesce(F.sum("__pb").over(w_off), F.lit(0)).alias("__offb"),
+            )
+        )
+        totals = counts.agg(
+            F.sum("__na").alias("__ta"), F.sum("__nb").alias("__tb")
+        )
+        w_local = (
+            Window.partitionBy("__pid")
+            .orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum_a = F.sum("__na").over(w_local) + F.col("__offa")
+        cum_b = F.sum("__nb").over(w_local) + F.col("__offb")
+        # nullif: an empty population yields a null ks rather than a
+        # division error under the driver's possible ANSI session.
+        # The window evaluates in a SELECT (a window inside an
+        # aggregate is illegal); the agg then reduces its output.
+        diff = F.abs(
+            cum_a / F.nullif(F.col("__ta"), F.lit(0))
+            - cum_b / F.nullif(F.col("__tb"), F.lit(0))
+        )
+        per_value = (
+            tagged.join(F.broadcast(offsets), "__pid")
+            .crossJoin(F.broadcast(totals))
+            .select(diff.alias("__d"), "__ta", "__tb")
+        )
+        return self._wrap(
+            per_value.agg(
+                F.max("__d").alias("ks"),
+                F.max("__ta").alias("n_a"),
+                F.max("__tb").alias("n_b"),
+                F.count(F.lit(1)).alias("n_values"),
+            )
+        )
+
     def approx_quantiles(
         self, cols: Sequence[str], probs: Sequence[float], rel_err: float = 0.01
     ) -> "DataFrame":

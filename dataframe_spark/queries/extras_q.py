@@ -42,6 +42,17 @@ def q_sample_group(spark, sf_dir):
     )
 
 
+def q_ks_test(spark, sf_dir):
+    """Distribution drift: exact two-sample KS between click and
+    purchase event values (partition-offset cumulative plan — no
+    single-partition sort)."""
+    ev = _t(spark, sf_dir, "events")
+    out = ev.ks_test("value", F.col("event_type"), "click", "purchase").df
+    return out.select(
+        F.round("ks", 6).alias("ks"), "n_a", "n_b", "n_values"
+    )
+
+
 def q_sample_weighted(spark, sf_dir):
     """Quality-weighted 100-doc sample (Efraimidis–Spirakis over the
     portable md5 uniform): inclusion odds proportional to n_chars,
@@ -139,6 +150,7 @@ def q_source_overlap(spark, sf_dir):
 QUERIES = {
     "q_winsorize": q_winsorize,
     "q_sample_group": q_sample_group,
+    "q_ks_test": q_ks_test,
     "q_sample_weighted": q_sample_weighted,
     "q_grouping_sets": q_grouping_sets,
     "q_hcat": q_hcat,
@@ -149,6 +161,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_ks_test": """
+        WITH c AS (
+          SELECT value AS v,
+                 SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS na,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS nb
+          FROM events
+          WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+          GROUP BY value
+        ), t AS (
+          SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
+          FROM c
+        ), cum AS (
+          SELECT SUM(na) OVER (ORDER BY v) AS ca,
+                 SUM(nb) OVER (ORDER BY v) AS cb
+          FROM c
+        )
+        SELECT ROUND(MAX(ABS(CAST(ca AS DOUBLE) / NULLIF(ta, 0)
+                             - CAST(cb AS DOUBLE) / NULLIF(tb, 0))), 6) AS ks,
+               MAX(ta) AS n_a, MAX(tb) AS n_b, COUNT(*) AS n_values
+        FROM cum CROSS JOIN t
+    """,
     "q_sample_weighted": """
         SELECT doc_id, n_chars FROM (
           SELECT doc_id, n_chars,

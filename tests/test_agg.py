@@ -236,3 +236,34 @@ def test_chi_square_independent_is_zero(spark):
     df = DataFrame(spark.createDataFrame(rows, "a string, b string"))
     r = df.chi_square("a", "b").df.collect()[0]
     assert abs(r["chi2"]) < 1e-9
+
+
+def test_ks_identical_distributions_zero_and_disjoint_one(spark):
+    from dataframe_spark import DataFrame
+
+    same = [(float(i % 10), "a") for i in range(100)] + [
+        (float(i % 10), "b") for i in range(100)
+    ]
+    df = DataFrame(spark.createDataFrame(same, "v double, g string"))
+    r = df.ks_test("v", F.col("g"), "a", "b").df.collect()[0]
+    assert r["ks"] == 0.0 and r["n_a"] == 100 and r["n_b"] == 100
+
+    disjoint = [(float(i), "a") for i in range(50)] + [
+        (float(i + 1000), "b") for i in range(50)
+    ]
+    df2 = DataFrame(spark.createDataFrame(disjoint, "v double, g string"))
+    r2 = df2.ks_test("v", F.col("g"), "a", "b").df.collect()[0]
+    assert r2["ks"] == 1.0
+
+
+def test_ks_matches_scipy_formula_by_hand(spark):
+    """Hand-computed ECDF max gap on a tiny sample."""
+    from dataframe_spark import DataFrame
+
+    # a = [1,2,3,4], b = [3,4,5,6]: max |ecdf gap| = 0.5 at v in {2, 4}
+    rows = [(1.0, "a"), (2.0, "a"), (3.0, "a"), (4.0, "a"),
+            (3.0, "b"), (4.0, "b"), (5.0, "b"), (6.0, "b")]
+    df = DataFrame(spark.createDataFrame(rows, "v double, g string"))
+    r = df.ks_test("v", F.col("g"), "a", "b").df.collect()[0]
+    assert abs(r["ks"] - 0.5) < 1e-12
+    assert r["n_values"] == 6

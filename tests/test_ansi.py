@@ -38,6 +38,8 @@ RISKY = [
     "q_ohlc",              # r4 argmin/argmax struct-ordered aggregates
     "q8_market_share",     # r4 conditional-sum ratio division
     "q17_small_quantity",  # r4 avg-threshold comparison + /7.0
+    "q_chi_square",        # r4 expected-count divisions
+    "q_ks_test",           # r4 ECDF divisions (nullif guarded)
 ]
 
 
