@@ -828,20 +828,22 @@ class DataFrame:
             )
         )
 
-    def ks_test(self, value_col, group_col, a, b) -> "DataFrame":
-        """Exact two-sample Kolmogorov–Smirnov statistic between the
-        ``a`` and ``b`` populations of ``group_col`` — the standard
-        numeric-distribution drift check between two corpus slices.
+    def _two_sample_prefix(self, value_col, group_col, a, b):
+        """Shared machinery for the exact two-sample tests (KS,
+        Mann–Whitney): per-distinct-value counts of the two
+        populations (ONE data-sized shuffle) plus EXCLUSIVE global
+        prefix sums in value order via the with_row_index
+        partition-offset pattern — range repartition so each
+        partition holds a contiguous slice of the value order,
+        per-partition totals cumsum'd into offsets on a
+        ≤ shuffle.partitions-row side relation and broadcast back,
+        local cumulative windows per partition. No stage funnels the
+        data through a single sort.
 
-        Fully parallel exact plan (no single-partition sort window):
-        per-distinct-value group counts (ONE data-sized shuffle),
-        then the with_row_index partition-offset pattern — range
-        repartition so each partition holds a contiguous slice of
-        the value order, per-partition totals cumsum'd into offsets
-        on a ≤ shuffle.partitions-row side relation and broadcast
-        back, cumulative counts from a per-partition window plus the
-        offset. KS = max |ecdf_a - ecdf_b| over distinct values.
-        Returns one row (ks, n_a, n_b, n_values)."""
+        Returns (per_value, totals): per_value has one row per
+        distinct value with __v, __na, __nb, __cuma, __cumb
+        (INCLUSIVE cumulative counts); totals is one row
+        (__ta, __tb)."""
         from pyspark.sql.window import Window
 
         v, g = _c(value_col), _c(group_col)
@@ -878,27 +880,94 @@ class DataFrame:
             .orderBy("__v")
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        cum_a = F.sum("__na").over(w_local) + F.col("__offa")
-        cum_b = F.sum("__nb").over(w_local) + F.col("__offb")
+        per_value = (
+            tagged.join(F.broadcast(offsets), "__pid")
+            .select(
+                "__v",
+                "__na",
+                "__nb",
+                (F.sum("__na").over(w_local) + F.col("__offa")).alias("__cuma"),
+                (F.sum("__nb").over(w_local) + F.col("__offb")).alias("__cumb"),
+            )
+        )
+        return per_value, totals
+
+    def ks_test(self, value_col, group_col, a, b) -> "DataFrame":
+        """Exact two-sample Kolmogorov–Smirnov statistic between the
+        ``a`` and ``b`` populations of ``group_col`` — the standard
+        numeric-distribution drift check between two corpus slices.
+        Fully parallel (see _two_sample_prefix); KS =
+        max |ecdf_a - ecdf_b| over distinct values. Returns one row
+        (ks, n_a, n_b, n_values)."""
+        per_value, totals = self._two_sample_prefix(
+            value_col, group_col, a, b
+        )
         # nullif: an empty population yields a null ks rather than a
         # division error under the driver's possible ANSI session.
         # The window evaluates in a SELECT (a window inside an
         # aggregate is illegal); the agg then reduces its output.
         diff = F.abs(
-            cum_a / F.nullif(F.col("__ta"), F.lit(0))
-            - cum_b / F.nullif(F.col("__tb"), F.lit(0))
-        )
-        per_value = (
-            tagged.join(F.broadcast(offsets), "__pid")
-            .crossJoin(F.broadcast(totals))
-            .select(diff.alias("__d"), "__ta", "__tb")
+            F.col("__cuma") / F.nullif(F.col("__ta"), F.lit(0))
+            - F.col("__cumb") / F.nullif(F.col("__tb"), F.lit(0))
         )
         return self._wrap(
-            per_value.agg(
+            per_value.crossJoin(F.broadcast(totals))
+            .select(diff.alias("__d"), "__ta", "__tb")
+            .agg(
                 F.max("__d").alias("ks"),
                 F.max("__ta").alias("n_a"),
                 F.max("__tb").alias("n_b"),
                 F.count(F.lit(1)).alias("n_values"),
+            )
+        )
+
+    def mann_whitney_u(self, value_col, group_col, a, b) -> "DataFrame":
+        """Exact two-sample Mann–Whitney U (Wilcoxon rank-sum) with
+        midrank tie handling and the tie-corrected normal
+        approximation — the location-shift companion to ks_test's
+        shape test, on the same fully parallel rank machinery.
+
+        For each distinct value the midrank is
+        start + (ties - 1) / 2 where start is the 1-based global
+        position of its first occurrence; U_a = R_a - n_a(n_a+1)/2
+        with R_a the rank sum of population a, and
+        z = (U_a - n_a n_b / 2) / sigma with the tie-corrected
+        sigma = sqrt(n_a n_b / 12 ((N+1) - sum(t³-t)/(N(N-1)))).
+        Returns one row (u_a, u_b, z, n_a, n_b)."""
+        per_value, totals = self._two_sample_prefix(
+            value_col, group_col, a, b
+        )
+        m = F.col("__na") + F.col("__nb")  # ties at this value
+        start = F.col("__cuma") + F.col("__cumb") - m + 1
+        midrank = start + (m - 1) / 2.0
+        stats = (
+            per_value.select(
+                (F.col("__na") * midrank).alias("__ra_part"),
+                (m * m * m - m).cast("double").alias("__tie_part"),
+            )
+            .agg(
+                F.sum("__ra_part").alias("__ra"),
+                F.sum("__tie_part").alias("__ties"),
+            )
+            .crossJoin(F.broadcast(totals))
+        )
+        na = F.col("__ta").cast("double")
+        nb = F.col("__tb").cast("double")
+        n = na + nb
+        u_a = F.col("__ra") - na * (na + 1) / 2.0
+        u_b = na * nb - u_a
+        sigma = F.sqrt(
+            na * nb / 12.0
+            * ((n + 1) - F.col("__ties") / F.nullif(n * (n - 1), F.lit(0.0)))
+        )
+        z = (u_a - na * nb / 2.0) / F.nullif(sigma, F.lit(0.0))
+        return self._wrap(
+            stats.select(
+                u_a.alias("u_a"),
+                u_b.alias("u_b"),
+                z.alias("z"),
+                F.col("__ta").alias("n_a"),
+                F.col("__tb").alias("n_b"),
             )
         )
 

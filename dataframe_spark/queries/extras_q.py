@@ -53,6 +53,21 @@ def q_ks_test(spark, sf_dir):
     )
 
 
+def q_mann_whitney(spark, sf_dir):
+    """Location-shift drift: exact tie-corrected Mann–Whitney U
+    between click and purchase event values, on the same parallel
+    rank machinery as q_ks_test."""
+    ev = _t(spark, sf_dir, "events")
+    out = ev.mann_whitney_u("value", F.col("event_type"), "click", "purchase").df
+    return out.select(
+        F.round("u_a", 2).alias("u_a"),
+        F.round("u_b", 2).alias("u_b"),
+        F.round("z", 4).alias("z"),
+        "n_a",
+        "n_b",
+    )
+
+
 def q_sample_weighted(spark, sf_dir):
     """Quality-weighted 100-doc sample (Efraimidis–Spirakis over the
     portable md5 uniform): inclusion odds proportional to n_chars,
@@ -151,6 +166,7 @@ QUERIES = {
     "q_winsorize": q_winsorize,
     "q_sample_group": q_sample_group,
     "q_ks_test": q_ks_test,
+    "q_mann_whitney": q_mann_whitney,
     "q_sample_weighted": q_sample_weighted,
     "q_grouping_sets": q_grouping_sets,
     "q_hcat": q_hcat,
@@ -161,6 +177,36 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_mann_whitney": """
+        WITH c AS (
+          SELECT value AS v,
+                 SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS na,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS nb
+          FROM events
+          WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+          GROUP BY value
+        ), t AS (
+          SELECT CAST(SUM(na) AS DOUBLE) AS ta, CAST(SUM(nb) AS DOUBLE) AS tb
+          FROM c
+        ), cum AS (
+          SELECT na, nb, na + nb AS m,
+                 SUM(na + nb) OVER (ORDER BY v) AS cend
+          FROM c
+        ), parts AS (
+          SELECT SUM(na * (cend - m + 1 + (m - 1) / 2.0)) AS ra,
+                 SUM(CAST(m * m * m - m AS DOUBLE)) AS ties
+          FROM cum
+        )
+        SELECT ROUND(ra - ta * (ta + 1) / 2.0, 2) AS u_a,
+               ROUND(ta * tb - (ra - ta * (ta + 1) / 2.0), 2) AS u_b,
+               ROUND(((ra - ta * (ta + 1) / 2.0) - ta * tb / 2.0)
+                     / NULLIF(SQRT(ta * tb / 12.0
+                       * ((ta + tb + 1)
+                          - ties / NULLIF((ta + tb) * (ta + tb - 1), 0.0))), 0.0),
+                     4) AS z,
+               CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b
+        FROM parts CROSS JOIN t
+    """,
     "q_ks_test": """
         WITH c AS (
           SELECT value AS v,

@@ -267,3 +267,33 @@ def test_ks_matches_scipy_formula_by_hand(spark):
     r = df.ks_test("v", F.col("g"), "a", "b").df.collect()[0]
     assert abs(r["ks"] - 0.5) < 1e-12
     assert r["n_values"] == 6
+
+
+def test_mann_whitney_known_values(spark):
+    from dataframe_spark import DataFrame
+
+    # disjoint: a = 1..3 all below b = 4..6 -> U_a = 0, U_b = 9
+    rows = [(1.0, "a"), (2.0, "a"), (3.0, "a"),
+            (4.0, "b"), (5.0, "b"), (6.0, "b")]
+    df = DataFrame(spark.createDataFrame(rows, "v double, g string"))
+    r = df.mann_whitney_u("v", F.col("g"), "a", "b").df.collect()[0]
+    assert r["u_a"] == 0.0 and r["u_b"] == 9.0 and r["z"] < 0
+
+    # with ties: a=[1,2,2], b=[2,3] -> midranks 1, 3, 3 / 3, 5
+    # R_a = 7 -> U_a = 7 - 6 = 1; U_b = 6 - 1 = 5
+    rows2 = [(1.0, "a"), (2.0, "a"), (2.0, "a"), (2.0, "b"), (3.0, "b")]
+    df2 = DataFrame(spark.createDataFrame(rows2, "v double, g string"))
+    r2 = df2.mann_whitney_u("v", F.col("g"), "a", "b").df.collect()[0]
+    assert abs(r2["u_a"] - 1.0) < 1e-9 and abs(r2["u_b"] - 5.0) < 1e-9
+
+
+def test_mann_whitney_symmetric_identical(spark):
+    from dataframe_spark import DataFrame
+
+    rows = [(float(i % 7), "a") for i in range(70)] + [
+        (float(i % 7), "b") for i in range(70)
+    ]
+    df = DataFrame(spark.createDataFrame(rows, "v double, g string"))
+    r = df.mann_whitney_u("v", F.col("g"), "a", "b").df.collect()[0]
+    assert abs(r["u_a"] - r["u_b"]) < 1e-9  # identical dists: U_a = U_b
+    assert abs(r["z"]) < 1e-9

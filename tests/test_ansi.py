@@ -40,6 +40,7 @@ RISKY = [
     "q17_small_quantity",  # r4 avg-threshold comparison + /7.0
     "q_chi_square",        # r4 expected-count divisions
     "q_ks_test",           # r4 ECDF divisions (nullif guarded)
+    "q_mann_whitney",      # r4 rank-sum / sigma divisions (nullif guarded)
 ]
 
 
