@@ -798,8 +798,9 @@ class DataFrame:
         joined back broadcast, statistic summed in a final tiny agg.
         The data shuffles ONCE; everything after is bounded by the
         category-pair cardinality. Returns one row
-        (chi2, dof, n) — pair the statistic with a chi-square CDF
-        externally for a p-value (no SciPy dependency here).
+        (chi2, dof, n, cramers_v) — Cramér's V normalizes the
+        statistic to [0, 1] effect size; pair chi2 with a chi-square
+        CDF externally for a p-value (no SciPy dependency here).
         Null categories are excluded (both engines group them as a
         level otherwise — excluded for a cleaner contract)."""
         a, b = _c(c1), _c(c2)
@@ -818,14 +819,22 @@ class DataFrame:
             .join(F.broadcast(col_m), "__b")
             .crossJoin(F.broadcast(tot))
         )
+        agged = joined.agg(
+            F.sum(d * d / exp).alias("chi2"),
+            (
+                (F.countDistinct("__a") - 1) * (F.countDistinct("__b") - 1)
+            ).cast("long").alias("dof"),
+            F.max("__n").alias("n"),
+            F.least(
+                F.countDistinct("__a") - 1, F.countDistinct("__b") - 1
+            ).alias("__mindim"),
+        )
+        v = F.sqrt(
+            F.col("chi2")
+            / F.nullif(F.col("n") * F.col("__mindim"), F.lit(0)).cast("double")
+        )
         return self._wrap(
-            joined.agg(
-                F.sum(d * d / exp).alias("chi2"),
-                (
-                    (F.countDistinct("__a") - 1) * (F.countDistinct("__b") - 1)
-                ).cast("long").alias("dof"),
-                F.max("__n").alias("n"),
-            )
+            agged.select("chi2", "dof", "n", v.alias("cramers_v"))
         )
 
     def _two_sample_prefix(self, value_col, group_col, a, b):

@@ -442,6 +442,51 @@ def perplexity_score(df, id_col: str, text_col: str, lm, totals):
     )
 
 
+def js_divergence(df, text_col: str, group_col: str, a, b):
+    """Jensen–Shannon divergence (bits) between the unigram token
+    distributions of two corpus slices — the bounded symmetric
+    corpus-drift / source-similarity metric (0 = identical token
+    mix, 1 = disjoint vocabularies).
+
+    One shuffle total: per-token conditional counts for both slices
+    in a single vocabulary-bounded aggregation; the two totals ride
+    back as a broadcast one-row crossJoin and the per-token KL
+    contributions (0·ln0 = 0 by construction: each side only
+    contributes where its count is positive) reduce in a final tiny
+    agg. Returns one row (jsd_bits, n_tokens_a, n_tokens_b,
+    vocab_union)."""
+    from ..plans.hints import ensure_scan_parallelism
+
+    g = F.col(group_col)
+    df = ensure_scan_parallelism(df).where(g.isin(a, b))
+    tok = df.select(g.alias("__g"), F.explode(tokens(text_col)).alias("__t"))
+    counts = tok.groupBy("__t").agg(
+        F.sum(F.when(F.col("__g") == a, 1).otherwise(0)).alias("__na"),
+        F.sum(F.when(F.col("__g") == b, 1).otherwise(0)).alias("__nb"),
+    )
+    totals = counts.agg(
+        F.sum("__na").alias("__ta"), F.sum("__nb").alias("__tb")
+    )
+    pa = F.col("__na") / F.nullif(F.col("__ta"), F.lit(0)).cast("double")
+    pb = F.col("__nb") / F.nullif(F.col("__tb"), F.lit(0)).cast("double")
+    m = (pa + pb) / 2.0
+    contrib = F.when(F.col("__na") > 0, 0.5 * pa * F.log(pa / m)).otherwise(
+        0.0
+    ) + F.when(F.col("__nb") > 0, 0.5 * pb * F.log(pb / m)).otherwise(0.0)
+    import math
+
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(contrib.alias("__c"), "__ta", "__tb")
+        .agg(
+            (F.sum("__c") / F.lit(math.log(2.0))).alias("jsd_bits"),
+            F.max("__ta").alias("n_tokens_a"),
+            F.max("__tb").alias("n_tokens_b"),
+            F.count(F.lit(1)).alias("vocab_union"),
+        )
+    )
+
+
 # --- sequence prep: chunking and token-budget selection ---------------
 
 

@@ -180,7 +180,12 @@ def q_chi_square(spark, sf_dir):
     contingency shuffle; margins broadcast back)."""
     o = _t(spark, sf_dir, "orders")
     out = o.chi_square("o_orderstatus", "o_orderpriority").df
-    return out.select(F.round("chi2", 4).alias("chi2"), "dof", "n")
+    return out.select(
+        F.round("chi2", 4).alias("chi2"),
+        "dof",
+        "n",
+        F.round("cramers_v", 6).alias("cramers_v"),
+    )
 
 
 def q_histogram(spark, sf_dir):
@@ -350,7 +355,12 @@ ORACLES = {
         SELECT ROUND(SUM(POW(o - ra * cb / n, 2) / (ra * cb / n)), 4) AS chi2,
                CAST((SELECT COUNT(DISTINCT a) - 1 FROM obs)
                     * (SELECT COUNT(DISTINCT b) - 1 FROM obs) AS BIGINT) AS dof,
-               CAST(MAX(n) AS BIGINT) AS n
+               CAST(MAX(n) AS BIGINT) AS n,
+               ROUND(SQRT(SUM(POW(o - ra * cb / n, 2) / (ra * cb / n))
+                 / NULLIF(MAX(n) * LEAST(
+                     (SELECT COUNT(DISTINCT a) - 1 FROM obs),
+                     (SELECT COUNT(DISTINCT b) - 1 FROM obs)), 0)), 6)
+                 AS cramers_v
         FROM obs JOIN rm USING (a) JOIN cm USING (b) CROSS JOIN tt
     """,
     "q_mode": """

@@ -108,6 +108,19 @@ def q_perplexity(spark, sf_dir):
     )
 
 
+def q_js_divergence(spark, sf_dir):
+    """Token-distribution JSD between two ingest sources (corpus
+    drift / mirrored-source similarity)."""
+    docs = _t(spark, sf_dir, "documents").df
+    out = T.js_divergence(docs, "text", "source", "src0", "src1")
+    return out.select(
+        F.round("jsd_bits", 6).alias("jsd_bits"),
+        "n_tokens_a",
+        "n_tokens_b",
+        "vocab_union",
+    )
+
+
 def q_doc_chunks(spark, sf_dir):
     """Chunk documents into 64-token windows (overlap 16); verify
     the chunk grid by count/size/first-token per chunk."""
@@ -243,6 +256,7 @@ QUERIES = {
     "q_tfidf": q_tfidf,
     "q_corpus_filter": q_corpus_filter,
     "q_perplexity": q_perplexity,
+    "q_js_divergence": q_js_divergence,
     "q_doc_chunks": q_doc_chunks,
     "q_token_budget": q_token_budget,
 }
@@ -456,6 +470,40 @@ ORACLES = {
         FROM (SELECT UNNEST({_TOKS}) AS token FROM documents)
         GROUP BY token
         ORDER BY n DESC, token ASC LIMIT 50
+    """,
+    "q_js_divergence": f"""
+        WITH tok AS (
+          SELECT source AS g, UNNEST({_TOKS}) AS t FROM documents
+          WHERE source IN ('src0', 'src1')
+        ), c AS (
+          SELECT t,
+                 SUM(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS na,
+                 SUM(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS nb
+          FROM tok GROUP BY t
+        ), tt AS (
+          SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
+          FROM c
+        ), contrib AS (
+          SELECT
+            (CASE WHEN na > 0 THEN
+               0.5 * (na / CAST(ta AS DOUBLE))
+                   * LN((na / CAST(ta AS DOUBLE))
+                        / ((na / CAST(ta AS DOUBLE)
+                            + nb / CAST(tb AS DOUBLE)) / 2.0))
+             ELSE 0.0 END)
+            + (CASE WHEN nb > 0 THEN
+               0.5 * (nb / CAST(tb AS DOUBLE))
+                   * LN((nb / CAST(tb AS DOUBLE))
+                        / ((na / CAST(ta AS DOUBLE)
+                            + nb / CAST(tb AS DOUBLE)) / 2.0))
+             ELSE 0.0 END) AS ct,
+            ta, tb
+          FROM c CROSS JOIN tt
+        )
+        SELECT ROUND(SUM(ct) / LN(2.0), 6) AS jsd_bits,
+               MAX(ta) AS n_tokens_a, MAX(tb) AS n_tokens_b,
+               COUNT(*) AS vocab_union
+        FROM contrib
     """,
     "q_perplexity": f"""
         WITH tok AS (

@@ -227,6 +227,7 @@ def test_chi_square_known_value(spark):
     r = df.chi_square("a", "b").df.collect()[0]
     assert r["dof"] == 1 and r["n"] == 80
     assert abs(r["chi2"] - 20.0) < 1e-9
+    assert abs(r["cramers_v"] - 0.5) < 1e-9  # sqrt(20 / (80 * 1))
 
 
 def test_chi_square_independent_is_zero(spark):

@@ -41,6 +41,7 @@ RISKY = [
     "q_chi_square",        # r4 expected-count divisions
     "q_ks_test",           # r4 ECDF divisions (nullif guarded)
     "q_mann_whitney",      # r4 rank-sum / sigma divisions (nullif guarded)
+    "q_js_divergence",     # r4 probability-ratio logs and divisions
 ]
 
 

@@ -307,3 +307,24 @@ def test_perplexity_zero_token_docs_absent(spark):
     lm, totals = T.unigram_lm(docs, "text")
     ids = {r["id"] for r in T.perplexity_score(docs, "id", "text", lm, totals).collect()}
     assert ids == {1}
+
+
+def test_js_divergence_bounds_and_known_cases(spark):
+    # identical slices -> 0; disjoint vocabularies -> 1 bit
+    same = [(1, "a", "x y z"), (2, "b", "x y z")]
+    df = spark.createDataFrame(same, "id long, g string, text string")
+    r = T.js_divergence(df, "text", "g", "a", "b").collect()[0]
+    assert abs(r["jsd_bits"]) < 1e-12
+    assert r["vocab_union"] == 3
+
+    disjoint = [(1, "a", "x y z"), (2, "b", "p q r")]
+    df2 = spark.createDataFrame(disjoint, "id long, g string, text string")
+    r2 = T.js_divergence(df2, "text", "g", "a", "b").collect()[0]
+    assert abs(r2["jsd_bits"] - 1.0) < 1e-12
+
+    # symmetric in the two slices
+    half = [(1, "a", "x x y"), (2, "b", "x y y")]
+    df3 = spark.createDataFrame(half, "id long, g string, text string")
+    ab = T.js_divergence(df3, "text", "g", "a", "b").collect()[0]["jsd_bits"]
+    ba = T.js_divergence(df3, "text", "g", "b", "a").collect()[0]["jsd_bits"]
+    assert abs(ab - ba) < 1e-12 and 0 < ab < 1
