@@ -405,6 +405,38 @@ class DataFrame:
             .drop("__aes")
         )
 
+    def sample_weighted_per_group(
+        self, group_col: str, k: int, weight_col, key_cols: Sequence[str]
+    ) -> "DataFrame":
+        """Deterministic weighted k-sample without replacement WITHIN
+        each group (Efraimidis–Spirakis per partition of the data):
+        the same portable u^(1/w) rank as sample_weighted, kept top-k
+        per group via a group-partitioned window — one shuffle on the
+        group key, parallel across groups. Rows with null or
+        non-positive weight are excluded."""
+        from pyspark.sql.window import Window
+
+        keyed = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in key_cols
+        ]
+        u = (
+            F.conv(F.substring(F.md5(F.concat_ws("\x1f", *keyed)), 1, 8), 16, 10)
+            .cast("bigint")
+            .cast("double")
+            / F.lit(float(1 << 32))
+        )
+        w = _c(weight_col).cast("double")
+        key = F.pow(u, 1.0 / w)
+        win = Window.partitionBy(group_col).orderBy(
+            key.desc(), *[F.col(c).asc() for c in key_cols]
+        )
+        return self._wrap(
+            self.df.where(w.isNotNull() & (w > 0))
+            .withColumn("__rn", F.row_number().over(win))
+            .where(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
     def pipe(self, fn, *args, **kwargs) -> "DataFrame":
         """Operators.hs ``|>`` — apply fn(df, *args) in a fluent
         chain."""
@@ -977,6 +1009,62 @@ class DataFrame:
                 z.alias("z"),
                 F.col("__ta").alias("n_a"),
                 F.col("__tb").alias("n_b"),
+            )
+        )
+
+    def psi(
+        self, value_col, group_col, a, b, bins: int = 10, eps: float = 1e-6
+    ) -> "DataFrame":
+        """Population stability index between the ``a`` (reference)
+        and ``b`` (current) populations of ``group_col`` — the
+        standard magnitude-weighted drift score (rule of thumb:
+        < 0.1 stable, > 0.25 shifted), complementing ks_test's
+        max-gap statistic.
+
+        Bin edges are the EXACT ``bins``-quantiles of the reference
+        population (one bounded agg; F.percentile ==
+        QUANTILE_CONT); every row then bins in-row against the
+        broadcast edge array and the (group, bin) counts reduce in
+        one shuffle bounded by bins. Zero-count bins are floored at
+        ``eps`` (the standard PSI continuity fix) on both
+        proportions. Returns one row (psi, n_a, n_b)."""
+        v, g = _c(value_col), _c(group_col)
+        src = self.df.where(v.isNotNull() & g.isin(a, b))
+        probs = F.array(*[F.lit(i / bins) for i in range(1, bins)])
+        edges = src.where(g == a).agg(
+            F.percentile(v.cast("double"), probs).alias("__edges")
+        )
+        bin_ix = F.aggregate(
+            F.col("__edges"),
+            F.lit(0),
+            lambda acc, e: acc + F.when(v.cast("double") > e, 1).otherwise(0),
+        )
+        counts = (
+            src.crossJoin(F.broadcast(edges))
+            .groupBy(bin_ix.alias("__bin"))
+            .agg(
+                F.sum(F.when(g == a, 1).otherwise(0)).alias("__na"),
+                F.sum(F.when(g == b, 1).otherwise(0)).alias("__nb"),
+            )
+        )
+        totals = counts.agg(
+            F.sum("__na").alias("__ta"), F.sum("__nb").alias("__tb")
+        )
+        pa = F.greatest(
+            F.col("__na") / F.nullif(F.col("__ta"), F.lit(0)).cast("double"),
+            F.lit(float(eps)),
+        )
+        pb = F.greatest(
+            F.col("__nb") / F.nullif(F.col("__tb"), F.lit(0)).cast("double"),
+            F.lit(float(eps)),
+        )
+        return self._wrap(
+            counts.crossJoin(F.broadcast(totals))
+            .select(((pa - pb) * F.log(pa / pb)).alias("__c"), "__ta", "__tb")
+            .agg(
+                F.sum("__c").alias("psi"),
+                F.max("__ta").alias("n_a"),
+                F.max("__tb").alias("n_b"),
             )
         )
 

@@ -53,6 +53,14 @@ def q_ks_test(spark, sf_dir):
     )
 
 
+def q_psi(spark, sf_dir):
+    """Population stability index of event values, click (reference)
+    vs purchase (current), over exact reference deciles."""
+    ev = _t(spark, sf_dir, "events")
+    out = ev.psi("value", F.col("event_type"), "click", "purchase").df
+    return out.select(F.round("psi", 6).alias("psi"), "n_a", "n_b")
+
+
 def q_mann_whitney(spark, sf_dir):
     """Location-shift drift: exact tie-corrected Mann–Whitney U
     between click and purchase event values, on the same parallel
@@ -78,6 +86,16 @@ def q_sample_weighted(spark, sf_dir):
     return (
         docs.sample_weighted(100, F.col("n_chars"), ["doc_id"])
         .df.select("doc_id", "n_chars")
+    )
+
+
+def q_sample_weighted_group(spark, sf_dir):
+    """Length-weighted 5-doc sample per source (per-group A-ES over
+    the portable md5 uniform; one group-key shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.sample_weighted_per_group("source", 5, F.col("n_chars"), ["doc_id"])
+        .df.select("source", "doc_id", "n_chars")
     )
 
 
@@ -167,7 +185,9 @@ QUERIES = {
     "q_sample_group": q_sample_group,
     "q_ks_test": q_ks_test,
     "q_mann_whitney": q_mann_whitney,
+    "q_psi": q_psi,
     "q_sample_weighted": q_sample_weighted,
+    "q_sample_weighted_group": q_sample_weighted_group,
     "q_grouping_sets": q_grouping_sets,
     "q_hcat": q_hcat,
     "q_duplicated_spans": q_duplicated_spans,
@@ -177,6 +197,34 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_psi": """
+        WITH src AS (
+          SELECT value AS v, event_type AS g FROM events
+          WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+        ), e AS (
+          SELECT QUANTILE_CONT(CAST(v AS DOUBLE),
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+          FROM src WHERE g = 'click'
+        ), binned AS (
+          SELECT LEN(LIST_FILTER(edges, x -> CAST(v AS DOUBLE) > x)) AS bin, g
+          FROM src CROSS JOIN e
+        ), c AS (
+          SELECT bin,
+                 SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS na,
+                 SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS nb
+          FROM binned GROUP BY bin
+        ), t AS (
+          SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
+          FROM c
+        )
+        SELECT ROUND(SUM(
+                 (GREATEST(na / CAST(ta AS DOUBLE), 1e-6)
+                  - GREATEST(nb / CAST(tb AS DOUBLE), 1e-6))
+                 * LN(GREATEST(na / CAST(ta AS DOUBLE), 1e-6)
+                      / GREATEST(nb / CAST(tb AS DOUBLE), 1e-6))), 6) AS psi,
+               MAX(ta) AS n_a, MAX(tb) AS n_b
+        FROM c CROSS JOIN t
+    """,
     "q_mann_whitney": """
         WITH c AS (
           SELECT value AS v,
@@ -240,6 +288,21 @@ ORACLES = {
           WHERE n_chars IS NOT NULL AND n_chars > 0
         )
         ORDER BY aes DESC, doc_id ASC LIMIT 100
+    """,
+    "q_sample_weighted_group": """
+        SELECT source, doc_id, n_chars FROM (
+          SELECT source, doc_id, n_chars,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY POW(
+                     CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) / 4294967296.0,
+                     1.0 / CAST(n_chars AS DOUBLE)
+                   ) DESC, doc_id ASC
+                 ) AS rn
+          FROM documents
+          WHERE n_chars IS NOT NULL AND n_chars > 0
+        ) WHERE rn <= 5
     """,
     "q_grouping_sets": """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

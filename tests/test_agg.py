@@ -298,3 +298,21 @@ def test_mann_whitney_symmetric_identical(spark):
     r = df.mann_whitney_u("v", F.col("g"), "a", "b").df.collect()[0]
     assert abs(r["u_a"] - r["u_b"]) < 1e-9  # identical dists: U_a = U_b
     assert abs(r["z"]) < 1e-9
+
+
+def test_psi_identical_zero_and_shift_positive(spark):
+    from dataframe_spark import DataFrame
+
+    same = [(float(i % 100), "a") for i in range(1000)] + [
+        (float(i % 100), "b") for i in range(1000)
+    ]
+    df = DataFrame(spark.createDataFrame(same, "v double, g string"))
+    r = df.psi("v", F.col("g"), "a", "b").df.collect()[0]
+    assert abs(r["psi"]) < 1e-9 and r["n_a"] == 1000
+
+    shifted = [(float(i % 100), "a") for i in range(1000)] + [
+        (float(i % 100) + 50.0, "b") for i in range(1000)
+    ]
+    df2 = DataFrame(spark.createDataFrame(shifted, "v double, g string"))
+    r2 = df2.psi("v", F.col("g"), "a", "b").df.collect()[0]
+    assert r2["psi"] > 0.25  # a half-range shift is a major drift

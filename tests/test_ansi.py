@@ -42,6 +42,8 @@ RISKY = [
     "q_ks_test",           # r4 ECDF divisions (nullif guarded)
     "q_mann_whitney",      # r4 rank-sum / sigma divisions (nullif guarded)
     "q_js_divergence",     # r4 probability-ratio logs and divisions
+    "q_psi",               # r4 proportion ratios + log (eps floored)
+    "q_sample_weighted_group",  # r4 pow(u, 1/w) rank per group
 ]
 
 

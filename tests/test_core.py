@@ -399,3 +399,23 @@ def test_grouping_sets_levels(lineitem):
     assert not any(
         r["l_returnflag"] is not None and r["l_linestatus"] is None for r in out
     )
+
+
+def test_sample_weighted_per_group_counts_and_determinism(spark):
+    from dataframe_spark import DataFrame
+
+    rows = [(i, f"g{i % 3}", float(1 + i % 7)) for i in range(90)]
+    df = DataFrame(spark.createDataFrame(rows, "id long, g string, w double"))
+    out1 = sorted(
+        (r["g"], r["id"])
+        for r in df.sample_weighted_per_group("g", 4, F.col("w"), ["id"]).df.collect()
+    )
+    out2 = sorted(
+        (r["g"], r["id"])
+        for r in df.sample_weighted_per_group("g", 4, F.col("w"), ["id"]).df.collect()
+    )
+    assert out1 == out2
+    from collections import Counter
+
+    per_g = Counter(g for g, _ in out1)
+    assert all(n == 4 for n in per_g.values()) and len(per_g) == 3
