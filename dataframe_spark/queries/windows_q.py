@@ -247,6 +247,20 @@ def q_ntile(spark, sf_dir):
     )
 
 
+def q_stream_psi(spark, sf_dir):
+    """Batch twin of streaming/drift.py psi_stream: per-hour PSI of
+    purchase event values against the click-population reference
+    deciles (reference profile = bounded driver state, like an IVF
+    codebook)."""
+    from ..streaming import psi_by_window, reference_bins
+
+    ev = _t(spark, sf_dir, "events").df
+    ref = ev.where(F.col("event_type") == "click")
+    edges, props = reference_bins(ref, "value", bins=10)
+    cur = ev.where(F.col("event_type") == "purchase")
+    return psi_by_window(cur, edges, props, "value", "ts", unit="hour")
+
+
 def q_ohlc(spark, sf_dir):
     """OHLC-style daily bars per event type: open/close via
     argmin/argmax aggregates ((ts, event_id)-ordered — bounded
@@ -273,6 +287,7 @@ QUERIES = {
     "q_lead_lag": q_lead_lag,
     "q_ntile": q_ntile,
     "q_ohlc": q_ohlc,
+    "q_stream_psi": q_stream_psi,
     "q_window_cumsum": q_window_cumsum,
     "q_window_rolling": q_window_rolling,
     "q_asof_join": q_asof_join,
@@ -284,6 +299,48 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_stream_psi": """
+        WITH clicks AS (
+          SELECT CAST(value AS DOUBLE) AS v FROM events
+          WHERE event_type = 'click' AND value IS NOT NULL
+        ), e AS (
+          SELECT QUANTILE_CONT(v,
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+          FROM clicks
+        ), cb AS (
+          SELECT LEN(LIST_FILTER(edges, x -> v > x)) AS b
+          FROM clicks CROSS JOIN e
+        ), ref AS (
+          SELECT b, COUNT(*) / CAST((SELECT COUNT(*) FROM cb) AS DOUBLE) AS q
+          FROM cb GROUP BY b
+        ), cur AS (
+          SELECT DATE_TRUNC('hour', ts) AS w,
+                 LEN(LIST_FILTER(edges, x -> CAST(value AS DOUBLE) > x)) AS b
+          FROM events CROSS JOIN e
+          WHERE event_type = 'purchase' AND value IS NOT NULL
+        ), counts AS (
+          SELECT w, b, COUNT(*) AS n FROM cur GROUP BY w, b
+        ), grid AS (
+          SELECT w, bb.b FROM (SELECT DISTINCT w FROM cur)
+          CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 9)) AS b) bb
+        ), fullc AS (
+          SELECT g.w, g.b, COALESCE(c.n, 0) AS n, COALESCE(r.q, 0.0) AS q
+          FROM grid g
+          LEFT JOIN counts c ON g.w = c.w AND g.b = c.b
+          LEFT JOIN ref r ON g.b = r.b
+        ), tot AS (
+          SELECT w, SUM(n) AS nt FROM fullc GROUP BY w
+        )
+        SELECT STRFTIME(f.w, '%Y-%m-%d %H:%M:%S') AS window_start,
+               ROUND(SUM(
+                 (GREATEST(f.n / CAST(t.nt AS DOUBLE), 1e-6)
+                  - GREATEST(f.q, 1e-6))
+                 * LN(GREATEST(f.n / CAST(t.nt AS DOUBLE), 1e-6)
+                      / GREATEST(f.q, 1e-6))), 6) AS psi,
+               CAST(MAX(t.nt) AS BIGINT) AS n
+        FROM fullc f JOIN tot t ON f.w = t.w
+        GROUP BY f.w
+    """,
     "q_ohlc": """
         WITH r AS (
           SELECT event_type, STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,

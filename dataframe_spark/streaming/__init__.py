@@ -1,5 +1,6 @@
 from .windows import session_agg_stream, windowed_agg_stream
 from .dedup import streaming_dedup
+from .drift import psi_by_window, psi_stream, reference_bins
 from .join import enrich_stream, interval_join_streams
 from .source import events_stream
 from .stateful import running_user_totals
@@ -12,4 +13,7 @@ __all__ = [
     "enrich_stream",
     "interval_join_streams",
     "running_user_totals",
+    "reference_bins",
+    "psi_stream",
+    "psi_by_window",
 ]

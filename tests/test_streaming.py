@@ -240,3 +240,31 @@ def test_interval_join_rejects_colliding_columns(spark):
         interval_join_streams(
             left, right, on=["value"], left_ts="timestamp", right_ts="r_ts"
         )
+
+
+def test_psi_stream_matches_batch_twin(spark, sf_dir, stream):
+    """Windowed drift monitor: streaming per-hour PSI against the
+    click-reference profile must equal the batch twin exactly."""
+    from dataframe_spark.streaming import (
+        psi_by_window,
+        psi_stream,
+        reference_bins,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    edges, props = reference_bins(
+        ev.where(F.col("event_type") == "click"), "value", bins=10
+    )
+    s = stream.where(F.col("event_type") == "purchase")
+    _run_to_memory(psi_stream(s, edges, props), "psi_win")
+    got = {
+        str(r["window_start"]): (r["psi"], r["n"])
+        for r in spark.sql("select * from psi_win").collect()
+    }
+    want = {
+        r["window_start"]: (r["psi"], r["n"])
+        for r in psi_by_window(
+            ev.where(F.col("event_type") == "purchase"), edges, props
+        ).collect()
+    }
+    assert got == want and len(want) > 10
