@@ -304,6 +304,81 @@ def knn_ivf(
     )
 
 
+def build_ivf_index(
+    df: SparkDF,
+    id_col: str,
+    vec_col: str,
+    index_dir: str,
+    nlist: int = 16,
+    max_iter: int = 5,
+) -> None:
+    """Build and PERSIST an IVF index — the 'index once, query many'
+    serving shape knn_ivf's docstring promises: the corpus is
+    written partitioned by its inverted-list id (one Hive partition
+    per list, so a query's nprobe lists are pruned at the FILE level
+    before any IO) alongside a codebook of the k-means centroids
+    (nlist x dim — the same bounded model state kmeans_fit holds).
+    Rebuild to refresh; queries never re-cluster."""
+    centroids = kmeans_fit(df, id_col, vec_col, k=nlist, max_iter=max_iter)
+    C = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    @pandas_udf("int")
+    def assign(s: pd.Series) -> pd.Series:
+        A = np.stack(s.to_numpy()).astype("float64")
+        An = np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax((A / An) @ C.T, axis=1).astype("int32"))
+
+    (
+        df.withColumn("__cid", assign(_dvec(vec_col)))
+        .write.mode("overwrite")
+        .partitionBy("__cid")
+        .parquet(f"{index_dir}/lists")
+    )
+    spark = df.sparkSession
+    rows = [(i, [float(x) for x in centroids[i]]) for i in range(len(centroids))]
+    (
+        spark.createDataFrame(rows, "cid int, centroid array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/codebook")
+    )
+
+
+def query_ivf_index(
+    spark,
+    index_dir: str,
+    query_vec,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nprobe: int = 4,
+) -> SparkDF:
+    """Serve a top-k query from a persisted IVF index: rank the
+    codebook (tiny) on the driver, then scan ONLY the ``nprobe``
+    nearest lists — the `__cid` filter is a Hive partition predicate,
+    so pruning happens before any file is opened. Scoring is the
+    JVM cosine + TakeOrderedAndProject."""
+    book = spark.read.parquet(f"{index_dir}/codebook").collect()
+    C = np.zeros((len(book), len(book[0]["centroid"])))
+    for r in book:
+        C[r["cid"]] = r["centroid"]
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    qv = np.asarray(list(query_vec), dtype="float64")
+    qn = qv / max(np.linalg.norm(qv), 1e-12)
+    probes = [int(c) for c in np.argsort(-(C @ qn))[:nprobe]]
+    lists = spark.read.parquet(f"{index_dir}/lists")
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        lists.where(F.col("__cid").isin(probes))
+        .withColumn("cosine", F.round(cosine(F.col(vec_col), qlit), 4))
+        .select(F.col(id_col), "cosine")
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def knn_lsh(
     df: SparkDF,
     id_col: str,

