@@ -823,6 +823,37 @@ class DataFrame:
         fn = F.covar_samp if sample else F.covar_pop
         return self.df.agg(fn(_c(c1), _c(c2)).alias("v")).first()["v"]
 
+    def corr_matrix(self, cols: Sequence[str] | None = None) -> "DataFrame":
+        """Pairwise Pearson correlations of the numeric columns in
+        long form (col_a, col_b, r), upper triangle only — ALL
+        k(k-1)/2 coefficients in ONE aggregation pass over the data
+        (the same single-scan trick plot_correlation_matrix uses),
+        then unpivoted from the one-row result. Zero-variance pairs
+        come back null, matching F.corr."""
+        if cols is None:
+            cols = [c for c, t in self.df.dtypes if t in NUMERIC_TYPES]
+        pairs = [
+            (i, j) for i in range(len(cols)) for j in range(len(cols)) if i < j
+        ]
+        if not pairs:
+            raise ValueError("corr_matrix needs at least two numeric columns")
+        aggs = [
+            F.corr(
+                F.col(cols[i]).cast("double"), F.col(cols[j]).cast("double")
+            ).alias(f"__r_{i}_{j}")
+            for i, j in pairs
+        ]
+        one = self.df.agg(*aggs)
+        stack_args = []
+        for i, j in pairs:
+            stack_args += [f"'{cols[i]}'", f"'{cols[j]}'", f"`__r_{i}_{j}`"]
+        return self._wrap(
+            one.selectExpr(
+                f"stack({len(pairs)}, {', '.join(stack_args)}) as "
+                "(col_a, col_b, r)"
+            )
+        )
+
     def chi_square(self, c1: str, c2: str) -> "DataFrame":
         """Pearson chi-square test of independence between two
         categorical columns: one (a, b) contingency aggregation,

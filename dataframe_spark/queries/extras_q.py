@@ -53,6 +53,16 @@ def q_ks_test(spark, sf_dir):
     )
 
 
+def q_corr_matrix(spark, sf_dir):
+    """All pairwise correlations of four lineitem measures in one
+    aggregation pass (long-form upper triangle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.corr_matrix(
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ).df
+    return out.select("col_a", "col_b", F.round("r", 6).alias("r"))
+
+
 def q_psi(spark, sf_dir):
     """Population stability index of event values, click (reference)
     vs purchase (current), over exact reference deciles."""
@@ -186,6 +196,7 @@ QUERIES = {
     "q_ks_test": q_ks_test,
     "q_mann_whitney": q_mann_whitney,
     "q_psi": q_psi,
+    "q_corr_matrix": q_corr_matrix,
     "q_sample_weighted": q_sample_weighted,
     "q_sample_weighted_group": q_sample_weighted_group,
     "q_grouping_sets": q_grouping_sets,
@@ -197,6 +208,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_corr_matrix": """
+        SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+               ROUND(CORR(l_quantity, l_extendedprice), 6) AS r FROM lineitem
+        UNION ALL SELECT 'l_quantity', 'l_discount',
+               ROUND(CORR(l_quantity, l_discount), 6) FROM lineitem
+        UNION ALL SELECT 'l_quantity', 'l_tax',
+               ROUND(CORR(l_quantity, l_tax), 6) FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', 'l_discount',
+               ROUND(CORR(l_extendedprice, l_discount), 6) FROM lineitem
+        UNION ALL SELECT 'l_extendedprice', 'l_tax',
+               ROUND(CORR(l_extendedprice, l_tax), 6) FROM lineitem
+        UNION ALL SELECT 'l_discount', 'l_tax',
+               ROUND(CORR(l_discount, l_tax), 6) FROM lineitem
+    """,
     "q_psi": """
         WITH src AS (
           SELECT value AS v, event_type AS g FROM events

@@ -316,3 +316,15 @@ def test_psi_identical_zero_and_shift_positive(spark):
     df2 = DataFrame(spark.createDataFrame(shifted, "v double, g string"))
     r2 = df2.psi("v", F.col("g"), "a", "b").df.collect()[0]
     assert r2["psi"] > 0.25  # a half-range shift is a major drift
+
+
+def test_corr_matrix_long_form(spark):
+    from dataframe_spark import DataFrame
+
+    rows = [(float(i), float(2 * i), float(-i), 7.0) for i in range(20)]
+    df = DataFrame(spark.createDataFrame(rows, "a double, b double, c double, d double"))
+    got = {(r["col_a"], r["col_b"]): r["r"] for r in df.corr_matrix().df.collect()}
+    assert len(got) == 6  # 4 choose 2
+    assert abs(got[("a", "b")] - 1.0) < 1e-12
+    assert abs(got[("a", "c")] + 1.0) < 1e-12
+    assert got[("a", "d")] is None  # zero variance -> null, not error
