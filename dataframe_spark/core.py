@@ -57,6 +57,28 @@ def _c(x) -> Column:
     return F.col(x) if isinstance(x, str) else x
 
 
+def _aes_log_key(key_cols, w: Column) -> Column:
+    """Efraimidis-Spirakis rank key in the LOG domain: ln(u) / w is
+    a strictly monotone transform of the textbook u^(1/w) (w > 0),
+    but keeps full relative precision where pow compresses large-w
+    keys into the few ulps below 1.0 — adjacent keys then differ in
+    well-separated doubles on every engine instead of flipping on a
+    libm pow rounding ulp. u is the portable md5 row-uniform shifted
+    into (0, 1] so ln never sees 0."""
+    keyed = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in key_cols
+    ]
+    u = (
+        (
+            F.conv(F.substring(F.md5(F.concat_ws("\x1f", *keyed)), 1, 8), 16, 10)
+            .cast("bigint")
+            + 1
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    return F.log(u) / w
+
+
 def _pack_columns(num_cols):
     """mapInPandas factory for summarize's small path: per input
     partition, emit ONE (ci, vals) row per numeric column with the
@@ -375,26 +397,21 @@ class DataFrame:
         self, k: int, weight_col, key_cols: Sequence[str]
     ) -> "DataFrame":
         """Deterministic weighted k-sample WITHOUT replacement
-        (Efraimidis–Spirakis A-ES): rank every row by u^(1/w) — u the
-        portable md5 row-uniform over ``key_cols``, w the row weight
-        — and keep the top k. Inclusion probability is proportional
-        to weight; the selection is engine/run/retry-stable like
-        mixture_select, and the plan is a TakeOrderedAndProject
-        (per-partition heaps — no global sort, no shuffle of
-        non-winners). Rows with null or non-positive weight are
-        excluded. The standard importance-weighted corpus
-        downsampler (e.g. quality-weighted document selection)."""
-        keyed = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in key_cols
-        ]
-        u = (
-            F.conv(F.substring(F.md5(F.concat_ws("\x1f", *keyed)), 1, 8), 16, 10)
-            .cast("bigint")
-            .cast("double")
-            / F.lit(float(1 << 32))
-        )
+        (Efraimidis–Spirakis A-ES): rank every row by ln(u)/w (the
+        well-conditioned log form of the textbook u^(1/w); see
+        _aes_log_key) — u the portable md5 row-uniform over
+        ``key_cols``, w the row weight — and keep the top k.
+        Inclusion probability is proportional to weight; the
+        selection is engine/run/retry-stable like mixture_select,
+        and the plan is a TakeOrderedAndProject (per-partition heaps
+        — no global sort, no shuffle of non-winners). Rows with null
+        or non-positive weight are excluded. ``key_cols`` should be
+        (near-)unique: fully tied key tuples rank identically and
+        the k-boundary cut among them is engine-arbitrary (the
+        sample_k_per_group caveat). The standard importance-weighted
+        corpus downsampler (e.g. quality-weighted selection)."""
         w = _c(weight_col).cast("double")
-        key = F.pow(u, 1.0 / w)
+        key = _aes_log_key(key_cols, w)
         return self._wrap(
             self.df.where(w.isNotNull() & (w > 0))
             .withColumn("__aes", key)
@@ -410,23 +427,15 @@ class DataFrame:
     ) -> "DataFrame":
         """Deterministic weighted k-sample without replacement WITHIN
         each group (Efraimidis–Spirakis per partition of the data):
-        the same portable u^(1/w) rank as sample_weighted, kept top-k
-        per group via a group-partitioned window — one shuffle on the
-        group key, parallel across groups. Rows with null or
-        non-positive weight are excluded."""
+        the same portable ln(u)/w rank as sample_weighted
+        (_aes_log_key), kept top-k per group via a group-partitioned
+        window — one shuffle on the group key, parallel across
+        groups. Rows with null or non-positive weight are excluded;
+        ``key_cols`` should be (near-)unique (see sample_weighted)."""
         from pyspark.sql.window import Window
 
-        keyed = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in key_cols
-        ]
-        u = (
-            F.conv(F.substring(F.md5(F.concat_ws("\x1f", *keyed)), 1, 8), 16, 10)
-            .cast("bigint")
-            .cast("double")
-            / F.lit(float(1 << 32))
-        )
         w = _c(weight_col).cast("double")
-        key = F.pow(u, 1.0 / w)
+        key = _aes_log_key(key_cols, w)
         win = Window.partitionBy(group_col).orderBy(
             key.desc(), *[F.col(c).asc() for c in key_cols]
         )
@@ -831,7 +840,7 @@ class DataFrame:
         then unpivoted from the one-row result. Zero-variance pairs
         come back null, matching F.corr."""
         if cols is None:
-            cols = [c for c, t in self.df.dtypes if t in NUMERIC_TYPES]
+            cols = [c for c, t in self.df.dtypes if is_numeric_dtype(t)]
         pairs = [
             (i, j) for i in range(len(cols)) for j in range(len(cols)) if i < j
         ]

@@ -198,6 +198,34 @@ def hyperplane_sketch(vec_col, planes: int = 8, dim: int = 64) -> Column:
     return out
 
 
+def _unit_rows(M):
+    """Row-normalize a matrix with the shared 1e-12 zero floor."""
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+def _assign_udf(C_unit):
+    """Arrow-batched nearest-centroid assignment against a broadcast
+    row-normalized codebook (one BLAS matmul per batch) — the ONE
+    definition every k-means/IVF path shares."""
+
+    @pandas_udf("int")
+    def assign(s: pd.Series) -> pd.Series:
+        A = np.stack(s.to_numpy()).astype("float64")
+        An = np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+        return pd.Series(
+            np.argmax((A / An) @ C_unit.T, axis=1).astype("int32")
+        )
+
+    return assign
+
+
+def _rank_probes(C_unit, qv, nprobe):
+    """The nprobe list ids nearest a query vector (cosine)."""
+    qn = np.asarray(qv, dtype="float64")
+    qn = qn / max(np.linalg.norm(qn), 1e-12)
+    return [int(c) for c in np.argsort(-(C_unit @ qn))[:nprobe]]
+
+
 def kmeans_fit(
     df: SparkDF,
     id_col: str,
@@ -226,17 +254,9 @@ def kmeans_fit(
     dim = centroids.shape[1]
 
     for _ in range(max_iter):
-        C = centroids / np.maximum(
-            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        assigned = vecs.withColumn(
+            "__cid", _assign_udf(_unit_rows(centroids))(F.col("vec"))
         )
-
-        @pandas_udf("int")
-        def assign(s: pd.Series) -> pd.Series:
-            A = np.stack(s.to_numpy()).astype("float64")
-            An = np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
-            return pd.Series(np.argmax((A / An) @ C.T, axis=1).astype("int32"))
-
-        assigned = vecs.withColumn("__cid", assign(F.col("vec")))
         rows = (
             assigned.groupBy("__cid")
             .agg(
@@ -276,23 +296,12 @@ def knn_ivf(
         centroids = kmeans_fit(
             df, id_col, vec_col, k=nlist, max_iter=max_iter
         )
-    C = centroids / np.maximum(
-        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
-    )
-
-    @pandas_udf("int")
-    def assign(s: pd.Series) -> pd.Series:
-        A = np.stack(s.to_numpy()).astype("float64")
-        An = np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax((A / An) @ C.T, axis=1).astype("int32"))
-
-    sketched = df.withColumn("__cid", assign(_dvec(vec_col)))
+    C = _unit_rows(centroids)
+    sketched = df.withColumn("__cid", _assign_udf(C)(_dvec(vec_col)))
     q = df.where(F.col(id_col) == query_id).select(
         _dvec(vec_col).alias("__qv")
     )
-    qv = np.asarray(q.first()["__qv"], dtype="float64")
-    qn = qv / max(np.linalg.norm(qv), 1e-12)
-    probes = [int(c) for c in np.argsort(-(C @ qn))[:nprobe]]
+    probes = _rank_probes(C, q.first()["__qv"], nprobe)
     return (
         sketched.where(F.col("__cid").isin(probes))
         .crossJoin(F.broadcast(q))
@@ -320,18 +329,10 @@ def build_ivf_index(
     (nlist x dim — the same bounded model state kmeans_fit holds).
     Rebuild to refresh; queries never re-cluster."""
     centroids = kmeans_fit(df, id_col, vec_col, k=nlist, max_iter=max_iter)
-    C = centroids / np.maximum(
-        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
-    )
-
-    @pandas_udf("int")
-    def assign(s: pd.Series) -> pd.Series:
-        A = np.stack(s.to_numpy()).astype("float64")
-        An = np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax((A / An) @ C.T, axis=1).astype("int32"))
-
     (
-        df.withColumn("__cid", assign(_dvec(vec_col)))
+        df.withColumn(
+            "__cid", _assign_udf(_unit_rows(centroids))(_dvec(vec_col))
+        )
         .write.mode("overwrite")
         .partitionBy("__cid")
         .parquet(f"{index_dir}/lists")
@@ -364,10 +365,9 @@ def query_ivf_index(
     C = np.zeros((len(book), len(book[0]["centroid"])))
     for r in book:
         C[r["cid"]] = r["centroid"]
-    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    C = _unit_rows(C)
     qv = np.asarray(list(query_vec), dtype="float64")
-    qn = qv / max(np.linalg.norm(qv), 1e-12)
-    probes = [int(c) for c in np.argsort(-(C @ qn))[:nprobe]]
+    probes = _rank_probes(C, qv, nprobe)
     lists = spark.read.parquet(f"{index_dir}/lists")
     qlit = F.array(*[F.lit(float(x)) for x in qv])
     return (

@@ -89,8 +89,9 @@ def q_mann_whitney(spark, sf_dir):
 def q_sample_weighted(spark, sf_dir):
     """Quality-weighted 100-doc sample (Efraimidis–Spirakis over the
     portable md5 uniform): inclusion odds proportional to n_chars,
-    deterministic on any engine. The u^(1/w) rank keys are computed
-    identically on both sides, so the SELECTED SET matches exactly;
+    deterministic on any engine. The ln(u)/w rank keys (well-
+    conditioned log form) are computed identically on both sides,
+    so the SELECTED SET matches exactly;
     only ids and the integer weight are emitted (no float key)."""
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -304,11 +305,9 @@ ORACLES = {
     "q_sample_weighted": """
         SELECT doc_id, n_chars FROM (
           SELECT doc_id, n_chars,
-                 POW(
-                   CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
-                        AS BIGINT) / 4294967296.0,
-                   1.0 / CAST(n_chars AS DOUBLE)
-                 ) AS aes
+                 LN((CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) + 1) / 4294967296.0)
+                 / CAST(n_chars AS DOUBLE) AS aes
           FROM documents
           WHERE n_chars IS NOT NULL AND n_chars > 0
         )
@@ -319,11 +318,10 @@ ORACLES = {
           SELECT source, doc_id, n_chars,
                  ROW_NUMBER() OVER (
                    PARTITION BY source
-                   ORDER BY POW(
-                     CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
-                          AS BIGINT) / 4294967296.0,
-                     1.0 / CAST(n_chars AS DOUBLE)
-                   ) DESC, doc_id ASC
+                   ORDER BY LN((CAST('0x' ||
+                       SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) + 1) / 4294967296.0)
+                     / CAST(n_chars AS DOUBLE) DESC, doc_id ASC
                  ) AS rn
           FROM documents
           WHERE n_chars IS NOT NULL AND n_chars > 0

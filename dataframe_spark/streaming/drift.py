@@ -27,7 +27,12 @@ def reference_bins(df: SparkDF, value_col: str, bins: int = 10):
     v = F.col(value_col).cast("double")
     src = df.where(v.isNotNull())
     probs = F.array(*[F.lit(i / bins) for i in range(1, bins)])
-    edges = list(src.agg(F.percentile(v, probs)).first()[0])
+    raw = src.agg(F.percentile(v, probs)).first()[0]
+    if raw is None:
+        raise ValueError(
+            f"reference_bins: no non-null '{value_col}' rows to profile"
+        )
+    edges = list(raw)
     bin_ix = _bin_expr(value_col, edges)
     rows = src.groupBy(bin_ix.alias("b")).agg(F.count(F.lit(1)).alias("n")).collect()
     total = sum(r["n"] for r in rows) or 1
@@ -43,6 +48,16 @@ def _bin_expr(value_col: str, edges):
         F.lit(0),
         lambda acc, e: acc + F.when(v > e, 1).otherwise(0),
     )
+
+
+def _check_profile(edges, props):
+    """edges/props must come from the same bins setting: a mismatch
+    silently drops every row binned past the last counted bin."""
+    if len(edges) != len(props) - 1:
+        raise ValueError(
+            f"reference profile mismatch: {len(edges)} edges needs "
+            f"{len(edges) + 1} proportions, got {len(props)}"
+        )
 
 
 def _psi_from_counts(bins: int, props):
@@ -73,6 +88,7 @@ def psi_stream(
     aggregation (per-bin conditional counts inside a single groupBy,
     so no chained-agg restriction), state bounded by windows x 1
     row."""
+    _check_profile(edges, props)
     bins = len(props)
     bin_ix = _bin_expr(value_col, edges)
     aggs = [
@@ -102,6 +118,7 @@ def psi_by_window(
     unit: str = "hour",
 ) -> SparkDF:
     """Batch twin of psi_stream (date_trunc tumbling windows)."""
+    _check_profile(edges, props)
     bins = len(props)
     bin_ix = _bin_expr(value_col, edges)
     aggs = [

@@ -365,9 +365,11 @@ def test_sample_weighted_deterministic_and_weight_biased(spark):
     assert 0 in out1  # the 1e6-weight row is (near-)surely selected
 
     # matches the A-ES formula computed by hand
+    import math
+
     def key(i, w):
-        u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 2**32
-        return u ** (1.0 / w)
+        u = (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) + 1) / 2**32
+        return math.log(u) / w
 
     want = sorted(
         sorted(rows, key=lambda r: (-key(r[0], r[1]), r[0]))[:20]
