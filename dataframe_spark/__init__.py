@@ -16,7 +16,7 @@ Usage mirrors the reference's ``D.``/``F.`` convention::
        .show())
 """
 
-from . import expr, operators, plans, streaming
+from . import expr, ml, operators, plans, streaming
 from .constructors import (
     column_as_list,
     from_named_columns,
@@ -47,6 +47,7 @@ from .sources import (
     write_jdbc,
     write_parquet_bucketed,
     write_parquet_sorted,
+    write_parquet_zordered,
     write_text,
 )
 
@@ -59,6 +60,7 @@ __all__ = [
     "Asc",
     "Desc",
     "expr",
+    "ml",
     "operators",
     "plans",
     "streaming",
@@ -90,4 +92,5 @@ __all__ = [
     "write_parquet",
     "write_parquet_bucketed",
     "write_parquet_sorted",
+    "write_parquet_zordered",
 ]

@@ -7,6 +7,7 @@ from .parquet import (
     write_parquet,
     write_parquet_bucketed,
     write_parquet_sorted,
+    write_parquet_zordered,
 )
 
 __all__ = [
@@ -26,4 +27,5 @@ __all__ = [
     "write_parquet",
     "write_parquet_bucketed",
     "write_parquet_sorted",
+    "write_parquet_zordered",
 ]
