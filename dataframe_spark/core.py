@@ -1002,6 +1002,46 @@ class DataFrame:
             )
         )
 
+    def welch_t_test(self, value_col, group_col, a, b) -> "DataFrame":
+        """Welch's unequal-variance two-sample t-test on the means of
+        the ``a`` and ``b`` populations — the parametric companion
+        to mann_whitney_u (location) and ks_test (shape). ONE
+        aggregation pass computes both populations' count/mean/
+        variance via conditional aggregates; t and the Welch–
+        Satterthwaite degrees of freedom are closed-form expressions
+        over that one row. Returns (t, df, mean_a, mean_b, n_a, n_b);
+        pair t with a t CDF externally for a p-value."""
+        v, g = _c(value_col).cast("double"), _c(group_col)
+        va = F.when(g == a, v)
+        vb = F.when(g == b, v)
+        one = self.df.where(v.isNotNull() & g.isin(a, b)).agg(
+            F.count(va).alias("n_a"),
+            F.count(vb).alias("n_b"),
+            F.avg(va).alias("mean_a"),
+            F.avg(vb).alias("mean_b"),
+            F.var_samp(va).alias("__va"),
+            F.var_samp(vb).alias("__vb"),
+        )
+        sa = F.col("__va") / F.col("n_a")
+        sb = F.col("__vb") / F.col("n_b")
+        t = (F.col("mean_a") - F.col("mean_b")) / F.nullif(
+            F.sqrt(sa + sb), F.lit(0.0)
+        )
+        dof = (sa + sb) * (sa + sb) / F.nullif(
+            sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1),
+            F.lit(0.0),
+        )
+        return self._wrap(
+            one.select(
+                t.alias("t"),
+                dof.alias("df"),
+                "mean_a",
+                "mean_b",
+                "n_a",
+                "n_b",
+            )
+        )
+
     def mann_whitney_u(self, value_col, group_col, a, b) -> "DataFrame":
         """Exact two-sample Mann–Whitney U (Wilcoxon rank-sum) with
         midrank tie handling and the tie-corrected normal

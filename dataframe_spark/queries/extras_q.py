@@ -71,6 +71,21 @@ def q_psi(spark, sf_dir):
     return out.select(F.round("psi", 6).alias("psi"), "n_a", "n_b")
 
 
+def q_welch_t(spark, sf_dir):
+    """Parametric mean comparison: Welch's t between click and
+    purchase event values (one conditional-agg pass)."""
+    ev = _t(spark, sf_dir, "events")
+    out = ev.welch_t_test("value", F.col("event_type"), "click", "purchase").df
+    return out.select(
+        F.round("t", 4).alias("t"),
+        F.round("df", 2).alias("df"),
+        F.round("mean_a", 4).alias("mean_a"),
+        F.round("mean_b", 4).alias("mean_b"),
+        "n_a",
+        "n_b",
+    )
+
+
 def q_mann_whitney(spark, sf_dir):
     """Location-shift drift: exact tie-corrected Mann–Whitney U
     between click and purchase event values, on the same parallel
@@ -196,6 +211,7 @@ QUERIES = {
     "q_sample_group": q_sample_group,
     "q_ks_test": q_ks_test,
     "q_mann_whitney": q_mann_whitney,
+    "q_welch_t": q_welch_t,
     "q_psi": q_psi,
     "q_corr_matrix": q_corr_matrix,
     "q_sample_weighted": q_sample_weighted,
@@ -209,6 +225,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_welch_t": """
+        WITH s AS (
+          SELECT COUNT(CASE WHEN event_type = 'click' THEN value END) AS n_a,
+                 COUNT(CASE WHEN event_type = 'purchase' THEN value END) AS n_b,
+                 AVG(CASE WHEN event_type = 'click' THEN value END) AS mean_a,
+                 AVG(CASE WHEN event_type = 'purchase' THEN value END) AS mean_b,
+                 VAR_SAMP(CASE WHEN event_type = 'click' THEN value END) AS va,
+                 VAR_SAMP(CASE WHEN event_type = 'purchase' THEN value END) AS vb
+          FROM events
+          WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+        )
+        SELECT ROUND((mean_a - mean_b)
+                     / NULLIF(SQRT(va / n_a + vb / n_b), 0.0), 4) AS t,
+               ROUND((va / n_a + vb / n_b) * (va / n_a + vb / n_b)
+                     / NULLIF((va / n_a) * (va / n_a) / (n_a - 1)
+                              + (vb / n_b) * (vb / n_b) / (n_b - 1), 0.0),
+                     2) AS df,
+               ROUND(mean_a, 4) AS mean_a,
+               ROUND(mean_b, 4) AS mean_b,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+        FROM s
+    """,
     "q_corr_matrix": """
         SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
                ROUND(CORR(l_quantity, l_extendedprice), 6) AS r FROM lineitem

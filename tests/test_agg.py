@@ -328,3 +328,28 @@ def test_corr_matrix_long_form(spark):
     assert abs(got[("a", "b")] - 1.0) < 1e-12
     assert abs(got[("a", "c")] + 1.0) < 1e-12
     assert got[("a", "d")] is None  # zero variance -> null, not error
+
+
+def test_welch_t_known_values(spark):
+    import math
+
+    from dataframe_spark import DataFrame
+
+    # a = [1..5] (mean 3, var 2.5), b = [11..15] (mean 13, var 2.5):
+    # t = -10 / sqrt(1.0) = -10, Welch df = 8
+    rows = [(float(i), "a") for i in range(1, 6)] + [
+        (float(i), "b") for i in range(11, 16)
+    ]
+    df = DataFrame(spark.createDataFrame(rows, "v double, g string"))
+    r = df.welch_t_test("v", F.col("g"), "a", "b").df.collect()[0]
+    assert abs(r["t"] + 10.0) < 1e-9
+    assert abs(r["df"] - 8.0) < 1e-9
+    assert r["mean_a"] == 3.0 and r["mean_b"] == 13.0
+
+    # identical populations -> t = 0
+    same = [(float(i % 5), "a") for i in range(50)] + [
+        (float(i % 5), "b") for i in range(50)
+    ]
+    df2 = DataFrame(spark.createDataFrame(same, "v double, g string"))
+    r2 = df2.welch_t_test("v", F.col("g"), "a", "b").df.collect()[0]
+    assert abs(r2["t"]) < 1e-9

@@ -43,6 +43,7 @@ RISKY = [
     "q_mann_whitney",      # r4 rank-sum / sigma divisions (nullif guarded)
     "q_js_divergence",     # r4 probability-ratio logs and divisions
     "q_psi",               # r4 proportion ratios + log (eps floored)
+    "q_welch_t",           # r4 variance-ratio divisions (nullif guarded)
     "q_sample_weighted_group",  # r4 pow(u, 1/w) rank per group
 ]
 
