@@ -412,8 +412,10 @@ class DataFrame:
         corpus downsampler (e.g. quality-weighted selection)."""
         w = _c(weight_col).cast("double")
         key = _aes_log_key(key_cols, w)
+        # NaN > 0 is true under Spark's NaN-greatest ordering, and
+        # ln(u)/NaN = NaN sorts FIRST desc — exclude NaN explicitly
         return self._wrap(
-            self.df.where(w.isNotNull() & (w > 0))
+            self.df.where(w.isNotNull() & ~F.isnan(w) & (w > 0))
             .withColumn("__aes", key)
             .orderBy(
                 F.col("__aes").desc(), *[F.col(c).asc() for c in key_cols]
@@ -440,7 +442,7 @@ class DataFrame:
             key.desc(), *[F.col(c).asc() for c in key_cols]
         )
         return self._wrap(
-            self.df.where(w.isNotNull() & (w > 0))
+            self.df.where(w.isNotNull() & ~F.isnan(w) & (w > 0))
             .withColumn("__rn", F.row_number().over(win))
             .where(F.col("__rn") <= k)
             .drop("__rn")
@@ -853,9 +855,13 @@ class DataFrame:
             for i, j in pairs
         ]
         one = self.df.agg(*aggs)
+        # escape quotes/backslashes: names reach a selectExpr literal
+        def _q(name: str) -> str:
+            return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
         stack_args = []
         for i, j in pairs:
-            stack_args += [f"'{cols[i]}'", f"'{cols[j]}'", f"`__r_{i}_{j}`"]
+            stack_args += [_q(cols[i]), _q(cols[j]), f"`__r_{i}_{j}`"]
         return self._wrap(
             one.selectExpr(
                 f"stack({len(pairs)}, {', '.join(stack_args)}) as "
@@ -1061,10 +1067,13 @@ class DataFrame:
         m = F.col("__na") + F.col("__nb")  # ties at this value
         start = F.col("__cuma") + F.col("__cumb") - m + 1
         midrank = start + (m - 1) / 2.0
+        # cube in double: a >~2.09M-row tie at one value overflows
+        # long if cubed in bigint (silent wrap / ANSI error)
+        md = m.cast("double")
         stats = (
             per_value.select(
                 (F.col("__na") * midrank).alias("__ra_part"),
-                (m * m * m - m).cast("double").alias("__tie_part"),
+                (md * md * md - md).alias("__tie_part"),
             )
             .agg(
                 F.sum("__ra_part").alias("__ra"),
@@ -1111,8 +1120,23 @@ class DataFrame:
         v, g = _c(value_col), _c(group_col)
         src = self.df.where(v.isNotNull() & g.isin(a, b))
         probs = F.array(*[F.lit(i / bins) for i in range(1, bins)])
+        # an empty reference population yields a null percentile
+        # array and would silently degrade to a meaningless row —
+        # raise at execution instead (lazily, mirroring the streaming
+        # twin reference_bins' ValueError for the same condition)
+        raw_edges = F.percentile(v.cast("double"), probs)
         edges = src.where(g == a).agg(
-            F.percentile(v.cast("double"), probs).alias("__edges")
+            F.when(
+                raw_edges.isNull(),
+                F.raise_error(
+                    F.lit(
+                        "psi: reference population "
+                        f"{a!r} has no non-null rows"
+                    )
+                ).cast("array<double>"),
+            )
+            .otherwise(raw_edges)
+            .alias("__edges")
         )
         bin_ix = F.aggregate(
             F.col("__edges"),
