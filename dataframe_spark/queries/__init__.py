@@ -20,54 +20,67 @@ from . import (
 MODULES = [stats_q, relational, extras_q, windows_q, text_q, exprs_q, ml_q, dedup_q]
 
 # Registry order is a verification surface: the driver snapshots the
-# FIRST 50 entries each round. The r4 window prioritizes (a) every
-# stats plan changed since its last driver-green row (VERDICT r3 #1:
-# group-quantiles gate, stats-agg split, summarize kernel — repacked
-# AGAIN late-r4), (b) all 18 TPC-H composite shapes (12 of them new
-# or never driver-checked this round), (c) the changed/new r4 extras
-# and dedup rewrites plus the q_sessionize sentinel, and (d) every
-# late-r4 query (never driver-checked). The r1/r2-green core verbs
-# (q_select/q_exclude/...) rotate behind the window — they keep
-# their recorded green rows plus continuous full-registry parity in
-# pytest at sf0.001.
+# FIRST 50 entries each round. The r5 window (VERDICT r4 ask #1)
+# prioritizes (a) the 10 oracle-backed/rows-only queries added after
+# the r4 window froze — never driver-checked, (b) the 16 veterans
+# last hard-checked in r1/r2 (two rounds of engine churn ago),
+# (c) every plan CHANGED this round (summarize scaling fix, dedup
+# perf work, sample_weighted NaN filter) plus the q1 and
+# q_sessionize sentinels, and (d) the longest-unverified r3 queries.
+# The r4-green TPC-H composites and stats suite rotate behind the
+# window — they keep their recorded green rows plus continuous
+# full-registry parity in pytest at sf0.001.
 WINDOW_PRIORITY = [
-    *stats_q.QUERIES,          # 14 stats queries (changed plans + new chi-square)
-    "q1_pricing_summary",      # 14-31: all TPC-H composite shapes
-    "q_join_inner",            # (Q3)
-    "q4_order_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",         # new late-r4
-    "q9_product_profit",
-    "q10_returned_items",
-    "q12_priority_lines",
-    "q13_order_counts",        # new late-r4
-    "q14_promo_revenue",
-    "q15_top_supplier",        # new late-r4
-    "q17_small_quantity",      # new late-r4
-    "q18_large_orders",
-    "q19_basket_revenue",
-    "q21_waiting_supplier",    # new late-r4
-    "q22_global_sales",        # new late-r4
-    "q_winsorize",             # 32-40: changed/new r3-r4 extras
-    "q_sample_group",
-    "q_hcat",
-    "q_duplicated_spans",
-    "q_quantile_bucket",
-    "q_dedup_ngram_jaccard",   # prefix-rank plan rewritten r4
-    "q_decontaminate",         # in-row broadcast rewrite r4
-    "q_interval_join",
+    "q_welch_t",               # 1-10: added post-r4-freeze, never checked
+    "q_mann_whitney",
+    "q_ks_test",
+    "q_psi",
+    "q_corr_matrix",
+    "q_js_divergence",
+    "q_stream_psi",
+    "q_sample_weighted_group",
+    "q_boilerplate",
+    "q_approx_quantiles",      # rows-only by design
+    "q_select",                # 11-26: r1/r2 veterans, longest unverified
+    "q_exclude",
+    "q_filter",
+    "q_derive",
+    "q_distinct",
+    "q_take_sorted",
+    "q_group_agg",
+    "q_recode",
+    "q_apply_where",
+    "q_impute",
+    "q_join_left",
+    "q_join_full",
+    "q_join_semi_anti",
+    "q_union",
+    "q_set_ops",
+    "q_dates",
+    "q1_pricing_summary",      # 27-32: sentinels + plans changed in r5
     "q_sessionize",            # sentinel (failed r1+r2 — keep hard signal)
-    "q_json_extract",          # 41-49: late-r4 additions, never checked
-    "q_lead_lag",
-    "q_ntile",
-    "q_ohlc",
-    "q_perplexity",
-    "q_logreg_classifier",
-    "q_fuzzy_pairs",
-    "q_sample_weighted",
-    "q_grouping_sets",         # 50
+    "q_summarize",             # distributed-path cutover reworked r5
+    "q_dedup_ngram_jaccard",   # perf work r5
+    "q_dedup_minhash",         # LSH hot-bucket cap r5
+    "q_sample_weighted",       # NaN-weight filter changed r5
+    "q_dedup_exact",           # 33-50: r3-last, longest unverified
+    "q_dedup_embedding",
+    "q_dedup_cluster",
+    "q_knn_brute",
+    "q_knn_lsh",
+    "q_asof_join",
+    "q_window_rank",
+    "q_window_cumsum",
+    "q_window_rolling",
+    "q_resample",
+    "q_melt",
+    "q_pivot",
+    "q_tfidf",
+    "q_corpus_filter",
+    "q_vocabulary",
+    "q_decision_tree",
+    "q_mutual_info",
+    "q_stream_window",
 ]
 # plain raise, not assert: the guard must survive python -O
 if len(WINDOW_PRIORITY) != 50:
