@@ -40,95 +40,174 @@ from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-# mantissa bits kept per binary exponent: 2^6 sub-bins caps a bin at
-# ~1/64 of any one exponent band's values for smooth distributions
-_MANTISSA_BITS = 6
-_SUB = 1 << _MANTISSA_BITS
+# sub-bins per binary octave: 64 caps a bin at ~1/64 of any one
+# exponent band's values for smooth distributions
+_SUB = 64
+# |floor(64·log2|v|)| ≤ 64·1075 for every finite nonzero double
+# (subnormals reach 2^-1074); clamp wide of that before the int cast
+_MAG_CLAMP = 70000.0
+_TOP = 200_000  # shift that keeps every finite bin id positive
 
 
 def _radix_bin(v: Column) -> Column:
     """Deterministic monotonic bin id for a double: larger value ⇒
-    larger (or equal) bin. Built from sign + floor(log2|v|) clamped
-    to the normal range + top mantissa bits. NaN sorts last (Spark
-    and DuckDB both order NaN greatest)."""
-    av = F.abs(v)
-    e = F.least(
-        F.lit(1023.0), F.greatest(F.lit(-1022.0), F.floor(F.log2(av)).cast("double"))
-    )
-    # clamp BEFORE floor: keeps the cast in int range for every finite
-    # double (and ANSI-safe — floor(inf) would overflow an int cast)
-    frac = F.least(
-        F.lit(1.0 + (_SUB - 1) / _SUB),
-        F.greatest(F.lit(1.0), av / F.pow(F.lit(2.0), e)),
-    )
-    sub = F.floor((frac - 1.0) * _SUB).cast("long")
-    mag = (e.cast("long") + 1022) * _SUB + sub
-    top = (1023 + 1022 + 1) * _SUB  # above every finite mag
+    larger (or equal) bin, at 64 sub-bins per binary octave —
+    ``floor(64·log2|v|)``, sign-folded. NaN sorts last (Spark and
+    DuckDB both order NaN greatest).
+
+    ONE log2 + ONE floor per row: this expression is evaluated twice
+    per row on the pass-2 join path (null-filter + project), so its
+    cost is the per-row constant of the whole quantile scan — the
+    earlier exponent+mantissa-bits form (4 log2, 2 pow) was ~40% of
+    q_summarize's 10× wall. Monotonicity survives rounding: libm log
+    is semi-monotonic and division/multiply by a positive constant
+    and floor preserve order (ties merely merge adjacent bins)."""
+    mag = F.floor(
+        F.least(
+            F.lit(_MAG_CLAMP),
+            F.greatest(F.lit(-_MAG_CLAMP), F.log2(F.abs(v)) * _SUB),
+        )
+    ).cast("long")
     return (
         F.when(F.isnan(v), F.lit(1 << 40))
         .when(v == 0.0, F.lit(0))
-        .when(v == F.lit(float("inf")), F.lit(top + 1))
-        .when(v == F.lit(float("-inf")), F.lit(-top - 1))
-        .when(v > 0.0, mag + 1)
-        .otherwise(-mag - 1)
+        .when(v > 0.0, mag + _TOP)
+        .otherwise(-(mag + _TOP))
     )
 
 
 def _exact_quantiles_impl(
-    long: SparkDF, keys: list[str], probs: Sequence[float], broadcast_sides: bool
+    long: SparkDF,
+    keys: list[str],
+    probs: Sequence[float],
+    broadcast_sides: bool,
+    fuse_int_key: bool = False,
 ) -> SparkDF:
     """Shared engine: ``long`` has ``keys`` + ``__v`` (double, no
     nulls); returns keys + (prob, value). ``broadcast_sides`` hints
-    the offsets/targets joins — right for a bounded key domain (one
-    row per unpivoted column), wrong for arbitrary group keys, where
-    AQE should pick the strategy from runtime sizes."""
-    spark = long.sparkSession
-    counts = (
-        long.groupBy(*keys, "__v")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .withColumn("__bin", _radix_bin(F.col("__v")))
-    )
+    the per-bin side joins — right for a bounded key domain (one row
+    per unpivoted column), wrong for arbitrary group keys, where AQE
+    should pick the strategy from runtime sizes.
 
-    # per-bin totals are small (#keys × #populated-bins rows)
-    psums = counts.groupBy(*keys, "__bin").agg(F.sum("__cnt").alias("__s"))
-    w_off = (
-        Window.partitionBy(*keys)
-        .orderBy("__bin")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    Two-pass histogram-refine (the r5 rework of the one-pass
+    distinct-count plan, whose (key, value) shuffle moved every row
+    and cost 7× wall at 10× rows):
+
+    - PASS 1 aggregates per-(key, radix-bin) COUNTS — map-side
+      combined, so the shuffle is #keys × #populated-bins rows
+      (thousands) regardless of data size — then locates, per
+      (key, prob), the bin holding each bracketing order statistic
+      from the bin prefix sums.
+    - PASS 2 re-scans the source keeping ONLY rows in those target
+      bins (a broadcast/AQE semi-join against ≤ 2·#probs bins per
+      key) and finds the exact order statistics by per-value
+      cumulative counts within the kept bins.
+
+    Correctness of the final conditional-min does not depend on
+    WHICH bins were kept: global cum(v) = bin offset + within-bin
+    prefix is exact for every kept value, the true j-th order
+    statistic is in a kept bin by construction, and it is the
+    smallest value anywhere in the multiset with cum >= j+1."""
+    binned = long.withColumn("__bin", _radix_bin(F.col("__v")))
+
+    # PASS 1: per-bin totals are small (#keys × #populated-bins rows)
+    psums = binned.groupBy(*keys, "__bin").agg(F.count(F.lit(1)).alias("__s"))
+
+    # ONE window pass yields both the exclusive prefix offset and the
+    # key total (same partitioning, two frames — a single exchange),
+    # then the probs attach by exploding a LITERAL array: the whole
+    # side frame is scan → agg → window → explode with ZERO joins —
+    # sequential side-plan stages were the dominant cost of the first
+    # two-pass cut (each join added a serial AQE stage + re-scan).
+    w_key = Window.partitionBy(*keys).orderBy("__bin")
+    w_off = w_key.rowsBetween(Window.unboundedPreceding, -1)
+    w_all = w_key.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     offsets = psums.select(
         *keys,
         "__bin",
+        "__s",
         F.coalesce(F.sum("__s").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__s").over(w_all).alias("__n"),
     )
-    totals = psums.groupBy(*keys).agg(F.sum("__s").alias("__n"))
 
-    # target order-statistic indices per (key, prob); tiny plan
-    probs_df = spark.createDataFrame([(float(p),) for p in probs], "prob double")
+    # bin b holds 0-based index j  iff  __off < j+1 <= __off + __s.
+    # The side frame carries both the target-bin ids and the order-
+    # statistic indices: (keys, bin, off, prob, jlo, jhi, frac).
     pos = F.col("prob") * (F.col("__n") - 1).cast("double")
-    targets = totals.crossJoin(probs_df).select(
-        *keys,
-        "prob",
-        F.floor(pos).alias("__jlo"),
-        F.ceil(pos).alias("__jhi"),
-        (pos - F.floor(pos)).alias("__frac"),
+    j1 = F.floor(pos) + 1
+    j2 = F.ceil(pos) + 1
+    hit = (
+        offsets.select(
+            *keys,
+            "__bin",
+            "__s",
+            "__off",
+            "__n",
+            F.explode(
+                F.array(*[F.lit(float(p)) for p in probs])
+            ).alias("prob"),
+        )
+        .where(
+            ((j1 > F.col("__off")) & (j1 <= F.col("__off") + F.col("__s")))
+            | ((j2 > F.col("__off")) & (j2 <= F.col("__off") + F.col("__s")))
+        )
+        .select(
+            *keys,
+            "__bin",
+            "__off",
+            "prob",
+            F.floor(pos).alias("__jlo"),
+            F.ceil(pos).alias("__jhi"),
+            (pos - F.floor(pos)).alias("__frac"),
+        )
     )
-    if broadcast_sides:
-        offsets, targets = F.broadcast(offsets), F.broadcast(targets)
+    # PASS 2: with ``fuse_int_key`` (the unpivot path — keys is one
+    # small non-null int) the join runs on ONE fused long key
+    # ci·2^42 + bin, exact by construction: a multi-column
+    # BroadcastHashJoin probe packs/hashes an UnsafeRow per input
+    # row (measured 3.7s vs 0.9s for the single-long
+    # LongHashedRelation probe on 48M rows). A hash key + residual
+    # equality does NOT work here — Catalyst pulls the residual
+    # equalities back into the join keys, recreating the slow
+    # multi-column probe. Arbitrary group keys keep the plain
+    # multi-column join.
+    if fuse_int_key:
+        assert len(keys) == 1
+        fused = F.col(keys[0]).cast("long") * F.lit(1 << 42) + F.col("__bin")
+        hit_r = hit.select(
+            fused.alias("__k"), "__off", "prob", "__jlo", "__jhi", "__frac"
+        )
+        if broadcast_sides:
+            hit_r = F.broadcast(hit_r)
+        joined = binned.withColumn("__k", fused).join(hit_r, "__k")
+    else:
+        hit_r = hit
+        if broadcast_sides:
+            hit_r = F.broadcast(hit_r)
+        joined = binned.withColumn(
+            "__k", F.col("__bin")
+        ).join(hit_r.withColumnRenamed("__bin", "__k"), [*keys, "__k"])
 
+    # only target-bin rows survive this scan (each duplicated per
+    # prob it serves, ≤ #probs); per-value counts and within-bin
+    # windows are bin-bounded and per-prob disjoint
+    counts = joined.groupBy(
+        "__k", *keys, "prob", "__off", "__jlo", "__jhi", "__frac", "__v"
+    ).agg(F.count(F.lit(1)).alias("__cnt"))
     w_cum = (
-        Window.partitionBy(*keys, "__bin")
+        Window.partitionBy(*keys, "prob", "__k")
         .orderBy("__v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = counts.join(offsets, [*keys, "__bin"]).withColumn(
+    cum = counts.withColumn(
         "__cum", F.col("__off") + F.sum("__cnt").over(w_cum)
     )
 
     # order statistic at 0-based index j = first value with cum >= j+1
     return (
-        cum.join(targets, keys)
-        .groupBy(*keys, "prob", "__frac")
+        cum.groupBy(*keys, "prob", "__frac")
         .agg(
             F.min(
                 F.when(F.col("__cum") >= F.col("__jlo") + 1, F.col("__v"))
@@ -156,14 +235,28 @@ def exact_quantiles(
 
     Returns a long-format DataFrame (column_name, prob, value);
     nulls excluded per column, all-null columns absent.
+
+    The unpivot keys on the column INDEX, not the name: every
+    data-sized stage (bin agg, pass-2 probe, value agg, window)
+    then hashes/compares one int instead of a string — measured 4x
+    on the whole plan at 48M unpivoted rows. Names re-attach to the
+    #cols×#probs result rows at the end.
     """
-    stack_args = ", ".join(f"'{c}', CAST(`{c}` AS DOUBLE)" for c in cols)
+    stack_args = ", ".join(
+        f"{i}, CAST(`{c}` AS DOUBLE)" for i, c in enumerate(cols)
+    )
     long = df.selectExpr(
-        f"stack({len(cols)}, {stack_args}) AS (__name, __v)"
+        f"stack({len(cols)}, {stack_args}) AS (__ci, __v)"
     ).where(F.col("__v").isNotNull())
     return _exact_quantiles_impl(
-        long, ["__name"], probs, broadcast_sides=True
-    ).withColumnRenamed("__name", "column_name")
+        long, ["__ci"], probs, broadcast_sides=True, fuse_int_key=True
+    ).select(
+        F.element_at(
+            F.array(*[F.lit(c) for c in cols]), F.col("__ci") + 1
+        ).alias("column_name"),
+        "prob",
+        "value",
+    )
 
 
 def grouped_quantiles_buffered(
