@@ -622,13 +622,26 @@ def _minhash_sig_expr(num_perm: int):
 
 
 def lsh_candidate_pairs(
-    sigs: SparkDF, bands: int = 16, rows_per_band: int = 4
+    sigs: SparkDF,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int | None = None,
 ) -> SparkDF:
     """Banding: docs sharing any band-signature become candidates.
 
     Band signature = hash of its slice of the minhash signature; the
     groupable key makes candidate generation a hash join on
-    (band_idx, band_hash) — the standard near-linear LSH plan."""
+    (band_idx, band_hash) — the standard near-linear LSH plan.
+
+    ``max_bucket`` (default off) caps each band bucket at its first
+    ``max_bucket`` members in deterministic id order before pairing —
+    the per-bucket candidate count is then bounded by max_bucket²
+    regardless of how degenerate the bucket is. This TRADES RECALL
+    for a hard worst-case bound (dropped members can only pair
+    through their other bands), so it is an explicit opt-in, not a
+    silent default; identical-signature degeneracy is instead
+    removed losslessly upstream (minhash_dedup_pairs collapses
+    duplicate shingle sets before banding)."""
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.xxhash64(
@@ -641,6 +654,15 @@ def lsh_candidate_pairs(
     banded = sigs.select(
         "id", F.posexplode(band_arr).alias("band_idx", "band_hash")
     )
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band_idx", "band_hash").orderBy("id")
+        banded = (
+            banded.withColumn("__bn", F.row_number().over(w))
+            .where(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
     a = banded.select(F.col("id").alias("a_id"), "band_idx", "band_hash")
     b = banded.select(F.col("id").alias("b_id"), "band_idx", "band_hash")
     return (
@@ -659,16 +681,86 @@ def minhash_dedup_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    max_bucket: int | None = None,
 ) -> SparkDF:
     """Full pipeline: minhash → LSH candidates → exact-Jaccard verify.
 
     The verify join re-uses the per-doc shingle arrays, so false
     positives from banding never survive; false-negative rate is the
-    standard (1 - s^r)^b curve."""
-    arrs_h = _reusable(_hash_arrays(shingle_arrays(df, id_col, text_col, n)))
-    sigs = arrs_h.select("id", _minhash_sig_expr(num_perm).alias("sig"))
-    cands = lsh_candidate_pairs(sigs, bands, num_perm // bands)
-    return _verify_jaccard(cands, arrs_h, threshold)
+    standard (1 - s^r)^b curve.
+
+    Documents with IDENTICAL shingle sets collapse to one
+    representative before banding (the fuzzy-pairs distinct-value
+    collapse, applied to the LSH hot-bucket failure mode): a corpus
+    with thousands of byte-identical documents otherwise shares
+    every band bucket and pairs quadratically inside the LSH join.
+    Collapsed groups re-expand afterward — in-group pairs are
+    Jaccard 1.0 by construction and cross-group pairs inherit the
+    representative pair's verified score — so the OUTPUT is
+    identical to the uncollapsed plan; only the candidate join is
+    spared the quadratic blowup. ``max_bucket`` additionally caps
+    surviving band buckets (recall-trading, off by default; see
+    lsh_candidate_pairs)."""
+    arrs_h = _reusable(
+        _hash_arrays(shingle_arrays(df, id_col, text_col, n)).withColumn(
+            "__g", F.xxhash64(F.array_sort("sh_arr"))
+        )
+    )
+    # one representative per distinct shingle SET (min id); any
+    # member's array is set-equal, so first() is semantically fixed
+    reps = arrs_h.groupBy("__g").agg(
+        F.min("id").alias("id"),
+        F.first("sh_arr").alias("sh_arr"),
+        F.first("n_sh").alias("n_sh"),
+    )
+    sigs = reps.select("id", _minhash_sig_expr(num_perm).alias("sig"))
+    cands = lsh_candidate_pairs(sigs, bands, num_perm // bands, max_bucket)
+    rep_pairs = _verify_jaccard(cands, reps, threshold)
+
+    members = arrs_h.select("id", "__g")
+    rep_of = reps.select(F.col("id").alias("__rid"), F.col("__g"))
+
+    # in-group pairs: identical sets ⇒ Jaccard exactly 1.0
+    m_a = members.select(F.col("id").alias("a_id"), "__g")
+    m_b = members.select(F.col("id").alias("b_id"), "__g")
+    intra = (
+        m_a.join(m_b, "__g")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id", F.lit(1.0).cast("double").alias("jaccard")
+        )
+    )
+
+    # cross-group pairs: every (member of A) × (member of B) carries
+    # the verified representative score; re-order ids after expansion
+    cross = (
+        rep_pairs.join(
+            rep_of.select(
+                F.col("__rid").alias("a_id"), F.col("__g").alias("__ga")
+            ),
+            "a_id",
+        )
+        .join(
+            rep_of.select(
+                F.col("__rid").alias("b_id"), F.col("__g").alias("__gb")
+            ),
+            "b_id",
+        )
+        .join(
+            members.select(F.col("id").alias("__ma"), F.col("__g").alias("__ga")),
+            "__ga",
+        )
+        .join(
+            members.select(F.col("id").alias("__mb"), F.col("__g").alias("__gb")),
+            "__gb",
+        )
+        .select(
+            F.least("__ma", "__mb").alias("a_id"),
+            F.greatest("__ma", "__mb").alias("b_id"),
+            "jaccard",
+        )
+    )
+    return intra.unionByName(cross)
 
 
 # --- SimHash ----------------------------------------------------------

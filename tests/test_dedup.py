@@ -259,3 +259,49 @@ def test_edit_distance_pairs_empty_and_null(spark):
         for r in edit_distance_pairs(df, "id", "s", k=2, q=2).collect()
     }
     assert got == set()  # null dropped; ''<->'abc' is distance 3
+
+
+def test_minhash_identical_docs_collapse(spark):
+    """A pathologically duplicated corpus (1000 byte-identical docs)
+    must not pair quadratically inside the LSH band join: identical
+    shingle sets collapse to one representative before banding, so
+    the candidate join sees ONE member per band bucket while the
+    expanded output still contains every C(1000,2) pair at 1.0."""
+    n = 1000
+    rows = [(i, "the same exact document text repeated verbatim here")
+            for i in range(n)]
+    rows += [(n + 1, "a completely different singleton document body"),
+             (n + 2, "another unrelated text with no duplicate twin")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs_rows = dedup.minhash_signatures(df, "doc_id", "text", 3, 64)
+    # collapse check: candidate generation over collapsed reps is tiny
+    from dataframe_spark.operators.dedup import (
+        _hash_arrays, lsh_candidate_pairs, shingle_arrays)
+    arrs = _hash_arrays(shingle_arrays(df, "doc_id", "text", 3)).withColumn(
+        "__g", F.xxhash64(F.array_sort("sh_arr")))
+    reps = arrs.groupBy("__g").agg(F.min("id").alias("id"),
+                                   F.first("sh_arr").alias("sh_arr"))
+    assert reps.count() == 3  # 1000 identical -> 1 representative
+
+    pairs = dedup.minhash_dedup_pairs(df, "doc_id", "text", 3, 64, 16, 0.8)
+    agg = pairs.agg(F.count(F.lit(1)).alias("n"),
+                    F.min("jaccard").alias("jmin")).collect()[0]
+    assert agg["n"] == n * (n - 1) // 2
+    assert agg["jmin"] == 1.0
+    assert sigs_rows.count() == n + 2
+
+
+def test_lsh_max_bucket_caps_candidates(spark):
+    """max_bucket bounds per-bucket pairing deterministically."""
+    from dataframe_spark.operators.dedup import lsh_candidate_pairs
+
+    # 10 ids sharing one band signature
+    sigs = spark.createDataFrame(
+        [(i, [7] * 64) for i in range(10)],
+        "id long, sig array<bigint>",
+    )
+    full = lsh_candidate_pairs(sigs, 16, 4).count()
+    capped = lsh_candidate_pairs(sigs, 16, 4, max_bucket=4).count()
+    assert full == 45
+    assert capped == 6  # C(4,2): first 4 ids by order survive
