@@ -701,62 +701,67 @@ def minhash_dedup_pairs(
     spared the quadratic blowup. ``max_bucket`` additionally caps
     surviving band buckets (recall-trading, off by default; see
     lsh_candidate_pairs)."""
-    arrs_h = _reusable(
-        _hash_arrays(shingle_arrays(df, id_col, text_col, n)).withColumn(
-            "__g", F.xxhash64(F.array_sort("sh_arr"))
+    # the hashed-arrays plan is IDENTICAL to jaccard_pairs', so both
+    # operators share one cache entry; __g goes on top of the cache
+    arrs_h = _reusable(_hash_arrays(shingle_arrays(df, id_col, text_col, n)))
+    # group stats shuffle ONLY (group-hash, id) pairs — the shingle
+    # arrays never move for the collapse; representative rows are
+    # then picked by a narrow join (the gstats side is 2 slim
+    # columns, so AQE broadcasts it at moderate scale and falls back
+    # to an id-shuffle join beyond that)
+    gstats = _reusable(
+        arrs_h.select(
+            "id", F.xxhash64(F.array_sort("sh_arr")).alias("__g")
+        )
+        .groupBy("__g")
+        .agg(
+            F.min("id").alias("id"),
+            F.sort_array(F.collect_list("id")).alias("__mids"),
         )
     )
-    # one representative per distinct shingle SET (min id); any
-    # member's array is set-equal, so first() is semantically fixed
-    reps = arrs_h.groupBy("__g").agg(
-        F.min("id").alias("id"),
-        F.first("sh_arr").alias("sh_arr"),
-        F.first("n_sh").alias("n_sh"),
+    sigs = arrs_h.join(gstats.select("id"), "id").select(
+        "id", _minhash_sig_expr(num_perm).alias("sig")
     )
-    sigs = reps.select("id", _minhash_sig_expr(num_perm).alias("sig"))
     cands = lsh_candidate_pairs(sigs, bands, num_perm // bands, max_bucket)
-    rep_pairs = _verify_jaccard(cands, reps, threshold)
+    # candidate ids are representatives, so verifying against the
+    # FULL cached array table picks exactly the rep rows — no
+    # separate rep frame to scan three times
+    rep_pairs = _verify_jaccard(cands, arrs_h, threshold)
 
-    members = arrs_h.select("id", "__g")
-    rep_of = reps.select(F.col("id").alias("__rid"), F.col("__g"))
-
-    # in-group pairs: identical sets ⇒ Jaccard exactly 1.0
-    m_a = members.select(F.col("id").alias("a_id"), "__g")
-    m_b = members.select(F.col("id").alias("b_id"), "__g")
+    # in-group pairs: identical sets ⇒ Jaccard exactly 1.0. Members
+    # of multi-doc groups only (usually a small minority) self-join
+    # on the group key — scale-safe for arbitrarily large groups.
+    multi = gstats.where(F.size("__mids") > 1).select(
+        "__g", F.explode("__mids").alias("id")
+    )
     intra = (
-        m_a.join(m_b, "__g")
+        multi.select(F.col("__g"), F.col("id").alias("a_id"))
+        .join(multi.select("__g", F.col("id").alias("b_id")), "__g")
         .where(F.col("a_id") < F.col("b_id"))
-        .select(
-            "a_id", "b_id", F.lit(1.0).cast("double").alias("jaccard")
-        )
+        .select("a_id", "b_id", F.lit(1.0).cast("double").alias("jaccard"))
     )
 
     # cross-group pairs: every (member of A) × (member of B) carries
-    # the verified representative score; re-order ids after expansion
+    # the verified representative score — member lists ride on the
+    # (tiny, AQE-broadcast) pair rows and explode in place
     cross = (
         rep_pairs.join(
-            rep_of.select(
-                F.col("__rid").alias("a_id"), F.col("__g").alias("__ga")
+            gstats.select(
+                F.col("id").alias("a_id"), F.col("__mids").alias("__ma")
             ),
             "a_id",
         )
         .join(
-            rep_of.select(
-                F.col("__rid").alias("b_id"), F.col("__g").alias("__gb")
+            gstats.select(
+                F.col("id").alias("b_id"), F.col("__mids").alias("__mb")
             ),
             "b_id",
         )
-        .join(
-            members.select(F.col("id").alias("__ma"), F.col("__g").alias("__ga")),
-            "__ga",
-        )
-        .join(
-            members.select(F.col("id").alias("__mb"), F.col("__g").alias("__gb")),
-            "__gb",
-        )
+        .select("jaccard", F.explode("__ma").alias("__x"), "__mb")
+        .select("jaccard", "__x", F.explode("__mb").alias("__y"))
         .select(
-            F.least("__ma", "__mb").alias("a_id"),
-            F.greatest("__ma", "__mb").alias("b_id"),
+            F.least("__x", "__y").alias("a_id"),
+            F.greatest("__x", "__y").alias("b_id"),
             "jaccard",
         )
     )
