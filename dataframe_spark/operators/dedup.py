@@ -609,13 +609,23 @@ def minhash_signatures(
     return arrs_h.select("id", _minhash_sig_expr(num_perm).alias("sig"))
 
 
+def _perm_hash(i: int):
+    """Single-parameter permutation-i rehash for F.transform.
+
+    MUST be a one-arg callable built by a factory: a
+    ``lambda h, i=i:`` has arity 2, and PySpark's ``transform``
+    inspects the signature and passes the ARRAY INDEX as the second
+    argument — silently overriding the permutation index, which
+    collapsed every signature entry to the same value (caught r5:
+    a Jaccard-0.9 pair showed 0/64 minhash agreement)."""
+    return lambda h: F.xxhash64(h, F.lit(i))
+
+
 def _minhash_sig_expr(num_perm: int):
     """array<bigint> minhash signature over a hashed shingle array."""
     return F.array(
         *[
-            F.array_min(
-                F.transform("sh_arr", lambda h, i=i: F.xxhash64(h, F.lit(i)))
-            )
+            F.array_min(F.transform("sh_arr", _perm_hash(i)))
             for i in range(num_perm)
         ]
     )
