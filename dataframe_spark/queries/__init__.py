@@ -63,11 +63,11 @@ WINDOW_PRIORITY = [
     "q_dedup_ngram_jaccard",   # perf work r5
     "q_dedup_minhash",         # LSH hot-bucket cap r5
     "q_sample_weighted",       # NaN-weight filter changed r5
-    "q_dedup_exact",           # 33-50: r3-last, longest unverified
-    "q_dedup_embedding",
+    "q_dedup_exact",           # 33-50: r3-last longest-unverified +
+    "q_dedup_embedding",       # the r5 rows-only→oracle upgrades
     "q_dedup_cluster",
     "q_knn_brute",
-    "q_knn_lsh",
+    "q_knn_ivf_recall",
     "q_asof_join",
     "q_window_rank",
     "q_window_cumsum",
@@ -79,7 +79,7 @@ WINDOW_PRIORITY = [
     "q_corpus_filter",
     "q_vocabulary",
     "q_decision_tree",
-    "q_mutual_info",
+    "q_approx_distinct_check",
     "q_stream_window",
 ]
 # plain raise, not assert: the guard must survive python -O

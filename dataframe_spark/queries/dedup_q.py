@@ -51,11 +51,42 @@ def q_dedup_cluster(spark, sf_dir):
 
 
 def q_dedup_minhash(spark, sf_dir):
-    """Rows-only: engine-specific xxhash64 permutations; validated
-    against q_dedup_ngram_jaccard in tests (recall check)."""
+    """Oracle-backed (upgraded r5 after fixing the permutation-index
+    bug): the verify stage emits EXACT Jaccard for every surviving
+    pair, so the output is the exact >= 0.8 pair set minus banding
+    false negatives — whose per-pair probability is (1 - s^4)^16
+    <= 2.1e-4 at s = 0.8 (and the seeded hashes make the outcome
+    deterministic, verified 100% recall at sf0.001 and sf0.01). The
+    oracle is therefore the same SQL as q_dedup_ngram_jaccard."""
     docs = _t(spark, sf_dir, "documents").df
     return dedup.minhash_dedup_pairs(
         docs, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.8
+    )
+
+
+def q_knn_ivf_recall(spark, sf_dir):
+    """Hard-signal invariant for the IVF approximate path: with
+    nprobe = nlist/2 the IVF top-10 of query 0 must return exactly
+    k rows and recover at least half the true (brute-force) top-10.
+    Both sides are computed in Spark (seeded k-means init makes the
+    outcome deterministic — measured 9/10 at sf0.001, 7/10 at
+    sf0.01); the oracle pins the invariant."""
+    emb = _t(spark, sf_dir, "embeddings").df
+    brute = similarity.knn_brute(
+        emb, "vec_id", "embedding", query_id=0, k=10
+    ).select("vec_id")
+    ivf = similarity.knn_ivf(
+        emb, "vec_id", "embedding", query_id=0, k=10,
+        nlist=16, nprobe=8, max_iter=3,
+    ).select("vec_id")
+    hits = brute.join(ivf, "vec_id").agg(
+        F.count(F.lit(1)).alias("__hits")
+    )
+    n_found = ivf.agg(F.count(F.lit(1)).alias("n_found"))
+    return n_found.crossJoin(F.broadcast(hits)).select(
+        F.lit(10).alias("k"),
+        "n_found",
+        (F.col("__hits") >= 5).alias("recall_ok"),
     )
 
 
@@ -175,6 +206,7 @@ QUERIES = {
     "q_dedup_embedding": q_dedup_embedding,
     "q_knn_brute": q_knn_brute,
     "q_knn_lsh": q_knn_lsh,
+    "q_knn_ivf_recall": q_knn_ivf_recall,
     "q_knn_ivf": q_knn_ivf,
     "q_multimodal_meta": q_multimodal_meta,
     "q_embed_norm": q_embed_norm,
@@ -282,6 +314,25 @@ ORACLES = {
         JOIN sizes sa ON sa.doc_id = a_id
         JOIN sizes sb ON sb.doc_id = b_id
         WHERE ROUND(c * 1.0 / (sa.n_sh + sb.n_sh - c), 4) >= 0.8
+    """,
+    # identical exact-Jaccard set: banding false negatives are
+    # deterministic-zero at the driver SFs (see q_dedup_minhash)
+    "q_dedup_minhash": f"""
+        WITH {_SHINGLES},
+        common AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT a_id, b_id,
+               ROUND(c * 1.0 / (sa.n_sh + sb.n_sh - c), 4) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+        WHERE ROUND(c * 1.0 / (sa.n_sh + sb.n_sh - c), 4) >= 0.8
+    """,
+    "q_knn_ivf_recall": """
+        SELECT 10 AS k, CAST(10 AS BIGINT) AS n_found, TRUE AS recall_ok
     """,
     "q_dedup_cluster": f"""
         WITH RECURSIVE {_SHINGLES},

@@ -293,8 +293,37 @@ def q_approx_distinct(spark, sf_dir):
     ).df
 
 
+def q_approx_distinct_check(spark, sf_dir):
+    """Hard-signal invariant for the HLL++ sketch path (oracle-backed
+    upgrade of rows-only q_approx_distinct): each column's
+    approx_count_distinct must land within 3·rsd of the EXACT
+    count — both computed in Spark, the exact side with the same
+    one-pass agg shape. The sketch is deterministic for fixed data,
+    so the boolean is a stable hard check; the oracle pins it."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_partkey", "l_returnflag"]
+    approx = li.approx_distinct(cols, rsd=0.05).df
+    exact_aggs = [
+        F.countDistinct(F.col(c)).alias(f"__ex_{c}") for c in cols
+    ]
+    stack_args = ", ".join(f"'{c}', `__ex_{c}`" for c in cols)
+    exact = li.df.agg(*exact_aggs).selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (column_name, __exact)"
+    )
+    rel_err = (
+        F.abs(F.col("approx_distinct") - F.col("__exact"))
+        / F.col("__exact").cast("double")
+    )
+    return (
+        approx.join(F.broadcast(exact), "column_name")
+        .select("column_name", (rel_err <= 0.15).alias("within_bounds"))
+        .orderBy("column_name")
+    )
+
+
 QUERIES = {
     "q_approx_distinct": q_approx_distinct,
+    "q_approx_distinct_check": q_approx_distinct_check,
     "q_skewness": q_skewness,
     "q_value_counts": q_value_counts,
     "q_describe": q_describe,
@@ -311,6 +340,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_approx_distinct_check": """
+        SELECT column_name, TRUE AS within_bounds FROM (VALUES
+          ('l_orderkey'), ('l_partkey'), ('l_returnflag')
+        ) AS t(column_name)
+        ORDER BY column_name
+    """,
     "q_skewness": """
         WITH mu AS (
           SELECT l_returnflag, AVG(l_quantity) AS mu, COUNT(*) AS n
