@@ -280,7 +280,16 @@ class DataFrame:
 
     def drop_last(self, n: int, order_by: Sequence[str] | str | None = None) -> "DataFrame":
         """Drop the last n rows under an explicit order (required,
-        like take_last). Needs one count action to size the limit."""
+        like take_last). FULLY LAZY (r5 — this was the only verb
+        with an eager action): the last-n boundary VALUES come from
+        a TakeOrderedAndProject subplan grouped to per-value drop
+        counts and broadcast; rows whose order-key values miss that
+        (≤ n-entry) set pass through map-side, and only the boundary
+        value groups pay a (value-partitioned, hence parallel and
+        bounded) window to trim their tail count. Which rows of a
+        TIED boundary value are dropped is engine-arbitrary, exactly
+        the take_last caveat. Result rows come back in ascending
+        ``order_by`` order, as before."""
         if not order_by:
             raise MissingOrderError(
                 "drop_last needs order_by=[cols]: last-n of an unordered "
@@ -290,10 +299,33 @@ class DataFrame:
         for c in cols:
             if c not in self.df.columns:
                 raise ColumnNotFoundError(c, self.df.columns)
-        total = self.df.count()
-        return self._wrap(
-            self.df.orderBy(*[F.col(c).asc() for c in cols]).limit(max(total - n, 0))
+        asc = [F.col(c).asc() for c in cols]
+        if n <= 0:
+            return self._wrap(self.df.orderBy(*asc))
+        from pyspark.sql.window import Window
+
+        tail = (
+            self.df.select(*cols)
+            .orderBy(*[F.col(c).desc() for c in cols])
+            .limit(n)
+            .groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("__dropn"))
         )
+        joined = self.df.join(F.broadcast(tail), cols, "left")
+        passthru = joined.where(F.col("__dropn").isNull()).drop("__dropn")
+        w = Window.partitionBy(*cols)
+        w_rn = w.orderBy(F.monotonically_increasing_id())
+        w_all = w.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        boundary = (
+            joined.where(F.col("__dropn").isNotNull())
+            .withColumn("__rn", F.row_number().over(w_rn))
+            .withColumn("__cnt", F.count(F.lit(1)).over(w_all))
+            .where(F.col("__rn") <= F.col("__cnt") - F.col("__dropn"))
+            .drop("__dropn", "__rn", "__cnt")
+        )
+        return self._wrap(passthru.unionByName(boundary).orderBy(*asc))
 
     def filter_where(self, cond: Column) -> "DataFrame":
         """Subset.hs:169 ``filterWhere`` — predicate stays JVM-side and is
