@@ -4,6 +4,7 @@ from .json import read_json, write_json
 from .orc import read_orc, read_text, write_orc, write_text
 from .parquet import (
     read_parquet,
+    read_parquet_files,
     write_parquet,
     write_parquet_bucketed,
     write_parquet_sorted,
@@ -24,6 +25,7 @@ __all__ = [
     "read_text",
     "write_text",
     "read_parquet",
+    "read_parquet_files",
     "write_parquet",
     "write_parquet_bucketed",
     "write_parquet_sorted",

@@ -21,6 +21,14 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return DataFrame(spark.read.parquet(path))
 
 
+def read_parquet_files(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Reference IO/Parquet ``readParquetFiles`` — many files/globs
+    into one frame. Spark's datasource takes N paths natively (one
+    unified FileIndex: splits, pushdown, and pruning span all of
+    them), so this is pure signature parity."""
+    return DataFrame(spark.read.parquet(*paths))
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

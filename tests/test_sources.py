@@ -232,3 +232,15 @@ def test_jdbc_partitioned_empty_table_raises(spark, tmpd):
             spark, url, table="empty_t",
             partition_column="ID", num_partitions=4, driver=driver,
         )
+
+
+def test_read_parquet_files_multi(spark, tmpd, lineitem):
+    from dataframe_spark.sources import read_parquet_files, write_parquet
+
+    a = lineitem.take(5)
+    b = lineitem.drop_rows(5).take(7)
+    write_parquet(a, f"{tmpd}/pa")
+    write_parquet(b, f"{tmpd}/pb")
+    got = read_parquet_files(spark, [f"{tmpd}/pa", f"{tmpd}/pb"])
+    assert got.n_rows() == 12
+    assert set(got.df.columns) == set(lineitem.df.columns)
