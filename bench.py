@@ -150,24 +150,22 @@ def main():
     print(json.dumps(out))
 
 
-SCALING_QUERIES = [
-    "q1_pricing_summary",
-    "q_dedup_minhash",
-    "q_dedup_ngram_jaccard",
-    "q_tfidf",
-    # summarize's plan-size gate flips to the distributed radix
-    # quantile path at 10x — the scaling row exercises the cutover
-    # the small-scale bench never sees
-    "q_summarize",
+# Tables the 10x generator cannot scale with its invariants intact
+# (see tools/scale_data.py) — queries over them appear in the 10x
+# map as fixed-size no-regression rows, recorded, never hidden.
+SCALING_UNSCALED_TABLES = [
+    "embeddings", "region", "nation", "customer", "supplier", "part",
 ]
 
 
 def _scaling_check(spark, qs, sf_dir, times) -> dict:
-    """Empirical 10x scale-up: replicate sf0.1 to 10x its rows
+    """Empirical 10x scale-up over the FULL headline (r5 — was 5
+    flagship queries): replicate sf0.1 facts to 10x their rows
     (tools/scale_data.py — token-salted copies keep the dedup
-    pipeline's true pair count exactly 10x) and re-run two flagship
-    queries. A wall-clock factor near (or below) 10 on a fixed-core
-    box validates that no stage collects, buffers, or re-plans
+    pipeline's true pair count exactly 10x; orders/events offset
+    structure-preserving) and re-run every headline query. A
+    wall-clock factor near (or below) 10 on a fixed-core box
+    validates that no stage collects, buffers, or re-plans
     super-linearly in the input. Skipped unless timing sf0.1
     (SPARK_GRAFT_SCALING=0 also disables)."""
     import time as _time
@@ -186,7 +184,7 @@ def _scaling_check(spark, qs, sf_dir, times) -> dict:
     for t in ("lineitem", "documents"):
         load_table(spark, big_dir, t).count()  # warm, same as sf0.1
     out = {}
-    for name in SCALING_QUERIES:
+    for name in HEADLINE:
         best = None
         for _ in range(2):
             t0 = _time.monotonic()
@@ -200,6 +198,7 @@ def _scaling_check(spark, qs, sf_dir, times) -> dict:
             "10x_sec": round(best, 3),
             "wall_factor": round(best / times[name], 2),
         }
+    out["unscaled_tables"] = SCALING_UNSCALED_TABLES
     return out
 
 

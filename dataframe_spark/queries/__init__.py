@@ -60,8 +60,10 @@ WINDOW_PRIORITY = [
     "q1_pricing_summary",      # 27-32: sentinels + plans changed in r5
     "q_sessionize",            # sentinel (failed r1+r2 — keep hard signal)
     "q_summarize",             # distributed-path cutover reworked r5
+    "q_quantiles",             # same reworked two-pass engine
+    "q_group_quantiles",       # grouped path of the reworked engine
     "q_dedup_ngram_jaccard",   # perf work r5
-    "q_dedup_minhash",         # LSH hot-bucket cap r5
+    "q_dedup_minhash",         # collapse rewrite + perm-index fix r5
     "q_sample_weighted",       # NaN-weight filter changed r5
     "q_dedup_exact",           # 33-50: r3-last longest-unverified +
     "q_dedup_embedding",       # the r5 rows-only→oracle upgrades
@@ -78,9 +80,7 @@ WINDOW_PRIORITY = [
     "q_tfidf",
     "q_corpus_filter",
     "q_vocabulary",
-    "q_decision_tree",
     "q_approx_distinct_check",
-    "q_stream_window",
 ]
 # plain raise, not assert: the guard must survive python -O
 if len(WINDOW_PRIORITY) != 50:

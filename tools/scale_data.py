@@ -1,10 +1,15 @@
 """Deterministic 10x scale-up of the sf0.1 test tables, for the
 bench's scaling check (no driver-provided sf1 data exists).
 
-Only the tables the scaling queries touch are generated:
+FACT tables are replicated 10x with structure preserved:
 
-- ``lineitem``: 10 copies with ``l_orderkey`` offset per copy —
-  same group-by cardinality, 10x the rows.
+- ``lineitem`` + ``orders``: 10 copies with the order key offset per
+  copy, using ONE shared base (max over both tables) so the
+  lineitem↔orders join stays consistent across copies. Dim keys
+  (custkey/suppkey/partkey) are kept, so each dim row simply serves
+  10x the fact rows — the usual facts-grow-faster shape.
+- ``events``: 10 copies with ``event_id`` AND ``user_id`` offset per
+  copy — 10x users, each with the original event/session structure.
 - ``documents``: 10 copies with ``doc_id`` offset and every TOKEN
   prefixed with a copy tag. Prefixing each token makes every shingle
   copy-unique, so cross-copy similarity is exactly zero while the
@@ -13,8 +18,18 @@ Only the tables the scaling queries touch are generated:
   which is what makes wall-clock scaling interpretable for the
   dedup pipeline.
 
-Output is partitioned parquet (one dir per table) under the target
-dir, written once and reused across runs.
+DIMENSION tables (region/nation/customer/supplier/part) are linked
+unscaled. ``embeddings`` is also linked UNSCALED, deliberately: any
+in-row perturbation cheap enough to run here (e.g. per-copy sign
+masks) leaves cross-copy cosines ~N(0, 1/sqrt(dim)), which at
+dim=64 puts ~0.07% of the ~1.8e8 cross-copy pairs above the 0.4
+near-dup threshold — corrupting the pair-count invariant the check
+depends on. Embedding queries in the 10x map therefore measure a
+fixed-size corpus (factor ~1, a no-regression row), and bench.py
+records that in ``unscaled_tables`` rather than capping silently.
+
+Output is parquet (one dir per table) plus symlinks under the
+target dir, written once and reused across runs.
 """
 
 from __future__ import annotations
@@ -26,17 +41,44 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 COPIES = 10
+LINKED_TABLES = ("region", "nation", "customer", "supplier", "part",
+                 "embeddings")
+
+
+def _copies(df):
+    return df.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1))).alias("__c")
+    )
 
 
 def generate(spark: SparkSession, src_dir: str, out_dir: str) -> None:
     li = spark.read.parquet(f"{src_dir}/lineitem.parquet")
-    max_ok = li.agg(F.max("l_orderkey")).first()[0] + 1
-    li_big = li.select(
-        "*", F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1))).alias("__c")
-    ).withColumn(
+    orders = spark.read.parquet(f"{src_dir}/orders.parquet")
+    # one shared base keeps the lineitem<->orders join consistent
+    max_ok = max(
+        li.agg(F.max("l_orderkey")).first()[0],
+        orders.agg(F.max("o_orderkey")).first()[0],
+    ) + 1
+    li_big = _copies(li).withColumn(
         "l_orderkey", F.col("l_orderkey") + F.col("__c") * F.lit(max_ok)
     ).drop("__c")
     li_big.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+
+    o_big = _copies(orders).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.col("__c") * F.lit(max_ok)
+    ).drop("__c")
+    o_big.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+
+    ev = spark.read.parquet(f"{src_dir}/events.parquet")
+    max_ev = ev.agg(F.max("event_id")).first()[0] + 1
+    max_user = ev.agg(F.max("user_id")).first()[0] + 1
+    ev_big = (
+        _copies(ev)
+        .withColumn("event_id", F.col("event_id") + F.col("__c") * F.lit(max_ev))
+        .withColumn("user_id", F.col("user_id") + F.col("__c") * F.lit(max_user))
+        .drop("__c")
+    )
+    ev_big.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
     docs = spark.read.parquet(f"{src_dir}/documents.parquet")
     max_id = docs.agg(F.max("doc_id")).first()[0] + 1
@@ -56,19 +98,25 @@ def generate(spark: SparkSession, src_dir: str, out_dir: str) -> None:
         " ",
     )
     docs_big = (
-        docs.select(
-            "*", F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1))).alias("__c")
-        )
+        _copies(docs)
         .withColumn("doc_id", F.col("doc_id") + F.col("__c") * F.lit(max_id))
         .withColumn("text", tagged)
         .drop("__c")
     )
     docs_big.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
+    for t in LINKED_TABLES:
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(src_dir, f"{t}.parquet"), dst)
+
 
 def ensure(spark: SparkSession, src_dir: str, out_dir: str) -> bool:
-    """Generate once; True if the scaled tables are available."""
-    marker = os.path.join(out_dir, "_DONE")
+    """Generate once; True if the scaled tables are available.
+
+    The marker is versioned: v2 added scaled orders/events and the
+    linked dim tables — a v1 dir regenerates in place."""
+    marker = os.path.join(out_dir, "_DONE_v2")
     if os.path.exists(marker):
         return True
     try:
