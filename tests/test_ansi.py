@@ -45,6 +45,11 @@ RISKY = [
     "q_psi",               # r4 proportion ratios + log (eps floored)
     "q_welch_t",           # r4 variance-ratio divisions (nullif guarded)
     "q_sample_weighted_group",  # r4 pow(u, 1/w) rank per group
+    "q_quantiles",              # r5 two-pass radix engine (log2/floor/casts)
+    "q_summarize",              # r5 fused-int-key pass-2 join arithmetic
+    "q_approx_distinct_check",  # r5 relative-error division
+    "q_knn_ivf_recall",         # r5 recall count comparison
+    "q_dedup_minhash",          # r5 collapse + expansion joins
 ]
 
 
