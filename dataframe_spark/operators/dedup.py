@@ -400,6 +400,13 @@ def source_overlap(
     )
 
 
+# bench sets whose raw-text plan estimate exceeds this shuffle-join
+# instead of riding as one in-row array (~8 B per distinct shingle
+# PER TASK when broadcast — fine for real eval suites, wrong once
+# the "bench" side is itself corpus-sized)
+BENCH_BROADCAST_MAX_BYTES = 4 * 1024 * 1024
+
+
 def contamination_scores(
     df: SparkDF,
     id_col: str,
@@ -407,7 +414,7 @@ def contamination_scores(
     bench_df: SparkDF,
     bench_text_col: str,
     n: int = 5,
-    broadcast_bench: bool = True,
+    broadcast_bench: bool | None = None,
 ) -> SparkDF:
     """Benchmark decontamination: per corpus document, the fraction
     of its distinct word n-grams that also occur in the benchmark
@@ -421,9 +428,20 @@ def contamination_scores(
     — a single narrow pass over the corpus, no explode fan-out and
     no per-doc groupBy shuffle (the 8-byte hashes make the set
     compact; a cross-set collision could only add ~1/2^64 noise to a
-    count). Flip ``broadcast_bench`` off to shuffle-join a benchmark
-    too large to hold as one array — the corpus side is then one
-    explode + one count groupBy, still size-of-data work."""
+    count). The in-row pass costs O(corpus_rows × bench_set) though,
+    so the default (``broadcast_bench=None``) GATES on the bench
+    plan's size estimate (the summarize pattern): above
+    BENCH_BROADCAST_MAX_BYTES it shuffle-joins instead — one corpus
+    explode + one count groupBy, O(corpus + bench) at any scale
+    (caught by the r5 full-headline 10x sweep: the in-row path went
+    super-linear when the bench side grew with the corpus). Both
+    paths produce identical rows; pass True/False to force one."""
+    if broadcast_bench is None:
+        from ..plans.stats import plan_size_bytes
+
+        broadcast_bench = (
+            plan_size_bytes(bench_df) <= BENCH_BROADCAST_MAX_BYTES
+        )
     corpus = _hash_arrays(shingle_arrays(df, id_col, text_col, n))
     bench_toks = F.filter(tokens_expr(bench_text_col), lambda x: x != F.lit(""))
     bench = bench_df.select(

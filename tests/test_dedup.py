@@ -305,3 +305,19 @@ def test_lsh_max_bucket_caps_candidates(spark):
     capped = lsh_candidate_pairs(sigs, 16, 4, max_bucket=4).count()
     assert full == 45
     assert capped == 6  # C(4,2): first 4 ids by order survive
+
+
+def test_contamination_paths_equivalent(docs):
+    """The gated broadcast (in-row array) and shuffle-join plans of
+    contamination_scores must produce identical rows."""
+    from dataframe_spark.operators.dedup import contamination_scores
+
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    a = sorted(map(str, contamination_scores(
+        corpus, "doc_id", "text", bench, "text", n=3,
+        broadcast_bench=True).collect()))
+    b = sorted(map(str, contamination_scores(
+        corpus, "doc_id", "text", bench, "text", n=3,
+        broadcast_bench=False).collect()))
+    assert a == b and len(a) > 0
