@@ -78,9 +78,14 @@ def test_contamination_broadcasts_bench_side(spark):
 
     corpus = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     bench = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    # force the broadcast side of the r5 size gate: an ExistingRDD
+    # has no size estimate, so the None default conservatively picks
+    # the shuffle-join scale path for it
     qe = (
-        contamination_scores(corpus, "doc_id", "text", bench, "text", n=3)
-        ._jdf.queryExecution()
+        contamination_scores(
+            corpus, "doc_id", "text", bench, "text", n=3,
+            broadcast_bench=True,
+        )._jdf.queryExecution()
     )
     plan = qe.executedPlan().toString()
     assert "Broadcast" in plan and "Join" in plan
