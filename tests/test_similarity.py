@@ -135,3 +135,20 @@ def test_ivf_index_roundtrip_and_partition_pruning(spark, sf_dir, tmp_path_facto
 
     n_dirs = len(glob.glob(idx + "/lists/__cid=*"))
     assert n_dirs >= 6  # the index fanned out into real partitions
+
+
+def test_knn_lsh_multiprobe_improves_recall(spark, sf_dir):
+    """Multiprobe must strictly widen the candidate set: results at
+    radius r are a superset-quality answer — recall vs brute force
+    is monotonically non-decreasing in the probe radius."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = {r["vec_id"] for r in similarity.knn_brute(
+        emb, "vec_id", "embedding", 0, k=10).collect()}
+    recalls = []
+    for radius in (0, 1, 2):
+        got = {r["vec_id"] for r in similarity.knn_lsh(
+            emb, "vec_id", "embedding", 0, k=10, planes=4,
+            probe_radius=radius).collect()}
+        recalls.append(len(brute & got) / len(brute))
+    assert recalls == sorted(recalls)
+    assert recalls[2] >= 0.5
