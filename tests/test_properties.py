@@ -181,3 +181,65 @@ def test_edit_distance_pairs_equals_brute_force(spark, vals):
         if lev(vals[i], vals[j]) <= 2
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(st.floats(0.0, 1.0), min_size=1, max_size=4),
+)
+@FEW
+def test_exact_quantiles_match_numpy(spark, vals, probs):
+    """The r5 two-pass histogram-refine engine must agree with
+    numpy's linear interpolation on arbitrary doubles and probs —
+    including duplicated values, p=0/1, and heavy ties."""
+    import numpy as np
+
+    from dataframe_spark.operators.quantiles import exact_quantiles
+
+    df = from_named_columns(spark, {"v": vals}).df
+    got = {
+        round(r["prob"], 9): r["value"]
+        for r in exact_quantiles(df, ["v"], sorted(set(probs))).collect()
+    }
+    for p in sorted(set(probs)):
+        expect = float(np.quantile(np.array(vals, dtype="float64"), p))
+        assert got[round(p, 9)] == pytest.approx(expect, rel=1e-9, abs=1e-9)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.floats(-1e4, 1e4, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@FEW
+def test_grouped_exact_quantiles_match_numpy(spark, rows):
+    import numpy as np
+
+    from dataframe_spark.operators.quantiles import exact_quantiles_grouped
+
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r["g"], round(r["prob"], 9)): r["value"]
+        for r in exact_quantiles_grouped(df, ["g"], "v", [0.25, 0.5, 0.75]).collect()
+    }
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        for p in (0.25, 0.5, 0.75):
+            expect = float(np.quantile(np.array(vs, dtype="float64"), p))
+            assert got[(g, round(p, 9))] == pytest.approx(
+                expect, rel=1e-9, abs=1e-9
+            )
