@@ -102,15 +102,24 @@ def _pack_columns(num_cols):
     return _pack
 
 
-def _np_quartiles(pdf):
-    """Arrow kernel for summarize's small path: exact interpolated
-    quartiles (numpy 'linear' == SQL percentile_cont) of ONE
-    column's values — the per-partition arrays from _pack_columns
-    are concatenated in-worker, keyed by column index so each
-    numeric column is its own group and the kernels run
-    column-parallel instead of funnelling the whole numeric
-    projection through one worker. Bit-identical to
-    ``F.percentile`` (verified in tests)."""
+_SUMMARY_COLS = ["ci", "mean", "std", "min", "q25", "median", "q75", "max"]
+
+
+def _np_summary(pdf):
+    """Arrow kernel for summarize's small path: moments AND exact
+    interpolated quartiles (numpy 'linear' == SQL percentile_cont)
+    of ONE column's values in a single pass — the per-partition
+    arrays from _pack_columns are concatenated in-worker, keyed by
+    column index so each numeric column is its own group and the
+    kernels run column-parallel instead of funnelling the whole
+    numeric projection through one worker. Computing the moments
+    here too (r5) deletes the separate moments agg scan + the
+    moments↔quartiles join the small path used to pay: the reducer
+    already holds the full (null/NaN-cleaned) column. Quartiles are
+    bit-identical to ``F.percentile``; moments match the
+    distributed path's JVM aggregates to ~1e-12 relative (verified
+    in tests). A single value yields std = NaN, matching
+    ``F.stddev_samp``."""
     import numpy as np
     import pandas as pd
 
@@ -120,14 +129,24 @@ def _np_quartiles(pdf):
         if len(pdf)
         else np.array([])
     )
-    if len(v) == 0:  # all-null column: quartiles stay null
+    if len(v) == 0:  # all-null column: every statistic stays null
         return pd.DataFrame(
-            [(ci, None, None, None)], columns=["ci", "q25", "median", "q75"]
+            [(ci,) + (None,) * 7], columns=_SUMMARY_COLS
         )
     q = np.quantile(v, [0.25, 0.5, 0.75])
+    std = float(np.std(v, ddof=1)) if len(v) >= 2 else float("nan")
     return pd.DataFrame(
-        [(ci, float(q[0]), float(q[1]), float(q[2]))],
-        columns=["ci", "q25", "median", "q75"],
+        [(
+            ci,
+            float(np.mean(v)),
+            std,
+            float(np.min(v)),
+            float(q[0]),
+            float(q[1]),
+            float(q[2]),
+            float(np.max(v)),
+        )],
+        columns=_SUMMARY_COLS,
     )
 
 
@@ -1353,52 +1372,33 @@ class DataFrame:
             distributed = self._plan_size_bytes() > QUANTILE_BUFFER_MAX_BYTES
         if distributed:
             return self._summarize_distributed(df, num_cols)
-        mom_aggs = []
-        for c in num_cols:
-            # NaN skipped like the quartile path below, else one NaN
-            # poisons mean/std/max while q25..q75 stay clean
-            cc = F.col(c).cast("double")
-            cc = F.when(~F.isnan(cc), cc)
-            mom_aggs += [
-                F.avg(cc).alias(f"__mean_{c}"),
-                F.stddev_samp(cc).alias(f"__std_{c}"),
-                F.min(cc).alias(f"__min_{c}"),
-                F.max(cc).alias(f"__max_{c}"),
-            ]
-        one = df.agg(*mom_aggs)
-        stack_args = []
-        for c in num_cols:
-            stack_args.append(f"'{c}'")
-            stack_args += [f"`__{s}_{c}`" for s in ("mean", "std", "min", "max")]
-        moments = one.selectExpr(
-            f"stack({len(num_cols)}, {', '.join(stack_args)}) as "
-            "(column_name, mean, std, min, max)"
-        )
         # pack each partition's column values into arrays keyed by
         # column index (ci), then shuffle the packed rows so each
-        # column lands on its own reducer and the Arrow quantile
-        # kernels run column-parallel. Nulls AND NaN drop inside the
-        # pack kernel (np.quantile has no skipna and one NaN poisons
-        # it); an all-null column still has its (empty-array) group
-        # and yields an all-null quartile row.
+        # column lands on its own reducer and the Arrow summary
+        # kernel (moments + quartiles, one pass — see _np_summary)
+        # runs column-parallel. Nulls AND NaN drop inside the pack
+        # kernel (np.quantile has no skipna and one NaN poisons it);
+        # an all-null column still has its (empty-array) group and
+        # yields an all-null row.
         packed = df.select(
             *[F.col(c).cast("double").alias(c) for c in num_cols]
         ).mapInPandas(_pack_columns(num_cols), "ci int, vals array<double>")
-        quarts = (
-            packed.groupBy("ci")
-            .applyInPandas(
-                _np_quartiles, "ci int, q25 double, median double, q75 double"
-            )
-            .withColumn(
-                "column_name",
-                F.element_at(
-                    F.array(*[F.lit(c) for c in num_cols]), F.col("ci") + 1
-                ),
-            )
-            .drop("ci")
+        summary = packed.groupBy("ci").applyInPandas(
+            _np_summary,
+            "ci int, mean double, std double, min double, "
+            "q25 double, median double, q75 double, max double",
+        )
+        # literal column spine: a fully EMPTY input yields no Arrow
+        # batches at all, and every column must still get its
+        # (all-null) row — both sides of this join are #cols rows
+        spine = df.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(num_cols)],
+            "ci int, column_name string",
         )
         return self._wrap(
-            moments.join(F.broadcast(quarts), "column_name", "left").select(
+            spine.join(summary, "ci", "left")
+            .orderBy("ci")
+            .select(
                 "column_name", "mean", "std", "min", "q25", "median", "q75", "max"
             )
         )
