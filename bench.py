@@ -150,12 +150,6 @@ def main():
     print(json.dumps(out))
 
 
-# Tables the 10x generator cannot scale with its invariants intact
-# (see tools/scale_data.py) — queries over them appear in the 10x
-# map as fixed-size no-regression rows, recorded, never hidden.
-SCALING_UNSCALED_TABLES = [
-    "embeddings", "region", "nation", "customer", "supplier", "part",
-]
 
 
 def _scaling_check(spark, qs, sf_dir, times) -> dict:
@@ -207,7 +201,12 @@ def _scaling_check(spark, qs, sf_dir, times) -> dict:
             "10x_sec": round(best, 3),
             "wall_factor": round(best / times[name], 2),
         }
-    out["unscaled_tables"] = SCALING_UNSCALED_TABLES
+    # tables the generator links unscaled (embeddings + dims — see
+    # tools/scale_data.py): queries over them appear in this map as
+    # fixed-size no-regression rows, recorded, never hidden
+    from tools.scale_data import LINKED_TABLES
+
+    out["unscaled_tables"] = list(LINKED_TABLES)
     return out
 
 

@@ -52,6 +52,11 @@ QUANTILE_BUFFER_MAX_BYTES = (
     int(os.environ.get("SPARK_GRAFT_QUANTILE_BUFFER_MB", "256")) * 1024 * 1024
 )
 
+# drop_last's lazy plan tops-n the order keys toward the driver and
+# broadcasts them; above this n that side is itself driver-sized, so
+# the verb falls back to the count-based plan (review r5)
+DROP_LAST_LAZY_MAX = 1_000_000
+
 
 def _c(x) -> Column:
     return F.col(x) if isinstance(x, str) else x
@@ -308,7 +313,12 @@ class DataFrame:
         bounded) window to trim their tail count. Which rows of a
         TIED boundary value are dropped is engine-arbitrary, exactly
         the take_last caveat. Result rows come back in ascending
-        ``order_by`` order, as before."""
+        ``order_by`` order, as before. For n above
+        DROP_LAST_LAZY_MAX the lazy plan's top-n + broadcast side
+        would itself be driver-sized, so the verb falls back to the
+        old count-based plan (one eager count) — documented, gated,
+        and the only configuration where it still runs a job early.
+        """
         if not order_by:
             raise MissingOrderError(
                 "drop_last needs order_by=[cols]: last-n of an unordered "
@@ -321,6 +331,11 @@ class DataFrame:
         asc = [F.col(c).asc() for c in cols]
         if n <= 0:
             return self._wrap(self.df.orderBy(*asc))
+        if n > DROP_LAST_LAZY_MAX:
+            total = self.df.count()
+            return self._wrap(
+                self.df.orderBy(*asc).limit(max(total - n, 0))
+            )
         from pyspark.sql.window import Window
 
         tail = (
@@ -330,7 +345,19 @@ class DataFrame:
             .groupBy(*cols)
             .agg(F.count(F.lit(1)).alias("__dropn"))
         )
-        joined = self.df.join(F.broadcast(tail), cols, "left")
+        # null-safe join: NULL order-key values sort first under asc,
+        # but they DO enter the last-n tail when n exceeds the
+        # non-null row count — an equi-join would silently route
+        # them to passthru (review r5)
+        tkeys = [f"__tk{i}" for i in range(len(cols))]
+        tail_r = tail.select(
+            *[F.col(c).alias(t) for c, t in zip(cols, tkeys)], "__dropn"
+        )
+        cond = None
+        for c, t in zip(cols, tkeys):
+            e = self.df[c].eqNullSafe(tail_r[t])
+            cond = e if cond is None else (cond & e)
+        joined = self.df.join(F.broadcast(tail_r), cond, "left").drop(*tkeys)
         passthru = joined.where(F.col("__dropn").isNull()).drop("__dropn")
         w = Window.partitionBy(*cols)
         w_rn = w.orderBy(F.monotonically_increasing_id())

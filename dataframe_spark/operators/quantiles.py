@@ -108,6 +108,11 @@ def _exact_quantiles_impl(
     prefix is exact for every kept value, the true j-th order
     statistic is in a kept bin by construction, and it is the
     smallest value anywhere in the multiset with cum >= j+1."""
+    # dedupe probs: a repeated prob would duplicate its hit rows and
+    # double pass-2's per-value counts, shifting every order
+    # statistic (the old engine merged duplicates in its final
+    # groupBy and returned one row per distinct prob — keep that)
+    probs = list(dict.fromkeys(float(p) for p in probs))
     binned = long.withColumn("__bin", _radix_bin(F.col("__v")))
 
     # PASS 1: per-bin totals are small (#keys × #populated-bins rows)

@@ -421,3 +421,21 @@ def test_sample_weighted_per_group_counts_and_determinism(spark):
 
     per_g = Counter(g for g, _ in out1)
     assert all(n == 4 for n in per_g.values()) and len(per_g) == 3
+
+
+def test_drop_last_null_order_keys(spark):
+    """NULL order-key values sort first under asc but still enter the
+    last-n tail when n exceeds the non-null count — the boundary join
+    must be null-safe (review r5)."""
+    from dataframe_spark.core import DataFrame
+
+    df = DataFrame(
+        spark.createDataFrame([(None,), (None,), (1,), (2,)], "x int")
+    )
+    got = [r["x"] for r in df.drop_last(3, order_by="x").collect()]
+    assert got == [None]
+    kept = sorted(
+        (-99 if r["x"] is None else r["x"])
+        for r in df.drop_last(1, order_by="x").collect()
+    )
+    assert kept == [-99, -99, 1]

@@ -247,3 +247,16 @@ def test_winsorize_preserves_nulls_and_boundless_groups(spark):
             assert r["x_winsorized"] is None
     b = [r for r in rows if r["g"] == "b"]
     assert len(b) == 2 and all(r["x_winsorized"] is None for r in b)
+
+
+def test_exact_quantiles_duplicate_probs(spark):
+    """Repeated probs must merge to one row with the correct value —
+    the two-pass engine would otherwise double-count kept rows
+    (review r5)."""
+    from dataframe_spark.operators.quantiles import exact_quantiles
+
+    df = spark.createDataFrame([(float(v),) for v in (1, 2, 3, 4)], "v double")
+    rows = exact_quantiles(df, ["v"], [0.5, 0.5, 0.25]).collect()
+    got = {r["prob"]: r["value"] for r in rows}
+    assert len(rows) == 2
+    assert got[0.5] == 2.5 and got[0.25] == 1.75

@@ -69,7 +69,11 @@ def generate(spark: SparkSession, src_dir: str, out_dir: str) -> None:
     ).drop("__c")
     o_big.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
 
-    ev = spark.read.parquet(f"{src_dir}/events.parquet")
+    # events.parquet carries TIMESTAMP(NANOS) — a raw read fails on
+    # a fresh session; _load_raw sets the legacy conf and rebuilds ts
+    from dataframe_spark.tables import _load_raw
+
+    ev = _load_raw(spark, src_dir, "events")
     max_ev = ev.agg(F.max("event_id")).first()[0] + 1
     max_user = ev.agg(F.max("user_id")).first()[0] + 1
     ev_big = (
@@ -107,8 +111,13 @@ def generate(spark: SparkSession, src_dir: str, out_dir: str) -> None:
 
     for t in LINKED_TABLES:
         dst = os.path.join(out_dir, f"{t}.parquet")
-        if not os.path.exists(dst):
-            os.symlink(os.path.join(src_dir, f"{t}.parquet"), dst)
+        # islink, not exists: exists() is False for a broken link and
+        # would re-symlink into FileExistsError forever; abspath so a
+        # relative src_dir can't create broken links in the first place
+        if not (os.path.islink(dst) or os.path.exists(dst)):
+            os.symlink(
+                os.path.abspath(os.path.join(src_dir, f"{t}.parquet")), dst
+            )
 
 
 def ensure(spark: SparkSession, src_dir: str, out_dir: str) -> bool:
