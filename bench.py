@@ -191,11 +191,15 @@ def _scaling_check(spark, qs, sf_dir, times) -> dict:
     out = {}
     for name in HEADLINE:
         best = _best(name, 2)
-        if best / times[name] > 4:
+        tries = 0
+        while best / times[name] > 3.5 and tries < 2:
             # rep 1 pays the sf1 plan's codegen; for sub-second
-            # queries that (plus tenant noise) can fake a >4x factor
-            # — re-measure before recording one
+            # queries that (plus tenant-steal bursts) can fake a
+            # high factor — re-measure before recording one. Min of
+            # up to 6 reps; the loop only spends time on suspicious
+            # rows.
             best = min(best, _best(name, 2))
+            tries += 1
         out[name] = {
             "sf0.1_sec": times[name],
             "10x_sec": round(best, 3),
