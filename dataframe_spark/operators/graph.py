@@ -96,13 +96,25 @@ def connected_components(
             break
         prev = cur
     und = _symmetrize(e)
-    return (
+    comps = (
         und.groupBy("u")
         .agg(F.min("v").alias("__mv"))
         .select(
             F.col("u").alias("node"),
             F.least(F.col("__mv"), F.col("u")).alias("component"),
         )
+    )
+    # contract: EVERY node appearing in edges gets a row — a node
+    # whose only edges are self-loops vanishes from the contraction
+    # input (u != v filter) and must come back as its own singleton
+    # component (review r5)
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    return nodes.join(comps, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
     )
 
 

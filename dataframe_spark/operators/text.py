@@ -49,8 +49,13 @@ def bpe_ish_token_count(text) -> Column:
 
 
 def punct_ratio(text) -> Column:
+    """Fraction of characters that are neither word chars nor
+    whitespace. Unicode-aware via \\p{L}\\p{N} (supported by both
+    Java regex and DuckDB's RE2): the earlier ASCII-only ``\\w``
+    counted every accented letter as punctuation, systematically
+    down-scoring the de/fr/es text STOPWORDS supports (review r5)."""
     t = _c(text)
-    stripped = F.regexp_replace(t, r"[^\w\s]", "")
+    stripped = F.regexp_replace(t, r"[^\p{L}\p{N}_\s]", "")
     return (F.length(t) - F.length(stripped)) / F.nullif(
         F.length(t).cast("double"), F.lit(0.0)
     )
@@ -65,16 +70,27 @@ def stopword_ratio(text, lang: str = "en") -> Column:
 
 def quality_score(text) -> Column:
     """Heuristic document quality in [0, 1]: length band + stopword
-    presence − punctuation excess (deterministic, SQL-portable)."""
+    presence − punctuation excess (deterministic, SQL-portable).
+
+    Null or zero-token documents score 0.0 explicitly: least() and
+    greatest() SKIP nulls in Spark, so without the guard an empty
+    doc's undefined ratios silently clamped to the MAX score and
+    garbage sailed through quality gates (review r5)."""
     n_tok = token_count(text)
     len_score = F.least(n_tok / 50.0, F.lit(1.0))
     stop_score = F.least(stopword_ratio(text) * 5.0, F.lit(1.0))
     punct_pen = F.least(punct_ratio(text) * 2.0, F.lit(1.0))
-    return F.round(
-        F.greatest(
-            (len_score * 0.5 + stop_score * 0.5) - punct_pen * 0.25, F.lit(0.0)
-        ),
-        4,
+    # <= 0, not == 0: with ANSI off, size(null array) is LEGACY -1
+    return F.when(
+        n_tok.isNull() | (n_tok <= 0), F.lit(0.0)
+    ).otherwise(
+        F.round(
+            F.greatest(
+                (len_score * 0.5 + stop_score * 0.5) - punct_pen * 0.25,
+                F.lit(0.0),
+            ),
+            4,
+        )
     )
 
 
@@ -190,8 +206,10 @@ def redact(df, text_col: str, patterns: dict[str, str], out_col: str = "redacted
         cnt = F.regexp_count(t, F.lit(pat))
         n_red = cnt if n_red is None else n_red + cnt
         t = F.regexp_replace(t, pat, f"<{name.upper()}>")
+    # n_red is a Python None for an empty pattern dict — coalesce
+    # would raise on it; the no-op contract is text unchanged, 0
     return df.withColumn(out_col, t).withColumn(
-        "n_redactions", F.coalesce(n_red, F.lit(0))
+        "n_redactions", n_red if n_red is not None else F.lit(0)
     )
 
 
@@ -325,7 +343,12 @@ def tf_idf(df, id_col: str, text_col: str):
     tf ⋈ dfreq join is left to AQE, which broadcasts dfreq when the
     runtime vocabulary fits. The corpus row count rides in via a
     broadcast one-row crossJoin (no driver collect). Nothing in the
-    plan ever shuffles the full token stream."""
+    plan ever shuffles the full token stream.
+
+    PRECONDITION: one row per document id. Ids spanning multiple
+    rows would inflate n_docs and df (row counts, not distinct ids)
+    and emit split (doc, token) rows; pre-aggregate such inputs
+    (e.g. concat the fragments) before calling."""
     from ..plans.hints import ensure_scan_parallelism
 
     df = ensure_scan_parallelism(df)
@@ -467,6 +490,24 @@ def js_divergence(df, text_col: str, group_col: str, a, b):
     totals = counts.agg(
         F.sum("__na").alias("__ta"), F.sum("__nb").alias("__tb")
     )
+
+    # a slice with zero tokens has no distribution: every per-token
+    # contribution null-poisons and the result silently degraded to
+    # a null jsd_bits — raise instead, mirroring psi's contract for
+    # an empty reference population (review r5)
+    def _chk(c, side):
+        return (
+            F.when(
+                F.col(c).isNull() | (F.col(c) == 0),
+                F.raise_error(
+                    F.lit(f"js_divergence: slice {side!r} has no tokens")
+                ).cast("bigint"),
+            )
+            .otherwise(F.col(c))
+            .alias(c)
+        )
+
+    totals = totals.select(_chk("__ta", a), _chk("__tb", b))
     pa = F.col("__na") / F.nullif(F.col("__ta"), F.lit(0)).cast("double")
     pb = F.col("__nb") / F.nullif(F.col("__tb"), F.lit(0)).cast("double")
     m = (pa + pb) / 2.0
@@ -506,9 +547,14 @@ def chunk_tokens(df, id_col: str, text_col: str, chunk_size: int, overlap: int =
 
     df = ensure_scan_parallelism(df)
     toks = tokens(text_col)
+    # last start: size - overlap - 1. A start beyond that begins
+    # inside the previous chunk's tail and its content is wholly
+    # contained in that chunk — with overlap > 0 the old size-1
+    # bound emitted a fully redundant trailing chunk for most docs,
+    # duplicating training data (review r5).
     starts = F.sequence(
         F.lit(0),
-        F.greatest(F.size(toks) - 1, F.lit(0)),
+        F.greatest(F.size(toks) - overlap - 1, F.lit(0)),
         F.lit(step),
     )
     chunks = F.transform(starts, lambda s: F.slice(toks, s + 1, chunk_size))
@@ -542,7 +588,10 @@ def token_budget_select(
     from ..plans.hints import ensure_scan_parallelism
 
     df = ensure_scan_parallelism(df)
-    quality = quality_col if quality_col is not None else quality_score(text_col)
+    # _c: accept a column name string like every other *_col param
+    quality = (
+        _c(quality_col) if quality_col is not None else quality_score(text_col)
+    )
     scored = df.select(
         F.col(id_col).alias("id"),
         F.col(group_col).alias("grp"),

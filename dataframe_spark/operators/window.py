@@ -52,19 +52,32 @@ def asof_join(
     Plan: equi-join on the key (hash shuffle both sides), range
     filter, then row_number argmax per left row. Skewed keys are
     handled by AQE skew-join splitting. At extreme scale prefer
-    time-bucketing the key to bound per-key fan-out."""
+    time-bucketing the key to bound per-key fan-out.
+
+    Column names shared between the two sides (the natural case:
+    both key and time columns named alike) are handled by renaming
+    the colliding RIGHT columns with a ``_right`` suffix in the
+    output — the pandas ``merge_asof`` convention; bare references
+    would otherwise raise AMBIGUOUS_REFERENCE (review r5)."""
+    collisions = set(left.columns) & set(right.columns)
+    ren = {c: f"{c}_right" for c in collisions}
+    for c, r in ren.items():
+        right = right.withColumnRenamed(c, r)
+    r_on = ren.get(right_on, right_on)
+    r_time = ren.get(right_time, right_time)
     cmp = (
-        (F.col(right_time) <= F.col(left_time))
+        (F.col(r_time) <= F.col(left_time))
         if direction == "backward"
-        else (F.col(right_time) >= F.col(left_time))
+        else (F.col(r_time) >= F.col(left_time))
     )
     order = [
-        F.col(right_time).desc() if direction == "backward" else F.col(right_time).asc()
+        F.col(r_time).desc() if direction == "backward" else F.col(r_time).asc()
     ]
     if tiebreak:
-        order.append(F.col(tiebreak).desc() if direction == "backward" else F.col(tiebreak).asc())
+        tb = ren.get(tiebreak, tiebreak)
+        order.append(F.col(tb).desc() if direction == "backward" else F.col(tb).asc())
     joined = left.join(
-        right, on=(F.col(left_on) == F.col(right_on)) & cmp, how="inner"
+        right, on=(F.col(left_on) == F.col(r_on)) & cmp, how="inner"
     )
     w = Window.partitionBy(F.col(left_id)).orderBy(*order)
     return (
@@ -155,4 +168,18 @@ def resample(
     )
     groups = df.select(*group_cols).distinct()
     grid = F.broadcast(spine).crossJoin(groups)
-    return grid.join(actual, on=[*group_cols, "__bucket"], how="left")
+    # null-safe on the group keys: a NULL group appears in both the
+    # distinct spine and the aggregates, but an equi-join would
+    # never match them — its real aggregates silently became nulls,
+    # indistinguishable from empty buckets (review r5). The bucket
+    # key stays equi (null time rows have no bucket by definition).
+    gkeys = [f"__gk{i}" for i in range(len(group_cols))]
+    actual_r = actual.select(
+        *[F.col(c).alias(k) for c, k in zip(group_cols, gkeys)],
+        F.col("__bucket").alias("__abucket"),
+        *[F.col(n) for n in aggs],
+    )
+    cond = F.col("__bucket") == F.col("__abucket")
+    for c, k in zip(group_cols, gkeys):
+        cond = cond & F.col(c).eqNullSafe(F.col(k))
+    return grid.join(actual_r, cond, "left").drop(*gkeys, "__abucket")

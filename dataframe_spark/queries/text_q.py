@@ -392,7 +392,7 @@ ORACLES = {
           SELECT doc_id, {_TOKS} AS t FROM documents
         ), grid AS (
           SELECT doc_id, t,
-            UNNEST(GENERATE_SERIES(0, GREATEST(LEN(t) - 1, 0), 48)) AS start
+            UNNEST(GENERATE_SERIES(0, GREATEST(LEN(t) - 17, 0), 48)) AS start
           FROM tok
         )
         SELECT doc_id,
@@ -407,15 +407,16 @@ ORACLES = {
           SELECT doc_id, source,
             LEN({_TOKS}) AS n_tok,
             {_LANG_SCORE['en']} AS n_stop,
-            (STRLEN(text) - STRLEN(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')))
+            (STRLEN(text) - STRLEN(REGEXP_REPLACE(text, '[^\\p{{L}}\\p{{N}}_\\s]', '', 'g')))
               / NULLIF(CAST(STRLEN(text) AS DOUBLE), 0.0) AS praw
           FROM documents
         ), q AS (
           SELECT doc_id, source, n_tok,
-            ROUND(GREATEST(
+            CASE WHEN n_tok IS NULL OR n_tok <= 0 THEN 0.0 ELSE
+              ROUND(GREATEST(
               (LEAST(n_tok / 50.0, 1.0) * 0.5
                + LEAST(n_stop / NULLIF(CAST(n_tok AS DOUBLE), 0.0) * 5.0, 1.0) * 0.5)
-              - LEAST(praw * 2.0, 1.0) * 0.25, 0.0), 4) AS quality
+              - LEAST(praw * 2.0, 1.0) * 0.25, 0.0), 4) END AS quality
           FROM scored
         ), cum AS (
           SELECT doc_id, source, n_tok AS n_tokens, quality,
@@ -434,7 +435,7 @@ ORACLES = {
             LEN({_TOKS}) AS n_tok,
             {_LANG_SCORE['de']} AS s_de, {_LANG_SCORE['en']} AS s_en,
             {_LANG_SCORE['es']} AS s_es, {_LANG_SCORE['fr']} AS s_fr,
-            (STRLEN(text) - STRLEN(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')))
+            (STRLEN(text) - STRLEN(REGEXP_REPLACE(text, '[^\\p{{L}}\\p{{N}}_\\s]', '', 'g')))
               / NULLIF(CAST(STRLEN(text) AS DOUBLE), 0.0) AS praw,
             LIST_REDUCE(
               LIST_PREPEND(CAST(0 AS BIGINT),
@@ -445,10 +446,11 @@ ORACLES = {
           FROM documents
         ), scored AS (
           SELECT doc_id, source, fp,
-            ROUND(GREATEST(
+            CASE WHEN n_tok IS NULL OR n_tok <= 0 THEN 0.0 ELSE
+              ROUND(GREATEST(
               (LEAST(n_tok / 50.0, 1.0) * 0.5
                + LEAST(s_en / NULLIF(CAST(n_tok AS DOUBLE), 0.0) * 5.0, 1.0) * 0.5)
-              - LEAST(praw * 2.0, 1.0) * 0.25, 0.0), 4) AS quality,
+              - LEAST(praw * 2.0, 1.0) * 0.25, 0.0), 4) END AS quality,
             CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
                  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
                  WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
@@ -560,15 +562,16 @@ ORACLES = {
           SELECT doc_id,
             LEN({_TOKS}) AS n_tok,
             {_LANG_SCORE['en']} AS n_stop,
-            (STRLEN(text) - STRLEN(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')))
+            (STRLEN(text) - STRLEN(REGEXP_REPLACE(text, '[^\\p{{L}}\\p{{N}}_\\s]', '', 'g')))
               / NULLIF(CAST(STRLEN(text) AS DOUBLE), 0.0) AS praw
           FROM documents
         )
         SELECT doc_id,
-          ROUND(GREATEST(
+          CASE WHEN n_tok IS NULL OR n_tok <= 0 THEN 0.0 ELSE
+            ROUND(GREATEST(
             (LEAST(n_tok / 50.0, 1.0) * 0.5
              + LEAST(n_stop / NULLIF(CAST(n_tok AS DOUBLE), 0.0) * 5.0, 1.0) * 0.5)
-            - LEAST(praw * 2.0, 1.0) * 0.25, 0.0), 4) AS quality,
+            - LEAST(praw * 2.0, 1.0) * 0.25, 0.0), 4) END AS quality,
           ROUND(n_stop / NULLIF(CAST(n_tok AS DOUBLE), 0.0), 4) AS stop_ratio,
           ROUND(praw, 4) AS punct_ratio
         FROM base

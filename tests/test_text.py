@@ -122,9 +122,17 @@ def test_chunk_tokens_grid_and_overlap(spark):
     )
     out = T.chunk_tokens(df, "id", "text", chunk_size=4, overlap=1).collect()
     by = {(r["id"], r["chunk_idx"]): r for r in out}
-    # doc 1: starts at 0,3,6,9 -> chunks of 4,4,4,1 tokens
-    assert [by[(1, i)]["n_tokens"] for i in range(4)] == [4, 4, 4, 1]
+    # doc 1: starts at 0,3,6 -> chunks of 4,4,4 tokens; a start at 9
+    # would emit [t9] alone, wholly contained in the chunk at 6 —
+    # suppressed since the r5 redundant-tail fix
+    assert [by[(1, i)]["n_tokens"] for i in range(3)] == [4, 4, 4]
+    assert (1, 3) not in by
     assert by[(1, 1)]["chunk"][0] == "t3"  # overlap of 1: second chunk starts at t3
+    # every token still covered: the union of chunks spans t0..t9
+    covered = set()
+    for i in range(3):
+        covered.update(by[(1, i)]["chunk"])
+    assert covered == {f"t{i}" for i in range(10)}
     # empty text -> no chunks; single token -> one chunk
     assert not any(r["id"] == 2 for r in out)
     assert by[(3, 0)]["n_tokens"] == 1
