@@ -12,7 +12,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import SparkSession
 
-from .core import NUMERIC_TYPES, DataFrame
+from .core import DataFrame, is_numeric_dtype
 
 
 _PY_TO_SPARK = {
@@ -65,7 +65,7 @@ def to_matrix(df: DataFrame, cols: Sequence[str] | None = None, dtype=float):
 
     sdf = df.df
     if cols is None:
-        cols = [c for c, t in sdf.dtypes if t in NUMERIC_TYPES]
+        cols = [c for c, t in sdf.dtypes if is_numeric_dtype(t)]
     pdf = sdf.select(*cols).toPandas()
     try:
         return np.asarray(pdf, dtype=dtype)

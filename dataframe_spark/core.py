@@ -62,6 +62,20 @@ def _c(x) -> Column:
     return F.col(x) if isinstance(x, str) else x
 
 
+def _q(name: str) -> str:
+    """Single-quoted selectExpr string literal with quote/backslash
+    escaping — every stack() call site interpolating column NAMES
+    into SQL text must use this (expression-injection hazard and a
+    ParseException for names containing a quote)."""
+    return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _bq(name: str) -> str:
+    """Backtick-quoted identifier reference (doubles embedded
+    backticks) for selectExpr."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _aes_log_key(key_cols, w: Column) -> Column:
     """Efraimidis-Spirakis rank key in the LOG domain: ln(u) / w is
     a strictly monotone transform of the textbook u^(1/w) (w > 0),
@@ -933,10 +947,6 @@ class DataFrame:
             for i, j in pairs
         ]
         one = self.df.agg(*aggs)
-        # escape quotes/backslashes: names reach a selectExpr literal
-        def _q(name: str) -> str:
-            return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
-
         stack_args = []
         for i, j in pairs:
             stack_args += [_q(cols[i]), _q(cols[j]), f"`__r_{i}_{j}`"]
@@ -1098,7 +1108,11 @@ class DataFrame:
         v, g = _c(value_col).cast("double"), _c(group_col)
         va = F.when(g == a, v)
         vb = F.when(g == b, v)
-        one = self.df.where(v.isNotNull() & g.isin(a, b)).agg(
+        # NaN excluded like summarize's moments: one NaN would
+        # silently poison mean/var/t for its whole population
+        one = self.df.where(
+            v.isNotNull() & ~F.isnan(v) & g.isin(a, b)
+        ).agg(
             F.count(va).alias("n_a"),
             F.count(vb).alias("n_b"),
             F.avg(va).alias("mean_a"),
@@ -1299,8 +1313,8 @@ class DataFrame:
         one = self.df.agg(*aggs)
         stack_args = []
         for c in cols:
-            stack_args.append(f"'{c}'")
-            stack_args.append(f"`__ad_{c}`")
+            stack_args.append(_q(c))
+            stack_args.append(_bq(f"__ad_{c}"))
         return self._wrap(
             one.selectExpr(
                 f"stack({len(cols)}, {', '.join(stack_args)}) as "
@@ -1346,11 +1360,11 @@ class DataFrame:
         types = dict(df.dtypes)
         stack_args = []
         for c in data_cols:
-            stack_args.append(f"'{c}'")
-            stack_args.append(f"cast(`__nn_{c}` as bigint)")
-            stack_args.append(f"cast(`__n` - `__nn_{c}` as bigint)")
-            stack_args.append(f"cast(`__u_{c}` as bigint)")
-            stack_args.append(f"cast(`__pp_{c}` as bigint)")
+            stack_args.append(_q(c))
+            stack_args.append(f"cast({_bq(f'__nn_{c}')} as bigint)")
+            stack_args.append(f"cast(`__n` - {_bq(f'__nn_{c}')} as bigint)")
+            stack_args.append(f"cast({_bq(f'__u_{c}')} as bigint)")
+            stack_args.append(f"cast({_bq(f'__pp_{c}')} as bigint)")
         stacked = one.selectExpr(
             f"stack({len(data_cols)}, {', '.join(stack_args)}) as "
             "(column_name, non_null, nulls, unique_values, partially_parsed)"
@@ -1394,7 +1408,12 @@ class DataFrame:
         end — the 100 TB path. Pass True/False to force a side.
         All three paths produce identical quantile_cont values."""
         df = self.df
-        num_cols = [c for c, t in df.dtypes if t in NUMERIC_TYPES]
+        num_cols = [c for c, t in df.dtypes if is_numeric_dtype(t)]
+        if not num_cols:
+            # corr_matrix's contract: typed error instead of the
+            # malformed stack(0,) / zero-column Arrow plan either
+            # path would otherwise build
+            raise ValueError("summarize needs at least one numeric column")
         if distributed is None:
             distributed = self._plan_size_bytes() > QUANTILE_BUFFER_MAX_BYTES
         if distributed:
@@ -1451,8 +1470,10 @@ class DataFrame:
         one = df.agg(*aggs)
         stack_args = []
         for c in num_cols:
-            stack_args.append(f"'{c}'")
-            stack_args += [f"`__{s}_{c}`" for s in ("mean", "std", "min", "max")]
+            stack_args.append(_q(c))
+            stack_args += [
+                _bq(f"__{s}_{c}") for s in ("mean", "std", "min", "max")
+            ]
         moments = one.selectExpr(
             f"stack({len(num_cols)}, {', '.join(stack_args)}) as "
             "(column_name, mean, std, min, max)"
@@ -1480,8 +1501,13 @@ class DataFrame:
     def histogram(self, col: str, bins: int = 10) -> "DataFrame":
         """Display/Terminal/Plot.hs analogue — equi-width bucket
         counts via a broadcast min/max one-row plan (two passes, both
-        distributed)."""
-        rng = self.df.agg(
+        distributed). Null and NaN values are excluded up front like
+        every other stat verb — they would otherwise land silently
+        in bucket 0 (null raw guard) / bucket bins-1 (NaN sorts
+        greatest through least()) and skew the counts (review r5)."""
+        v = _c(col).cast("double")
+        src = self.df.where(v.isNotNull() & ~F.isnan(v))
+        rng = src.agg(
             F.min(_c(col)).cast("double").alias("__lo"),
             F.max(_c(col)).cast("double").alias("__hi"),
         )
@@ -1498,7 +1524,7 @@ class DataFrame:
             .cast("int")
         )
         return self._wrap(
-            self.df.crossJoin(F.broadcast(rng))
+            src.crossJoin(F.broadcast(rng))
             .withColumn("bucket", bucket)
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("count"))

@@ -7,7 +7,7 @@ ASCII histograms. Rendering collects only the displayed slice
 
 from __future__ import annotations
 
-from .core import NUMERIC_TYPES, DataFrame
+from .core import DataFrame, is_numeric_dtype
 
 
 def to_string(df: DataFrame, n: int = 10) -> str:
@@ -328,7 +328,7 @@ def plot_correlation_matrix(df: DataFrame, cols: list[str] | None = None) -> str
     from pyspark.sql import functions as F
 
     if cols is None:
-        cols = [c for c, t in df.df.dtypes if t in NUMERIC_TYPES]
+        cols = [c for c, t in df.df.dtypes if is_numeric_dtype(t)]
     if not cols:
         return "(empty)"
     aggs = [
@@ -366,7 +366,7 @@ def plot_all_histograms(
 ) -> str:
     """One histogram per numeric column (Display/Terminal/Plot.hs:148
     plotAllHistograms)."""
-    cols = [c for c, t in df.df.dtypes if t in NUMERIC_TYPES]
+    cols = [c for c, t in df.df.dtypes if is_numeric_dtype(t)]
     if not cols:
         return "(empty)"
     parts = []

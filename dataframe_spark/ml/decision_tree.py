@@ -27,7 +27,7 @@ from pyspark.sql import Column
 from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import functions as F
 
-from ..core import NUMERIC_TYPES
+from ..core import is_numeric_dtype
 
 
 @dataclass
@@ -93,7 +93,7 @@ def fit_decision_tree(
     midpoints are global, the per-node conditional counts still come
     from the same single pass-B aggregation."""
     if features is None:
-        features = [c for c, t in df.dtypes if t in NUMERIC_TYPES and c != target]
+        features = [c for c, t in df.dtypes if is_numeric_dtype(t) and c != target]
     if not features:
         raise ValueError("no numeric feature columns")
 
@@ -171,10 +171,15 @@ def fit_decision_tree(
         }
         if not expandable:
             break
-        # pass A: per-node candidate thresholds (percentiles per feature)
+        # pass A: per-node candidate thresholds (percentiles per
+        # feature) — only for EXPANDABLE nodes: the percentile value
+        # buffer is the loop's most expensive aggregate, and pure /
+        # too-small nodes' rows were previously aggregated then
+        # discarded on the driver (review r5; pass B already filters)
         pct = F.array(*[F.lit(p / 100.0) for p in percentiles])
         cand_rows = (
-            assigned.groupBy("__node")
+            assigned.where(F.col("__node").isin(list(expandable)))
+            .groupBy("__node")
             .agg(
                 *[
                     F.percentile(F.col(f), pct).alias(f"__p_{f}")

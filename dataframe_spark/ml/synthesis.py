@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 _INF = float("inf")
 
-from ..core import NUMERIC_TYPES as _NUM_TYPES
+from ..core import is_numeric_dtype
 
 
 @dataclass(frozen=True)
@@ -285,6 +285,8 @@ def _score(
                 score = None if m is None else -m
             else:
                 tp, fp, fn = row[f"tp{i}"], row[f"fp{i}"], row[f"fn{i}"]
+                if tp is None:  # empty working set: sums come back null
+                    continue
                 prec = 0.0 if tp + fp == 0 else tp / (tp + fp)
                 rec = 0.0 if tp + fn == 0 else tp / (tp + fn)
                 score = (
@@ -360,7 +362,7 @@ def beam_search(
     for the duration of the search (it is re-scanned once per scoring
     chunk) and unpersisted before returning."""
     feature_cols = [
-        c for c, ty in df.dtypes if ty in _NUM_TYPES and c != target
+        c for c, ty in df.dtypes if is_numeric_dtype(ty) and c != target
     ]
     if not feature_cols:
         return None
