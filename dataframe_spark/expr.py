@@ -77,7 +77,10 @@ def pow_(a, n) -> Column:
 
 
 def relu(a) -> Column:
-    return F.greatest(_c(a), F.lit(0))
+    # when-guard: greatest() SKIPS nulls, so relu(null) fabricated 0
+    # instead of propagating null (Maybe semantics — review r5)
+    c = _c(a)
+    return F.when(c.isNotNull(), F.greatest(c, F.lit(0)))
 
 
 def to_double(a) -> Column:
@@ -85,13 +88,17 @@ def to_double(a) -> Column:
 
 
 def min2(a, b) -> Column:
-    """Binary min (Functions.hs ``min``)."""
-    return F.least(_c(a), _c(b))
+    """Binary min (Functions.hs ``min``); null if either side is
+    null (least() alone SKIPS nulls — review r5)."""
+    ca, cb = _c(a), _c(b)
+    return F.when(ca.isNotNull() & cb.isNotNull(), F.least(ca, cb))
 
 
 def max2(a, b) -> Column:
-    """Binary max (Functions.hs ``max``)."""
-    return F.greatest(_c(a), _c(b))
+    """Binary max (Functions.hs ``max``); null if either side is
+    null (greatest() alone SKIPS nulls — review r5)."""
+    ca, cb = _c(a), _c(b)
+    return F.when(ca.isNotNull() & cb.isNotNull(), F.greatest(ca, cb))
 
 
 def int_div(a, b) -> Column:
@@ -115,7 +122,12 @@ def round_to(n: int, a) -> Column:
 
 
 def clip(lo, hi, a) -> Column:
-    return F.least(F.greatest(_c(a), F.lit(lo)), F.lit(hi))
+    # when-guard: least/greatest SKIP nulls, so clip(10, 40, null)
+    # fabricated the lower bound instead of null (review r5)
+    c = _c(a)
+    return F.when(
+        c.isNotNull(), F.least(F.greatest(c, F.lit(lo)), F.lit(hi))
+    )
 
 
 # --- null handling (Maybe combinators) --------------------------------
@@ -161,15 +173,24 @@ def recode_with_condition(
             if expr is None
             else expr.when(cond(c), F.lit(value))
         )
+    # fallback follows the CASE VALUES' convention (a literal unless
+    # an explicit Column) — as a _c() column ref, a plain-string
+    # fallback silently bound to a column of that name (review r5)
+    fb = fallback if isinstance(fallback, Column) else F.lit(fallback)
     if expr is None:
-        return _c(fallback)
-    return expr.otherwise(_c(fallback))
+        return fb
+    return expr.otherwise(fb)
 
 
 # --- strings (Functions.hs: splitOn/match/matchAll) -------------------
 
 def split_on(sep: str, a) -> Column:
-    return F.split(_c(a), sep)
+    """Split on a LITERAL separator (reference splitOn semantics) —
+    quoted with \\Q…\\E so regex metacharacters like '.' or '|'
+    split literally, not as patterns (review r5). Use
+    ``F.split(col, pattern)`` directly for regex splits."""
+    quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    return F.split(_c(a), quoted)
 
 
 def match(pattern: str, a) -> Column:

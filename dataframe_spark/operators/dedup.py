@@ -582,16 +582,30 @@ def edit_distance_pairs(
         .select("a_id", "b_id")
     )
     # short-string block: strings with <= q*k grams (len < q*k + q)
-    # may pair within the block without sharing any gram
+    # may pair within the block without sharing any gram. Banded by
+    # LENGTH instead of a broadcast crossJoin (review r5): a pair
+    # needs |la - lb| <= k, so the b side replicates to its 2k+1
+    # admissible lengths and the join is a distributed hash join on
+    # the length key — no driver-sized broadcast of the whole short
+    # population. Same-length fan-out is semantic (all such pairs
+    # ARE candidates); dedup_values collapses duplicates first,
+    # bounding the block by DISTINCT short values.
     shorts = arrs.where(F.col("len") < q * k + q).select("id", "len")
-    s_a = shorts.select(F.col("id").alias("a_id"), F.col("len").alias("__la"))
-    s_b = shorts.select(F.col("id").alias("b_id"), F.col("len").alias("__lb"))
+    s_a = shorts.select(
+        F.col("id").alias("a_id"),
+        F.col("len").alias("__la"),
+        F.col("len").alias("__lband"),
+    )
+    s_b = shorts.select(
+        F.col("id").alias("b_id"),
+        F.col("len").alias("__lb"),
+        F.explode(
+            F.sequence(F.col("len") - k, F.col("len") + k)
+        ).alias("__lband"),
+    )
     short_pairs = (
-        s_a.crossJoin(F.broadcast(s_b))
-        .where(
-            (F.col("a_id") < F.col("b_id"))
-            & (F.abs(F.col("__la") - F.col("__lb")) <= k)
-        )
+        s_a.join(s_b, "__lband")
+        .where(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
     )
     all_cands = cands.unionByName(short_pairs).distinct()
@@ -670,6 +684,11 @@ def lsh_candidate_pairs(
     silent default; identical-signature degeneracy is instead
     removed losslessly upstream (minhash_dedup_pairs collapses
     duplicate shingle sets before banding)."""
+    if rows_per_band < 1:
+        # e.g. num_perm // bands with bands > num_perm: every band
+        # slice would be empty and hash to ONE constant bucket — a
+        # silent O(n²) all-pairs join (review r5)
+        raise ValueError("rows_per_band must be >= 1")
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.xxhash64(
@@ -729,6 +748,14 @@ def minhash_dedup_pairs(
     spared the quadratic blowup. ``max_bucket`` additionally caps
     surviving band buckets (recall-trading, off by default; see
     lsh_candidate_pairs)."""
+    if bands < 1 or num_perm % bands != 0:
+        # non-divisible num_perm would silently discard trailing
+        # signature rows; bands > num_perm would degenerate to one
+        # global bucket (review r5)
+        raise ValueError(
+            f"num_perm ({num_perm}) must be a positive multiple of "
+            f"bands ({bands})"
+        )
     # the hashed-arrays plan is IDENTICAL to jaccard_pairs', so both
     # operators share one cache entry; __g goes on top of the cache
     arrs_h = _reusable(_hash_arrays(shingle_arrays(df, id_col, text_col, n)))
@@ -835,7 +862,16 @@ def simhash_pairs(
 
     Banding over four 16-bit chunks: any pair within hamming 3 must
     agree on >= 1 chunk (pigeonhole), so candidates come from four
-    hash-joins, not a cross product."""
+    hash-joins, not a cross product. The pigeonhole bound is only
+    complete for max_hamming <= 3 — a larger radius would silently
+    lose pairs whose differing bits span all four chunks, so it is
+    rejected (review r5)."""
+    if max_hamming > 3:
+        raise ValueError(
+            "simhash_pairs is exact only for max_hamming <= 3 with "
+            "4-chunk banding; a larger radius needs max_hamming + 1 "
+            "chunks"
+        )
     sigs = simhash(df, id_col, text_col)
     chunks = F.array(
         *[

@@ -66,7 +66,18 @@ def cosine_pairs(
     tile with one BLAS matmul per group (applyInPandas). Either way
     the math is identical float64 GEMM rounded to 4dp. This is the
     exact baseline; LSH bucketing (knn_lsh) is the sub-quadratic
-    scale path."""
+    scale path.
+
+    ``id_col`` must be integral: both paths carry ids through int64
+    numpy arrays / pmod block arithmetic, and a string id would
+    crash one path and silently empty the other (review r5)."""
+    id_type = dict(df.dtypes)[id_col]
+    if id_type not in ("int", "bigint", "smallint", "tinyint"):
+        raise TypeError(
+            f"cosine_pairs needs an integral id column, got "
+            f"{id_col}: {id_type}; hash string ids to longs first "
+            "(e.g. xxhash64)"
+        )
     spark = df.sparkSession
     from ..plans.stats import plan_size_bytes
 
@@ -171,8 +182,24 @@ def knn_brute(
 def hyperplane_sketch(vec_col, planes: int = 8, dim: int = 64) -> Column:
     """Sign-sketch of a vector against ``planes`` pseudo-random
     hyperplanes derived from xxhash64(plane, dim-index) — fully
-    deterministic, no stored model. Returns an int bucket id."""
-    v = _dvec(vec_col)
+    deterministic, no stored model. Returns an int bucket id.
+
+    The vector length must equal ``dim``: zip_with pads the shorter
+    side with nulls, which null-poisons every projection and
+    silently collapsed EVERY row into bucket 0 — LSH then scans the
+    full corpus with no signal that the dim was wrong (review r5).
+    The guard raises lazily at execution."""
+    v0 = _dvec(vec_col)
+    v = F.when(
+        F.size(v0) != dim,
+        F.raise_error(
+            F.concat(
+                F.lit(f"hyperplane_sketch: dim={dim} but vector has "),
+                F.size(v0).cast("string"),
+                F.lit(" elements"),
+            )
+        ).cast("array<double>"),
+    ).otherwise(v0)
     bits = []
     for p in range(planes):
         # plane component for dim i: hash to [-1, 1)

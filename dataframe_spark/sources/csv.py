@@ -49,10 +49,12 @@ def read_csv(
     touched = False
     if extra:
         # Only string columns can still hold the extra markers.
+        # df[c], not F.col(c): a CSV header containing a dot would
+        # otherwise parse as struct-field access (review r5)
         for c, t in df.dtypes:
             if t == "string":
                 df = df.withColumn(
-                    c, F.when(~F.col(c).isin(extra), F.col(c))
+                    c, F.when(~df[c].isin(extra), df[c])
                 )
                 touched = True
     out = DataFrame(df)

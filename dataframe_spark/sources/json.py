@@ -26,15 +26,19 @@ def flatten_structs(df: DataFrame, sep: str = ".") -> DataFrame:
     shape. Pure projection: pruning still reaches the scan."""
     from pyspark.sql import functions as F
 
+    from ..core import _bq
+
+    # _bq each path segment: JSON keys with dots/backticks would
+    # otherwise mis-resolve as deeper paths or throw (review r5)
     cols = []
     for f in df.df.schema.fields:
         if f.dataType.typeName() == "struct":
             for sub in f.dataType.fields:
                 cols.append(
-                    F.col(f"{f.name}.{sub.name}").alias(
+                    F.col(f"{_bq(f.name)}.{_bq(sub.name)}").alias(
                         f"{f.name}{sep}{sub.name}"
                     )
                 )
         else:
-            cols.append(F.col(f.name))
+            cols.append(F.col(_bq(f.name)))
     return DataFrame(df.df.select(*cols))
