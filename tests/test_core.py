@@ -439,3 +439,31 @@ def test_drop_last_null_order_keys(spark):
         for r in df.drop_last(1, order_by="x").collect()
     )
     assert kept == [-99, -99, 1]
+
+
+def test_expr_combinators_propagate_null(spark):
+    """relu/clip/min2/max2 must propagate null, not fabricate values
+    from least/greatest's null-skipping (review r5)."""
+    df = spark.createDataFrame([(None, 5), (20, None), (30, 7)], "a int, b int")
+    rows = df.select(
+        E.relu("a").alias("r"),
+        E.clip(10, 15, "a").alias("c"),
+        E.min2("a", "b").alias("mn"),
+        E.max2("a", "b").alias("mx"),
+    ).collect()
+    assert [r["r"] for r in rows] == [None, 20, 30]
+    assert [r["c"] for r in rows] == [None, 15, 15]
+    assert [r["mn"] for r in rows] == [None, None, 7]
+    assert [r["mx"] for r in rows] == [None, None, 30]
+
+
+def test_drop_last_multi_column_order(spark):
+    from dataframe_spark.core import DataFrame
+
+    df = DataFrame(
+        spark.createDataFrame(
+            [(1, 1), (1, 2), (2, 1), (2, 2), (2, 3)], "x int, y int"
+        )
+    )
+    kept = [(r["x"], r["y"]) for r in df.drop_last(2, order_by=["x", "y"]).collect()]
+    assert kept == [(1, 1), (1, 2), (2, 1)]
