@@ -15,8 +15,16 @@ def to_string(df: DataFrame, n: int = 10) -> str:
     rows = df.take(n).collect()
     cols = df.column_names
     types = dict(df.df.dtypes)
-    cells = [[str(c) for c in cols], [types[c] for c in cols]] + [
-        ["" if r[c] is None else str(r[c]) for c in cols] for r in rows
+
+    def cell(v) -> str:
+        # newlines would break the box alignment (to_markdown guards
+        # the same way — review r5)
+        if v is None:
+            return ""
+        return str(v).replace("\r\n", "␤").replace("\n", "␤").replace("\r", "␤")
+
+    cells = [[cell(c) for c in cols], [types[c] for c in cols]] + [
+        [cell(r[c]) for c in cols] for r in rows
     ]
     widths = [max(len(row[i]) for row in cells) for i in range(len(cols))]
 
@@ -303,13 +311,16 @@ def plot_stacked_bars(
     if not rows:
         return "(empty)"
     totals = [sum((r[c] or 0.0) for c in value_cols) for r in rows]
-    peak = max(totals) or 1.0
+    # clamp at zero: negative sums would yield a negative (or, with
+    # an all-negative peak, absurdly wide) bar; the numeric total
+    # still shows the true signed value (review r5)
+    peak = max([*totals, 0.0]) or 1.0
     label_w = max(len(str(r[category])) for r in rows)
     lines = []
     for r, tot in zip(rows, totals):
         bar = ""
         for i, c in enumerate(value_cols):
-            seg = round((r[c] or 0.0) / peak * width)
+            seg = max(0, round(max(r[c] or 0.0, 0.0) / peak * width))
             bar += glyphs[i % len(glyphs)] * seg
         lines.append(f"{str(r[category]):>{label_w}} |{bar} {tot:.4g}")
     lines.append(
@@ -325,27 +336,23 @@ def plot_correlation_matrix(df: DataFrame, cols: list[str] | None = None) -> str
     """Pearson correlation heat grid over the numeric columns
     (Display/Terminal/Plot.hs:155 plotCorrelationMatrix): all
     k(k-1)/2 correlations in ONE agg pass."""
-    from pyspark.sql import functions as F
-
     if cols is None:
         cols = [c for c, t in df.df.dtypes if is_numeric_dtype(t)]
     if not cols:
         return "(empty)"
-    aggs = [
-        F.corr(F.col(a).cast("double"), F.col(b).cast("double")).alias(
-            f"{i}_{j}"
-        )
-        for i, a in enumerate(cols)
-        for j, b in enumerate(cols)
-        if i < j
-    ]
-    row = df.df.agg(*aggs).first() if aggs else None
+    # reuse core's corr_matrix (same one-pass agg, with its name
+    # escaping and zero-variance handling) instead of a second copy
+    # of the construction that could drift (review r5)
+    pair_r = {}
+    if len(cols) > 1:
+        for r in df.corr_matrix(cols).collect():
+            pair_r[(r["col_a"], r["col_b"])] = r["r"]
 
     def corr(i, j):
         if i == j:
             return 1.0
-        key = f"{min(i, j)}_{max(i, j)}"
-        v = row[key]
+        a, b = cols[min(i, j)], cols[max(i, j)]
+        v = pair_r.get((a, b))
         return v if v is not None else float("nan")
 
     label_w = max(len(c) for c in cols)
@@ -365,12 +372,53 @@ def plot_all_histograms(
     df: DataFrame, bins: int = 10, width: int = 40
 ) -> str:
     """One histogram per numeric column (Display/Terminal/Plot.hs:148
-    plotAllHistograms)."""
+    plotAllHistograms). All columns' min/max extents come from ONE
+    shared agg pass (k+1 jobs total, not the 2k of calling
+    plot_histogram per column — review r5); a plot is an action, so
+    the collected extents feeding literal bucket bounds is fine."""
+    from pyspark.sql import functions as F
+
     cols = [c for c, t in df.df.dtypes if is_numeric_dtype(t)]
     if not cols:
         return "(empty)"
+    ext = df.df.agg(
+        *[
+            x
+            for c in cols
+            for x in (
+                F.min(F.col(c)).cast("double").alias(f"__lo_{c}"),
+                F.max(F.col(c)).cast("double").alias(f"__hi_{c}"),
+            )
+        ]
+    ).first()
     parts = []
     for c in cols:
         parts.append(f"== {c} ==")
-        parts.append(plot_histogram(df, c, bins, width))
+        lo, hi = ext[f"__lo_{c}"], ext[f"__hi_{c}"]
+        if lo is None:
+            parts.append("(empty)")
+            continue
+        v = F.col(c).cast("double")
+        width_val = (hi - lo) / bins
+        if width_val == 0:
+            bucket = F.lit(0)
+        else:
+            bucket = F.least(
+                F.floor((v - F.lit(lo)) / F.lit(width_val)),
+                F.lit(bins - 1),
+            ).cast("int")
+        buckets = (
+            df.df.where(v.isNotNull() & ~F.isnan(v))
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy("bucket")
+            .collect()
+        )
+        if not buckets:
+            parts.append("(empty)")
+            continue
+        peak = max(r["count"] for r in buckets)
+        for r in buckets:
+            bar = "#" * max(1, round(r["count"] / peak * width))
+            parts.append(f"{r['bucket']:>3} | {bar} {r['count']}")
     return "\n".join(parts)

@@ -48,11 +48,14 @@ def _name_of(col: str | Column) -> str:
         s = col._jc.toString()
     if s is None:
         raise ValueError(f"cannot extract a column name from {col!r}")
-    # plain identifier per Spark rules: letters/digits/_/./- but not
-    # function-call/operator syntax
+    # plain NAME (no expression syntax): reject anything containing
+    # operator/call/quote characters; everything else — including
+    # digit-leading names and names with spaces, both legal Spark
+    # column names the old identifier regex rejected (review r5) —
+    # passes through as-is
     import re
 
-    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.\-]*", s):
+    if re.search(r"[()+*/<>=,'\"`|&%^!]| AS | as ", s) or s == "":
         raise ValueError(
             f"need a plain column reference, got compound expression {s!r}"
         )

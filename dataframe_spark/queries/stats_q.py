@@ -15,11 +15,17 @@ def _t(spark, sf_dir, name) -> DataFrame:
 
 
 def q_value_counts(spark, sf_dir):
+    """One groupBy + broadcast total (was a counts ⋈ proportions
+    equi-join: three scans, and a NULL category — kept by groupBy on
+    both sides and by the oracle's GROUP BY — silently vanished in
+    the join; review r5)."""
     ev = _t(spark, sf_dir, "events")
     counts = ev.value_counts("event_type").df
-    total = ev.value_counts("event_type", normalize=True).df
-    return counts.join(total, "event_type").select(
-        "event_type", "count", F.round("proportion", 4).alias("proportion")
+    total = ev.df.agg(F.count(F.lit(1)).alias("__total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "event_type",
+        "count",
+        F.round(F.col("count") / F.col("__total"), 4).alias("proportion"),
     )
 
 

@@ -66,6 +66,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> SparkDF:
         except AttributeError:
             return _load_raw(spark, sf_dir, name)
         if key not in _CACHE:
+            # evict entries from DEAD sessions: a process creating
+            # several SparkSessions would otherwise pin every old
+            # session's DataFrames forever (review r5)
+            stale = [k for k in _CACHE if k[0] != key[0]]
+            for k in stale:
+                _CACHE.pop(k, None)
             df = _load_raw(spark, sf_dir, name)
             target = spark.sparkContext.defaultParallelism
             if df.rdd.getNumPartitions() < max(2, target // 2):
@@ -85,18 +91,27 @@ def warm_cache(spark: SparkSession, sf_dir: str, names=None) -> None:
 def _load_raw(spark: SparkSession, sf_dir: str, name: str) -> SparkDF:
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
+        # session-WIDE side effect, deliberately not restored: the
+        # conf is consulted at execution time too, so flipping it
+        # back after read() would break the lazy frame's jobs. The
+        # cost is that other TIMESTAMP(NANOS) parquet in the same
+        # session also reads as bigint (documented trade-off).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             # build a TZ-naive timestamp (timestampadd over an NTZ
             # epoch) so values match the file bytes regardless of
             # the session timezone — parity with the NTZ columns of
-            # the other tables and with DuckDB's naive timestamps
+            # the other tables and with DuckDB's naive timestamps.
+            # `ts div 1000`, NOT /1000 + cast: the double quotient
+            # of a ~1e18 nanos value loses sub-256ns precision and
+            # truncation then lands 1µs early for some inputs
+            # (review r5; exact for all inputs as integer division)
             df = df.withColumn(
                 "ts",
                 F.timestamp_add(
                     "MICROSECOND",
-                    (F.col("ts") / 1000).cast("long"),
+                    F.expr("ts div 1000"),
                     F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
                 ),
             )

@@ -24,9 +24,13 @@ _CANDIDATES = ["bigint", "double", "boolean", "date"]
 # accepts exactly the try_cast-parseable surface (boolean mirrors
 # Spark's t/true/y/yes/1 / f/false/n/no/0 set; bigint overflow of
 # >19-digit strings still falls through to try_cast's own check).
+# [\x00-\x20]* padding tolerance: F.trim strips only spaces while
+# the cast's own trimAll removes every control char <= 0x20 — the
+# guard must accept at least what try_cast accepts (review r5)
+_PAD = r"[\x00-\x20]*"
 _PREFILTER = {
-    "bigint": r"^[+-]?[0-9]+$",
-    "boolean": r"^(?i)(t|true|y|yes|1|f|false|n|no|0)$",
+    "bigint": rf"^{_PAD}[+-]?[0-9]+{_PAD}$",
+    "boolean": rf"^{_PAD}(?i)(t|true|y|yes|1|f|false|n|no|0){_PAD}$",
 }
 
 
