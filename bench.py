@@ -147,7 +147,25 @@ def main():
         out["vs_baseline_total"] = round(
             sum(times[q] for q in ratios) / sum(baseline[q] for q in ratios), 2
         )
+    # Detail line first, compact headline line LAST: the driver keeps
+    # only a bounded tail of stdout, so truncation must eat per-query
+    # detail, never the headline numbers (BENCH_r05 lost its wall map
+    # because the single detail line outgrew the capture).
     print(json.dumps(out))
+    summary = {
+        "metric": "headline_total_wall",
+        "value": out["value"],
+        "unit": "sec",
+        "sf": sf,
+        "fixed_overhead_sec": out["fixed_overhead_sec"],
+    }
+    if "vs_baseline_total" in out:
+        summary["vs_baseline_total"] = out["vs_baseline_total"]
+    sq = scaling.get("queries", {}) if scaling else {}
+    if sq:
+        worst = max(sq.items(), key=lambda kv: kv[1]["wall_factor"])
+        summary["worst_10x"] = {worst[0]: worst[1]["wall_factor"]}
+    print(json.dumps(summary))
 
 
 
@@ -206,12 +224,13 @@ def _scaling_check(spark, qs, sf_dir, times) -> dict:
             "wall_factor": round(best / times[name], 2),
         }
     # tables the generator links unscaled (embeddings + dims — see
-    # tools/scale_data.py): queries over them appear in this map as
-    # fixed-size no-regression rows, recorded, never hidden
+    # tools/scale_data.py): queries over them appear in the per-query
+    # map as fixed-size no-regression rows, recorded, never hidden.
+    # Kept as a SIBLING of the per-query map so consumers can iterate
+    # queries homogeneously (ADVICE r5).
     from tools.scale_data import LINKED_TABLES
 
-    out["unscaled_tables"] = list(LINKED_TABLES)
-    return out
+    return {"queries": out, "unscaled_tables": list(LINKED_TABLES)}
 
 
 def _load_baseline(sf) -> dict[str, float]:
