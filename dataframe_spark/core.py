@@ -57,6 +57,12 @@ QUANTILE_BUFFER_MAX_BYTES = (
 # the verb falls back to the count-based plan (review r5)
 DROP_LAST_LAZY_MAX = 1_000_000
 
+# drop_last's boundary trim spreads each boundary order-key value
+# over this many deterministic hash-salt buckets so a heavily tied
+# value never funnels its whole population into one window task
+# (ADVICE r5)
+DROP_LAST_SALT_BUCKETS = 64
+
 
 def _c(x) -> Column:
     return F.col(x) if isinstance(x, str) else x
@@ -323,8 +329,10 @@ class DataFrame:
         a TakeOrderedAndProject subplan grouped to per-value drop
         counts and broadcast; rows whose order-key values miss that
         (≤ n-entry) set pass through map-side, and only the boundary
-        value groups pay a (value-partitioned, hence parallel and
-        bounded) window to trim their tail count. Which rows of a
+        value groups pay a window to trim their tail count — salted
+        over DROP_LAST_SALT_BUCKETS hash buckets per value, so even
+        a heavily tied boundary value never sorts its population in
+        one task (ADVICE r5). Which rows of a
         TIED boundary value are dropped is engine-arbitrary, exactly
         the take_last caveat. Result rows come back in ascending
         ``order_by`` order, as before. For n above
@@ -373,17 +381,73 @@ class DataFrame:
             cond = e if cond is None else (cond & e)
         joined = self.df.join(F.broadcast(tail_r), cond, "left").drop(*tkeys)
         passthru = joined.where(F.col("__dropn").isNull()).drop("__dropn")
-        w = Window.partitionBy(*cols)
-        w_rn = w.orderBy(F.monotonically_increasing_id())
-        w_all = w.orderBy(F.lit(1)).rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
+        # Boundary trim, salted (ADVICE r5): a window partitioned by
+        # the order-key VALUE would funnel a heavily tied boundary
+        # value's entire population into one task. Instead each value
+        # is spread over DROP_LAST_SALT_BUCKETS deterministic
+        # hash-of-row salt buckets; a tiny per-(value, salt) count
+        # aggregate assigns each bucket a greedy drop quota (buckets
+        # in salt order absorb the value's drop count until it is
+        # exhausted), and the per-row window only ever partitions by
+        # (value, salt) — bounded tasks. Rows whose bucket owes no
+        # drops skip the quota join entirely (left join miss ⇒ keep).
+        # Residual caveat: full-duplicate rows share a salt bucket,
+        # so a value tied across IDENTICAL rows still lands in one
+        # bucket — but for identical rows every trim is equivalent
+        # and only the sort cost, not correctness, is affected.
+        hashable = [c for c, t in self.df.dtypes if not t.startswith("map")]
+        salt_e = (
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in hashable]),
+                F.lit(DROP_LAST_SALT_BUCKETS),
+            )
+            if hashable
+            else F.lit(0)
+        )
+        b = joined.where(F.col("__dropn").isNotNull()).withColumn(
+            "__salt", salt_e
+        )
+        bc = b.groupBy(*cols, "__salt").agg(
+            F.count(F.lit(1)).alias("__cb"),
+            F.first("__dropn").alias("__dn"),
+        )
+        wq = Window.partitionBy(*cols).orderBy("__salt").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        qkeys = [f"__qk{i}" for i in range(len(cols))]
+        quota = (
+            bc.withColumn(
+                "__cum", F.coalesce(F.sum("__cb").over(wq), F.lit(0))
+            )
+            .withColumn(
+                "__dropb",
+                F.greatest(
+                    F.lit(0),
+                    F.least(F.col("__cb"), F.col("__dn") - F.col("__cum")),
+                ),
+            )
+            .where(F.col("__dropb") > 0)
+            .select(
+                *[F.col(c).alias(q) for c, q in zip(cols, qkeys)],
+                F.col("__salt").alias("__qsalt"),
+                "__cb",
+                "__dropb",
+            )
+        )
+        qcond = F.col("__salt") == F.col("__qsalt")
+        for c, q in zip(cols, qkeys):
+            qcond = qcond & b[c].eqNullSafe(quota[q])
+        b2 = b.join(F.broadcast(quota), qcond, "left").drop(*qkeys, "__qsalt")
+        w_rn = Window.partitionBy(*cols, "__salt").orderBy(
+            F.monotonically_increasing_id()
         )
         boundary = (
-            joined.where(F.col("__dropn").isNotNull())
-            .withColumn("__rn", F.row_number().over(w_rn))
-            .withColumn("__cnt", F.count(F.lit(1)).over(w_all))
-            .where(F.col("__rn") <= F.col("__cnt") - F.col("__dropn"))
-            .drop("__dropn", "__rn", "__cnt")
+            b2.withColumn("__rn", F.row_number().over(w_rn))
+            .where(
+                F.col("__dropb").isNull()
+                | (F.col("__rn") <= F.col("__cb") - F.col("__dropb"))
+            )
+            .drop("__dropn", "__salt", "__cb", "__dropb", "__rn")
         )
         return self._wrap(passthru.unionByName(boundary).orderBy(*asc))
 

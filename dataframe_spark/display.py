@@ -381,13 +381,20 @@ def plot_all_histograms(
     cols = [c for c, t in df.df.dtypes if is_numeric_dtype(t)]
     if not cols:
         return "(empty)"
+    # NaN-filtered extents, matching histogram()'s src filter: NaN
+    # sorts greatest in Spark, so a bare F.max would return NaN and
+    # collapse every bucket to floor(NaN)=0 (ADVICE r5).
+    def _clean(c):
+        v = F.col(c).cast("double")
+        return F.when(~F.isnan(v), v)
+
     ext = df.df.agg(
         *[
             x
             for c in cols
             for x in (
-                F.min(F.col(c)).cast("double").alias(f"__lo_{c}"),
-                F.max(F.col(c)).cast("double").alias(f"__hi_{c}"),
+                F.min(_clean(c)).alias(f"__lo_{c}"),
+                F.max(_clean(c)).alias(f"__hi_{c}"),
             )
         ]
     ).first()

@@ -60,7 +60,19 @@ def asof_join(
     output — the pandas ``merge_asof`` convention; bare references
     would otherwise raise AMBIGUOUS_REFERENCE (review r5)."""
     collisions = set(left.columns) & set(right.columns)
-    ren = {c: f"{c}_right" for c in collisions}
+    # uniquify the suffix: '{c}_right' may itself collide with an
+    # existing column on either side (ADVICE r5) — bump a counter
+    # until the candidate is free on BOTH sides and among the names
+    # already assigned this call
+    taken = set(left.columns) | set(right.columns)
+    ren = {}
+    for c in collisions:
+        cand, k = f"{c}_right", 2
+        while cand in taken:
+            cand = f"{c}_right{k}"
+            k += 1
+        ren[c] = cand
+        taken.add(cand)
     for c, r in ren.items():
         right = right.withColumnRenamed(c, r)
     r_on = ren.get(right_on, right_on)

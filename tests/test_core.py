@@ -457,6 +457,25 @@ def test_expr_combinators_propagate_null(spark):
     assert [r["mx"] for r in rows] == [None, None, 30]
 
 
+def test_drop_last_tied_boundary_value(spark):
+    """A heavily tied boundary value (one dominant order-key value in
+    the tail) must trim exactly n rows via the salted bucket quotas,
+    not a single value-partitioned window task (ADVICE r5)."""
+    from dataframe_spark.core import DataFrame
+
+    rows = [(1, i) for i in range(10)] + [(5, i) for i in range(990)]
+    df = DataFrame(spark.createDataFrame(rows, "x int, payload int"))
+    out = df.drop_last(7, order_by="x").collect()
+    assert len(out) == 993
+    # all drops must come from the tied boundary value x=5
+    assert sum(1 for r in out if r["x"] == 1) == 10
+    assert sum(1 for r in out if r["x"] == 5) == 983
+    # drop count spanning the boundary value entirely: 990 fives and
+    # 5 of the ones go
+    out2 = df.drop_last(995, order_by="x").collect()
+    assert len(out2) == 5 and all(r["x"] == 1 for r in out2)
+
+
 def test_drop_last_multi_column_order(spark):
     from dataframe_spark.core import DataFrame
 

@@ -96,6 +96,31 @@ def test_terminal_plots_render(spark):
     assert "== id ==" in allh and "== a ==" in allh
 
 
+def test_plot_all_histograms_nan_extents(spark):
+    """A single NaN must not poison the shared min/max extents (NaN
+    sorts greatest in Spark) and collapse every bucket to 0; output
+    must match plot_histogram on the same column (ADVICE r5)."""
+    from dataframe_spark import DataFrame
+    from dataframe_spark import display as disp
+
+    df = DataFrame(
+        spark.createDataFrame(
+            [(float(i),) for i in range(1, 41)] + [(float("nan"),)],
+            "a double",
+        )
+    )
+    allh = disp.plot_all_histograms(df, bins=4)
+    single = disp.plot_histogram(df, "a", bins=4)
+    # same bucket ids and counts in both renderings
+    import re
+
+    def buckets(s):
+        return re.findall(r"^\s*(\d+) \|.* (\d+)$", s, re.M)
+
+    assert buckets(allh) == buckets(single)
+    assert len(buckets(allh)) == 4  # not collapsed into bucket 0
+
+
 def test_terminal_plots_empty_and_constant(spark):
     from dataframe_spark import DataFrame
     from dataframe_spark import display as disp

@@ -47,6 +47,26 @@ def test_asof_forward(trades_quotes):
     assert px == {1: 101.0, 2: 102.0, 3: 50.0}
 
 
+def test_asof_suffix_collision(spark):
+    """'{c}_right' can itself collide with an existing column; the
+    rename must uniquify, never emit duplicate names (ADVICE r5)."""
+    left = spark.createDataFrame(
+        [(1, "A", _ts(10), 9.9)],
+        "trade_id long, sym string, ts timestamp, ts_right double",
+    )
+    right = spark.createDataFrame(
+        [("A", _ts(9), 1.0, 2.0)],
+        "sym string, ts timestamp, ts_right double, px double",
+    )
+    out = asof_join(
+        left, right, left_on="sym", right_on="sym",
+        left_time="ts", right_time="ts", left_id="trade_id",
+    )
+    assert len(out.columns) == len(set(out.columns))
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["px"] == 2.0
+
+
 def test_sessionize_gap(spark):
     events = spark.createDataFrame(
         [(1, _ts(0)), (1, _ts(10)), (1, _ts(50)), (2, _ts(0))],
