@@ -179,16 +179,25 @@ def jaccard_pairs(
     prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     n1 = F.col("n_sh") - F.size("__reps")
     k = (prefix_len - n1).cast("int")  # repeated entries inside the prefix
-    prefix = per_doc.select(
-        "id",
-        "n_sh",
-        n1.alias("__n1"),
-        F.posexplode(F.slice("__reps", F.lit(1), F.greatest(k, F.lit(0)))),
-    ).select(
-        "id",
-        F.col("col.shingle").alias("shingle"),
-        "n_sh",
-        (F.col("__n1") + F.col("pos") + 1).alias("pos"),
+    # The prefix frame is PERSISTED (r6): the candidate self-join
+    # consumes it twice (a- and b-side), and Spark 4's AQE does not
+    # reuse the exchange across the two aliased projections — without
+    # the persist the whole dfreq + regroup lineage (two shuffles and
+    # a broadcast build) ran once per side, measured 11 Spark jobs
+    # vs 5 and ~2x the warm wall at sf0.1. The cached frame is one
+    # thin row per prefix entry (~20% of shingle occurrences).
+    prefix = _reusable(
+        per_doc.select(
+            "id",
+            "n_sh",
+            n1.alias("__n1"),
+            F.posexplode(F.slice("__reps", F.lit(1), F.greatest(k, F.lit(0)))),
+        ).select(
+            "id",
+            F.col("col.shingle").alias("shingle"),
+            "n_sh",
+            (F.col("__n1") + F.col("pos") + 1).alias("pos"),
+        )
     )
     a = prefix.select(
         F.col("id").alias("a_id"),
@@ -264,7 +273,10 @@ def _verify_jaccard(
     """Exact-Jaccard verification of candidate pairs: join each pair
     to its two per-doc shingle arrays and intersect in-row. The doc
     side is one row per document (narrowly produced), so with AQE a
-    small candidate set broadcasts and the arrays never shuffle."""
+    small candidate set broadcasts and the arrays never shuffle.
+    Passenger columns on ``cands`` beyond (a_id, b_id) ride through
+    to the output (r6)."""
+    extra = [c for c in cands.columns if c not in ("a_id", "b_id")]
     a = arrs.select(
         F.col("id").alias("a_id"),
         F.col("sh_arr").alias("__a_arr"),
@@ -289,7 +301,7 @@ def _verify_jaccard(
             ),
         )
         .where(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "jaccard")
+        .select("a_id", "b_id", *extra, "jaccard")
     )
 
 
@@ -668,6 +680,7 @@ def lsh_candidate_pairs(
     bands: int = 16,
     rows_per_band: int = 4,
     max_bucket: int | None = None,
+    carry: list[str] | None = None,
 ) -> SparkDF:
     """Banding: docs sharing any band-signature become candidates.
 
@@ -683,7 +696,14 @@ def lsh_candidate_pairs(
     through their other bands), so it is an explicit opt-in, not a
     silent default; identical-signature degeneracy is instead
     removed losslessly upstream (minhash_dedup_pairs collapses
-    duplicate shingle sets before banding)."""
+    duplicate shingle sets before banding).
+
+    ``carry`` names passenger columns of ``sigs`` to thread through
+    banding onto the output pairs as ``__a_<col>`` / ``__b_<col>``
+    (r6: lets the caller avoid re-joining pair rows against the
+    signature source). Duplicate pairs (shared across several bands)
+    collapse via a groupBy that keeps the first passenger values —
+    passengers are functions of the id, so all duplicates agree."""
     if rows_per_band < 1:
         # e.g. num_perm // bands with bands > num_perm: every band
         # slice would be empty and hash to ONE constant bucket — a
@@ -698,8 +718,9 @@ def lsh_candidate_pairs(
             ))
         ),
     )
+    carry = carry or []
     banded = sigs.select(
-        "id", F.posexplode(band_arr).alias("band_idx", "band_hash")
+        "id", *carry, F.posexplode(band_arr).alias("band_idx", "band_hash")
     )
     if max_bucket is not None:
         from pyspark.sql.window import Window
@@ -710,13 +731,29 @@ def lsh_candidate_pairs(
             .where(F.col("__bn") <= max_bucket)
             .drop("__bn")
         )
-    a = banded.select(F.col("id").alias("a_id"), "band_idx", "band_hash")
-    b = banded.select(F.col("id").alias("b_id"), "band_idx", "band_hash")
-    return (
-        a.join(b, on=["band_idx", "band_hash"])
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
+    a = banded.select(
+        F.col("id").alias("a_id"),
+        *[F.col(c).alias(f"__a_{c}") for c in carry],
+        "band_idx",
+        "band_hash",
+    )
+    b = banded.select(
+        F.col("id").alias("b_id"),
+        *[F.col(c).alias(f"__b_{c}") for c in carry],
+        "band_idx",
+        "band_hash",
+    )
+    pairs = a.join(b, on=["band_idx", "band_hash"]).where(
+        F.col("a_id") < F.col("b_id")
+    )
+    if not carry:
+        return pairs.select("a_id", "b_id").distinct()
+    return pairs.groupBy("a_id", "b_id").agg(
+        *[
+            F.first(f"__{s}_{c}").alias(f"__{s}_{c}")
+            for s in ("a", "b")
+            for c in carry
+        ]
     )
 
 
@@ -774,53 +811,61 @@ def minhash_dedup_pairs(
             F.sort_array(F.collect_list("id")).alias("__mids"),
         )
     )
-    sigs = arrs_h.join(gstats.select("id"), "id").select(
-        "id", _minhash_sig_expr(num_perm).alias("sig")
+    # member lists ride along from here (nearly always 1-element
+    # arrays — the collapse only aggregates exact-duplicate sets), so
+    # the post-verify expansion needs NO joins back onto gstats: the
+    # r5 plan re-broadcast gstats twice for the cross expansion and
+    # once more for the intra self-join — three serial broadcast
+    # builds of pure scheduling cost on a warm engine (r6).
+    # persisted (r6): the band self-join consumes sigs on both sides
+    # and AQE does not reuse the exchange across the two aliased
+    # projections — without the persist the num_perm×|sh_arr|
+    # signature hashing ran once per side
+    sigs = _reusable(
+        arrs_h.join(gstats.select("id", "__mids"), "id").select(
+            "id", "__mids", _minhash_sig_expr(num_perm).alias("sig")
+        )
     )
-    cands = lsh_candidate_pairs(sigs, bands, num_perm // bands, max_bucket)
+    cands = lsh_candidate_pairs(
+        sigs, bands, num_perm // bands, max_bucket, carry=["__mids"]
+    )
     # candidate ids are representatives, so verifying against the
     # FULL cached array table picks exactly the rep rows — no
     # separate rep frame to scan three times
     rep_pairs = _verify_jaccard(cands, arrs_h, threshold)
 
-    # in-group pairs: identical sets ⇒ Jaccard exactly 1.0. Members
-    # of multi-doc groups only (usually a small minority) self-join
-    # on the group key — scale-safe for arbitrarily large groups.
-    multi = gstats.where(F.size("__mids") > 1).select(
-        "__g", F.explode("__mids").alias("id")
+    # in-group pairs (identical sets ⇒ Jaccard exactly 1.0) enter as
+    # SELF pair rows of each multi-member group — a narrow filter of
+    # the persisted gstats, no join; the shared expansion below
+    # emits each unordered in-group pair once via the __x < __y
+    # guard (cross-group pairs keep least/greatest ordering: member
+    # ids of different groups do not order consistently with their
+    # representatives')
+    selfp = gstats.where(F.size("__mids") > 1).select(
+        F.col("id").alias("a_id"),
+        F.col("id").alias("b_id"),
+        F.col("__mids").alias("__a___mids"),
+        F.col("__mids").alias("__b___mids"),
+        F.lit(1.0).cast("double").alias("jaccard"),
     )
-    intra = (
-        multi.select(F.col("__g"), F.col("id").alias("a_id"))
-        .join(multi.select("__g", F.col("id").alias("b_id")), "__g")
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", F.lit(1.0).cast("double").alias("jaccard"))
-    )
-
-    # cross-group pairs: every (member of A) × (member of B) carries
-    # the verified representative score — member lists ride on the
-    # (tiny, AQE-broadcast) pair rows and explode in place
-    cross = (
-        rep_pairs.join(
-            gstats.select(
-                F.col("id").alias("a_id"), F.col("__mids").alias("__ma")
-            ),
-            "a_id",
+    return (
+        rep_pairs.unionByName(selfp)
+        .select(
+            "jaccard",
+            (F.col("a_id") == F.col("b_id")).alias("__self"),
+            F.explode("__a___mids").alias("__x"),
+            "__b___mids",
         )
-        .join(
-            gstats.select(
-                F.col("id").alias("b_id"), F.col("__mids").alias("__mb")
-            ),
-            "b_id",
+        .select(
+            "jaccard", "__self", "__x", F.explode("__b___mids").alias("__y")
         )
-        .select("jaccard", F.explode("__ma").alias("__x"), "__mb")
-        .select("jaccard", "__x", F.explode("__mb").alias("__y"))
+        .where(~F.col("__self") | (F.col("__x") < F.col("__y")))
         .select(
             F.least("__x", "__y").alias("a_id"),
             F.greatest("__x", "__y").alias("b_id"),
             "jaccard",
         )
     )
-    return intra.unionByName(cross)
 
 
 # --- SimHash ----------------------------------------------------------
