@@ -84,6 +84,18 @@ def shingle_arrays(
     )
 
 
+def hashed_shingle_arrays(
+    df: SparkDF, id_col: str, text_col: str, n: int = 3
+) -> SparkDF:
+    """The persisted (id, sh_arr: array<bigint>, n_sh) frame every
+    shingle-based operator builds on. Centralized so jaccard_pairs,
+    minhash_dedup_pairs and contamination scoring construct the
+    BYTE-IDENTICAL plan — identical plans share one Spark cache
+    entry, so a query mix over the same corpus tokenizes + shingles
+    + hashes it exactly once (r6)."""
+    return _reusable(_hash_arrays(shingle_arrays(df, id_col, text_col, n)))
+
+
 def shingles(df: SparkDF, id_col: str, text_col: str, n: int = 3) -> SparkDF:
     """Distinct word n-gram shingles per document: (id, shingle).
 
@@ -139,7 +151,7 @@ def jaccard_pairs(
     # could only ADD a candidate, which exact verification rejects —
     # except for in-verify collisions, the same vanishing risk
     # _hash_arrays already documents.
-    arrs = _reusable(_hash_arrays(shingle_arrays(df, id_col, text_col, n)))
+    arrs = hashed_shingle_arrays(df, id_col, text_col, n)
     exploded = arrs.select("id", "n_sh", F.explode("sh_arr").alias("shingle"))
     # Global document frequency, but only for REPEATED shingles: a
     # shingle with df == 1 can never produce a candidate pair, and in
@@ -457,12 +469,22 @@ def contamination_scores(
     corpus = _hash_arrays(shingle_arrays(df, id_col, text_col, n))
     bench_toks = F.filter(tokens_expr(bench_text_col), lambda x: x != F.lit(""))
     bench = bench_df.select(
-        F.explode(shingle_array_expr(bench_toks, n)).alias("shingle")
-    )
+        F.explode(shingle_array_expr(bench_toks, n)).alias("__s")
+    ).select(F.xxhash64("__s").alias("shingle"))
+    return contamination_scores_hashed(corpus, bench, broadcast_bench)
+
+
+def contamination_scores_hashed(
+    corpus: SparkDF, bench: SparkDF, broadcast_bench: bool
+) -> SparkDF:
+    """contamination_scores over pre-hashed inputs: ``corpus`` is an
+    (id, sh_arr: array<bigint>, n_sh) frame, ``bench`` a (shingle:
+    bigint) frame. Split out (r6) so callers scoring a corpus that
+    other operators already shingled can pass the SHARED persisted
+    hashed-arrays frame (hashed_shingle_arrays) for both sides and
+    skip re-tokenizing entirely."""
     if broadcast_bench:
-        bench_row = bench.agg(
-            F.collect_set(F.xxhash64("shingle")).alias("__bench")
-        )
+        bench_row = bench.agg(F.collect_set("shingle").alias("__bench"))
         hits = (
             corpus.join(F.broadcast(bench_row))
             .select(
@@ -477,10 +499,7 @@ def contamination_scores(
     else:
         hits = (
             corpus.select("id", "n_sh", F.explode("sh_arr").alias("shingle"))
-            .join(
-                bench.select(F.xxhash64("shingle").alias("shingle")).distinct(),
-                "shingle",
-            )
+            .join(bench.distinct(), "shingle")
             .groupBy("id", "n_sh")
             .agg(F.count(F.lit(1)).alias("n_contaminated"))
         )
@@ -795,7 +814,7 @@ def minhash_dedup_pairs(
         )
     # the hashed-arrays plan is IDENTICAL to jaccard_pairs', so both
     # operators share one cache entry; __g goes on top of the cache
-    arrs_h = _reusable(_hash_arrays(shingle_arrays(df, id_col, text_col, n)))
+    arrs_h = hashed_shingle_arrays(df, id_col, text_col, n)
     # group stats shuffle ONLY (group-hash, id) pairs — the shingle
     # arrays never move for the collapse; representative rows are
     # then picked by a narrow join (the gstats side is 2 slim

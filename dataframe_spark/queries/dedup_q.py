@@ -168,13 +168,32 @@ def q_embed_centroid(spark, sf_dir):
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 97 == 0 act as
     the held-out eval set; every other doc is scored by the fraction
-    of its distinct 3-gram shingles that appear in that set."""
-    from ..operators.dedup import contamination_scores
+    of its distinct 3-gram shingles that appear in that set.
+
+    Both sides derive from the SAME persisted hashed-shingle frame
+    the n=3 dedup queries build (hashed_shingle_arrays — byte-
+    identical plan ⇒ shared cache entry), so in a query mix the
+    corpus is tokenized once, not once per operator (r6). The
+    broadcast-vs-shuffle gate keeps its pre-r6 semantics: it sizes
+    the RAW bench docs, exactly what contamination_scores gates on."""
+    from ..operators.dedup import (
+        BENCH_BROADCAST_MAX_BYTES,
+        contamination_scores_hashed,
+        hashed_shingle_arrays,
+    )
+    from ..plans.stats import plan_size_bytes
 
     docs = _t(spark, sf_dir, "documents").df
-    bench = docs.where(F.col("doc_id") % 97 == 0)
-    corpus = docs.where(F.col("doc_id") % 97 != 0)
-    out = contamination_scores(corpus, "doc_id", "text", bench, "text", n=3)
+    arrs = hashed_shingle_arrays(docs, "doc_id", "text", 3)
+    bench = arrs.where(F.col("id") % 97 == 0).select(
+        F.explode("sh_arr").alias("shingle")
+    )
+    corpus = arrs.where(F.col("id") % 97 != 0)
+    broadcast_bench = (
+        plan_size_bytes(docs.where(F.col("doc_id") % 97 == 0))
+        <= BENCH_BROADCAST_MAX_BYTES
+    )
+    out = contamination_scores_hashed(corpus, bench, broadcast_bench)
     return out.select(
         F.col("id").alias("doc_id"), "n_sh", "n_contaminated", "contamination"
     )
