@@ -1,4 +1,4 @@
-from .decision_tree import Tree, fit_decision_tree, tree_to_expr
+from .decision_tree import Tree, fit_decision_tree, tao_optimize, tree_to_expr
 from .logreg import (
     LogisticModel,
     fit_logistic_regression,
@@ -21,6 +21,7 @@ __all__ = [
     "predict_expr",
     "predict_proba_expr",
     "fit_decision_tree",
+    "tao_optimize",
     "tree_to_expr",
     "Tree",
     "BeamConfig",

@@ -1,9 +1,10 @@
-"""Greedy gini decision-tree classifier, Spark-native.
+"""Decision-tree classifier (greedy CART + TAO refinement), Spark-native.
 
 Reference: /root/reference/src/DataFrame/DecisionTree.hs
-(``fitDecisionTree`` :98, ``treeToExpr`` :92, ``buildGreedyTree`` — greedy
-gini splits on per-column percentile thresholds; the TAO refinement
-pass is out of scope this round).
+(``fitDecisionTree`` :98 = greedy build + ``taoOptimize`` :125,
+``treeToExpr`` :92, ``buildGreedyTree`` — greedy gini splits on
+per-column percentile thresholds; TAO alternating optimization added
+in reference 0.4.1.0).
 
 Spark-first formulation (the MLlib-style level-wise sweep, not a
 per-node driver loop):
@@ -78,6 +79,8 @@ def fit_decision_tree(
     min_leaf: int = 1,
     percentiles: tuple = (10, 25, 50, 75, 90),
     exact_midpoints_max: int = 64,
+    tao_iterations: int = 10,
+    tao_tol: float = 1e-6,
 ) -> Tree:
     """Fit a classification tree on numeric features.
 
@@ -91,7 +94,13 @@ def fit_decision_tree(
     percentile. Two extra bounded aggregations (a countDistinct
     probe, then collect_set only for the qualifying features); the
     midpoints are global, the per-node conditional counts still come
-    from the same single pass-B aggregation."""
+    from the same single pass-B aggregation.
+
+    After the greedy build, ``tao_iterations`` rounds of TAO
+    alternating optimization refine the fixed structure (reference
+    ``taoOptimize`` DecisionTree.hs:125; 0 disables). The greedy tree
+    stays a valid fit — TAO is loss-non-increasing because every
+    node's current condition remains in its candidate set."""
     if features is None:
         features = [c for c, t in df.dtypes if is_numeric_dtype(t) and c != target]
     if not features:
@@ -286,6 +295,231 @@ def fit_decision_tree(
                 new_frontier[next_id + 1] = t.right
                 next_id += 2
         frontier = new_frontier
+    if tao_iterations > 0:
+        root = tao_optimize(
+            data,
+            target,
+            features,
+            root,
+            iterations=tao_iterations,
+            tol=tao_tol,
+            min_leaf=min_leaf,
+            percentiles=percentiles,
+            global_mids=global_mids,
+        )
+    return root
+
+
+def _nodes_at_depth(root: Tree, d: int) -> list[Tree]:
+    out: list[Tree] = []
+
+    def walk(t: Tree, depth: int) -> None:
+        if depth == d:
+            out.append(t)
+            return
+        if not t.is_leaf:
+            walk(t.left, depth + 1)
+            walk(t.right, depth + 1)
+
+    walk(root, 0)
+    return out
+
+
+def _goes_left(f: str, thr: float) -> Column:
+    """Row routing for a candidate split, matching tree_to_expr's
+    otherwise-branch semantics: a NULL feature routes right."""
+    return F.coalesce(F.col(f) <= F.lit(thr), F.lit(False))
+
+
+def tao_optimize(
+    df: SparkDF,
+    target: str,
+    features: list[str],
+    root: Tree,
+    iterations: int = 10,
+    tol: float = 1e-6,
+    min_leaf: int = 1,
+    percentiles: tuple = (10, 25, 50, 75, 90),
+    global_mids: dict[str, list[float]] | None = None,
+) -> Tree:
+    """TAO alternating optimization over a FIXED tree structure
+    (reference ``taoOptimize``/``taoIteration``/``optimizeNode``,
+    DecisionTree.hs:125-292, added in reference 0.4.1.0).
+
+    Each iteration sweeps depth levels bottom-to-top. At each level,
+    every node is re-optimized against the rows the CURRENT tree
+    routes to it, holding the rest of the tree fixed:
+
+    - a leaf re-fits its majority label;
+    - a branch re-picks its split over the global candidate grid to
+      minimize CARE-POINT errors — care points are rows exactly one
+      (fixed) child subtree classifies correctly, and an error is a
+      care point routed to its wrong side. Splits leaving either
+      side under ``min_leaf`` are invalid; with no valid candidate
+      or no care points the current split stays, and a node whose
+      final split underfills a side collapses to its majority leaf
+      (reference ``optimizeNode``).
+
+    Spark-first: one level = TWO distributed aggregations regardless
+    of node count — (node, label) counts for majorities/totals, then
+    a single groupBy("__node") pass whose columns are (errors,
+    left-count) per candidate, with the fixed child subtrees compiled
+    to CASE columns so care-point identification is pure JVM
+    expression work. Rows never reach the driver; per-level driver
+    state is O(nodes × candidates). Convergence: stop when the full
+    tree's misclassification loss improves by less than ``tol``
+    (one extra one-row aggregation per iteration).
+
+    Deterministic: exact integer counts, candidate ties broken by
+    (errors, feature, threshold)."""
+    data = df.select(
+        target, *[F.col(f).cast("double").alias(f) for f in features]
+    )
+    # Global candidate grid, as in the reference (conds generated once
+    # over the full frame): full-data percentiles per feature, plus
+    # the exact low-cardinality midpoints when the caller has them.
+    pct = F.array(*[F.lit(p / 100.0) for p in percentiles])
+    pct_row = data.agg(
+        *[F.percentile(F.col(f), pct).alias(f) for f in features]
+    ).first()
+    grid: set[tuple[str, float]] = set()
+    for f in features:
+        for v in pct_row[f] or []:
+            if v is not None:
+                grid.add((f, float(v)))
+    for f, mids in (global_mids or {}).items():
+        for v in mids:
+            grid.add((f, float(v)))
+
+    def loss() -> float:
+        pred = tree_to_expr(root)
+        row = data.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(
+                (~pred.eqNullSafe(F.col(target))).cast("long")
+            ).alias("__err"),
+        ).first()
+        return (row["__err"] / row["__n"]) if row["__n"] else 0.0
+
+    def route_expr(d: int, ids: dict[int, int]) -> Column:
+        def walk(t: Tree, depth: int) -> Column:
+            if depth == d:
+                return F.lit(ids[id(t)])
+            if t.is_leaf:
+                return F.lit(-1)
+            return F.when(
+                F.col(t.feature) <= t.threshold, walk(t.left, depth + 1)
+            ).otherwise(walk(t.right, depth + 1))
+
+        return walk(root, 0)
+
+    def majority(counts: dict) -> object:
+        return (
+            max(counts.items(), key=lambda kv: (kv[1], str(kv[0])))[0]
+            if counts
+            else None
+        )
+
+    prev_loss = loss()
+    for _it in range(iterations):
+        for d in range(root.depth(), -1, -1):
+            nodes = _nodes_at_depth(root, d)
+            if not nodes:
+                continue
+            ids = {id(t): i for i, t in enumerate(nodes)}
+            assigned = data.withColumn("__node", route_expr(d, ids)).where(
+                F.col("__node") >= 0
+            )
+            lab_rows = assigned.groupBy("__node", target).count().collect()
+            node_labels: dict[int, dict] = {}
+            for r in lab_rows:
+                node_labels.setdefault(r["__node"], {})[r[target]] = r["count"]
+            for t in nodes:
+                nid = ids[id(t)]
+                if t.is_leaf and node_labels.get(nid):
+                    t.prediction = majority(node_labels[nid])
+            branches = [t for t in nodes if not t.is_leaf]
+            if not branches:
+                continue
+            # candidate grid + each branch's current split (so the
+            # per-node argmin can never do worse than the status quo)
+            cands = sorted(
+                grid | {(t.feature, float(t.threshold)) for t in branches}
+            )
+            lp = rp = None
+            for t in branches:
+                here = F.col("__node") == ids[id(t)]
+                le, re_ = tree_to_expr(t.left), tree_to_expr(t.right)
+                lp = F.when(here, le) if lp is None else lp.when(here, le)
+                rp = F.when(here, re_) if rp is None else rp.when(here, re_)
+            correct_l = lp.eqNullSafe(F.col(target))
+            correct_r = rp.eqNullSafe(F.col(target))
+            care = correct_l != correct_r
+            aggs = [
+                F.count(F.lit(1)).alias("__tot"),
+                F.sum(care.cast("long")).alias("__care"),
+            ]
+            for i, (f, thr) in enumerate(cands):
+                goes_left = _goes_left(f, thr)
+                aggs.append(
+                    F.sum(
+                        (care & (correct_l != goes_left)).cast("long")
+                    ).alias(f"__err_{i}")
+                )
+                aggs.append(
+                    F.sum(goes_left.cast("long")).alias(f"__nl_{i}")
+                )
+            brow = {
+                r["__node"]: r
+                for r in assigned.where(
+                    F.col("__node").isin([ids[id(t)] for t in branches])
+                )
+                .groupBy("__node")
+                .agg(*aggs)
+                .collect()
+            }
+            for t in branches:
+                nid = ids[id(t)]
+                r = brow.get(nid)
+                if r is None:  # no rows reach this node: leave as-is
+                    continue
+                tot = r["__tot"]
+                cur = (t.feature, float(t.threshold))
+                cur_i = cands.index(cur)
+                if r["__care"] == 0:
+                    # no care points: keep the current split
+                    # (reference identifyCarePoints -> currentCond)
+                    best = (0, *cur, cur_i)
+                else:
+                    best = None  # (errors, feature, threshold, idx)
+                    for i, (f, thr) in enumerate(cands):
+                        nl = r[f"__nl_{i}"]
+                        if nl < min_leaf or tot - nl < min_leaf:
+                            continue
+                        key = (r[f"__err_{i}"], f, thr, i)
+                        if best is None or key[:3] < best[:3]:
+                            best = key
+                    if best is None:
+                        # no valid candidate: fall back to the
+                        # current split (reference findBestSplitTAO)
+                        best = (0, *cur, cur_i)
+                _, f, thr, i = best
+                nl = r[f"__nl_{i}"]
+                if nl < min_leaf or tot - nl < min_leaf:
+                    # chosen (fallback) split underfills a side:
+                    # collapse to the majority leaf (reference
+                    # optimizeNode)
+                    t.feature = None
+                    t.threshold = None
+                    t.left = None
+                    t.right = None
+                    t.prediction = majority(node_labels.get(nid, {}))
+                else:
+                    t.feature, t.threshold = f, thr
+        new_loss = loss()
+        if prev_loss - new_loss < tol:
+            break
+        prev_loss = new_loss
     return root
 
 

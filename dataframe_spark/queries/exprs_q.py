@@ -105,13 +105,16 @@ def q_parse_defaults(spark, sf_dir):
 
 
 def q_decision_tree(spark, sf_dir):
-    """Fit a greedy gini tree to recover the price-tier thresholds
-    from (p_size, p_retailprice); output the confusion matrix.
+    """Fit a decision tree (greedy gini build + TAO refinement, the
+    reference fitDecisionTree pipeline) to recover the price-tier
+    thresholds from (p_size, p_retailprice); output the confusion
+    matrix.
 
     Oracle-checkable even though fitting is iterative: p_size has few
     distinct values, so exact-midpoint candidates let CART recover
-    the tier rule perfectly, and the confusion matrix must equal the
-    diagonal tier counts — which IS static SQL."""
+    the tier rule perfectly; TAO is loss-non-increasing, so the
+    confusion matrix must stay equal to the diagonal tier counts —
+    which IS static SQL."""
     from ..ml import fit_decision_tree, tree_to_expr
 
     p = _t(spark, sf_dir, "part").df.withColumn(

@@ -3,7 +3,17 @@ compiled predict expression stays JVM-side."""
 
 from pyspark.sql import functions as F
 
-from dataframe_spark.ml import fit_decision_tree, tree_to_expr
+from dataframe_spark.ml import fit_decision_tree, tao_optimize, tree_to_expr
+
+
+def _accuracy(df, tree, target="label"):
+    n = df.count()
+    wrong = (
+        df.withColumn("p", tree_to_expr(tree))
+        .where(~F.col("p").eqNullSafe(F.col(target)))
+        .count()
+    )
+    return (n - wrong) / n
 
 
 def _toy(spark):
@@ -55,6 +65,57 @@ def test_deterministic_fit(spark):
     t1 = fit_decision_tree(df, "label", max_depth=2)
     t2 = fit_decision_tree(df, "label", max_depth=2)
     assert (t1.feature, t1.threshold) == (t2.feature, t2.threshold)
+
+
+def test_tao_repairs_suboptimal_tree(spark):
+    """TAO re-optimization over a fixed structure: start from a
+    hand-built BAD tree (wrong root threshold + wrong leaf labels)
+    on XOR-quadrant data the structure CAN solve, and assert the
+    pass recovers a perfect classifier (reference taoOptimize,
+    DecisionTree.hs:125)."""
+    from dataframe_spark.ml.decision_tree import Tree
+
+    rows = (
+        [(0.5, 0.5, "A")] * 40
+        + [(1.5, 0.5, "B")] * 30
+        + [(0.5, 1.5, "B")] * 30
+        + [(1.5, 1.5, "A")] * 10
+    )
+    df = spark.createDataFrame(rows, "x double, y double, label string")
+    bad = Tree(
+        feature="x",
+        threshold=1.9,  # routes everything left
+        left=Tree(
+            feature="y",
+            threshold=0.1,  # routes everything right
+            left=Tree(prediction="A"),
+            right=Tree(prediction="B"),
+        ),
+        right=Tree(
+            feature="y",
+            threshold=1.9,
+            left=Tree(prediction="B"),
+            right=Tree(prediction="A"),
+        ),
+    )
+    assert _accuracy(df, bad) < 0.6
+    fixed = tao_optimize(
+        df, "label", ["x", "y"], bad, percentiles=(10, 50, 90),
+        global_mids={"x": [1.0], "y": [1.0]},
+    )
+    assert _accuracy(df, fixed) == 1.0
+
+
+def test_tao_never_degrades_greedy(spark):
+    """fit_decision_tree's TAO pass must end at least as accurate as
+    the pure greedy tree on the same data (loss-non-increasing: each
+    node's current condition stays in its candidate set)."""
+    df = _toy(spark)
+    greedy = fit_decision_tree(df, "label", ["x", "y"], max_depth=2,
+                               tao_iterations=0)
+    tao = fit_decision_tree(df, "label", ["x", "y"], max_depth=2)
+    assert _accuracy(df, tao) >= _accuracy(df, greedy)
+    assert _accuracy(df, tao) == 1.0
 
 
 # --- logistic regression ----------------------------------------------
