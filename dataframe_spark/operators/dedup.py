@@ -348,9 +348,15 @@ def duplicated_spans(
     spans = F.transform(
         shingle_array_expr(toks, window), lambda s: F.xxhash64(s)
     )
-    win = df.select(
-        F.col(id_col).alias("id"), F.explode(spans).alias("__h")
+    # persisted (r6): the window-hash stream feeds BOTH the span
+    # frequency agg and the join-back, and AQE does not reuse the
+    # exchange across the two consumers — without this the tokenize
+    # + 20-gram shingle build ran twice. Cached pre-explode (one row
+    # per doc, 8 B per window hash).
+    arrs = _reusable(
+        df.select(F.col(id_col).alias("id"), spans.alias("__spans"))
     )
+    win = arrs.select("id", F.explode("__spans").alias("__h"))
     wfreq = (
         win.groupBy("__h")
         .agg(F.count(F.lit(1)).alias("__df"))
@@ -595,11 +601,19 @@ def edit_distance_pairs(
     )
     n1 = F.col("n_g") - F.size("__reps")
     keep = (F.lit(pre_len) - n1).cast("int")  # repeated slots in the prefix
-    prefix = per_str.select(
-        "id",
-        "len",
-        F.explode(F.slice("__reps", F.lit(1), F.greatest(keep, F.lit(0)))).alias("e"),
-    ).select("id", "len", F.col("e.g").alias("g"))
+    # persisted (r6): the candidate self-join reads prefix twice and
+    # AQE does not reuse the exchange across the two aliased
+    # projections — without this the dfreq + regroup lineage ran
+    # once per side (see jaccard_pairs)
+    prefix = _reusable(
+        per_str.select(
+            "id",
+            "len",
+            F.explode(
+                F.slice("__reps", F.lit(1), F.greatest(keep, F.lit(0)))
+            ).alias("e"),
+        ).select("id", "len", F.col("e.g").alias("g"))
+    )
     a = prefix.select(F.col("id").alias("a_id"), "g", F.col("len").alias("__la"))
     b = prefix.select(F.col("id").alias("b_id"), "g", F.col("len").alias("__lb"))
     # no .distinct() here: the union below deduplicates once — an
@@ -936,7 +950,11 @@ def simhash_pairs(
             "4-chunk banding; a larger radius needs max_hamming + 1 "
             "chunks"
         )
-    sigs = simhash(df, id_col, text_col)
+    # persisted (r6): the chunk self-join reads the signatures on
+    # both sides and AQE does not reuse the exchange across aliased
+    # projections — without this the 64-aggregate simhash groupBy
+    # ran once per side
+    sigs = _reusable(simhash(df, id_col, text_col))
     chunks = F.array(
         *[
             F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))

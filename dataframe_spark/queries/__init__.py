@@ -20,67 +20,68 @@ from . import (
 MODULES = [stats_q, relational, extras_q, windows_q, text_q, exprs_q, ml_q, dedup_q]
 
 # Registry order is a verification surface: the driver snapshots the
-# FIRST 50 entries each round. The r5 window (VERDICT r4 ask #1)
-# prioritizes (a) the 10 oracle-backed/rows-only queries added after
-# the r4 window froze — never driver-checked, (b) the 16 veterans
-# last hard-checked in r1/r2 (two rounds of engine churn ago),
-# (c) every plan CHANGED this round (summarize scaling fix, dedup
-# perf work, sample_weighted NaN filter) plus the q1 and
-# q_sessionize sentinels, and (d) the longest-unverified r3 queries.
-# The r4-green TPC-H composites and stats suite rotate behind the
-# window — they keep their recorded green rows plus continuous
+# FIRST 50 entries each round. The r6 window (VERDICT r5 ask #1)
+# prioritizes (a) every plan changed THIS round (dedup perf rework,
+# decontamination cache sharing, asof suffix uniquification, the TAO
+# tree) plus the two NEW invariant queries, (b) the r5-fixed plans
+# whose driver-green rows predate their fixes (histogram null
+# bucket, chunk overlap, type-inference rework, fuzzy short-block
+# re-band), (c) the late-r4 cohort that churned under r5 review
+# fixes, (d) the r3-last longest-unverified block, and the two
+# sentinels. The r5-green core-verb/stats/window cohort rotates
+# behind the window — recorded green rows plus continuous
 # full-registry parity in pytest at sf0.001.
 WINDOW_PRIORITY = [
-    "q_welch_t",               # 1-10: added post-r4-freeze, never checked
-    "q_mann_whitney",
-    "q_ks_test",
-    "q_psi",
-    "q_corr_matrix",
-    "q_js_divergence",
-    "q_stream_psi",
-    "q_sample_weighted_group",
-    "q_boilerplate",
-    "q_approx_quantiles",      # rows-only by design
-    "q_select",                # 11-26: r1/r2 veterans, longest unverified
-    "q_exclude",
-    "q_filter",
-    "q_derive",
-    "q_distinct",
-    "q_take_sorted",
-    "q_group_agg",
-    "q_recode",
-    "q_apply_where",
-    "q_impute",
-    "q_join_left",
-    "q_join_full",
-    "q_join_semi_anti",
-    "q_union",
-    "q_set_ops",
-    "q_dates",
-    "q1_pricing_summary",      # 27-32: sentinels + plans changed in r5
-    "q_sessionize",            # sentinel (failed r1+r2 — keep hard signal)
-    "q_summarize",             # distributed-path cutover reworked r5
-    "q_quantiles",             # same reworked two-pass engine
-    "q_group_quantiles",       # grouped path of the reworked engine
-    "q_dedup_ngram_jaccard",   # perf work r5
-    "q_dedup_minhash",         # collapse rewrite + perm-index fix r5
-    "q_sample_weighted",       # NaN-weight filter changed r5
-    "q_dedup_exact",           # 33-50: r3-last longest-unverified +
-    "q_dedup_embedding",       # the r5 rows-only→oracle upgrades
+    "q_dedup_ngram_jaccard",   # 1-8: plans changed r6 + new invariants
+    "q_dedup_minhash",
     "q_dedup_cluster",
-    "q_knn_brute",
-    "q_knn_ivf_recall",
+    "q_decontaminate",
+    "q_decision_tree",         # now greedy + TAO
     "q_asof_join",
-    "q_window_rank",
-    "q_window_cumsum",
-    "q_window_rolling",
-    "q_resample",
-    "q_melt",
-    "q_pivot",
-    "q_tfidf",
-    "q_corpus_filter",
-    "q_vocabulary",
-    "q_approx_distinct_check",
+    "q_dedup_simhash_check",   # new r6: banding completeness invariant
+    "q_knn_lsh_recall",        # new r6: multiprobe recall invariant
+    "q_histogram",             # 9-12: r5 fixes postdating green rows
+    "q_doc_chunks",
+    "q_parse_defaults",
+    "q_fuzzy_pairs",
+    "q_lead_lag",              # 13-19: late-r4 cohort, churned r5
+    "q_ohlc",
+    "q_json_extract",
+    "q_winsorize",
+    "q_chi_square",
+    "q_logreg_classifier",
+    "q_perplexity",
+    "q1_pricing_summary",      # 20-21: sentinels
+    "q_sessionize",            # sentinel (failed r1+r2 — keep hard signal)
+    "q_source_overlap",        # 22-43: r3-last longest-unverified
+    "q_stream_window",
+    "q_stream_dedup",
+    "q_token_count",
+    "q_repetition",
+    "q_redact",
+    "q_pack",
+    "q_mixture",
+    "q_text_quality",
+    "q_lang_id",
+    "q_fingerprint",
+    "q_token_budget",
+    "q_filter_nulls",
+    "q_text_split",
+    "q_numeric_fns",
+    "q_frequencies",
+    "q_cube",
+    "q_mutual_info",
+    "q_multimodal_meta",
+    "q_embed_norm",
+    "q_embed_centroid",
+    "q_synthesis",             # rows-only; decimal+NaN fixes r5
+    "q_correlation",           # 44-50: r4-green rotation
+    "q_stats_agg",
+    "q_mode",
+    "q_value_counts",
+    "q_describe",
+    "q_skewness",
+    "q_duplicated_spans",
 ]
 # plain raise, not assert: the guard must survive python -O
 if len(WINDOW_PRIORITY) != 50:

@@ -96,6 +96,64 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+def q_dedup_simhash_check(spark, sf_dir):
+    """Hard-signal invariant for the SimHash path (r6, the
+    q_knn_ivf_recall pattern): the 4-chunk pigeonhole banding must be
+    EXACTLY the brute-force hamming<=3 pair set — complete (banding
+    loses nothing at radius 3) and sound (every emitted pair
+    re-verifies within radius) — and non-empty at driver SFs
+    (measured 29 pairs at sf0.001, 19 at sf0.01; the token-hash
+    signatures are fully deterministic). The brute side is an
+    all-pairs join over the (id, simhash) SKETCHES — 16 bytes/doc,
+    verification-query cost, not a production path. The oracle pins
+    the invariant."""
+    docs = _t(spark, sf_dir, "documents").df
+    pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    sigs = dedup.simhash(docs, "doc_id", "text")
+    a = sigs.select(F.col("id").alias("a"), F.col("simhash").alias("sa"))
+    b = sigs.select(F.col("id").alias("b"), F.col("simhash").alias("sb"))
+    brute = (
+        a.join(b, F.col("a") < F.col("b"))
+        .where(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
+        .agg(F.count(F.lit(1)).alias("__brute"))
+    )
+    stats = pairs.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max("hamming").alias("__maxh"),
+    )
+    return stats.crossJoin(F.broadcast(brute)).select(
+        (F.col("__n") == F.col("__brute")).alias("complete_ok"),
+        (F.col("__maxh") <= 3).alias("radius_ok"),
+        (F.col("__n") > 0).alias("nonempty"),
+    )
+
+
+def q_knn_lsh_recall(spark, sf_dir):
+    """Hard-signal invariant for the multiprobe-LSH path (r6): with
+    planes=4 and probe radius 1 (5/16 of the corpus scored), the
+    LSH top-10 of query 0 must return exactly k rows and recover at
+    least k/5 of the true (brute-force) top-10. Both sides computed
+    in Spark; the hyperplane sketch is xxhash64-derived and fully
+    deterministic — measured 3/10 at sf0.001 and 5/10 at sf0.01 on
+    the near-random synthetic embeddings. The oracle pins the
+    invariant."""
+    emb = _t(spark, sf_dir, "embeddings").df
+    brute = similarity.knn_brute(
+        emb, "vec_id", "embedding", query_id=0, k=10
+    ).select("vec_id")
+    lsh = similarity.knn_lsh(
+        emb, "vec_id", "embedding", query_id=0, k=10, planes=4, dim=64,
+        probe_radius=1,
+    ).select("vec_id")
+    hits = brute.join(lsh, "vec_id").agg(F.count(F.lit(1)).alias("__hits"))
+    n_found = lsh.agg(F.count(F.lit(1)).alias("n_found"))
+    return n_found.crossJoin(F.broadcast(hits)).select(
+        F.lit(10).alias("k"),
+        "n_found",
+        (F.col("__hits") >= 2).alias("recall_ok"),
+    )
+
+
 def q_dedup_embedding(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").df
     return similarity.cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
@@ -226,6 +284,8 @@ QUERIES = {
     "q_decontaminate": q_decontaminate,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_simhash_check": q_dedup_simhash_check,
+    "q_knn_lsh_recall": q_knn_lsh_recall,
     "q_dedup_embedding": q_dedup_embedding,
     "q_knn_brute": q_knn_brute,
     "q_knn_lsh": q_knn_lsh,
@@ -353,6 +413,12 @@ ORACLES = {
         JOIN sizes sa ON sa.doc_id = a_id
         JOIN sizes sb ON sb.doc_id = b_id
         WHERE ROUND(c * 1.0 / (sa.n_sh + sb.n_sh - c), 4) >= 0.8
+    """,
+    "q_dedup_simhash_check": """
+        SELECT TRUE AS complete_ok, TRUE AS radius_ok, TRUE AS nonempty
+    """,
+    "q_knn_lsh_recall": """
+        SELECT 10 AS k, CAST(10 AS BIGINT) AS n_found, TRUE AS recall_ok
     """,
     "q_knn_ivf_recall": """
         SELECT 10 AS k, CAST(10 AS BIGINT) AS n_found, TRUE AS recall_ok
