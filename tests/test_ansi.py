@@ -50,6 +50,10 @@ RISKY = [
     "q_approx_distinct_check",  # r5 relative-error division
     "q_knn_ivf_recall",         # r5 recall count comparison
     "q_dedup_minhash",          # r5 collapse + expansion joins
+    "q_dedup_simhash_check",    # r6 bit ops + all-pairs count compare
+    "q_knn_lsh_recall",         # r6 hamming probe + recall comparison
+    "q_decision_tree",          # r6 TAO care-point aggregates + loss div
+    "q_decontaminate",          # r6 hashed-cache derivation + frac division
 ]
 
 
