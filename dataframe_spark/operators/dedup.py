@@ -686,25 +686,25 @@ def minhash_signatures(
     return arrs_h.select("id", _minhash_sig_expr(num_perm).alias("sig"))
 
 
-def _perm_hash(i: int):
-    """Single-parameter permutation-i rehash for F.transform.
-
-    MUST be a one-arg callable built by a factory: a
-    ``lambda h, i=i:`` has arity 2, and PySpark's ``transform``
-    inspects the signature and passes the ARRAY INDEX as the second
-    argument — silently overriding the permutation index, which
-    collapsed every signature entry to the same value (caught r5:
-    a Jaccard-0.9 pair showed 0/64 minhash agreement)."""
-    return lambda h: F.xxhash64(h, F.lit(i))
-
-
 def _minhash_sig_expr(num_perm: int):
-    """array<bigint> minhash signature over a hashed shingle array."""
-    return F.array(
-        *[
-            F.array_min(F.transform("sh_arr", _perm_hash(i)))
-            for i in range(num_perm)
-        ]
+    """array<bigint> minhash signature over a hashed shingle array.
+
+    ONE nested higher-order expression — the permutation loop runs at
+    RUNTIME over ``sequence(0, num_perm-1)`` instead of unrolling
+    num_perm ``array_min ∘ transform`` subtrees at plan-build time.
+    Identical values (xxhash64(h, i) hashes the int pair the same
+    whether i is a literal or the outer lambda variable), but the
+    expression tree is ~num_perm× smaller: the unrolled form cost
+    ~0.9 s of py4j construction + analysis PER DataFrame build,
+    which bench pays on every pass (r6). Both lambdas are single-
+    parameter, so the r5 arity trap (PySpark passes the array index
+    as a second lambda arg, silently shadowing the permutation
+    index) cannot re-occur here."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(
+            F.transform("sh_arr", lambda h: F.xxhash64(h, i))
+        ),
     )
 
 
