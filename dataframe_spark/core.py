@@ -395,7 +395,9 @@ class DataFrame:
         # so a value tied across IDENTICAL rows still lands in one
         # bucket — but for identical rows every trim is equivalent
         # and only the sort cost, not correctness, is affected.
-        hashable = [c for c, t in self.df.dtypes if not t.startswith("map")]
+        # xxhash64 rejects MAP anywhere in the type (also nested, e.g.
+        # array<map<...>>) — review r6
+        hashable = [c for c, t in self.df.dtypes if "map" not in t]
         salt_e = (
             F.pmod(
                 F.xxhash64(*[F.col(c) for c in hashable]),

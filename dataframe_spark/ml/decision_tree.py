@@ -98,9 +98,10 @@ def fit_decision_tree(
 
     After the greedy build, ``tao_iterations`` rounds of TAO
     alternating optimization refine the fixed structure (reference
-    ``taoOptimize`` DecisionTree.hs:125; 0 disables). The greedy tree
-    stays a valid fit — TAO is loss-non-increasing because every
-    node's current condition remains in its candidate set."""
+    ``taoOptimize`` DecisionTree.hs:125; 0 disables). The result
+    never has higher training loss than the greedy tree:
+    tao_optimize returns the lowest-loss tree it observed, the
+    greedy input included."""
     if features is None:
         features = [c for c, t in df.dtypes if is_numeric_dtype(t) and c != target]
     if not features:
@@ -310,6 +311,32 @@ def fit_decision_tree(
     return root
 
 
+def _clone_tree(t: Tree | None) -> Tree | None:
+    """Fresh node per POSITION: isolates the caller's tree from
+    tao_optimize's in-place sweeps and breaks any aliasing (a
+    hand-built tree reusing one Tree object in two positions would
+    otherwise collapse two distinct routing nodes into one id —
+    review r6)."""
+    if t is None:
+        return None
+    return Tree(
+        prediction=t.prediction,
+        feature=t.feature,
+        threshold=t.threshold,
+        left=_clone_tree(t.left),
+        right=_clone_tree(t.right),
+        n=t.n,
+        gini=t.gini,
+    )
+
+
+# candidate (errors, left-count) pairs aggregated per pass — bounds
+# the per-agg expression tree the way the minhash HOF rewrite bounds
+# the signature tree (review r6: a wide low-cardinality feature set
+# can push the global grid to hundreds of candidates)
+TAO_CAND_CHUNK = 64
+
+
 def _nodes_at_depth(root: Tree, d: int) -> list[Tree]:
     out: list[Tree] = []
 
@@ -360,15 +387,25 @@ def tao_optimize(
       final split underfills a side collapses to its majority leaf
       (reference ``optimizeNode``).
 
-    Spark-first: one level = TWO distributed aggregations regardless
-    of node count — (node, label) counts for majorities/totals, then
-    a single groupBy("__node") pass whose columns are (errors,
-    left-count) per candidate, with the fixed child subtrees compiled
-    to CASE columns so care-point identification is pure JVM
-    expression work. Rows never reach the driver; per-level driver
-    state is O(nodes × candidates). Convergence: stop when the full
-    tree's misclassification loss improves by less than ``tol``
-    (one extra one-row aggregation per iteration).
+    Spark-first: one level = a (node, label) counts aggregation for
+    majorities/totals, plus groupBy("__node") passes whose columns
+    are (errors, left-count) per candidate — chunked at
+    TAO_CAND_CHUNK candidates per pass so the expression tree stays
+    bounded however wide the grid — with the fixed child subtrees
+    compiled to CASE columns so care-point identification is pure
+    JVM expression work. Rows never reach the driver; per-level
+    driver state is O(nodes × candidates). Convergence: stop when
+    the full tree's misclassification loss improves by less than
+    ``tol`` (one extra one-row aggregation per iteration).
+
+    The caller's tree is NOT mutated (it is cloned on entry), and
+    the return value is the LOWEST-LOSS tree observed across
+    iterations including the input itself — so the result never
+    degrades the initial fit even when a re-routed node's incumbent
+    split becomes invalid and a forced replacement or collapse
+    raises loss mid-run (the reference returns the final iteration
+    unconditionally; the snapshot makes the non-degradation
+    guarantee real — review r6).
 
     Deterministic: exact integer counts, candidate ties broken by
     (errors, feature, threshold)."""
@@ -390,6 +427,8 @@ def tao_optimize(
     for f, mids in (global_mids or {}).items():
         for v in mids:
             grid.add((f, float(v)))
+
+    root = _clone_tree(root)  # isolate the caller's tree + unshare
 
     def loss() -> float:
         pred = tree_to_expr(root)
@@ -421,6 +460,7 @@ def tao_optimize(
         )
 
     prev_loss = loss()
+    best_loss, best_tree = prev_loss, _clone_tree(root)
     for _it in range(iterations):
         for d in range(root.depth(), -1, -1):
             nodes = _nodes_at_depth(root, d)
@@ -455,29 +495,30 @@ def tao_optimize(
             correct_l = lp.eqNullSafe(F.col(target))
             correct_r = rp.eqNullSafe(F.col(target))
             care = correct_l != correct_r
-            aggs = [
-                F.count(F.lit(1)).alias("__tot"),
-                F.sum(care.cast("long")).alias("__care"),
-            ]
-            for i, (f, thr) in enumerate(cands):
-                goes_left = _goes_left(f, thr)
-                aggs.append(
-                    F.sum(
-                        (care & (correct_l != goes_left)).cast("long")
-                    ).alias(f"__err_{i}")
-                )
-                aggs.append(
-                    F.sum(goes_left.cast("long")).alias(f"__nl_{i}")
-                )
-            brow = {
-                r["__node"]: r
-                for r in assigned.where(
-                    F.col("__node").isin([ids[id(t)] for t in branches])
-                )
-                .groupBy("__node")
-                .agg(*aggs)
-                .collect()
-            }
+            branch_rows = assigned.where(
+                F.col("__node").isin([ids[id(t)] for t in branches])
+            )
+            brow: dict[int, dict] = {}
+            for lo in range(0, len(cands), TAO_CAND_CHUNK):
+                aggs = [
+                    F.count(F.lit(1)).alias("__tot"),
+                    F.sum(care.cast("long")).alias("__care"),
+                ]
+                for i in range(lo, min(lo + TAO_CAND_CHUNK, len(cands))):
+                    f, thr = cands[i]
+                    goes_left = _goes_left(f, thr)
+                    aggs.append(
+                        F.sum(
+                            (care & (correct_l != goes_left)).cast("long")
+                        ).alias(f"__err_{i}")
+                    )
+                    aggs.append(
+                        F.sum(goes_left.cast("long")).alias(f"__nl_{i}")
+                    )
+                for r in (
+                    branch_rows.groupBy("__node").agg(*aggs).collect()
+                ):
+                    brow.setdefault(r["__node"], {}).update(r.asDict())
             for t in branches:
                 nid = ids[id(t)]
                 r = brow.get(nid)
@@ -517,10 +558,12 @@ def tao_optimize(
                 else:
                     t.feature, t.threshold = f, thr
         new_loss = loss()
+        if new_loss < best_loss:
+            best_loss, best_tree = new_loss, _clone_tree(root)
         if prev_loss - new_loss < tol:
             break
         prev_loss = new_loss
-    return root
+    return best_tree
 
 
 def predict(df: SparkDF, tree: Tree, out_col: str = "prediction") -> SparkDF:

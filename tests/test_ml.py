@@ -106,6 +106,44 @@ def test_tao_repairs_suboptimal_tree(spark):
     assert _accuracy(df, fixed) == 1.0
 
 
+def test_tao_preserves_input_and_handles_aliasing(spark):
+    """tao_optimize must not mutate the caller's tree (clone on
+    entry) and must treat a Tree object reused in two positions as
+    two distinct nodes (review r6)."""
+    from dataframe_spark.ml.decision_tree import Tree, tree_to_expr
+
+    rows = [(0.5, "A")] * 6 + [(1.5, "B")] * 4
+    df = spark.createDataFrame(rows, "x double, label string")
+    shared = Tree(prediction="B")
+    bad = Tree(
+        feature="x",
+        threshold=2.0,
+        left=shared,
+        right=shared,  # aliased node in two positions
+    )
+    before = (bad.feature, bad.threshold, bad.left.prediction)
+    fixed = tao_optimize(df, "label", ["x"], bad, percentiles=(50,),
+                         global_mids={"x": [1.0]})
+    assert (bad.feature, bad.threshold, bad.left.prediction) == before
+    assert fixed is not bad
+    assert _accuracy(df, fixed) >= _accuracy(df, bad)
+
+
+def test_drop_last_nested_map_column(spark):
+    """The salt hash must skip columns with MAP anywhere in the type
+    (xxhash64 rejects nested maps too — review r6)."""
+    from dataframe_spark.core import DataFrame
+
+    df = DataFrame(
+        spark.createDataFrame(
+            [(1, [{"a": 1}]), (2, [{"b": 2}]), (3, [{"c": 3}])],
+            "x int, m array<map<string,int>>",
+        )
+    )
+    out = df.drop_last(1, order_by="x").collect()
+    assert [r["x"] for r in out] == [1, 2]
+
+
 def test_tao_never_degrades_greedy(spark):
     """fit_decision_tree's TAO pass must end at least as accurate as
     the pure greedy tree on the same data (loss-non-increasing: each
