@@ -657,3 +657,81 @@ def remove_boilerplate_lines(
         )
         .drop("__boiler")
     )
+
+
+def bm25_topk(
+    df,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 keyword retrieval: score every document against a
+    fixed bag of query terms, return the top ``k`` (the retrieval
+    primitive a training-data pipeline uses for targeted corpus
+    pulls and eval-set mining; complements tf_idf's corpus-wide
+    weights — reference scope: Operations/Aggregation.hs-style
+    derived scoring, no direct Haskell counterpart).
+
+    Plan shape (the 100 TB design): per-document term frequencies
+    and document length are computed IN-ROW (size/filter over the
+    token array — narrow projection, ZERO shuffle, no token-stream
+    explode); the corpus stats the formula needs (N, avgdl, per-term
+    document frequency) reduce to ONE one-row aggregate that rides
+    back in via a broadcast crossJoin. Scoring is then a per-row
+    expression and the only shuffle in the plan is the global top-k
+    (TakeOrderedAndProject — bounded by k per partition).
+
+    idf uses the standard non-negative Robertson-Sparck-Jones form
+    ln(1 + (N - df + 0.5)/(df + 0.5)). Output: (id, bm25) rounded to
+    4, ordered by rounded score desc then id asc (the round-first
+    ordering keeps the top-k cutoff engine-stable under float ulp
+    drift)."""
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("bm25_topk: query_terms must be distinct")
+
+    def _tf(term):
+        # factory, NOT a 2-arg lambda with a default: PySpark passes
+        # the array index as the 2nd arg, shadowing the closure var
+        return F.size(F.filter(tokens(text_col), lambda t: t == F.lit(term)))
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(text_col)).alias("__dl"),
+        *[_tf(t).alias(f"__tf_{i}") for i, t in enumerate(query_terms)],
+    ).where(F.col("__dl") > 0)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    parts = []
+    for i in range(len(query_terms)):
+        tf = F.col(f"__tf_{i}").cast("double")
+        dfreq = F.col(f"__df_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__n_docs") - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
+        )
+        norm = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+        )
+        parts.append(idf * tf * F.lit(k1 + 1.0) / norm)
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+    scored = base.crossJoin(F.broadcast(stats)).select(
+        "id", F.round(score, 4).alias("bm25")
+    )
+    return (
+        scored.where(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.asc("id"))
+        .limit(k)
+    )

@@ -75,11 +75,11 @@ WINDOW_PRIORITY = [
     "q_embed_norm",
     "q_embed_centroid",
     "q_synthesis",             # rows-only; decimal+NaN fixes r5
-    "q_correlation",           # 44-50: r4-green rotation
-    "q_stats_agg",
-    "q_mode",
-    "q_value_counts",
-    "q_describe",
+    "q_bm25",                  # 44-47: NEW late-r6 (never driver-checked)
+    "q_approx_quantiles_check",  # new: GK rank-bound invariant
+    "q_sample_check",          # new: seeded-sample replay invariant
+    "q_synthesis_check",       # new: recomputed-score invariant
+    "q_describe",              # 48-50: r4-green rotation
     "q_skewness",
     "q_duplicated_spans",
 ]

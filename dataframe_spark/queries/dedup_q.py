@@ -277,7 +277,38 @@ def q_sample(spark, sf_dir):
     return li.sample(0.1, seed=42).select(["l_orderkey", "l_linenumber"]).df
 
 
+def q_sample_check(spark, sf_dir):
+    """Hard-signal invariant for the seeded Bernoulli sampler
+    (oracle-backed upgrade of rows-only q_sample, the
+    q_knn_ivf_recall pattern): (a) replaying the same seed yields
+    the SAME row set (symmetric difference of two independently
+    built sample plans is empty — the reproducibility contract a
+    training pipeline relies on for resumable runs), and (b) the
+    sample size lands within 6 binomial standard deviations of
+    fraction·n. Both sides computed in Spark; the oracle pins the
+    booleans."""
+    li = _t(spark, sf_dir, "lineitem")
+    keys = ["l_orderkey", "l_linenumber"]
+    s1 = li.sample(0.1, seed=42).select(keys).df
+    s2 = li.sample(0.1, seed=42).select(keys).df
+    diff = s1.exceptAll(s2).unionByName(s2.exceptAll(s1))
+    d = diff.agg(F.count(F.lit(1)).alias("__d"))
+    k = s1.agg(F.count(F.lit(1)).alias("__k"))
+    n = li.df.agg(F.count(F.lit(1)).alias("__n"))
+    mean = 0.1 * F.col("__n")
+    sd = F.sqrt(F.lit(0.1 * 0.9) * F.col("__n"))
+    return (
+        d.crossJoin(F.broadcast(k))
+        .crossJoin(F.broadcast(n))
+        .select(
+            (F.col("__d") == 0).alias("deterministic_replay"),
+            (F.abs(F.col("__k") - mean) <= 6 * sd).alias("size_within_6sd"),
+        )
+    )
+
+
 QUERIES = {
+    "q_sample_check": q_sample_check,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_cluster": q_dedup_cluster,
@@ -314,6 +345,9 @@ _SHINGLES = """
 """
 
 ORACLES = {
+    "q_sample_check": """
+        SELECT TRUE AS deterministic_replay, TRUE AS size_within_6sd
+    """,
     "q_fuzzy_pairs": """
         WITH v AS (
           SELECT p_name, MIN(p_partkey) AS id FROM part

@@ -197,6 +197,47 @@ def q_approx_quantiles(spark, sf_dir):
     )
 
 
+def q_approx_quantiles_check(spark, sf_dir):
+    """Hard-signal invariant for the GK sketch path (oracle-backed
+    upgrade of rows-only q_approx_quantiles, the q_knn_ivf_recall
+    pattern): every sketch value must satisfy the Greenwald-Khanna
+    rank guarantee — the fraction of rows strictly below the value
+    is ≤ prob + rel_err and the fraction at-or-below is
+    ≥ prob - rel_err — with BOTH sides computed in Spark (the rank
+    recount is one conditional agg over the unpivoted columns joined
+    to the broadcast 6-row sketch). Deterministic for fixed data, so
+    the booleans are a stable hard check; the oracle pins them."""
+    li = _t(spark, sf_dir, "lineitem")
+    probs = [0.1, 0.5, 0.9]
+    rel_err = 0.01
+    sk = li.approx_quantiles(
+        ["l_quantity", "l_extendedprice"], probs, rel_err=rel_err
+    ).df
+    vals = li.df.selectExpr(
+        "stack(2, 'l_quantity', CAST(l_quantity AS DOUBLE), "
+        "'l_extendedprice', CAST(l_extendedprice AS DOUBLE)) "
+        "AS (column_name, x)"
+    ).where(F.col("x").isNotNull())
+    counts = (
+        vals.join(F.broadcast(sk), "column_name")
+        .groupBy("column_name", "prob")
+        .agg(
+            F.sum((F.col("x") < F.col("value")).cast("long")).alias("__lt"),
+            F.sum((F.col("x") <= F.col("value")).cast("long")).alias("__le"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    eps = rel_err + 1e-9
+    within = (
+        F.col("__lt") / F.col("__n") <= F.col("prob") + F.lit(eps)
+    ) & (F.col("__le") / F.col("__n") >= F.col("prob") - F.lit(eps))
+    return counts.select(
+        "column_name",
+        F.round("prob", 2).alias("prob"),
+        within.alias("within_rank_bound"),
+    ).orderBy("column_name", "prob")
+
+
 def q_source_overlap(spark, sf_dir):
     """Cross-source 3-gram overlap matrix (operators/dedup.py
     source_overlap): shared distinct shingles per source pair."""
@@ -221,10 +262,20 @@ QUERIES = {
     "q_duplicated_spans": q_duplicated_spans,
     "q_quantile_bucket": q_quantile_bucket,
     "q_approx_quantiles": q_approx_quantiles,
+    "q_approx_quantiles_check": q_approx_quantiles_check,
     "q_source_overlap": q_source_overlap,
 }
 
 ORACLES = {
+    "q_approx_quantiles_check": """
+        SELECT column_name, CAST(prob AS DOUBLE) AS prob,
+               TRUE AS within_rank_bound FROM (VALUES
+          ('l_extendedprice', 0.1), ('l_extendedprice', 0.5),
+          ('l_extendedprice', 0.9),
+          ('l_quantity', 0.1), ('l_quantity', 0.5), ('l_quantity', 0.9)
+        ) AS t(column_name, prob)
+        ORDER BY column_name, prob
+    """,
     "q_welch_t": """
         WITH s AS (
           SELECT COUNT(CASE WHEN event_type = 'click' THEN value END) AS n_a,

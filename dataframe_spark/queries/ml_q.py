@@ -86,6 +86,38 @@ def q_synthesis(spark, sf_dir):
     return spark.createDataFrame(rows, "expr string, score double")
 
 
+def q_synthesis_check(spark, sf_dir):
+    """Hard-signal invariant for beam-search synthesis (oracle-backed
+    upgrade of rows-only q_synthesis, the q_knn_ivf_recall pattern):
+    the depth-2 search over (l_quantity, l_extendedprice, l_tax) must
+    recover the planted product target — the winner's squared Pearson
+    correlation, RECOMPUTED in one direct Spark agg from the winning
+    program's column expression (not the search's own chunked score),
+    must be ≥ 0.9999, and must agree with the reported beam score to
+    1e-6. The oracle pins the booleans."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity",
+        "l_extendedprice",
+        "l_tax",
+        (F.col("l_quantity") * F.col("l_extendedprice")).alias("gross"),
+    )
+    cfg = BeamConfig(search_depth=2, beam_length=8, max_candidates=300)
+    res = beam_search(li, "gross", cfg)
+    if res is None:
+        return spark.createDataFrame(
+            [(False, False)], "recovered boolean, score_consistent boolean"
+        )
+    r2 = F.pow(
+        F.corr(res.col.cast("double"), F.col("gross").cast("double")), 2
+    )
+    return li.agg(r2.alias("__r2")).select(
+        (F.col("__r2") >= 0.9999).alias("recovered"),
+        (F.abs(F.col("__r2") - F.lit(float(res.score))) <= 1e-6).alias(
+            "score_consistent"
+        ),
+    )
+
+
 def q_logreg_classifier(spark, sf_dir):
     """Distributed logistic regression recovers a margin-separated
     linear rule on lineitem (``l_quantity - 200*l_discount > 10``,
@@ -120,11 +152,15 @@ def q_logreg_classifier(spark, sf_dir):
 QUERIES = {
     "q_mutual_info": q_mutual_info,
     "q_synthesis": q_synthesis,
+    "q_synthesis_check": q_synthesis_check,
     "q_logreg_classifier": q_logreg_classifier,
 }
 
 ORACLES = {
     "q_mutual_info": _MI_ORACLE,
+    "q_synthesis_check": """
+        SELECT TRUE AS recovered, TRUE AS score_consistent
+    """,
     "q_logreg_classifier": """
         WITH f AS (
           SELECT CASE WHEN l_quantity - 200 * l_discount - 10 > 0

@@ -242,7 +242,17 @@ def q_boilerplate(spark, sf_dir):
     return out.select("doc_id", "cleaned", "n_lines_removed")
 
 
+def q_bm25(spark, sf_dir):
+    """BM25 top-20 retrieval for a fixed 3-term query over the
+    documents corpus ('dup' is the rare discriminative term —
+    df ≈ 5% — 'vector'/'key' are common): per-doc tf/dl in-row,
+    corpus stats in one broadcast one-row agg, global top-k."""
+    docs = _t(spark, sf_dir, "documents").df
+    return T.bm25_topk(docs, "doc_id", "text", ["dup", "vector", "key"], k=20)
+
+
 QUERIES = {
+    "q_bm25": q_bm25,
     "q_boilerplate": q_boilerplate,
     "q_token_count": q_token_count,
     "q_repetition": q_repetition,
@@ -279,6 +289,43 @@ _MIX_CASE = " ".join(
 )
 
 ORACLES = {
+    "q_bm25": f"""
+        WITH base AS (
+          SELECT doc_id,
+                 LEN({_TOKS}) AS dl,
+                 LEN(LIST_FILTER({_TOKS}, t -> t = 'dup')) AS tf0,
+                 LEN(LIST_FILTER({_TOKS}, t -> t = 'vector')) AS tf1,
+                 LEN(LIST_FILTER({_TOKS}, t -> t = 'key')) AS tf2
+          FROM documents
+          WHERE LEN({_TOKS}) > 0
+        ), stats AS (
+          SELECT COUNT(*) AS n_docs,
+                 AVG(dl) AS avgdl,
+                 SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                 SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                 SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+          FROM base
+        )
+        SELECT doc_id AS id,
+               ROUND(
+                 LN(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+                   * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               + LN(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+                   * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               + LN(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+                   * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               , 4) AS bm25
+        FROM base CROSS JOIN stats
+        WHERE ROUND(
+                 LN(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+                   * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               + LN(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+                   * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               + LN(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+                   * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               , 4) > 0
+        ORDER BY bm25 DESC, id ASC LIMIT 20
+    """,
     "q_boilerplate": """
         WITH lined AS (
           SELECT doc_id, replace(text, ' the ', chr(10)) AS text

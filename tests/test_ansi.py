@@ -54,6 +54,10 @@ RISKY = [
     "q_knn_lsh_recall",         # r6 hamming probe + recall comparison
     "q_decision_tree",          # r6 TAO care-point aggregates + loss div
     "q_decontaminate",          # r6 hashed-cache derivation + frac division
+    "q_bm25",                   # r6 idf log + length-norm divisions
+    "q_approx_quantiles_check", # r6 rank-fraction divisions
+    "q_sample_check",           # r6 binomial sd sqrt + size arithmetic
+    "q_synthesis_check",        # r6 corr recompute (0/0 on constants)
 ]
 
 

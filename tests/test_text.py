@@ -336,3 +336,39 @@ def test_js_divergence_bounds_and_known_cases(spark):
     ab = T.js_divergence(df3, "text", "g", "a", "b").collect()[0]["jsd_bits"]
     ba = T.js_divergence(df3, "text", "g", "b", "a").collect()[0]["jsd_bits"]
     assert abs(ab - ba) < 1e-12 and 0 < ab < 1
+
+
+def test_bm25_ranks_rare_term_and_length_norm(spark):
+    # doc 1: rare term; docs 2-3: common term only (3 longer);
+    # doc 4: no query terms; doc 5: empty (dropped by dl > 0)
+    rows = [
+        (1, "zebra alpha alpha"),
+        (2, "alpha alpha alpha"),
+        (3, "alpha alpha alpha beta beta beta beta beta"),
+        (4, "beta beta"),
+        (5, "   "),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = T.bm25_topk(df, "id", "text", ["zebra", "alpha"], k=10)
+    got = [(r["id"], r["bm25"]) for r in out.collect()]
+    ids = [i for i, _ in got]
+    # only docs containing a query term score > 0
+    assert set(ids) == {1, 2, 3}
+    # the rare-term doc dominates (idf of 'zebra' >> 'alpha')
+    assert ids[0] == 1
+    # equal tf, shorter doc wins on length normalization
+    assert ids.index(2) < ids.index(3)
+    # scores are positive and descending
+    scores = [s for _, s in got]
+    assert scores == sorted(scores, reverse=True) and scores[-1] > 0
+
+
+def test_bm25_topk_limit_and_guards(spark):
+    rows = [(i, "alpha " * (i + 1)) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = T.bm25_topk(df, "id", "text", ["alpha"], k=7)
+    assert out.count() == 7
+    with pytest.raises(ValueError):
+        T.bm25_topk(df, "id", "text", [])
+    with pytest.raises(ValueError):
+        T.bm25_topk(df, "id", "text", ["a", "a"])
