@@ -139,7 +139,9 @@ def q_logreg_classifier(spark, sf_dir):
         F.col("l_quantity").cast("double").alias("qty"),
         F.col("l_discount").cast("double").alias("disc"),
     ).where(F.abs(marg) > 5)
-    m = fit_logistic_regression(feats, "y", ["qty", "disc"], iters=60)
+    m = fit_logistic_regression(
+        feats, "y", ["qty", "disc"], iters=60, error_patience=5
+    )
     pred = feats.select("y", predict_expr(m).alias("p"))
     return pred.agg(
         F.sum(((F.col("y") == 1) & (F.col("p") == 1)).cast("long")).alias("tp"),

@@ -219,3 +219,25 @@ def test_logreg_nan_rows_excluded(spark):
         for r in df.where("NOT isnan(x)").select(predict_expr(m).alias("p")).collect()
     ]
     assert preds == [1, 1, 0, 0]
+
+
+def test_logreg_error_patience_early_stop(spark):
+    from dataframe_spark.ml import fit_logistic_regression, predict_expr
+
+    rows = [(float(a), float(b), 1 if 2 * a - b > 0 else 0)
+            for a in range(-5, 6) for b in range(-5, 6) if 2 * a != b]
+    df = spark.createDataFrame(rows, "a double, b double, y int")
+    fast = fit_logistic_regression(
+        df, "y", ["a", "b"], iters=80, error_patience=5
+    )
+    # boundary stabilizes early on separable data -> far fewer passes
+    assert fast.n_iters < 80
+    acc = (
+        df.select((predict_expr(fast) == F.col("y")).cast("int").alias("ok"))
+        .agg(F.avg("ok"))
+        .collect()[0][0]
+    )
+    assert acc == 1.0
+    # disabled path still runs the full fixed iteration count
+    full = fit_logistic_regression(df, "y", ["a", "b"], iters=12)
+    assert full.n_iters == 12
