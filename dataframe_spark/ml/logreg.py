@@ -154,20 +154,25 @@ def fit_logistic_regression(
         grad_aggs = [F.sum(resid * F.col(f"__z{i}")).alias(f"g{i}") for i in range(k)]
         grad_aggs.append(F.sum(resid).alias("gb"))
         if error_patience is not None:
+            # margin >= 0 matches predict_expr's proba >= 0.5 boundary
             grad_aggs.append(
-                F.sum(((margin > 0).cast("double") != y).cast("long")).alias(
+                F.sum(((margin >= 0).cast("double") != y).cast("long")).alias(
                     "__err"
                 )
             )
         g = zdf.agg(*grad_aggs).collect()[0]
-        for i in range(k):
-            w[i] -= learning_rate * (float(g[f"g{i}"]) / n + l2 * w[i])
-        b -= learning_rate * float(g["gb"]) / n
         n_iters += 1
         if error_patience is not None:
+            # __err counts the CURRENT weights' errors — break BEFORE
+            # applying this pass's update so the returned weights are
+            # exactly the ones verified at zero error (one more lr=1.0
+            # step could flip a near-boundary point unverified)
             zero_streak = zero_streak + 1 if int(g["__err"]) == 0 else 0
             if zero_streak >= error_patience:
                 break
+        for i in range(k):
+            w[i] -= learning_rate * (float(g[f"g{i}"]) / n + l2 * w[i])
+        b -= learning_rate * float(g["gb"]) / n
     # one loss-only pass over the FINAL weights: folding the loss
     # into the gradient agg would report the pre-update model's loss
     loss = (

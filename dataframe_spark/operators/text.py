@@ -691,17 +691,37 @@ def bm25_topk(
     drift)."""
     if not query_terms:
         raise ValueError("bm25_topk: query_terms must be non-empty")
+    # tokens() lowercases the text and splits on whitespace — a term
+    # with an uppercase letter or embedded whitespace would silently
+    # match nothing, so normalize case here and reject multi-token
+    # input instead of scoring it as 0
+    import re as _re
+
+    if any(_re.search(r"\s", t) for t in query_terms):
+        raise ValueError("bm25_topk: query_terms must be single tokens")
+    query_terms = [t.lower() for t in query_terms]
     if len(set(query_terms)) != len(query_terms):
         raise ValueError("bm25_topk: query_terms must be distinct")
 
     def _tf(term):
         # factory, NOT a 2-arg lambda with a default: PySpark passes
         # the array index as the 2nd arg, shadowing the closure var
-        return F.size(F.filter(tokens(text_col), lambda t: t == F.lit(term)))
+        return F.size(F.filter(F.col("__toks"), lambda t: t == F.lit(term)))
 
-    base = df.select(
+    # materialize the token array ONCE per row: higher-order filters
+    # are CodegenFallback (no common-subexpression elimination) and
+    # CollapseProject inlines a plain alias into every consumer, so a
+    # two-step select still re-tokenizes per term (verified in the
+    # physical plan). explode(array(...)) is a Generate node — a
+    # collapse barrier — and one-element explode keeps row counts
+    # (plan-verified: exactly one split(lower(trim)) remains)
+    toked = df.select(
         F.col(id_col).alias("id"),
-        F.size(tokens(text_col)).alias("__dl"),
+        F.explode(F.array(tokens(text_col))).alias("__toks"),
+    )
+    base = toked.select(
+        "id",
+        F.size(F.col("__toks")).alias("__dl"),
         *[_tf(t).alias(f"__tf_{i}") for i, t in enumerate(query_terms)],
     ).where(F.col("__dl") > 0)
     stats = base.agg(

@@ -23,7 +23,9 @@ MODULES = [stats_q, relational, extras_q, windows_q, text_q, exprs_q, ml_q, dedu
 # FIRST 50 entries each round. The r6 window (VERDICT r5 ask #1)
 # prioritizes (a) every plan changed THIS round (dedup perf rework,
 # decontamination cache sharing, asof suffix uniquification, the TAO
-# tree) plus the two NEW invariant queries, (b) the r5-fixed plans
+# tree) plus the SIX queries new this round (simhash/LSH invariants
+# in slots 7-8; late-r6 q_bm25 + three rows-only-upgrade invariants
+# in slots 44-47), (b) the r5-fixed plans
 # whose driver-green rows predate their fixes (histogram null
 # bucket, chunk overlap, type-inference rework, fuzzy short-block
 # re-band), (c) the late-r4 cohort that churned under r5 review

@@ -288,15 +288,16 @@ def q_sample_check(spark, sf_dir):
     fraction·n. Both sides computed in Spark; the oracle pins the
     booleans."""
     li = _t(spark, sf_dir, "lineitem")
+    frac = 0.1
     keys = ["l_orderkey", "l_linenumber"]
-    s1 = li.sample(0.1, seed=42).select(keys).df
-    s2 = li.sample(0.1, seed=42).select(keys).df
+    s1 = li.sample(frac, seed=42).select(keys).df
+    s2 = li.sample(frac, seed=42).select(keys).df
     diff = s1.exceptAll(s2).unionByName(s2.exceptAll(s1))
     d = diff.agg(F.count(F.lit(1)).alias("__d"))
     k = s1.agg(F.count(F.lit(1)).alias("__k"))
     n = li.df.agg(F.count(F.lit(1)).alias("__n"))
-    mean = 0.1 * F.col("__n")
-    sd = F.sqrt(F.lit(0.1 * 0.9) * F.col("__n"))
+    mean = frac * F.col("__n")
+    sd = F.sqrt(F.lit(frac * (1 - frac)) * F.col("__n"))
     return (
         d.crossJoin(F.broadcast(k))
         .crossJoin(F.broadcast(n))

@@ -210,17 +210,21 @@ def q_approx_quantiles_check(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     probs = [0.1, 0.5, 0.9]
     rel_err = 0.01
-    sk = li.approx_quantiles(
-        ["l_quantity", "l_extendedprice"], probs, rel_err=rel_err
-    ).df
+    cols = ["l_quantity", "l_extendedprice"]
+    sk = li.approx_quantiles(cols, probs, rel_err=rel_err).df
+    # data-sized stages key on an INT column index, not the name
+    # string — string join/group keys over the unpivoted stream cost
+    # ~4x (measured r5); the index maps back to the name only on the
+    # 6-row result
+    name_to_ci = F.when(F.col("column_name") == cols[0], 0).otherwise(1)
+    sk_ix = sk.select(name_to_ci.alias("__ci"), "prob", "value")
     vals = li.df.selectExpr(
-        "stack(2, 'l_quantity', CAST(l_quantity AS DOUBLE), "
-        "'l_extendedprice', CAST(l_extendedprice AS DOUBLE)) "
-        "AS (column_name, x)"
+        "stack(2, 0, CAST(l_quantity AS DOUBLE), "
+        "1, CAST(l_extendedprice AS DOUBLE)) AS (__ci, x)"
     ).where(F.col("x").isNotNull())
     counts = (
-        vals.join(F.broadcast(sk), "column_name")
-        .groupBy("column_name", "prob")
+        vals.join(F.broadcast(sk_ix), "__ci")
+        .groupBy("__ci", "prob")
         .agg(
             F.sum((F.col("x") < F.col("value")).cast("long")).alias("__lt"),
             F.sum((F.col("x") <= F.col("value")).cast("long")).alias("__le"),
@@ -232,7 +236,9 @@ def q_approx_quantiles_check(spark, sf_dir):
         F.col("__lt") / F.col("__n") <= F.col("prob") + F.lit(eps)
     ) & (F.col("__le") / F.col("__n") >= F.col("prob") - F.lit(eps))
     return counts.select(
-        "column_name",
+        F.when(F.col("__ci") == 0, cols[0])
+        .otherwise(cols[1])
+        .alias("column_name"),
         F.round("prob", 2).alias("prob"),
         within.alias("within_rank_bound"),
     ).orderBy("column_name", "prob")
