@@ -271,7 +271,12 @@ def kmeans_fit(
     batch against the broadcast centroids), the new centroids are
     per-dimension avg aggregates (JVM, map-side partial agg). Rows
     never reach the driver."""
-    vecs = df.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("vec"))
+    # null embeddings would poison the init stack (np.stack over a
+    # None) and every avg; a corpus with missing vectors is normal —
+    # they simply don't participate in the model
+    vecs = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), _dvec(vec_col).alias("vec")
+    )
     init = (
         vecs.orderBy(F.xxhash64(F.col("id"), F.lit(seed)), F.col("id"))
         .limit(k)
@@ -443,4 +448,86 @@ def knn_lsh(
         .select(F.col(id_col), "cosine")
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def semdedup(
+    df: SparkDF,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    tau: float = 0.9,
+    max_iter: int = 3,
+    seed: int = 42,
+    centroids=None,
+) -> SparkDF:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-partition the embedding space, then
+    within each cluster keep ONE representative per group of
+    semantically-near documents (cosine >= ``tau``, closed
+    transitively) and mark the rest as drops.
+
+    Output: ``(id, cluster, keep)`` for every input row with a
+    non-null embedding — ``keep=false`` marks the semantic
+    duplicates a training pipeline filters out. Cross-cluster near
+    pairs are NOT considered (the paper's documented approximation;
+    that is exactly what makes the method scale).
+
+    The 100 TB shape: candidate scoring is an EQUI-join on the
+    cluster id, so the pair cost is sum of squared CLUSTER sizes —
+    bounded by choosing ``k`` proportional to corpus size (the
+    paper's setting: 50k clusters for LAION-440M) — never corpus
+    all-pairs. The model is k x dim driver floats (same footprint
+    contract as the IVF codebook); assignment is one Arrow-batched
+    BLAS pass; duplicate grouping is the alternating-star connected
+    components over within-cluster edges only; norms are computed
+    once per ROW (not per pair) so the join predicate is a single
+    dot product. Deterministic: seeded init, fixed iteration count,
+    sequential-summation dot products; the survivor is the smallest
+    id per duplicate group (the paper keeps the member with the
+    LOWEST centroid similarity; min-id is this engine's
+    deterministic, tie-stable choice — swap via the returned flags
+    if centroid-distance policy is needed)."""
+    from .dedup import _reusable
+    from .graph import connected_components
+
+    if centroids is None:
+        centroids = kmeans_fit(
+            df, id_col, vec_col, k=k, max_iter=max_iter, seed=seed
+        )
+    C = _unit_rows(centroids)
+    sides = _reusable(
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), _dvec(vec_col).alias("__v"))
+        .withColumn("__cid", _assign_udf(C)(F.col("__v")))
+        .withColumn("__nrm", norm(F.col("__v")))
+    )
+    a = sides.select(
+        F.col("id").alias("a_id"),
+        "__cid",
+        F.col("__v").alias("__va"),
+        F.col("__nrm").alias("__na"),
+    )
+    b = sides.select(
+        F.col("id").alias("b_id"),
+        "__cid",
+        F.col("__v").alias("__vb"),
+        F.col("__nrm").alias("__nb"),
+    )
+    sim = dot(F.col("__va"), F.col("__vb")) / F.nullif(
+        F.col("__na") * F.col("__nb"), F.lit(0.0)
+    )
+    edges = (
+        a.join(b, "__cid")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(sim >= tau)
+        .select("a_id", "b_id")
+    )
+    comp = connected_components(edges, "a_id", "b_id")
+    return sides.join(comp, sides["id"] == comp["node"], "left").select(
+        F.col("id"),
+        F.col("__cid").alias("cluster"),
+        (F.coalesce(F.col("component"), F.col("id")) == F.col("id")).alias(
+            "keep"
+        ),
     )

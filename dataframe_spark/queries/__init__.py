@@ -81,9 +81,9 @@ WINDOW_PRIORITY = [
     "q_approx_quantiles_check",  # new: GK rank-bound invariant
     "q_sample_check",          # new: seeded-sample replay invariant
     "q_synthesis_check",       # new: recomputed-score invariant
-    "q_describe",              # 48-50: r4-green rotation
-    "q_skewness",
-    "q_duplicated_spans",
+    "q_semdedup_check",        # 48: NEW r6 SemDeDup invariant
+    "q_knn_ivf_recall",        # 49: kmeans_fit null-filter touched its plan
+    "q_duplicated_spans",      # 50: r4-green rotation
 ]
 # plain raise, not assert: the guard must survive python -O
 if len(WINDOW_PRIORITY) != 50:

