@@ -381,6 +381,115 @@ def duplicated_spans(
     )
 
 
+def remove_duplicated_spans(
+    df: SparkDF,
+    id_col: str,
+    text_col: str,
+    window: int = 20,
+    min_docs: int = 2,
+) -> SparkDF:
+    """Exact substring dedup — the CLEANING counterpart of
+    ``duplicated_spans`` (Lee et al. ACL 2022; the RefinedWeb
+    pipeline's "exact substring deduplication" stage). Where the
+    scorer only reports how template-heavy each document is, this
+    REWRITES the corpus: every ``window``-token span occurring in at
+    least ``min_docs`` documents keeps exactly ONE canonical
+    occurrence (the smallest (id, position) — deterministic) and
+    every token covered by any other occurrence is removed.
+
+    Returns (id, n_tokens, n_removed, clean_text) — clean_text is
+    rebuilt from the surviving tokens (lowercased,
+    whitespace-normalized, like every token-level operator here).
+    A token survives unless a NON-canonical duplicated window covers
+    it; tokens of a canonical occurrence can still fall to a
+    different overlapping duplicated window, exactly as in the
+    suffix-array formulation.
+
+    Plan (size-of-data everywhere, no pairwise work): positional
+    window hashes are built IN-ROW with the aligned-slice zip_with
+    stitch (NOT distinct — removal needs every occurrence, unlike
+    the scorer), then one posexplode; one hash-keyed agg finds
+    (distinct-doc count, canonical occurrence) with map-side
+    partials; non-canonical occurrences join back (key-partitioned,
+    AQE-skew-safe — a boilerplate span repeated millions of times is
+    a hot KEY, not a hot window partition); removal itself is an
+    in-row filter of the token array against the doc's duplicated
+    start positions (O(tokens x dup-starts) per row in codegen'd
+    JVM expressions). xxhash64 window identity: a cross-corpus
+    collision (~n²/2⁻⁶⁴) could remove one innocent span — the same
+    accepted trade as ``_hash_arrays``."""
+    toks_e = F.coalesce(
+        F.filter(tokens_expr(text_col), lambda x: x != F.lit("")),
+        F.array().cast("array<string>"),
+    )
+    toked = _reusable(
+        df.select(F.col(id_col).alias("id"), toks_e.alias("__toks"))
+    )
+    m = F.greatest(F.lit(0), F.size("__toks") - (window - 1))
+    arr = F.slice("__toks", 1, m)
+    for k in range(1, window):
+        arr = F.zip_with(
+            arr,
+            F.slice("__toks", k + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    hashes = F.transform(arr, lambda s: F.xxhash64(s))
+    wins = _reusable(
+        toked.select("id", F.posexplode(hashes)).withColumnRenamed(
+            "col", "__h"
+        )
+    )
+    canon = (
+        wins.groupBy("__h")
+        .agg(
+            F.count_distinct("id").alias("__nd"),
+            F.min(F.struct("id", "pos")).alias("__w0"),
+        )
+        .where(F.col("__nd") >= min_docs)
+        .select("__h", "__w0")
+    )
+    dup_starts = (
+        wins.join(canon, "__h")
+        .where(
+            ~(
+                (F.col("id") == F.col("__w0").getField("id"))
+                & (F.col("pos") == F.col("__w0").getField("pos"))
+            )
+        )
+        .groupBy("id")
+        .agg(F.collect_list("pos").alias("__ss"))
+    )
+    with_ss = toked.join(dup_starts, "id", "left").withColumn(
+        "__ss", F.coalesce(F.col("__ss"), F.array().cast("array<int>"))
+    )
+    kept_expr = F.filter(
+        F.transform(
+            "__toks", lambda x, i: F.struct(x.alias("t"), i.alias("i"))
+        ),
+        lambda s: ~F.exists(
+            F.col("__ss"),
+            lambda st: (st <= s["i"]) & (s["i"] < st + F.lit(window)),
+        ),
+    )
+    # one-element explode = CollapseProject barrier: the O(tokens x
+    # dup-starts) filter must evaluate once, not once per consumer
+    kept = with_ss.select(
+        "id",
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.explode(F.array(kept_expr)).alias("__kept"),
+    )
+    return kept.select(
+        "id",
+        "n_tokens",
+        (F.col("n_tokens") - F.size("__kept")).cast("long").alias(
+            "n_removed"
+        ),
+        F.array_join(
+            F.transform("__kept", lambda s: s["t"]), " "
+        ).alias("clean_text"),
+    )
+
+
 def source_overlap(
     df: SparkDF, source_col: str, text_col: str, n: int = 3
 ) -> SparkDF:

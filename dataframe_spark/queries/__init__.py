@@ -83,7 +83,7 @@ WINDOW_PRIORITY = [
     "q_synthesis_check",       # new: recomputed-score invariant
     "q_semdedup_check",        # 48: NEW r6 SemDeDup invariant
     "q_knn_ivf_recall",        # 49: kmeans_fit null-filter touched its plan
-    "q_duplicated_spans",      # 50: r4-green rotation
+    "q_remove_spans",          # 50: NEW r6 exact-substring-dedup cleaner
 ]
 # plain raise, not assert: the guard must survive python -O
 if len(WINDOW_PRIORITY) != 50:

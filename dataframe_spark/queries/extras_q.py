@@ -163,6 +163,22 @@ def q_duplicated_spans(spark, sf_dir):
     return duplicated_spans(docs, "doc_id", "text", window=20, min_docs=2)
 
 
+def q_remove_spans(spark, sf_dir):
+    """Exact substring dedup — the CLEANING op (operators/dedup.py
+    remove_duplicated_spans): rewrite every document with all
+    non-canonical occurrences of cross-document 20-token spans
+    removed (canonical = smallest (id, pos)). The oracle recomputes
+    the identical removal with span STRINGS instead of xxhash64
+    (same result absent 2^-64 collisions) and re-derives every
+    cleaned text with STRING_AGG over the surviving positions."""
+    from ..operators.dedup import remove_duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents").df
+    return remove_duplicated_spans(
+        docs, "doc_id", "text", window=20, min_docs=2
+    )
+
+
 def q_quantile_bucket(spark, sf_dir):
     """Equi-depth bucketing (operators/quantiles.py quantile_bucket):
     exact quartile cuts broadcast as one row, assignment map-side —
@@ -266,6 +282,7 @@ QUERIES = {
     "q_grouping_sets": q_grouping_sets,
     "q_hcat": q_hcat,
     "q_duplicated_spans": q_duplicated_spans,
+    "q_remove_spans": q_remove_spans,
     "q_quantile_bucket": q_quantile_bucket,
     "q_approx_quantiles": q_approx_quantiles,
     "q_approx_quantiles_check": q_approx_quantiles_check,
@@ -493,6 +510,60 @@ ORACLES = {
                  AS dup_span_frac
         FROM win w LEFT JOIN wfreq f ON w.span = f.span
         GROUP BY w.id
+    """,
+    "q_remove_spans": """
+        WITH tok AS (
+          SELECT doc_id AS id,
+                 LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        wins AS (
+          SELECT id, r['pos'] AS pos, r['w'] AS w
+          FROM (
+            SELECT id,
+                   UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 19),
+                          i -> {'pos': i - 1,
+                                'w': ARRAY_TO_STRING(t[i:i+19], ' ')})) AS r
+            FROM tok
+          )
+        ),
+        canon AS (
+          SELECT w, MIN({'d': id, 'p': pos}) AS w0
+          FROM wins GROUP BY w HAVING COUNT(DISTINCT id) >= 2
+        ),
+        dups AS (
+          SELECT v.id, v.pos
+          FROM wins v JOIN canon c ON v.w = c.w
+          WHERE NOT (v.id = c.w0['d'] AND v.pos = c.w0['p'])
+        ),
+        covered AS (
+          SELECT DISTINCT id,
+                 UNNEST(GENERATE_SERIES(pos, pos + 19)) AS cpos
+          FROM dups
+        ),
+        tokrows AS (
+          SELECT id, r['p'] AS p, r['tk'] AS tk
+          FROM (
+            SELECT id,
+                   UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t)),
+                          i -> {'p': i - 1, 'tk': t[i]})) AS r
+            FROM tok
+          )
+        ),
+        kept AS (
+          SELECT tr.id, tr.p, tr.tk
+          FROM tokrows tr
+          LEFT JOIN covered c ON tr.id = c.id AND tr.p = c.cpos
+          WHERE c.id IS NULL
+        )
+        SELECT t.id AS id,
+               CAST(LEN(t.t) AS BIGINT) AS n_tokens,
+               CAST(LEN(t.t) - COUNT(k.tk) AS BIGINT) AS n_removed,
+               COALESCE(STRING_AGG(k.tk, ' ' ORDER BY k.p), '')
+                 AS clean_text
+        FROM tok t LEFT JOIN kept k ON t.id = k.id
+        GROUP BY t.id, LEN(t.t)
     """,
     "q_quantile_bucket": """
         WITH cuts AS (

@@ -321,3 +321,52 @@ def test_contamination_paths_equivalent(docs):
         corpus, "doc_id", "text", bench, "text", n=3,
         broadcast_bench=False).collect()))
     assert a == b and len(a) > 0
+
+
+def test_remove_duplicated_spans_canonical_keep(spark):
+    """Hand-computed removal: the canonical (smallest id, pos)
+    occurrence of a cross-doc span survives, every other occurrence
+    is excised token-by-token; unique docs pass through rebuilt."""
+    from dataframe_spark.operators.dedup import remove_duplicated_spans
+
+    rows = [
+        (1, "a b c d e"),    # canonical "a b c" at (1,0) — untouched
+        (2, "x y a b c"),    # loses pos 2..4 -> "x y"
+        (3, "a b c"),        # whole doc is a dup occurrence -> ""
+        (4, "p q r s"),      # unique — rebuilt verbatim
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r
+        for r in remove_duplicated_spans(
+            df, "doc_id", "text", window=3, min_docs=2
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "a b c d e" and out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "x y" and out[2]["n_removed"] == 3
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 3
+    assert out[4]["clean_text"] == "p q r s" and out[4]["n_removed"] == 0
+    assert all(out[i]["n_tokens"] == len(rows[i - 1][1].split()) for i in out)
+
+
+def test_remove_duplicated_spans_overlap_and_indoc(spark):
+    """(a) Overlapping duplicated windows union their coverage;
+    (b) a span repeated only WITHIN one doc is untouched
+    (cross-document criterion, matching duplicated_spans)."""
+    from dataframe_spark.operators.dedup import remove_duplicated_spans
+
+    rows = [
+        (1, "a b c d"),          # canonical for both "a b c","b c d"
+        (2, "z a b c d"),        # windows at 1,2 both dup -> "z"
+        (3, "m n m n"),          # in-doc repeat only: no 2-doc span
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r
+        for r in remove_duplicated_spans(
+            df, "doc_id", "text", window=3, min_docs=2
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "a b c d"
+    assert out[2]["clean_text"] == "z" and out[2]["n_removed"] == 4
+    assert out[3]["clean_text"] == "m n m n" and out[3]["n_removed"] == 0
