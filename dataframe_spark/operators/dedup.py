@@ -42,13 +42,14 @@ def tokens_expr(text_col: str):
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
 
 
-def shingle_array_expr(tokens, n: int = 3):
-    """Array of word n-grams from a token-array column, built with
-    aligned slices stitched by zip_with — the token array is only
-    ever referenced in ARGUMENT position (evaluated once per row,
+def window_array_expr(tokens, n: int):
+    """POSITIONAL array of word n-grams (entry i = the window
+    starting at token i, duplicates preserved), built with aligned
+    slices stitched by zip_with — the token array is only ever
+    referenced in ARGUMENT position (evaluated once per row,
     n slices), never inside a per-element lambda body where Catalyst
     would re-evaluate the tokenization per shingle (measured 30x
-    slower). Distinct within the document."""
+    slower)."""
     m = F.greatest(F.lit(0), F.size(tokens) - (n - 1))
     arr = F.slice(tokens, 1, m)
     for k in range(1, n):
@@ -57,7 +58,12 @@ def shingle_array_expr(tokens, n: int = 3):
             F.slice(tokens, k + 1, m),
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
-    return F.array_distinct(arr)
+    return arr
+
+
+def shingle_array_expr(tokens, n: int = 3):
+    """Distinct word n-grams (set semantics for Jaccard/minhash)."""
+    return F.array_distinct(window_array_expr(tokens, n))
 
 
 def shingle_arrays(
@@ -425,15 +431,9 @@ def remove_duplicated_spans(
     toked = _reusable(
         df.select(F.col(id_col).alias("id"), toks_e.alias("__toks"))
     )
-    m = F.greatest(F.lit(0), F.size("__toks") - (window - 1))
-    arr = F.slice("__toks", 1, m)
-    for k in range(1, window):
-        arr = F.zip_with(
-            arr,
-            F.slice("__toks", k + 1, m),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    hashes = F.transform(arr, lambda s: F.xxhash64(s))
+    hashes = F.transform(
+        window_array_expr(F.col("__toks"), window), lambda s: F.xxhash64(s)
+    )
     wins = _reusable(
         toked.select("id", F.posexplode(hashes)).withColumnRenamed(
             "col", "__h"

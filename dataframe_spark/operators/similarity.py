@@ -324,6 +324,9 @@ def knn_ivf(
     nprobe/nlist of the data); probing is a broadcast semi-join, the
     final top-k is TakeOrderedAndProject. Recall/latency trades via
     nprobe exactly as in FAISS-style IVF-Flat."""
+    # rows without an embedding can't be neighbors and would crash
+    # the assign UDF's np.stack (same contract as kmeans_fit/semdedup)
+    df = df.where(F.col(vec_col).isNotNull())
     if centroids is None:
         centroids = kmeans_fit(
             df, id_col, vec_col, k=nlist, max_iter=max_iter
@@ -360,6 +363,7 @@ def build_ivf_index(
     before any IO) alongside a codebook of the k-means centroids
     (nlist x dim — the same bounded model state kmeans_fit holds).
     Rebuild to refresh; queries never re-cluster."""
+    df = df.where(F.col(vec_col).isNotNull())  # see knn_ivf
     centroids = kmeans_fit(df, id_col, vec_col, k=nlist, max_iter=max_iter)
     (
         df.withColumn(
@@ -517,7 +521,11 @@ def semdedup(
     sim = dot(F.col("__va"), F.col("__vb")) / F.nullif(
         F.col("__na") * F.col("__nb"), F.lit(0.0)
     )
-    edges = (
+    # persisted: connected_components references its input several
+    # times before the first localCheckpoint (symmetrize union,
+    # large-star join, node-universe scan) — without this the
+    # dominant within-cluster pairwise join re-runs per consumer
+    edges = _reusable(
         a.join(b, "__cid")
         .where(F.col("a_id") < F.col("b_id"))
         .where(sim >= tau)

@@ -155,17 +155,19 @@ def test_knn_lsh_multiprobe_improves_recall(spark, sf_dir):
 
 
 def test_semdedup_known_groups(spark):
-    """Two tight duplicate groups + two isolated vectors: semdedup
-    must keep exactly one per group (the min id) and every isolated
-    row, regardless of how k-means splits the space (the groups are
-    identical-direction vectors, so tau=0.95 edges exist in whatever
-    cluster each group lands in)."""
+    """Two duplicate groups + two isolated vectors: semdedup must
+    keep exactly one per group (the min id) and every isolated row,
+    regardless of how k-means splits the space — each group's
+    members are EXACTLY the same direction (scaled copies), so their
+    unit vectors produce identical centroid dot products and the
+    argmax assignment co-clusters them under ANY centroids, not
+    just this seed's."""
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),
-        (1, [1.0, 0.001, 0.0, 0.0]),   # ~dup of 0
-        (2, [1.0, 0.0, 0.001, 0.0]),   # ~dup of 0
+        (1, [2.0, 0.0, 0.0, 0.0]),     # same direction as 0
+        (2, [0.5, 0.0, 0.0, 0.0]),     # same direction as 0
         (3, [0.0, 1.0, 0.0, 0.0]),
-        (4, [0.0, 1.0, 0.0, 0.001]),   # ~dup of 3
+        (4, [0.0, 3.0, 0.0, 0.0]),     # same direction as 3
         (5, [0.0, 0.0, 1.0, 0.0]),     # isolated
         (6, [0.0, 0.0, 0.0, 1.0]),     # isolated
     ]
@@ -175,9 +177,6 @@ def test_semdedup_known_groups(spark):
     )
     got = {r["id"]: r["keep"] for r in out.collect()}
     assert len(got) == 7
-    # group members 1,2 and 4 drop IF they share a cluster with
-    # their representative; identical directions always co-cluster
-    # (argmax of the same dot products), so these are deterministic
     assert got[0] and not got[1] and not got[2]
     assert got[3] and not got[4]
     assert got[5] and got[6]
@@ -190,3 +189,20 @@ def test_semdedup_null_embedding_excluded(spark):
     got = {r["id"]: r["keep"] for r in out.collect()}
     assert set(got) == {0, 2}
     assert got[0] and not got[2]
+
+
+def test_knn_ivf_null_embedding_excluded(spark):
+    """A corpus row with a missing embedding must be ignored, not
+    crash the assignment UDF (regression: np.stack over None)."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, None),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.knn_ivf(
+        df, "vec_id", "embedding", query_id=0, k=2, nlist=2, nprobe=2,
+        max_iter=2,
+    ).collect()
+    assert [r["vec_id"] for r in out] == [2, 3]
