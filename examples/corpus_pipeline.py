@@ -61,9 +61,24 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
     noisy = ppl.where(F.col("ppl") > 4000).select(F.col("id").alias("doc_id"))
     kept = kept.join(noisy, "doc_id", "left_anti")
 
-    # 3. Near-duplicate clusters: exact n-gram Jaccard pairs (PPJoin
-    #    prefix filtering) → distributed connected components; keep
-    #    one canonical doc per cluster
+    # 3. Exact substring dedup (Lee et al. / RefinedWeb): excise
+    #    cross-document boilerplate spans INSIDE otherwise-unique
+    #    docs — document-level dedup can't see these
+    from dataframe_spark.operators.dedup import remove_duplicated_spans
+
+    cleaned = remove_duplicated_spans(kept, "doc_id", "text", window=20)
+    kept = kept.drop("text").join(
+        cleaned.select(
+            F.col("id").alias("doc_id"),
+            F.col("clean_text").alias("text"),
+            "n_removed",
+        ),
+        "doc_id",
+    )
+
+    # 3b. Near-duplicate clusters: exact n-gram Jaccard pairs (PPJoin
+    #     prefix filtering) → distributed connected components; keep
+    #     one canonical doc per cluster
     pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
     comp = connected_components(pairs, "a_id", "b_id")  # (node, component)
     canonical = comp.groupBy("component").agg(F.min("node").alias("keep_id"))
@@ -71,6 +86,16 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
         canonical, comp["node"] == canonical["keep_id"], "left_anti"
     ).select(F.col("node").alias("doc_id"))
     kept = kept.join(dupes, "doc_id", "left_anti")
+
+    # 3c. Semantic dedup (SemDeDup): embedding-space near-duplicates
+    #     that share no n-grams — k-means clusters + within-cluster
+    #     cosine groups, one survivor per group
+    from dataframe_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = semdedup(emb, "vec_id", "embedding", k=8, tau=0.4)
+    sem_drop = sem.where(~F.col("keep")).select(F.col("id").alias("doc_id"))
+    kept = kept.join(sem_drop, "doc_id", "left_anti")
 
     # 4. PII redaction (chained regexp_replace, pure JVM)
     kept = text.redact(
@@ -104,7 +129,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
     from dataframe_spark.display import to_markdown
 
     n_kept = mixed.count()
-    print(f"kept after quality/dedup/mixture gates: {n_kept}")
+    # stage metric, not survivor metric: docs whose spans were excised
+    # are often ALSO near-dups the cluster stage then drops whole
+    n_excised = cleaned.agg(F.sum("n_removed")).first()[0] or 0
+    print(f"kept after quality/dedup/semdedup/mixture gates: {n_kept}")
+    print(f"boilerplate tokens excised by span dedup: {n_excised}")
     per_source = (
         mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n")).orderBy("source")
     )
