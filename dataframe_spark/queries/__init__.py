@@ -76,7 +76,9 @@ WINDOW_PRIORITY = [
     "q_multimodal_meta",
     "q_embed_norm",
     "q_embed_centroid",
-    "q_synthesis",             # rows-only; decimal+NaN fixes r5
+    "q_dsir",                  # NEW late-r6 oracle-backed DSIR selection
+                               # (evicts rows-only q_synthesis, whose hard
+                               # signal is q_synthesis_check in slot 47)
     "q_bm25",                  # 44-47: NEW late-r6 (never driver-checked)
     "q_approx_quantiles_check",  # new: GK rank-bound invariant
     "q_sample_check",          # new: seeded-sample replay invariant

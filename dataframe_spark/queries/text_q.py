@@ -251,7 +251,25 @@ def q_bm25(spark, sf_dir):
     return T.bm25_topk(docs, "doc_id", "text", ["dup", "vector", "key"], k=20)
 
 
+def q_dsir(spark, sf_dir):
+    """DSIR data selection (operators/dsir.py, Xie et al. 2023):
+    select the 100 documents most like the src0 subcorpus by hashed
+    {1,2}-gram importance weight, via deterministic Gumbel-top-k
+    resampling. Fully oracle-backed: bucket ids and the Gumbel
+    uniform both derive from md5, so DuckDB reproduces the model,
+    the scores, and the exact selection; sel_key is rounded BEFORE
+    the ordering cut (round-first, the bm25 convention)."""
+    from ..operators.dsir import dsir_select
+
+    docs = _t(spark, sf_dir, "documents").df
+    target = docs.where(F.col("source") == "src0")
+    return dsir_select(
+        docs, target, "doc_id", "text", k=100, buckets=4096, alpha=0.01
+    )
+
+
 QUERIES = {
+    "q_dsir": q_dsir,
     "q_bm25": q_bm25,
     "q_boilerplate": q_boilerplate,
     "q_token_count": q_token_count,
@@ -289,6 +307,56 @@ _MIX_CASE = " ".join(
 )
 
 ORACLES = {
+    "q_dsir": f"""
+        WITH tok AS (
+          SELECT doc_id, source, {_TOKS} AS t FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, source,
+                 LIST_CONCAT(t, LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1),
+                             i -> t[i] || ' ' || t[i+1])) AS g
+          FROM tok
+        ),
+        feat AS (
+          SELECT doc_id, source,
+                 UNNEST(LIST_TRANSFORM(g, s ->
+                   CAST('0x' || SUBSTR(MD5(s), 1, 8) AS BIGINT) % 4096))
+                   AS bucket
+          FROM grams
+        ),
+        rc AS (SELECT bucket, COUNT(*) AS rcnt FROM feat GROUP BY bucket),
+        tc AS (SELECT bucket, COUNT(*) AS tcnt FROM feat
+               WHERE source = 'src0' GROUP BY bucket),
+        tot AS (
+          SELECT (SELECT COUNT(*) FROM feat) AS rn,
+                 (SELECT COUNT(*) FROM feat WHERE source = 'src0') AS tn
+        ),
+        ratio AS (
+          SELECT d.b AS bucket,
+                 LN((COALESCE(tc.tcnt, 0) + 0.01) / (tot.tn + 0.01 * 4096))
+               - LN((COALESCE(rc.rcnt, 0) + 0.01) / (tot.rn + 0.01 * 4096))
+                   AS lr
+          FROM (SELECT UNNEST(GENERATE_SERIES(0, 4095)) AS b) d
+          LEFT JOIN rc ON rc.bucket = d.b
+          LEFT JOIN tc ON tc.bucket = d.b
+          CROSS JOIN tot
+        ),
+        persc AS (
+          SELECT f.doc_id, SUM(r.lr) AS s
+          FROM feat f JOIN ratio r ON f.bucket = r.bucket
+          GROUP BY f.doc_id
+        ),
+        scores AS (
+          SELECT t.doc_id, COALESCE(p.s, 0.0) AS score
+          FROM tok t LEFT JOIN persc p ON t.doc_id = p.doc_id
+        )
+        SELECT doc_id AS id, ROUND(score, 4) AS score,
+               ROUND(score - LN(-LN(
+                 (CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) + 0.5) / 4294967296.0)), 6) AS sel_key
+        FROM scores
+        ORDER BY sel_key DESC, doc_id ASC LIMIT 100
+    """,
     "q_bm25": f"""
         WITH base AS (
           SELECT doc_id,
