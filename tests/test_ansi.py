@@ -58,6 +58,9 @@ RISKY = [
     "q_approx_quantiles_check", # r6 rank-fraction divisions
     "q_sample_check",           # r6 binomial sd sqrt + size arithmetic
     "q_synthesis_check",        # r6 corr recompute (0/0 on constants)
+    "q_semdedup_check",         # r6 cosine divisions + CC checksum
+    "q_remove_spans",           # r6 positional window arithmetic
+    "q_dsir",                   # r6 smoothed log-prob ratios + Gumbel logs
 ]
 
 
