@@ -243,3 +243,90 @@ def test_grouped_exact_quantiles_match_numpy(spark, rows):
             assert got[(g, round(p, 9))] == pytest.approx(
                 expect, rel=1e-9, abs=1e-9
             )
+
+
+def _brute_remove_spans(docs_, window, min_docs=2):
+    """Pure-Python reimplementation of remove_duplicated_spans'
+    contract: canonical = smallest (id, pos) per qualifying span."""
+    toks = {i: d.lower().split() for i, d in enumerate(docs_)}
+    occ = {}
+    for i, t in toks.items():
+        for p in range(max(0, len(t) - window + 1)):
+            occ.setdefault(" ".join(t[p : p + window]), []).append((i, p))
+    covered = {i: set() for i in toks}
+    for span, hits in occ.items():
+        if len({i for i, _ in hits}) < min_docs:
+            continue
+        canon = min(hits)
+        for i, p in hits:
+            if (i, p) != canon:
+                covered[i].update(range(p, p + window))
+    return {
+        i: " ".join(tok for p, tok in enumerate(t) if p not in covered[i])
+        for i, t in toks.items()
+    }
+
+
+@given(st.lists(texts, min_size=2, max_size=7), st.integers(2, 3))
+@FEW
+def test_remove_duplicated_spans_equals_brute_force(spark, docs_, window):
+    from dataframe_spark.operators.dedup import remove_duplicated_spans
+
+    df = from_named_columns(
+        spark, {"doc_id": list(range(len(docs_))), "text": docs_}
+    ).df
+    got = {
+        r["id"]: r["clean_text"]
+        for r in remove_duplicated_spans(
+            df, "doc_id", "text", window=window
+        ).collect()
+    }
+    assert got == _brute_remove_spans(docs_, window)
+
+
+@given(st.lists(texts, min_size=1, max_size=6))
+@FEW
+def test_dsir_scores_match_python(spark, docs_):
+    """dsir_scores equals a pure-Python reimplementation of the
+    hashed {1,2}-gram importance weight (portable md5 buckets)."""
+    import hashlib
+    import math
+
+    from dataframe_spark.operators import dsir
+
+    B, a = 64, 0.01
+    df = from_named_columns(
+        spark, {"doc_id": list(range(len(docs_))), "text": docs_}
+    ).df
+    target = df.where(F.col("doc_id") == 0)
+
+    def buckets_of(s):
+        t = [w for w in s.lower().split() if w]
+        grams = t + [f"{x} {y}" for x, y in zip(t, t[1:])]
+        return [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+            for g in grams
+        ]
+
+    rc, tc = [0] * B, [0] * B
+    for i, d in enumerate(docs_):
+        for b in buckets_of(d):
+            rc[b] += 1
+            if i == 0:
+                tc[b] += 1
+    rn, tn = sum(rc), sum(tc)
+    lr = [
+        math.log((tc[b] + a) / (tn + a * B))
+        - math.log((rc[b] + a) / (rn + a * B))
+        for b in range(B)
+    ]
+    expect = {
+        i: round(sum(lr[b] for b in buckets_of(d)), 6)
+        for i, d in enumerate(docs_)
+    }
+    ratios = dsir.dsir_log_ratios(df, target, "text", buckets=B, alpha=a)
+    got = {
+        r["id"]: round(r["score"], 6)
+        for r in dsir.dsir_scores(df, "doc_id", "text", ratios, B).collect()
+    }
+    assert got == pytest.approx(expect)
