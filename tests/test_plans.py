@@ -245,3 +245,37 @@ def test_dedup_reuses_shingle_arrays(spark, sf_dir):
     ):
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         assert "InMemoryRelation" in plan
+
+
+def test_dsir_plan_shapes(spark, sf_dir):
+    """DSIR: the model must ride in as one-row broadcasts (NLJ over
+    broadcast singles, BHJ for the bucket-domain joins), the cut
+    must be a TakeOrderedAndProject, and nothing may go cartesian
+    or sort-merge at this scale."""
+    from pyspark.sql import functions as F
+
+    from dataframe_spark.operators.dsir import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    out = dsir_select(docs, target, "doc_id", "text", k=10, buckets=512)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 3  # 1-row sides only
+
+
+def test_remove_spans_plan_shapes(spark, sf_dir):
+    """Span removal: hash-keyed joins only (broadcast at test scale;
+    AQE picks shuffle joins at real scale) — no cartesian anywhere,
+    and the positional window stream persists once (the _reusable
+    frames) rather than re-tokenizing per consumer."""
+    from dataframe_spark.operators.dedup import remove_duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = remove_duplicated_spans(docs, "doc_id", "text", window=20)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in phys
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in opt
