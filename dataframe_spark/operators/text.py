@@ -755,3 +755,170 @@ def bm25_topk(
         .orderBy(F.desc("bm25"), F.asc("id"))
         .limit(k)
     )
+
+
+# --- corpus splitting & resampling ------------------------------------
+
+
+def row_uniform(key_cols) -> Column:
+    """Portable per-row uniform in [0, 1): the first 8 hex chars of
+    md5 over the null-coalesced, '\\x1f'-joined key columns, scaled
+    by 2^32. The same value on any engine/run/retry (unlike
+    ``rand()``, which depends on partition layout) — the backbone of
+    every deterministic sampling operator here. Null keys coalesce
+    to a '\\x00' sentinel so distinct key tuples stay injective
+    (concat_ws SKIPS null parts — ('a', NULL, 'b') and ('a', 'b')
+    would otherwise collide)."""
+    keyed = [
+        F.coalesce(_c(k).cast("string"), F.lit("\x00")) for k in key_cols
+    ]
+    return (
+        F.conv(F.substring(F.md5(F.concat_ws("\x1f", *keyed)), 1, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(float(1 << 32))
+    )
+
+
+def c4_flags(
+    df,
+    text_col: str,
+    min_words: int = 5,
+    mean_wl_range: tuple[float, float] = (3.0, 10.0),
+    bad_phrases: tuple[str, ...] = ("lorem ipsum", "javascript", "{"),
+):
+    """C4-style heuristic rule filter (Raffel et al. 2020 §2.2,
+    adapted to whole-document granularity): appends per-document
+    rule flags and a combined ``keep`` verdict without dropping any
+    input column, so the caller can either filter or audit.
+
+    Columns appended: ``n_words`` (whitespace tokens),
+    ``mean_word_len`` (rounded to 4 — the classic 3..10 sanity band
+    that catches lorem-ipsum-ish and minified-code-ish text),
+    ``has_bad_phrase`` (case-insensitive literal containment of any
+    configured phrase — C4 uses "lorem ipsum"/"javascript"/"{"),
+    and ``keep``. Everything is an in-row JVM expression over ONE
+    tokenization — map-only, fuses into the scan, zero shuffle at
+    any scale. Null/empty documents fail ``keep`` explicitly (the
+    quality_score null-clamp convention)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    total_len = F.aggregate(
+        toks, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = F.round(
+        total_len / F.nullif(n.cast("double"), F.lit(0.0)), 4
+    )
+    low = F.lower(_c(text_col))
+    bad = F.lit(False)
+    for p in bad_phrases:
+        bad = bad | low.contains(p.lower())
+    bad = F.coalesce(bad, F.lit(False))
+    lo, hi = mean_wl_range
+    # <= 0 guard: with ANSI off, size(null array) is LEGACY -1
+    keep = F.coalesce(
+        (n >= min_words)
+        & (mean_wl >= lo)
+        & (mean_wl <= hi)
+        & ~bad,
+        F.lit(False),
+    )
+    return df.withColumns(
+        {
+            "n_words": n,
+            "mean_word_len": mean_wl,
+            "has_bad_phrase": bad,
+            "keep": keep,
+        }
+    )
+
+
+def hash_split(
+    df,
+    key_cols,
+    fractions: dict[str, float],
+    out_col: str = "split",
+):
+    """Leakage-safe deterministic train/valid/test assignment: the
+    split is a pure function of the KEY TUPLE (portable md5 uniform
+    vs cumulative fraction thresholds), so every row sharing a key —
+    all chunks of one document, all documents of one user/domain —
+    lands in the SAME split, the standard defense against eval
+    leakage through near-duplicates that row-level random splits
+    cannot give. Map-only (one chained CASE fused into the scan),
+    stable across engines, runs, retries, and re-partitioning;
+    growing the corpus never reassigns an existing key.
+
+    ``fractions`` must be positive and sum to 1 (insertion order
+    fixes the threshold layout; the last named split absorbs the
+    float residue so every u in [0, 1) is assigned)."""
+    if not fractions:
+        raise ValueError("hash_split: fractions must be non-empty")
+    if any(w <= 0 for w in fractions.values()):
+        raise ValueError("hash_split: fractions must be positive")
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError(
+            f"hash_split: fractions must sum to 1, got {sum(fractions.values())}"
+        )
+    u = row_uniform(key_cols)
+    names = list(fractions)
+    expr = None
+    acc = 0.0
+    for name in names[:-1]:
+        # round the cumulative threshold: 0.8 + 0.1 is
+        # 0.9000000000000001 in float — a boundary no other engine's
+        # literal 0.9 would reproduce
+        acc = round(acc + fractions[name], 9)
+        cond = u < F.lit(acc)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def temperature_mixture(
+    df,
+    group_col,
+    key_cols,
+    alpha: float = 0.5,
+    rate_decimals: int = 6,
+):
+    """Temperature-based group resampling (the mT5/XLM-R α-sampling
+    scheme): rebalance group shares toward p_g^α — α < 1 upweights
+    rare groups (languages, sources) relative to dominant ones —
+    realized by DOWNSAMPLING ONLY, so no row is ever duplicated.
+    The per-group keep rate is rate_g = (n_g)^(α-1) / max_h (n_h)^(α-1)
+    (the reference group — smallest for α < 1 — keeps everything;
+    shares of the kept corpus then land proportional to p_g^α).
+
+    Plan shape: one tiny groupBy count (#groups rows), one one-row
+    max agg, rates broadcast back on a null-safe equi-join, then the
+    portable-uniform filter — the corpus itself is scanned once and
+    never shuffled. Rates are ROUNDED to ``rate_decimals`` before
+    the comparison so the selection boundary sits on a coarse
+    decimal grid any engine reproduces (pow may differ by an ulp
+    across libm implementations). Rows with a NULL group form their
+    own group (null-safe join), matching groupBy semantics."""
+    if alpha < 0:
+        raise ValueError(f"temperature_mixture: alpha must be >= 0, got {alpha}")
+    g = _c(group_col)
+    cnt = df.groupBy(g.alias("__g")).agg(F.count(F.lit(1)).alias("__n"))
+    raw = cnt.select(
+        "__g",
+        F.pow(F.col("__n").cast("double"), F.lit(alpha - 1.0)).alias("__raw"),
+    )
+    mx = raw.agg(F.max("__raw").alias("__mx"))
+    rates = raw.crossJoin(F.broadcast(mx)).select(
+        "__g",
+        F.round(F.col("__raw") / F.col("__mx"), rate_decimals).alias("__rate"),
+    )
+    u = row_uniform(key_cols)
+    return (
+        df.join(F.broadcast(rates), g.eqNullSafe(F.col("__g")), "left")
+        .where(u < F.col("__rate"))
+        .drop("__g", "__rate")
+    )

@@ -58,7 +58,6 @@ WINDOW_PRIORITY = [
     "q_source_overlap",        # 22-43: r3-last longest-unverified
     "q_stream_window",
     "q_stream_dedup",
-    "q_token_count",
     "q_repetition",
     "q_redact",
     "q_pack",
@@ -72,10 +71,16 @@ WINDOW_PRIORITY = [
     "q_numeric_fns",
     "q_frequencies",
     "q_cube",
-    "q_mutual_info",
-    "q_multimodal_meta",
     "q_embed_norm",
-    "q_embed_centroid",
+    # four NEVER-driver-checked late-r6 additions take the slots of
+    # four r3-green unchanged-plan entries (q_token_count,
+    # q_mutual_info, q_multimodal_meta [rows-only — weakest signal],
+    # q_embed_centroid), which stay under continuous full-registry
+    # pytest parity at sf0.001:
+    "q_c4_filter",             # C4 rule filter (oracle-backed)
+    "q_hash_split",            # leakage-safe split (oracle-backed)
+    "q_temperature_mix",       # α-temperature resampling (oracle-backed)
+    "q_pca_check",             # distributed-PCA invariant (oracle-pinned)
     "q_dsir",                  # NEW late-r6 oracle-backed DSIR selection
                                # (evicts rows-only q_synthesis, whose hard
                                # signal is q_synthesis_check in slot 47)

@@ -171,8 +171,69 @@ def q_logreg_classifier(spark, sf_dir):
     )
 
 
+def q_pca_check(spark, sf_dir):
+    """Hard-signal invariant for distributed PCA (the
+    q_knn_ivf_recall pattern — the model itself is float-seeded, so
+    the INVARIANTS are what cross-engine verification can pin):
+    fit k = 4 components on the embeddings table, project IN-ROW,
+    then recompute everything testable in one Spark agg pass —
+    (a) var_ok: the sample variance of each projected component
+    equals its eigenvalue (rel 1e-6); (b) decorr_ok: the first two
+    components are uncorrelated; (c) total_ok: the model's total
+    variance (trace of the driver covariance) matches the
+    per-dimension var_samp sum recomputed directly from the raw
+    vectors; (d) bound_ok: the top-4 eigenvalue mass is within the
+    recomputed total. n_rows is pinned by the oracle's own parquet
+    count, so the row universe is cross-engine-verified."""
+    from ..operators.embeddings import pca_fit, pca_project
+
+    k = 4
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    comps, eigvals, mean, total_var = pca_fit(emb, "embedding", k=k)
+    d = len(mean)
+    proj = pca_project(emb, "embedding", comps, mean, out_col="__p")
+    ev = [float(x) for x in eigvals]
+
+    spark_total = None
+    for i in range(d):
+        t = F.var_samp(F.element_at(F.col("embedding"), i + 1).cast("double"))
+        spark_total = t if spark_total is None else spark_total + t
+    agg = proj.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.var_samp(F.element_at("__p", i + 1)).alias(f"__v{i}")
+            for i in range(k)
+        ],
+        F.corr(
+            F.element_at("__p", 1), F.element_at("__p", 2)
+        ).alias("__c01"),
+        spark_total.alias("__tot"),
+    )
+    var_ok = F.lit(True)
+    for i in range(k):
+        var_ok = var_ok & (
+            F.abs(F.col(f"__v{i}") - F.lit(ev[i]))
+            <= F.lit(max(1e-9, 1e-6 * ev[i]))
+        )
+    return agg.select(
+        F.col("__n").alias("n_rows"),
+        var_ok.alias("var_ok"),
+        (F.abs(F.col("__c01")) < 1e-6).alias("decorr_ok"),
+        (
+            F.abs(F.col("__tot") - F.lit(float(total_var)))
+            <= F.lit(1e-6 * total_var)
+        ).alias("total_ok"),
+        (F.lit(float(sum(ev))) <= F.col("__tot") * (1.0 + 1e-9)).alias(
+            "bound_ok"
+        ),
+    )
+
+
 QUERIES = {
     "q_mutual_info": q_mutual_info,
+    "q_pca_check": q_pca_check,
     "q_synthesis": q_synthesis,
     "q_synthesis_check": q_synthesis_check,
     "q_logreg_classifier": q_logreg_classifier,
@@ -180,6 +241,12 @@ QUERIES = {
 
 ORACLES = {
     "q_mutual_info": _MI_ORACLE,
+    "q_pca_check": """
+        SELECT (SELECT COUNT(*) FROM embeddings WHERE embedding IS NOT NULL)
+                 AS n_rows,
+               TRUE AS var_ok, TRUE AS decorr_ok,
+               TRUE AS total_ok, TRUE AS bound_ok
+    """,
     "q_synthesis_check": """
         SELECT TRUE AS recovered, TRUE AS score_consistent
     """,

@@ -268,7 +268,66 @@ def q_dsir(spark, sf_dir):
     )
 
 
+def q_c4_filter(spark, sf_dir):
+    """C4-style rule-filter audit per source: both engines first
+    plant the 'lorem ipsum' bad phrase on every 7th doc (the
+    q_redact augmentation convention — the synthetic corpus contains
+    none), then apply the word-count band (>= 40), the mean-word-
+    length sanity band (3.0..5.0 — the corpus averages ~4.5), and
+    the bad-phrase gate, and report per-source rule hit counts."""
+    docs = _t(spark, sf_dir, "documents").df
+    aug = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" lorem ipsum")),
+        ).otherwise(F.col("text")),
+    )
+    out = T.c4_flags(aug, "text", min_words=40, mean_wl_range=(3.0, 5.0))
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("int")).alias("n_kept"),
+        F.sum((F.col("n_words") < 40).cast("int")).alias("n_too_short"),
+        F.sum(F.col("has_bad_phrase").cast("int")).alias("n_bad_phrase"),
+        F.round(F.avg("mean_word_len"), 4).alias("avg_word_len"),
+    )
+
+
+def q_hash_split(spark, sf_dir):
+    """Leakage-safe split assignment keyed on SOURCE: every document
+    of a source lands in the same split (the group-level key is the
+    leakage defense — chunks/near-dupes of one origin can never
+    straddle train and test). Output pins the full assignment: one
+    row per (split, source) with count and id checksum."""
+    docs = _t(spark, sf_dir, "documents").df
+    out = T.hash_split(
+        docs, ["source"], {"train": 0.8, "valid": 0.1, "test": 0.1}
+    )
+    return out.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("checksum"),
+    )
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature (α = 0.5) resampling over the skewed ``lang``
+    column (en dominates the synthetic corpus ~3:1): rare languages
+    keep everything, dominant ones downsample toward p^α shares via
+    the portable md5 uniform — summarized per language."""
+    docs = _t(spark, sf_dir, "documents").df
+    kept = T.temperature_mixture(
+        docs, "lang", [F.col("doc_id").cast("string")], alpha=0.5
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("checksum"),
+    )
+
+
 QUERIES = {
+    "q_c4_filter": q_c4_filter,
+    "q_hash_split": q_hash_split,
+    "q_temperature_mix": q_temperature_mix,
     "q_dsir": q_dsir,
     "q_bm25": q_bm25,
     "q_boilerplate": q_boilerplate,
@@ -307,6 +366,64 @@ _MIX_CASE = " ".join(
 )
 
 ORACLES = {
+    "q_c4_filter": f"""
+        WITH aug AS (
+          SELECT doc_id, source,
+                 CASE WHEN doc_id % 7 = 0 THEN text || ' lorem ipsum'
+                      ELSE text END AS text
+          FROM documents
+        ), flags AS (
+          SELECT doc_id, source,
+            LEN({_TOKS}) AS n_words,
+            ROUND(LIST_SUM(LIST_TRANSFORM({_TOKS}, w -> LEN(w)))
+                  / NULLIF(CAST(LEN({_TOKS}) AS DOUBLE), 0.0), 4) AS mwl,
+            (CONTAINS(LOWER(text), 'lorem ipsum')
+             OR CONTAINS(LOWER(text), 'javascript')
+             OR CONTAINS(LOWER(text), '{{')) AS bad
+          FROM aug
+        )
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN n_words >= 40 AND mwl >= 3.0 AND mwl <= 5.0
+                        AND NOT bad THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(SUM(CASE WHEN n_words < 40 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_too_short,
+          CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_phrase,
+          ROUND(AVG(mwl), 4) AS avg_word_len
+        FROM flags GROUP BY source
+    """,
+    "q_hash_split": """
+        WITH u AS (
+          SELECT doc_id, source,
+            CAST('0x' || SUBSTR(MD5(source), 1, 8) AS BIGINT)
+              / 4294967296.0 AS u
+          FROM documents
+        )
+        SELECT CASE WHEN u < 0.8 THEN 'train'
+                    WHEN u < 0.9 THEN 'valid'
+                    ELSE 'test' END AS split,
+               source, COUNT(*) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS checksum
+        FROM u GROUP BY 1, 2
+    """,
+    "q_temperature_mix": """
+        WITH cnt AS (
+          SELECT lang AS g, COUNT(*) AS n FROM documents GROUP BY 1
+        ), mx AS (
+          SELECT MAX(POW(n, -0.5)) AS m FROM cnt
+        ), rates AS (
+          SELECT g, ROUND(POW(n, -0.5) / m, 6) AS rate
+          FROM cnt CROSS JOIN mx
+        ), u AS (
+          SELECT doc_id, lang,
+            CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              / 4294967296.0 AS u
+          FROM documents
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS checksum
+        FROM u JOIN rates ON u.lang = rates.g
+        WHERE u.u < rates.rate GROUP BY lang
+    """,
     "q_dsir": f"""
         WITH tok AS (
           SELECT doc_id, source, {_TOKS} AS t FROM documents

@@ -61,6 +61,10 @@ RISKY = [
     "q_semdedup_check",         # r6 cosine divisions + CC checksum
     "q_remove_spans",           # r6 positional window arithmetic
     "q_dsir",                   # r6 smoothed log-prob ratios + Gumbel logs
+    "q_c4_filter",              # r6 mean-word-length division (nullif guarded)
+    "q_hash_split",             # r6 md5 conv casts + threshold compare
+    "q_temperature_mix",        # r6 pow(n, a-1) rate division
+    "q_pca_check",              # r6 var/corr divisions + eigval compares
 ]
 
 

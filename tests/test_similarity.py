@@ -206,3 +206,67 @@ def test_knn_ivf_null_embedding_excluded(spark):
         max_iter=2,
     ).collect()
     assert [r["vec_id"] for r in out] == [2, 3]
+
+
+def test_pca_recovers_planted_axes(spark):
+    # rank-2 planted structure in 6-d: x = a*u + b*v + tiny noise,
+    # u/v orthogonal axes; PCA must put >99% of variance on 2 comps
+    import numpy as np
+
+    from dataframe_spark.operators.embeddings import pca_fit, pca_project
+
+    rng = np.random.RandomState(7)
+    u = np.array([1.0, 0, 0, 0, 0, 0])
+    v = np.array([0, 1.0, 0, 0, 0, 0])
+    X = (
+        np.outer(rng.randn(300) * 3.0, u)
+        + np.outer(rng.randn(300), v)
+        + rng.randn(300, 6) * 1e-3
+    )
+    rows = [(i, X[i].tolist()) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    comps, eigvals, mean, total = pca_fit(df, "embedding", k=2)
+    assert eigvals[0] > eigvals[1] > 0
+    assert (eigvals[0] + eigvals[1]) / total > 0.99
+    # components align with the planted axes (sign-fixed)
+    assert abs(abs(comps[0] @ u) - 1.0) < 1e-3
+    assert abs(abs(comps[1] @ v) - 1.0) < 1e-3
+    # projected variance equals the eigenvalues; comps decorrelated
+    from pyspark.sql import functions as F
+
+    proj = pca_project(df, "embedding", comps, mean, out_col="p")
+    r = proj.agg(
+        F.var_samp(F.element_at("p", 1)).alias("v0"),
+        F.var_samp(F.element_at("p", 2)).alias("v1"),
+        F.corr(F.element_at("p", 1), F.element_at("p", 2)).alias("c"),
+        F.avg(F.element_at("p", 1)).alias("m0"),
+    ).collect()[0]
+    assert abs(r["v0"] - eigvals[0]) < 1e-6 * eigvals[0]
+    assert abs(r["v1"] - eigvals[1]) < 1e-6 * max(eigvals[1], 1e-9)
+    assert abs(r["c"]) < 1e-6
+    assert abs(r["m0"]) < 1e-9  # centered
+
+
+def test_pca_null_vectors_and_guards(spark):
+    import numpy as np
+
+    from dataframe_spark.operators.embeddings import pca_fit, pca_project
+
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.randn(4).tolist()) for i in range(50)] + [
+        (100, None),
+        (101, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    comps, eigvals, mean, total = pca_fit(df, "embedding", k=4)
+    assert comps.shape == (4, 4)
+    out = pca_project(df, "embedding", comps, mean, out_col="p")
+    got = {r["id"]: r["p"] for r in out.collect()}
+    assert len(got) == 52  # null-vec rows survive projection...
+    assert got[100] is None or all(x is None for x in got[100])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pca_fit(df, "embedding", k=9)  # k > dim
+    with _pytest.raises(ValueError):
+        pca_fit(df.where("id < 0"), "embedding", k=2)  # no vectors

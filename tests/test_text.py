@@ -372,3 +372,98 @@ def test_bm25_topk_limit_and_guards(spark):
         T.bm25_topk(df, "id", "text", [])
     with pytest.raises(ValueError):
         T.bm25_topk(df, "id", "text", ["a", "a"])
+
+
+def test_c4_flags_rules(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),  # good
+        (2, "too short"),                                          # < min_words
+        (3, "a b c d e f g h i j"),                                # mean_wl 1 < 3
+        (4, "this page uses JavaScript frameworks " + "word " * 5),  # bad phrase
+        (5, None),                                                 # null text
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: r
+        for r in T.c4_flags(df, "text", min_words=5, mean_wl_range=(3.0, 10.0))
+        .collect()
+    }
+    assert out[1]["keep"] and not out[1]["has_bad_phrase"]
+    assert not out[2]["keep"] and out[2]["n_words"] == 2
+    assert not out[3]["keep"] and out[3]["mean_word_len"] == 1.0
+    assert not out[4]["keep"] and out[4]["has_bad_phrase"]
+    assert not out[5]["keep"] and not out[5]["has_bad_phrase"]
+    # all input columns survive (audit mode)
+    assert "text" in out[1].asDict()
+
+
+def test_hash_split_leakage_safe_and_stable(spark):
+    rows = [(i, f"user{i % 40}") for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    out = T.hash_split(df, ["key"], {"train": 0.8, "valid": 0.1, "test": 0.1})
+    got = out.collect()
+    # every row of a key lands in ONE split
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r["key"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_key.values())
+    # deterministic across plans/runs
+    again = {r["id"]: r["split"] for r in
+             T.hash_split(df, ["key"], {"train": 0.8, "valid": 0.1, "test": 0.1})
+             .collect()}
+    assert all(again[r["id"]] == r["split"] for r in got)
+    # growing the corpus never reassigns an existing key
+    bigger = spark.createDataFrame(
+        rows + [(1000 + i, f"newuser{i}") for i in range(60)],
+        "id long, key string",
+    )
+    grown = {r["key"]: r["split"] for r in
+             T.hash_split(bigger, ["key"],
+                          {"train": 0.8, "valid": 0.1, "test": 0.1}).collect()}
+    for k, s in by_key.items():
+        assert grown[k] == next(iter(s))
+    # every row is assigned; with 40 keys the split sizes are lumpy
+    # but all three names must be drawn from the configured set
+    assert {r["split"] for r in got} <= {"train", "valid", "test"}
+    assert len(got) == 400
+
+
+def test_hash_split_guards(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, key string")
+    with pytest.raises(ValueError):
+        T.hash_split(df, ["key"], {})
+    with pytest.raises(ValueError):
+        T.hash_split(df, ["key"], {"train": 0.7, "test": 0.2})
+    with pytest.raises(ValueError):
+        T.hash_split(df, ["key"], {"train": 1.2, "test": -0.2})
+
+
+def test_temperature_mixture_rates_and_nulls(spark):
+    rows = (
+        [(i, "big") for i in range(400)]
+        + [(1000 + i, "small") for i in range(50)]
+        + [(2000 + i, None) for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "id long, g string")
+    kept = T.temperature_mixture(
+        df, "g", [F.col("id").cast("string")], alpha=0.5
+    )
+    counts = {r["g"]: r["n"] for r in
+              kept.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # the smallest groups (small=50, null=50) are the reference: kept whole
+    assert counts["small"] == 50
+    assert counts[None] == 50
+    # the dominant group downsamples near rate sqrt(50/400) ~ 0.3536
+    assert 100 <= counts["big"] <= 185
+    # alpha = 1 is a no-op (every rate 1.0)
+    assert (
+        T.temperature_mixture(df, "g", [F.col("id").cast("string")], alpha=1.0)
+        .count() == 500
+    )
+    # deterministic: same selection on a second run
+    a = sorted(r["id"] for r in kept.collect())
+    b = sorted(r["id"] for r in T.temperature_mixture(
+        df, "g", [F.col("id").cast("string")], alpha=0.5).collect())
+    assert a == b
+    with pytest.raises(ValueError):
+        T.temperature_mixture(df, "g", ["id"], alpha=-0.1)
