@@ -1090,3 +1090,128 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
+
+
+# --- Bloom-filter incremental membership ------------------------------
+
+
+def _bit_at(pos):
+    """1L << (pos mod 64) with a COLUMN shift amount (the python
+    F.shiftleft signature only takes a literal; call_function routes
+    to the SQL overload that accepts expressions)."""
+    return F.call_function(
+        "shiftleft",
+        F.lit(1).cast("long"),
+        F.pmod(pos, F.lit(64)).cast("int"),
+    )
+
+
+def _bloom_positions(key_cols: list[str], m_bits: int, k: int):
+    """The k probe positions shared by build and probe — double
+    hashing (pos_i = h1 + i*h2 mod m, Kirsch-Mitzenmacher) over two
+    independent xxhash64 views of the key tuple. Both hashes are
+    MASKED to 31 bits before the affine combination: full-range
+    longs would overflow h1 + i*h2 — silent wraparound with ANSI
+    off, a hard error with ANSI on (the driver's session may run
+    either). h2 is forced odd so the stride is coprime to the
+    power-of-two m and the k positions stay distinct."""
+    keyed = [F.col(c) for c in key_cols]
+    h1 = F.xxhash64(*keyed).bitwiseAND(F.lit(0x7FFFFFFF))
+    h2 = (
+        F.xxhash64(F.lit(1), *keyed)
+        .bitwiseAND(F.lit(0x7FFFFFFF))
+        .bitwiseOR(F.lit(1))
+    )
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
+
+
+def _bloom_check_params(m_bits: int, k: int):
+    if m_bits < 64 or m_bits & (m_bits - 1):
+        raise ValueError(
+            f"bloom: m_bits must be a power of 2 >= 64, got {m_bits}"
+        )
+    if m_bits > 1 << 31:
+        raise ValueError(f"bloom: m_bits must fit 31-bit hashing, got {m_bits}")
+    if k < 1:
+        raise ValueError(f"bloom: k must be >= 1, got {k}")
+
+
+def bloom_build(
+    df: SparkDF,
+    key_cols: list[str],
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> SparkDF:
+    """Build a Bloom filter over the key tuples of ``df`` as a
+    ONE-ROW DataFrame holding the bit array packed into a
+    ``map<int, bigint>`` of 64-bit words (only non-zero words are
+    stored). This is the INCREMENTAL dedup primitive: fingerprint an
+    existing 100 TB corpus once, then screen every new crawl batch
+    against the broadcast filter with zero joins against the old
+    corpus — false positives only (tunable via m/k), NEVER false
+    negatives, so nothing already seen ever slips through, and
+    nothing new is dropped without an (optional) exact confirm join
+    on the tiny probe-positive set.
+
+    Plan: k positions per row (see _bloom_positions), explode →
+    word/bit projection → one bit_or agg on the word index (shuffle
+    bounded by m/64 × tasks, map-side combined) → map_from_entries.
+    The result row is ≤ m/8 bytes + map overhead (m = 2^20 →
+    ~128 KiB of words) — broadcast state, the drift-bins/
+    IVF-codebook contract."""
+    _bloom_check_params(m_bits, k)
+    positions = F.array(*_bloom_positions(key_cols, m_bits, k))
+    words = (
+        df.select(F.explode(positions).alias("__pos"))
+        .select(
+            F.shiftright(F.col("__pos"), 6).cast("int").alias("__word"),
+            _bit_at(F.col("__pos")).alias("__bit"),
+        )
+        .groupBy("__word")
+        .agg(F.bit_or("__bit").alias("__bits"))
+    )
+    return words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__word"), F.col("__bits")))
+        ).alias("__bloom")
+    )
+
+
+def bloom_might_contain(key_cols: list[str], m_bits: int, k: int):
+    """Probe expression matching ``bloom_build``'s layout: true iff
+    ALL k probe bits are set in the broadcast ``__bloom`` map column
+    (must be in scope via a crossJoin with the one-row filter frame).
+    A pure JVM expression — k map lookups + bit tests per row, fused
+    into the scan of the NEW batch; the old corpus is never read."""
+    _bloom_check_params(m_bits, k)
+    probe = F.lit(True)
+    for pos in _bloom_positions(key_cols, m_bits, k):
+        word = F.coalesce(
+            F.element_at(F.col("__bloom"), F.shiftright(pos, 6).cast("int")),
+            F.lit(0).cast("long"),
+        )
+        probe = probe & ((word.bitwiseAND(_bit_at(pos))) != 0)
+    return probe
+
+
+def bloom_filter_new(
+    new_df: SparkDF,
+    seen_df: SparkDF,
+    key_cols: list[str],
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> SparkDF:
+    """Incremental dedup: rows of ``new_df`` whose key tuple is NOT
+    (probably) in ``seen_df`` — build the Bloom filter over the seen
+    corpus, broadcast it, keep the probe-negative rows. Guarantees:
+    no key present in ``seen_df`` survives (no false negatives by
+    construction); a small tunable fraction of genuinely-new rows is
+    lost to false positives ((1 - e^{-kn/m})^k — size m >= ~10 bits
+    per seen key for <1%). The new batch is scanned once, map-only."""
+    bloom = bloom_build(seen_df, key_cols, m_bits=m_bits, k=k)
+    probe = bloom_might_contain(key_cols, m_bits, k)
+    return (
+        new_df.crossJoin(F.broadcast(bloom))
+        .where(~probe)
+        .drop("__bloom")
+    )

@@ -70,7 +70,6 @@ WINDOW_PRIORITY = [
     "q_text_split",
     "q_numeric_fns",
     "q_frequencies",
-    "q_cube",
     "q_embed_norm",
     # four NEVER-driver-checked late-r6 additions take the slots of
     # four r3-green unchanged-plan entries (q_token_count,
@@ -81,6 +80,9 @@ WINDOW_PRIORITY = [
     "q_hash_split",            # leakage-safe split (oracle-backed)
     "q_temperature_mix",       # α-temperature resampling (oracle-backed)
     "q_pca_check",             # distributed-PCA invariant (oracle-pinned)
+    "q_bloom_check",           # Bloom incremental-dedup invariant
+                               # (oracle-pinned; takes q_cube's slot —
+                               # r3-green, plan unchanged, pytest parity)
     "q_dsir",                  # NEW late-r6 oracle-backed DSIR selection
                                # (evicts rows-only q_synthesis, whose hard
                                # signal is q_synthesis_check in slot 47)

@@ -388,7 +388,57 @@ def q_sample_check(spark, sf_dir):
     )
 
 
+def q_bloom_check(spark, sf_dir):
+    """Hard-signal invariant for Bloom incremental dedup (the
+    q_knn_ivf_recall pattern — the filter's bit layout is
+    engine-hash-specific, so the INVARIANTS are what cross-engine
+    verification can pin): fingerprint the "seen" corpus (docs with
+    doc_id % 3 != 0), screen the full corpus as the "new" batch,
+    then recount exactly — (a) no_false_negatives: zero survivors
+    whose text IS in the seen corpus (an exact semi-join recount;
+    the filter's hard guarantee); (b) fp_ok: the genuinely-new rows
+    lost to false positives (exact anti-join recount) stay under
+    1% + 5 of the truly-new count (theory: ~7e-6 at driver SFs for
+    m = 2^20, k = 5); (c) nonvacuous: the survivor set is non-empty
+    and smaller than the batch. n_docs is pinned by the oracle's own
+    parquet count, so the row universe is cross-engine-verified."""
+    docs = _t(spark, sf_dir, "documents").df
+    seen = docs.where(F.col("doc_id") % 3 != 0)
+    survivors = dedup.bloom_filter_new(
+        docs, seen, ["text"], m_bits=1 << 20, k=5
+    ).persist()
+    seen_texts = seen.select("text").distinct()
+    viol = survivors.join(seen_texts, "text", "left_semi").agg(
+        F.count(F.lit(1)).alias("__viol")
+    )
+    truly_new = docs.join(seen_texts, "text", "left_anti")
+    fp = truly_new.join(
+        survivors.select("doc_id"), "doc_id", "left_anti"
+    ).agg(F.count(F.lit(1)).alias("__fp"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        F.broadcast(truly_new.agg(F.count(F.lit(1)).alias("__new")))
+    ).crossJoin(
+        F.broadcast(survivors.agg(F.count(F.lit(1)).alias("__surv")))
+    )
+    return (
+        stats.crossJoin(F.broadcast(viol))
+        .crossJoin(F.broadcast(fp))
+        .select(
+            "n_docs",
+            (F.col("__viol") == 0).alias("no_false_negatives"),
+            (
+                F.col("__fp")
+                <= F.lit(5) + F.lit(0.01) * F.col("__new")
+            ).alias("fp_ok"),
+            (
+                (F.col("__surv") > 0) & (F.col("__surv") < F.col("n_docs"))
+            ).alias("nonvacuous"),
+        )
+    )
+
+
 QUERIES = {
+    "q_bloom_check": q_bloom_check,
     "q_sample_check": q_sample_check,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -428,6 +478,12 @@ _SHINGLES = """
 """
 
 ORACLES = {
+    "q_bloom_check": """
+        SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+               TRUE AS no_false_negatives,
+               TRUE AS fp_ok,
+               TRUE AS nonvacuous
+    """,
     "q_sample_check": """
         SELECT TRUE AS deterministic_replay, TRUE AS size_within_6sd
     """,

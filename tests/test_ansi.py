@@ -65,6 +65,7 @@ RISKY = [
     "q_hash_split",             # r6 md5 conv casts + threshold compare
     "q_temperature_mix",        # r6 pow(n, a-1) rate division
     "q_pca_check",              # r6 var/corr divisions + eigval compares
+    "q_bloom_check",            # r6 31-bit-masked hash affine + bit shifts
 ]
 
 

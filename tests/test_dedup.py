@@ -370,3 +370,53 @@ def test_remove_duplicated_spans_overlap_and_indoc(spark):
     assert out[1]["clean_text"] == "a b c d"
     assert out[2]["clean_text"] == "z" and out[2]["n_removed"] == 4
     assert out[3]["clean_text"] == "m n m n" and out[3]["n_removed"] == 0
+
+
+def test_bloom_membership_and_fp_bound(spark):
+    from dataframe_spark.operators.dedup import (
+        bloom_build,
+        bloom_filter_new,
+        bloom_might_contain,
+    )
+
+    seen = spark.createDataFrame(
+        [(i, f"doc-{i}") for i in range(500)], "id long, key string"
+    )
+    new = spark.createDataFrame(
+        [(i, f"doc-{i}") for i in range(400, 900)], "id long, key string"
+    )
+    out = bloom_filter_new(new, seen, ["key"], m_bits=1 << 14, k=5)
+    got = {r["id"] for r in out.collect()}
+    # hard guarantee: every key present in seen is screened out
+    assert got.isdisjoint(set(range(400, 500)))
+    # genuinely-new keys survive modulo a small fp loss
+    truly_new = set(range(500, 900))
+    lost = truly_new - got
+    assert got <= truly_new
+    assert len(lost) <= 0.02 * len(truly_new)
+    # direct probe: all seen keys positive
+    bloom = bloom_build(seen, ["key"], m_bits=1 << 14, k=5)
+    probed = (
+        seen.crossJoin(F.broadcast(bloom))
+        .select(bloom_might_contain(["key"], 1 << 14, 5).alias("hit"))
+        .collect()
+    )
+    assert all(r["hit"] for r in probed)
+
+
+def test_bloom_deterministic_and_guards(spark):
+    from dataframe_spark.operators.dedup import bloom_build, bloom_filter_new
+
+    seen = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(100)], "id long, key string"
+    )
+    new = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(50, 200)], "id long, key string"
+    )
+    a = sorted(r["id"] for r in bloom_filter_new(new, seen, ["key"]).collect())
+    b = sorted(r["id"] for r in bloom_filter_new(new, seen, ["key"]).collect())
+    assert a == b
+    with pytest.raises(ValueError):
+        bloom_build(seen, ["key"], m_bits=1000)  # not a power of 2
+    with pytest.raises(ValueError):
+        bloom_build(seen, ["key"], m_bits=1 << 14, k=0)
