@@ -31,6 +31,16 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
     docs = load_table(spark, sf_dir, "documents")
     print(f"corpus: {docs.count()} docs from {sf_dir}")
 
+    # 0. Incremental ingest screen: drop anything already in the
+    #    previously-ingested corpus (simulated here as every 5th doc)
+    #    via a broadcast Bloom filter — zero joins against old data,
+    #    no false negatives, the map-only 100 TB re-crawl gate.
+    from dataframe_spark.operators.dedup import bloom_filter_new
+
+    already = docs.where(F.col("doc_id") % 5 == 0)
+    docs = bloom_filter_new(docs, already, ["text"])
+    print(f"after incremental-ingest Bloom screen: {docs.count()}")
+
     # 1. Quality + language scoring (all in-row, fuses into the scan)
     scored = docs.select(
         "doc_id",
@@ -51,6 +61,14 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
         (F.col("quality") >= 0.3)
         & (F.col("dup_word_frac") <= 0.9)
         & (F.col("n_tokens") >= 5)
+    )
+
+    # 2a. C4-style rule gate (word-count band, mean-word-length
+    #     sanity band, bad-phrase list) — audit-mode flags, in-row
+    kept = text.c4_flags(
+        kept, "text", min_words=5, mean_wl_range=(2.0, 10.0)
+    ).where(F.col("keep")).drop(
+        "n_words", "mean_word_len", "has_bad_phrase", "keep"
     )
 
     # 2b. LM-perplexity gate (CCNet-style): train a unigram LM on the
@@ -116,6 +134,20 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
         default_rate=0.5,
     )
 
+    # 5b. Temperature rebalance across languages (α = 0.5): rare
+    #     langs keep everything, the dominant one downsamples toward
+    #     p^α shares — downsampling only, rows never duplicate
+    mixed = text.temperature_mixture(
+        mixed, "lang", [F.col("doc_id").cast("string")], alpha=0.5
+    )
+
+    # 5c. Leakage-safe split: the split is a pure function of the
+    #     SOURCE, so near-dupes within one origin can never straddle
+    #     train and eval
+    mixed = text.hash_split(
+        mixed, ["source"], {"train": 0.9, "valid": 0.05, "test": 0.05}
+    )
+
     # 6. Chunk into training sequences and pack greedily per source
     chunks = text.chunk_tokens(mixed, "doc_id", "redacted", chunk_size=64)
     chunks = chunks.join(
@@ -138,6 +170,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
         mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n")).orderBy("source")
     )
     print(to_markdown(D.DataFrame(per_source), n=5))
+    per_split = (
+        mixed.groupBy("split").agg(F.count(F.lit(1)).alias("n")).orderBy("split")
+    )
+    print(to_markdown(D.DataFrame(per_split), n=5))
     n_packs = packed.select("source", "pack_id").distinct().count()
     print(f"packed sequences: {n_packs}")
 
