@@ -309,7 +309,13 @@ def term_freq_pairs(text) -> Column:
     count, not its length. Eliminates the (doc, token) shuffle of
     the full token stream that an explode+groupBy term-frequency
     plan pays — at corpus scale that shuffle is the dominant cost."""
-    s = F.array_sort(tokens(text))
+    return _freq_pairs(F.array_sort(tokens(text)))
+
+
+def _freq_pairs(s) -> Column:
+    """Run-length (value, count) pairs over an already-SORTED string
+    array — the in-row frequency kernel shared by term_freq_pairs
+    (unigrams) and bigram_perplexity_score (bigram strings)."""
     emit = lambda acc: F.concat(  # noqa: E731 — close the open run
         acc["acc"],
         F.array(F.struct(acc["prev"].alias("token"), acc["cnt"].alias("tf"))),
@@ -921,4 +927,142 @@ def temperature_mixture(
         df.join(F.broadcast(rates), g.eqNullSafe(F.col("__g")), "left")
         .where(u < F.col("__rate"))
         .drop("__g", "__rate")
+    )
+
+
+def bigram_lm(df, text_col: str, top_v: int = 1000, top_b: int = 20_000):
+    """Interpolated bigram language model over the corpus — the
+    context-sensitive upgrade of ``unigram_lm`` (toward what CCNet's
+    KenLM 5-gram does, kept engine-portable): scoring interpolates a
+    maximum-likelihood bigram term with the add-one unigram back-off
+    (Jelinek–Mercer), so fluent-but-unseen transitions degrade
+    smoothly instead of zeroing out.
+
+    Bounded model state: the unigram side keeps the ``top_v`` vocab
+    (ties by token — identical to unigram_lm); the bigram table
+    keeps only bigrams whose BOTH tokens are in the vocab, then the
+    ``top_b`` most frequent (ties by bigram text) — broadcastable at
+    any corpus size. Per-bigram context counts use the w1 unigram
+    count (the standard doc-boundary shortcut). One token-count
+    shuffle and one bigram-count shuffle total; no driver collect.
+
+    Returns ``(bilm, unilm, totals)``: bilm = (bigram, c, n_w1);
+    unilm/totals exactly as unigram_lm (shared scorer back-off)."""
+    from ..plans.hints import ensure_scan_parallelism
+
+    from .dedup import window_array_expr
+
+    unilm, totals = unigram_lm(df, text_col, top_v=top_v)
+    counts = vocabulary(df, text_col)
+    vocab = counts.orderBy(F.desc("n"), F.asc("token")).limit(top_v)
+    src = ensure_scan_parallelism(df)
+    bg = (
+        src.select(
+            F.explode(
+                window_array_expr(tokens(text_col), 2)
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    v1 = vocab.select(
+        F.col("token").alias("__w1"), F.col("n").alias("n_w1")
+    )
+    v2 = vocab.select(F.col("token").alias("__w2"))
+    bilm = (
+        bg.withColumn("__w1", F.substring_index("bigram", " ", 1))
+        .withColumn("__w2", F.substring_index("bigram", " ", -1))
+        .join(F.broadcast(v1), "__w1")
+        .join(F.broadcast(v2), "__w2", "left_semi")
+        .select("bigram", "c", "n_w1")
+        .orderBy(F.desc("c"), F.asc("bigram"))
+        .limit(top_b)
+    )
+    return bilm, unilm, totals
+
+
+def bigram_perplexity_score(
+    df,
+    id_col: str,
+    text_col: str,
+    bilm,
+    unilm,
+    totals,
+    lam: float = 0.7,
+):
+    """Per-document cross-entropy/perplexity under the interpolated
+    bigram LM from ``bigram_lm``:
+    p(w2 | w1) = λ·c(w1,w2)/n(w1) + (1−λ)·p_uni(w2), the bigram
+    term zero outside the bounded table, p_uni the add-one unigram
+    with OOV back-off. Scores the ``n−1`` bigram positions; docs
+    with < 2 tokens are absent (no transition to score).
+
+    Plan shape mirrors perplexity_score: bigram frequencies are
+    computed IN-ROW (run-length over the sorted in-row bigram
+    array), so only per-doc DISTINCT bigrams explode; both model
+    sides broadcast (plan-size-gated like perplexity_score); the
+    only shuffle is the per-doc aggregation. The (1−λ) weight is
+    rounded to 12 decimals so engines quoting ``0.3`` literally
+    agree with the float ``1.0 − 0.7``."""
+    from ..plans.hints import ensure_scan_parallelism
+    from ..plans.stats import plan_size_bytes
+
+    from .dedup import window_array_expr
+
+    if not 0.0 < lam < 1.0:
+        raise ValueError(f"bigram_perplexity_score: lam must be in (0,1), got {lam}")
+    om = round(1.0 - lam, 12)
+    df = ensure_scan_parallelism(df)
+    pairs = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            _freq_pairs(
+                F.array_sort(window_array_expr(tokens(text_col), 2))
+            )
+        ).alias("__p"),
+    ).select(
+        "id",
+        F.col("__p.token").alias("bigram"),
+        F.col("__p.tf").cast("long").alias("tf"),
+    )
+    bilm_side = (
+        F.broadcast(bilm) if plan_size_bytes(bilm) <= 256 * 1024 * 1024 else bilm
+    )
+    uni_side = (
+        F.broadcast(unilm)
+        if plan_size_bytes(unilm) <= 256 * 1024 * 1024
+        else unilm
+    )
+    scored = (
+        pairs.join(bilm_side, "bigram", "left")
+        .withColumn("__w2", F.substring_index("bigram", " ", -1))
+        .join(
+            uni_side.select(
+                F.col("token").alias("__w2"), F.col("logp").alias("__lpu")
+            ),
+            "__w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "id",
+            "tf",
+            (
+                F.lit(lam)
+                * F.coalesce(
+                    F.col("c").cast("double") / F.col("n_w1"), F.lit(0.0)
+                )
+                + F.lit(om)
+                * F.exp(F.coalesce("__lpu", F.col("__oov_logp")))
+            ).alias("__prob"),
+        )
+    )
+    ce = -F.sum(F.col("tf") * F.log("__prob")) / F.sum("tf")
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            ce.alias("cross_entropy"),
+        )
+        .withColumn("ppl", F.exp("cross_entropy"))
     )

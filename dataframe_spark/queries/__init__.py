@@ -69,7 +69,6 @@ WINDOW_PRIORITY = [
     "q_filter_nulls",
     "q_text_split",
     "q_numeric_fns",
-    "q_frequencies",
     "q_embed_norm",
     # four NEVER-driver-checked late-r6 additions take the slots of
     # four r3-green unchanged-plan entries (q_token_count,
@@ -83,6 +82,9 @@ WINDOW_PRIORITY = [
     "q_bloom_check",           # Bloom incremental-dedup invariant
                                # (oracle-pinned; takes q_cube's slot —
                                # r3-green, plan unchanged, pytest parity)
+    "q_bigram_ppl",            # interpolated bigram-LM perplexity
+                               # (oracle-backed; takes q_frequencies'
+                               # slot — same r3-green rationale)
     "q_dsir",                  # NEW late-r6 oracle-backed DSIR selection
                                # (evicts rows-only q_synthesis, whose hard
                                # signal is q_synthesis_check in slot 47)

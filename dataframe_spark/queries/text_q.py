@@ -324,7 +324,27 @@ def q_temperature_mix(spark, sf_dir):
     )
 
 
+def q_bigram_ppl(spark, sf_dir):
+    """Interpolated bigram-LM perplexity (context-sensitive upgrade
+    of q_perplexity): top-1000 vocab, top-20000 in-vocab bigram
+    table, λ = 0.7 ML-bigram weight with add-one unigram back-off.
+    Scores the n−1 transitions per doc; fully oracle-backed (both
+    model tables are deterministic total orders)."""
+    docs = _t(spark, sf_dir, "documents").df
+    bilm, unilm, totals = T.bigram_lm(docs, "text", top_v=1000, top_b=20_000)
+    out = T.bigram_perplexity_score(
+        docs, "doc_id", "text", bilm, unilm, totals, lam=0.7
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_bigrams",
+        F.round("cross_entropy", 4).alias("cross_entropy"),
+        F.round("ppl", 2).alias("ppl"),
+    )
+
+
 QUERIES = {
+    "q_bigram_ppl": q_bigram_ppl,
     "q_c4_filter": q_c4_filter,
     "q_hash_split": q_hash_split,
     "q_temperature_mix": q_temperature_mix,
@@ -366,6 +386,51 @@ _MIX_CASE = " ".join(
 )
 
 ORACLES = {
+    "q_bigram_ppl": f"""
+        WITH tok AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents
+        ), big AS (
+          SELECT doc_id,
+                 LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1),
+                                i -> t[i] || ' ' || t[i+1]) AS g
+          FROM tok WHERE LEN(t) >= 2
+        ), uni AS (
+          SELECT UNNEST(t) AS token FROM tok
+        ), counts AS (
+          SELECT token, COUNT(*) AS n FROM uni GROUP BY 1
+        ), n_tot AS (
+          SELECT SUM(n) AS n_total FROM counts
+        ), vocab AS (
+          SELECT token, n FROM counts ORDER BY n DESC, token ASC LIMIT 1000
+        ), vsize AS (
+          SELECT COUNT(*) AS v FROM vocab
+        ), bgc AS (
+          SELECT bigram, COUNT(*) AS c
+          FROM (SELECT UNNEST(g) AS bigram FROM big) GROUP BY 1
+        ), bilm AS (
+          SELECT b.bigram, b.c, v1.n AS n_w1
+          FROM bgc b
+          JOIN vocab v1 ON v1.token = SPLIT_PART(b.bigram, ' ', 1)
+          JOIN vocab v2 ON v2.token = SPLIT_PART(b.bigram, ' ', 2)
+          ORDER BY b.c DESC, b.bigram ASC LIMIT 20000
+        ), pos AS (
+          SELECT doc_id, UNNEST(g) AS bigram FROM big
+        ), scored AS (
+          SELECT pos.doc_id,
+            0.7 * COALESCE(CAST(bilm.c AS DOUBLE) / bilm.n_w1, 0.0)
+            + 0.3 * EXP(COALESCE(LN(v2.n + 1) - LN(n_total + v + 1),
+                                 -LN(n_total + v + 1))) AS p
+          FROM pos
+          LEFT JOIN bilm ON pos.bigram = bilm.bigram
+          LEFT JOIN vocab v2 ON v2.token = SPLIT_PART(pos.bigram, ' ', 2)
+          CROSS JOIN n_tot CROSS JOIN vsize
+        )
+        SELECT doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+          ROUND(-SUM(LN(p)) / COUNT(*), 4) AS cross_entropy,
+          ROUND(EXP(-SUM(LN(p)) / COUNT(*)), 2) AS ppl
+        FROM scored GROUP BY doc_id
+    """,
     "q_c4_filter": f"""
         WITH aug AS (
           SELECT doc_id, source,

@@ -66,6 +66,7 @@ RISKY = [
     "q_temperature_mix",        # r6 pow(n, a-1) rate division
     "q_pca_check",              # r6 var/corr divisions + eigval compares
     "q_bloom_check",            # r6 31-bit-masked hash affine + bit shifts
+    "q_bigram_ppl",             # r6 interpolated-prob logs + divisions
 ]
 
 

@@ -467,3 +467,46 @@ def test_temperature_mixture_rates_and_nulls(spark):
     assert a == b
     with pytest.raises(ValueError):
         T.temperature_mixture(df, "g", ["id"], alpha=-0.1)
+
+
+def test_bigram_ppl_detects_word_order(spark):
+    # 30 fluent docs with a fixed word order + 1 scrambled doc with
+    # the SAME bag of tokens: the unigram LM cannot tell them apart;
+    # the bigram LM must score the scrambled transitions worse
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    scrambled = "mat the on and sat cat rug the dog the on sat the"
+    rows = [(i, fluent) for i in range(30)] + [(99, scrambled)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    bilm, unilm, totals = T.bigram_lm(df, "text", top_v=100, top_b=1000)
+    out = {
+        r["id"]: r["ppl"]
+        for r in T.bigram_perplexity_score(
+            df, "id", "text", bilm, unilm, totals, lam=0.7
+        ).collect()
+    }
+    assert out[99] > out[0] * 2
+    # same bag of words -> unigram ppl identical for both
+    uni = T.perplexity_score(df, "id", "text", unilm, totals)
+    got = {r["id"]: r["ppl"] for r in uni.collect()}
+    assert abs(got[99] - got[0]) < 1e-9
+
+
+def test_bigram_ppl_interpolation_floor_and_edges(spark):
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "zz qq xx yy"),   # transitions never seen elsewhere
+        (3, "single"),        # < 2 tokens: absent
+        (4, ""),              # empty: absent
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    bilm, unilm, totals = T.bigram_lm(df, "text", top_v=50, top_b=100)
+    out = {r["id"]: r for r in T.bigram_perplexity_score(
+        df, "id", "text", bilm, unilm, totals).collect()}
+    assert set(out) == {1, 2}
+    # unigram back-off keeps every probability finite and positive
+    import math
+    for r in out.values():
+        assert math.isfinite(r["cross_entropy"]) and r["ppl"] > 0
+    assert out[1]["n_bigrams"] == 3
+    with pytest.raises(ValueError):
+        T.bigram_perplexity_score(df, "id", "text", bilm, unilm, totals, lam=1.5)
