@@ -385,7 +385,7 @@ def tf_idf(df, id_col: str, text_col: str):
     )
 
 
-def unigram_lm(df, text_col: str, top_v: int | None = None):
+def unigram_lm(df, text_col: str, top_v: int | None = None, counts=None):
     """Add-one-smoothed unigram language model over the corpus
     (CCNet-style perplexity filtering, Wenzek et al. 2020 — trained
     here on the corpus itself; swap ``df`` for a clean reference
@@ -400,8 +400,12 @@ def unigram_lm(df, text_col: str, top_v: int | None = None):
 
     Returns ``(lm, totals)``: lm = (token, logp) bounded by top_v;
     totals = one row (__n_total, __v, __oov_logp) for the scorer.
-    One token-count shuffle total; no driver collect."""
-    counts = vocabulary(df, text_col)
+    One token-count shuffle total; no driver collect. ``counts``
+    lets a caller that already built the (token, n) frame (e.g.
+    bigram_lm, which needs the raw vocab counts too) share it
+    instead of paying the token-count shuffle twice."""
+    if counts is None:
+        counts = vocabulary(df, text_col)
     n_total = counts.agg(F.sum("n").alias("__n_total"))
     if top_v is not None:
         counts = counts.orderBy(F.desc("n"), F.asc("token")).limit(top_v)
@@ -952,8 +956,8 @@ def bigram_lm(df, text_col: str, top_v: int = 1000, top_b: int = 20_000):
 
     from .dedup import window_array_expr
 
-    unilm, totals = unigram_lm(df, text_col, top_v=top_v)
     counts = vocabulary(df, text_col)
+    unilm, totals = unigram_lm(df, text_col, top_v=top_v, counts=counts)
     vocab = counts.orderBy(F.desc("n"), F.asc("token")).limit(top_v)
     src = ensure_scan_parallelism(df)
     bg = (

@@ -404,9 +404,11 @@ def q_bloom_check(spark, sf_dir):
     parquet count, so the row universe is cross-engine-verified."""
     docs = _t(spark, sf_dir, "documents").df
     seen = docs.where(F.col("doc_id") % 3 != 0)
-    survivors = dedup.bloom_filter_new(
-        docs, seen, ["text"], m_bits=1 << 20, k=5
-    ).persist()
+    # _reusable, not bare persist: connect-safe and disk-spillable
+    # (three downstream consumers — viol, fp, survivor count)
+    survivors = dedup._reusable(
+        dedup.bloom_filter_new(docs, seen, ["text"], m_bits=1 << 20, k=5)
+    )
     seen_texts = seen.select("text").distinct()
     viol = survivors.join(seen_texts, "text", "left_semi").agg(
         F.count(F.lit(1)).alias("__viol")
