@@ -57,7 +57,6 @@ WINDOW_PRIORITY = [
     "q_sessionize",            # sentinel (failed r1+r2 — keep hard signal)
     "q_source_overlap",        # 22-43: r3-last longest-unverified
     "q_stream_window",
-    "q_stream_dedup",
     "q_repetition",
     "q_redact",
     "q_pack",
@@ -85,6 +84,12 @@ WINDOW_PRIORITY = [
     "q_bigram_ppl",            # interpolated bigram-LM perplexity
                                # (oracle-backed; takes q_frequencies'
                                # slot — same r3-green rationale)
+    "q_cms_check",             # Count-Min sketch invariant (oracle-
+                               # pinned; takes q_stream_dedup's slot —
+                               # r3-green batch twin, plan unchanged,
+                               # the stream family keeps q_stream_window
+                               # r3 + q_interval_join r4 + q_stream_psi
+                               # r5 in/near the window)
     "q_dsir",                  # NEW late-r6 oracle-backed DSIR selection
                                # (evicts rows-only q_synthesis, whose hard
                                # signal is q_synthesis_check in slot 47)

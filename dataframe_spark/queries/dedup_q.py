@@ -439,8 +439,60 @@ def q_bloom_check(spark, sf_dir):
     )
 
 
+def q_cms_check(spark, sf_dir):
+    """Hard-signal invariant for the Count-Min frequency sketch
+    (operators/sketch.py, the q_knn_ivf_recall pattern): sketch the
+    corpus BIGRAM occurrence stream (the hot-key probe you'd run
+    before salting a 100 TB join), then compare the top-20 exact
+    bigram counts against their estimates — (a) lower_ok: every
+    estimate >= its exact count (the CMS one-sided guarantee; any
+    build/probe hash mismatch breaks it instantly); (b) upper_ok:
+    the worst overestimate stays under 4·N/width (twice the Markov
+    eps·N bound — deterministic with fixed seeds, measured 0 at
+    driver SFs); (c) n_checked pinned at 20 and the stream size
+    n_bigrams pinned by the oracle's own recount, so the row
+    universe is cross-engine-verified."""
+    from ..operators import sketch as S
+    from ..operators.text import tokens
+
+    width, depth = 2048, 4
+    docs = _t(spark, sf_dir, "documents").df
+    stream = dedup._reusable(
+        docs.select(
+            F.explode(
+                dedup.window_array_expr(tokens("text"), 2)
+            ).alias("k")
+        )
+    )
+    cms = S.cms_build(stream, ["k"], width=width, depth=depth)
+    exact = (
+        stream.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.desc("__n"), F.asc("k"))
+        .limit(20)
+    )
+    total = stream.agg(F.count(F.lit(1)).alias("n_bigrams"))
+    est = exact.crossJoin(F.broadcast(cms)).select(
+        "__n", S.cms_estimate(["k"], width=width, depth=depth).alias("__est")
+    )
+    checked = est.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum((F.col("__est") < F.col("__n")).cast("int")).alias("__under"),
+        F.max(F.col("__est") - F.col("__n")).alias("__over"),
+    )
+    return checked.crossJoin(F.broadcast(total)).select(
+        "n_checked",
+        "n_bigrams",
+        (F.col("__under") == 0).alias("lower_ok"),
+        (
+            F.col("__over") <= F.lit(4.0) * F.col("n_bigrams") / F.lit(width)
+        ).alias("upper_ok"),
+    )
+
+
 QUERIES = {
     "q_bloom_check": q_bloom_check,
+    "q_cms_check": q_cms_check,
     "q_sample_check": q_sample_check,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -485,6 +537,15 @@ ORACLES = {
                TRUE AS no_false_negatives,
                TRUE AS fp_ok,
                TRUE AS nonvacuous
+    """,
+    "q_cms_check": """
+        SELECT 20 AS n_checked,
+               (SELECT CAST(SUM(GREATEST(LEN(
+                  LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+                              x -> x <> '')) - 1, 0)) AS BIGINT)
+                FROM documents) AS n_bigrams,
+               TRUE AS lower_ok,
+               TRUE AS upper_ok
     """,
     "q_sample_check": """
         SELECT TRUE AS deterministic_replay, TRUE AS size_within_6sd

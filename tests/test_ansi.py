@@ -67,6 +67,7 @@ RISKY = [
     "q_pca_check",              # r6 var/corr divisions + eigval compares
     "q_bloom_check",            # r6 31-bit-masked hash affine + bit shifts
     "q_bigram_ppl",             # r6 interpolated-prob logs + divisions
+    "q_cms_check",              # r6 sketch slot hashing + bound division
 ]
 
 

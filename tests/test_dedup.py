@@ -420,3 +420,42 @@ def test_bloom_deterministic_and_guards(spark):
         bloom_build(seen, ["key"], m_bits=1000)  # not a power of 2
     with pytest.raises(ValueError):
         bloom_build(seen, ["key"], m_bits=1 << 14, k=0)
+
+
+def test_cms_estimates_and_hot_keys(spark):
+    from dataframe_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+        hot_keys,
+    )
+
+    # skewed stream: 'hot' x 300, 'warm' x 60, 200 singletons
+    rows = (
+        [("hot",)] * 300 + [("warm",)] * 60 + [(f"cold{i}",) for i in range(200)]
+    )
+    df = spark.createDataFrame(rows, "k string")
+    sketch = cms_build(df, ["k"], width=1024, depth=4)
+    est = (
+        df.select("k").distinct()
+        .crossJoin(F.broadcast(sketch))
+        .withColumn("est", cms_estimate(["k"], width=1024, depth=4))
+    )
+    got = {r["k"]: r["est"] for r in est.collect()}
+    # one-sided guarantee: never under the true count
+    assert got["hot"] >= 300 and got["warm"] >= 60
+    assert all(v >= 1 for v in got.values())
+    # 560 increments over 1024x4 slots: overestimates stay tiny
+    assert got["hot"] <= 300 + 5 and got["warm"] <= 60 + 5
+    # hot_keys finds exactly the skewed keys at threshold 50
+    hot = {r["k"] for r in hot_keys(df, ["k"], threshold=50, width=1024).collect()}
+    assert {"hot", "warm"} <= hot and len(hot) <= 4
+
+
+def test_cms_guards(spark):
+    from dataframe_spark.operators.sketch import cms_build
+
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError):
+        cms_build(df, ["k"], width=0)
+    with pytest.raises(ValueError):
+        cms_build(df, ["k"], width=1 << 23, depth=4)  # slot cap
