@@ -127,7 +127,16 @@ def pca_fit(df: SparkDF, vec_col: str, k: int, ddof: int = 1):
     return comps, eigvals[order], mean, float(np.trace(cov))
 
 
-def pca_project(df: SparkDF, vec_col: str, components, mean, out_col="pca"):
+def pca_project(
+    df: SparkDF,
+    vec_col: str,
+    components,
+    mean,
+    out_col="pca",
+    whiten: bool = False,
+    eigvals=None,
+    eps: float = 1e-12,
+):
     """Project each embedding onto fitted components IN-ROW: center
     against the broadcast-literal mean, then k dot products as JVM
     higher-order aggregates — a narrow map-only projection, zero
@@ -135,10 +144,26 @@ def pca_project(df: SparkDF, vec_col: str, components, mean, out_col="pca"):
     the one-element-explode Generate barrier (the bm25 pattern:
     higher-order fns are CodegenFallback, so without the barrier
     CollapseProject would re-center per component). Rows with a null
-    embedding project to null."""
+    embedding project to null.
+
+    ``whiten=True`` rescales each component by 1/sqrt(eigval + eps)
+    (pass ``eigvals`` from pca_fit) so projected coordinates have
+    unit variance — the standard decorrelate-and-equalize transform
+    before cosine similarity or semantic dedup, folded into the same
+    literal matrix at zero extra runtime cost."""
     import numpy as np
 
     comps = np.asarray(components, dtype="float64")
+    if whiten:
+        if eigvals is None:
+            raise ValueError("pca_project: whiten=True requires eigvals")
+        ev = np.asarray(eigvals, dtype="float64")
+        if ev.shape[0] != comps.shape[0]:
+            raise ValueError(
+                f"pca_project: {comps.shape[0]} components but"
+                f" {ev.shape[0]} eigvals"
+            )
+        comps = comps / np.sqrt(ev + eps)[:, None]
     mean = np.asarray(mean, dtype="float64")
     mean_lit = F.array(*[F.lit(float(m)) for m in mean])
     centered = F.zip_with(_dvec(vec_col), mean_lit, lambda x, m: x - m)

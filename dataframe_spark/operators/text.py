@@ -385,6 +385,16 @@ def tf_idf(df, id_col: str, text_col: str):
     )
 
 
+def _top_vocab(counts, top_v: int | None):
+    """The bounded (token, n) vocab cut under ITS one deterministic
+    total order (count desc, token asc) — shared by unigram_lm and
+    bigram_lm so the two models can never silently disagree on what
+    the vocabulary is."""
+    if top_v is None:
+        return counts
+    return counts.orderBy(F.desc("n"), F.asc("token")).limit(top_v)
+
+
 def unigram_lm(df, text_col: str, top_v: int | None = None, counts=None):
     """Add-one-smoothed unigram language model over the corpus
     (CCNet-style perplexity filtering, Wenzek et al. 2020 — trained
@@ -407,8 +417,7 @@ def unigram_lm(df, text_col: str, top_v: int | None = None, counts=None):
     if counts is None:
         counts = vocabulary(df, text_col)
     n_total = counts.agg(F.sum("n").alias("__n_total"))
-    if top_v is not None:
-        counts = counts.orderBy(F.desc("n"), F.asc("token")).limit(top_v)
+    counts = _top_vocab(counts, top_v)
     v = counts.agg(F.count(F.lit(1)).alias("__v"))
     denom = F.log(F.col("__n_total") + F.col("__v") + 1)
     totals = (
@@ -958,7 +967,7 @@ def bigram_lm(df, text_col: str, top_v: int = 1000, top_b: int = 20_000):
 
     counts = vocabulary(df, text_col)
     unilm, totals = unigram_lm(df, text_col, top_v=top_v, counts=counts)
-    vocab = counts.orderBy(F.desc("n"), F.asc("token")).limit(top_v)
+    vocab = _top_vocab(counts, top_v)
     src = ensure_scan_parallelism(df)
     bg = (
         src.select(
@@ -1016,6 +1025,14 @@ def bigram_perplexity_score(
     if not 0.0 < lam < 1.0:
         raise ValueError(f"bigram_perplexity_score: lam must be in (0,1), got {lam}")
     om = round(1.0 - lam, 12)
+    if om <= 0.0:
+        # lam within 5e-13 of 1 rounds the back-off weight to zero:
+        # out-of-table bigrams would get prob 0, log(0) = null, and
+        # the "every probability finite and positive" contract would
+        # break silently — fail fast instead
+        raise ValueError(
+            f"bigram_perplexity_score: lam={lam} leaves no back-off mass"
+        )
     df = ensure_scan_parallelism(df)
     pairs = df.select(
         F.col(id_col).alias("id"),

@@ -270,3 +270,32 @@ def test_pca_null_vectors_and_guards(spark):
         pca_fit(df, "embedding", k=9)  # k > dim
     with _pytest.raises(ValueError):
         pca_fit(df.where("id < 0"), "embedding", k=2)  # no vectors
+
+
+def test_pca_whitening_unit_variance(spark):
+    import numpy as np
+
+    from dataframe_spark.operators.embeddings import pca_fit, pca_project
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(11)
+    X = rng.randn(400, 5) * np.array([4.0, 2.0, 1.0, 0.5, 0.25])
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(400)],
+        "id long, embedding array<double>",
+    )
+    comps, ev, mean, _ = pca_fit(df, "embedding", k=3)
+    proj = pca_project(
+        df, "embedding", comps, mean, out_col="p", whiten=True, eigvals=ev
+    )
+    r = proj.agg(
+        *[F.var_samp(F.element_at("p", i + 1)).alias(f"v{i}") for i in range(3)]
+    ).collect()[0]
+    for i in range(3):
+        assert abs(r[f"v{i}"] - 1.0) < 1e-6
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pca_project(df, "embedding", comps, mean, whiten=True)
+    with _pytest.raises(ValueError):
+        pca_project(df, "embedding", comps, mean, whiten=True, eigvals=ev[:2])
