@@ -1,4 +1,9 @@
 from .decision_tree import Tree, fit_decision_tree, tao_optimize, tree_to_expr
+from .naive_bayes import (
+    NaiveBayesModel,
+    fit_naive_bayes,
+    predict_naive_bayes,
+)
 from .logreg import (
     LogisticModel,
     fit_logistic_regression,
@@ -31,4 +36,7 @@ __all__ = [
     "fit_regression",
     "mutual_information",
     "synthesize_feature_expr",
+    "NaiveBayesModel",
+    "fit_naive_bayes",
+    "predict_naive_bayes",
 ]

@@ -1,0 +1,216 @@
+"""Multinomial Naive Bayes text classifier.
+
+LLM-pipeline extension (the bag-of-words sibling of ml/logreg's
+FastText-style linear filter; reference scope: derived scoring over
+Operations/Aggregation.hs-style counts — no Haskell counterpart).
+The classic use here is cheap corpus routing: language / source /
+quality-tier classification where a linear model over token counts
+is the industry baseline.
+
+Everything is CLOSED-FORM counting, so the whole pipeline — model
+and predictions — is exactly reproducible in SQL (unlike iterative
+logreg, whose oracle needs a rule-recovery trick). Distributed
+shape:
+
+- model: per-(class, token) counts from ONE explode of per-doc
+  IN-ROW tf pairs, restricted to the top-V global vocabulary →
+  pivoted to one bounded (token, logp per class) broadcast table;
+  class totals and log-priors are single one-row aggs.
+- predict: per-doc DISTINCT-token tf pairs explode (the
+  perplexity_score contract — the token stream itself never
+  shuffles), one broadcast join against the model, one per-doc agg,
+  then an in-row argmax over the per-class scores ROUNDED to 6
+  decimals (round-first: cross-engine float-sum drift is ~1e-11,
+  so rounded scores are engine-stable and ties break by class name).
+
+Laplace smoothing: p(tok | c) = (cnt_{c,tok} + 1) / (T_c + V + 1)
+with the out-of-vocabulary mass 1 / (T_c + V + 1); T_c counts the
+class's VOCAB-token occurrences, V the retained vocabulary size.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import functions as F
+
+
+@dataclass
+class NaiveBayesModel:
+    classes: list  # sorted class labels (tie-break order)
+    table: SparkDF  # (token, __lp_<i> per class) bounded by top_v
+    totals: SparkDF  # one row: __prior_<i>, __oov_<i> per class
+    top_v: int = 1000
+    extra: dict = field(default_factory=dict)
+
+
+def fit_naive_bayes(
+    df: SparkDF,
+    label_col: str,
+    text_col: str,
+    top_v: int = 1000,
+) -> NaiveBayesModel:
+    """Fit the model. The class list is the only driver-side state
+    (sorted distinct labels — model metadata, like the k-means
+    codebook); counts never leave the cluster. Rows with a null
+    label don't participate."""
+    from ..operators.text import _top_vocab, term_freq_pairs, vocabulary
+
+    src = df.where(F.col(label_col).isNotNull())
+    classes = sorted(
+        r[0] for r in src.select(label_col).distinct().collect()
+    )
+    if not classes:
+        raise ValueError("fit_naive_bayes: no non-null labels")
+    vocab = _top_vocab(vocabulary(src, text_col), top_v).select("token")
+
+    pairs = src.select(
+        F.col(label_col).alias("__y"),
+        F.explode(term_freq_pairs(text_col)).alias("__p"),
+    ).select(
+        "__y",
+        F.col("__p.token").alias("token"),
+        F.col("__p.tf").cast("long").alias("__tf"),
+    )
+    # vocab-restricted per-(class, token) counts, pivoted wide via
+    # conditional aggs (classes are model metadata, so the column
+    # list is static) — one shuffle bounded by V rows
+    counts = (
+        pairs.join(F.broadcast(vocab), "token")
+        .groupBy("token")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("__y") == F.lit(c), F.col("__tf")).otherwise(
+                        F.lit(0)
+                    )
+                ).alias(f"__c_{i}")
+                for i, c in enumerate(classes)
+            ]
+        )
+    )
+    v = counts.agg(F.count(F.lit(1)).alias("__v"))
+    class_tot = counts.agg(
+        *[F.sum(f"__c_{i}").alias(f"__t_{i}") for i in range(len(classes))]
+    )
+    doc_tot = src.groupBy().agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum((F.col(label_col) == F.lit(c)).cast("long")).alias(f"__d_{i}")
+            for i, c in enumerate(classes)
+        ],
+    )
+    totals = (
+        class_tot.crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(doc_tot))
+        .select(
+            *[
+                F.log(
+                    F.col(f"__d_{i}").cast("double") / F.col("__n")
+                ).alias(f"__prior_{i}")
+                for i in range(len(classes))
+            ],
+            *[
+                (-F.log(F.col(f"__t_{i}") + F.col("__v") + 1)).alias(
+                    f"__oov_{i}"
+                )
+                for i in range(len(classes))
+            ],
+        )
+    )
+    table = counts.crossJoin(F.broadcast(class_tot)).crossJoin(
+        F.broadcast(v)
+    ).select(
+        "token",
+        *[
+            (
+                F.log(F.col(f"__c_{i}") + 1)
+                - F.log(F.col(f"__t_{i}") + F.col("__v") + 1)
+            ).alias(f"__lp_{i}")
+            for i in range(len(classes))
+        ],
+    )
+    return NaiveBayesModel(
+        classes=classes, table=table, totals=totals, top_v=top_v
+    )
+
+
+def predict_naive_bayes(
+    df: SparkDF,
+    id_col: str,
+    text_col: str,
+    model: NaiveBayesModel,
+    margin: float = 0.0,
+    round_decimals: int = 6,
+) -> SparkDF:
+    """(id, predicted, margin): argmax-class per document with the
+    round-first tie-break (scores rounded to ``round_decimals``
+    before comparison — coarsen it when comparing against an
+    independent engine; exact ties break to the
+    alphabetically-first class). ``margin``
+    is top1 − top2 on the rounded scores; pass ``margin > 0`` to
+    null out predictions closer than that (abstain on boundary docs
+    — what an oracle-compared confusion matrix should count
+    separately). Zero-token docs are absent."""
+    from ..operators.text import term_freq_pairs
+
+    k = len(model.classes)
+    pairs = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(term_freq_pairs(text_col)).alias("__p"),
+    ).select(
+        "id",
+        F.col("__p.token").alias("token"),
+        F.col("__p.tf").cast("long").alias("__tf"),
+    )
+    scored = (
+        pairs.join(F.broadcast(model.table), "token", "left")
+        .crossJoin(F.broadcast(model.totals))
+        .groupBy("id")
+        .agg(
+            *[
+                F.round(
+                    F.max(f"__prior_{i}")
+                    + F.sum(
+                        F.col("__tf")
+                        * F.coalesce(F.col(f"__lp_{i}"), F.col(f"__oov_{i}"))
+                    ),
+                    round_decimals,
+                ).alias(f"__s_{i}")
+                for i in range(k)
+            ]
+        )
+    )
+    # in-row argmax with deterministic (score desc, class asc) order
+    best_name, best_score = F.lit(model.classes[0]), F.col("__s_0")
+    for i in range(1, k):
+        s = F.col(f"__s_{i}")
+        best_name = F.when(s > best_score, F.lit(model.classes[i])).otherwise(
+            best_name
+        )
+        best_score = F.greatest(best_score, s)
+    runner_up = None
+    n_at_best = None
+    for i in range(k):
+        is_best = (F.col(f"__s_{i}") == best_score).cast("int")
+        n_at_best = is_best if n_at_best is None else n_at_best + is_best
+        s = F.when(F.col(f"__s_{i}") == best_score, None).otherwise(
+            F.col(f"__s_{i}")
+        )
+        runner_up = s if runner_up is None else F.greatest(runner_up, s)
+    # a tie AT the top is margin 0 (ambiguous), not the gap to the
+    # next-lower score
+    marg = (
+        F.when(n_at_best >= 2, F.lit(0.0)).otherwise(
+            best_score - F.coalesce(runner_up, F.lit(float("-inf")))
+        )
+        if k > 1
+        else F.lit(float("inf"))
+    )
+    out = scored.select(
+        "id",
+        F.when(marg >= F.lit(float(margin)), best_name).alias("predicted"),
+        F.round(marg, round_decimals).alias("margin"),
+    )
+    return out

@@ -61,7 +61,6 @@ WINDOW_PRIORITY = [
     "q_redact",
     "q_pack",
     "q_mixture",
-    "q_text_quality",
     "q_lang_id",
     "q_fingerprint",
     "q_token_budget",
@@ -90,6 +89,10 @@ WINDOW_PRIORITY = [
                                # the stream family keeps q_stream_window
                                # r3 + q_interval_join r4 + q_stream_psi
                                # r5 in/near the window)
+    "q_naive_bayes",           # fully-oracle-backed NB classifier
+                               # (takes q_text_quality's slot —
+                               # r3-green; quality_score stays driver-
+                               # exercised via in-window q_token_budget)
     "q_dsir",                  # NEW late-r6 oracle-backed DSIR selection
                                # (evicts rows-only q_synthesis, whose hard
                                # signal is q_synthesis_check in slot 47)

@@ -231,16 +231,112 @@ def q_pca_check(spark, sf_dir):
     )
 
 
+def q_naive_bayes(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier, FULLY
+    oracle-backed (the model is closed-form counting, so DuckDB
+    reproduces vocab, per-class counts, priors, every document's
+    per-class score, the argmax, and the abstention margin): train
+    on the lang labels, predict every doc, return the confusion
+    matrix with sub-margin docs counted as predicted = NULL.
+    Scores round to 4 decimals before comparison and the margin
+    gate is 1e-3 (10 grid steps), so cross-engine float-sum drift
+    (~1e-11) can never flip a cell."""
+    from ..ml.naive_bayes import fit_naive_bayes, predict_naive_bayes
+
+    docs = _t(spark, sf_dir, "documents").df
+    model = fit_naive_bayes(docs, "lang", "text", top_v=1000)
+    pred = predict_naive_bayes(
+        docs, "doc_id", "text", model, margin=1e-3, round_decimals=4
+    )
+    truth = docs.select(F.col("doc_id").alias("id"), "lang")
+    return (
+        truth.join(pred, "id")
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _t(spark, sf_dir, name):
+    from ..tables import load_table as _lt
+    from ..core import DataFrame as _DF
+
+    return _DF(_lt(spark, sf_dir, name))
+
+
 QUERIES = {
     "q_mutual_info": q_mutual_info,
+    "q_naive_bayes": q_naive_bayes,
     "q_pca_check": q_pca_check,
     "q_synthesis": q_synthesis,
     "q_synthesis_check": q_synthesis_check,
     "q_logreg_classifier": q_logreg_classifier,
 }
 
+_NB_TOKS = (
+    "LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'), x -> x <> '')"
+)
+
 ORACLES = {
     "q_mutual_info": _MI_ORACLE,
+    "q_naive_bayes": f"""
+        WITH tok AS (
+          SELECT doc_id, lang, UNNEST({_NB_TOKS}) AS token FROM documents
+        ), tf AS (
+          SELECT doc_id, lang, token, COUNT(*) AS tf
+          FROM tok GROUP BY 1, 2, 3
+        ), counts AS (
+          SELECT token, COUNT(*) AS n FROM tok GROUP BY 1
+        ), vocab AS (
+          SELECT token FROM counts ORDER BY n DESC, token ASC LIMIT 1000
+        ), cls AS (
+          SELECT DISTINCT lang AS c FROM documents WHERE lang IS NOT NULL
+        ), ctk AS (
+          SELECT t.token, t.lang AS c, SUM(t.tf) AS cnt
+          FROM tf t JOIN vocab USING (token) GROUP BY 1, 2
+        ), tc AS (
+          SELECT cl.c, COALESCE(SUM(k.cnt), 0) AS t_c
+          FROM cls cl LEFT JOIN ctk k ON k.c = cl.c GROUP BY 1
+        ), vs AS (
+          SELECT COUNT(*) AS v FROM vocab
+        ), pri AS (
+          SELECT lang AS c, COUNT(*) AS d_c FROM documents
+          WHERE lang IS NOT NULL GROUP BY 1
+        ), ntot AS (
+          SELECT COUNT(*) AS n FROM documents WHERE lang IS NOT NULL
+        ), sc AS (
+          SELECT f.doc_id, cl.c,
+            SUM(f.tf * COALESCE(LN(k.cnt + 1) - LN(tc.t_c + vs.v + 1),
+                                -LN(tc.t_c + vs.v + 1))) AS s_tok
+          FROM tf f
+          CROSS JOIN cls cl
+          LEFT JOIN ctk k ON k.token = f.token AND k.c = cl.c
+          JOIN tc ON tc.c = cl.c
+          CROSS JOIN vs
+          GROUP BY 1, 2
+        ), scored AS (
+          SELECT sc.doc_id, sc.c,
+            ROUND(LN(CAST(p.d_c AS DOUBLE) / ntot.n) + sc.s_tok, 4) AS s
+          FROM sc JOIN pri p ON p.c = sc.c CROSS JOIN ntot
+        ), mx AS (
+          SELECT doc_id, MAX(s) AS smax FROM scored GROUP BY 1
+        ), agg AS (
+          SELECT s.doc_id,
+            SUM(CASE WHEN s.s = m.smax THEN 1 ELSE 0 END) AS nb,
+            MAX(CASE WHEN s.s < m.smax THEN s.s END) AS runner,
+            MIN(CASE WHEN s.s = m.smax THEN s.c END) AS bestc,
+            MAX(m.smax) AS smax
+          FROM scored s JOIN mx m ON m.doc_id = s.doc_id GROUP BY 1
+        ), pred AS (
+          SELECT doc_id, bestc,
+            CASE WHEN nb >= 2 THEN 0.0 ELSE smax - runner END AS margin
+          FROM agg
+        )
+        SELECT d.lang,
+               CASE WHEN p.margin >= 0.001 THEN p.bestc END AS predicted,
+               COUNT(*) AS n
+        FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+        GROUP BY 1, 2
+    """,
     "q_pca_check": """
         SELECT (SELECT COUNT(*) FROM embeddings WHERE embedding IS NOT NULL)
                  AS n_rows,

@@ -68,6 +68,7 @@ RISKY = [
     "q_bloom_check",            # r6 31-bit-masked hash affine + bit shifts
     "q_bigram_ppl",             # r6 interpolated-prob logs + divisions
     "q_cms_check",              # r6 sketch slot hashing + bound division
+    "q_naive_bayes",            # r6 log-prob sums + prior division
 ]
 
 

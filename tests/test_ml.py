@@ -241,3 +241,50 @@ def test_logreg_error_patience_early_stop(spark):
     # disabled path still runs the full fixed iteration count
     full = fit_logistic_regression(df, "y", ["a", "b"], iters=12)
     assert full.n_iters == 12
+
+
+def test_naive_bayes_separable_and_priors(spark):
+    from pyspark.sql import functions as F
+
+    from dataframe_spark.ml import fit_naive_bayes, predict_naive_bayes
+
+    rows = (
+        [(i, "sport", "goal match team score win") for i in range(40)]
+        + [(100 + i, "tech", "code bug compile server deploy") for i in range(20)]
+        + [(200, None, "goal code")]  # null label: excluded from training
+    )
+    df = spark.createDataFrame(rows, "id long, y string, text string")
+    m = fit_naive_bayes(df, "y", "text", top_v=100)
+    assert m.classes == ["sport", "tech"]
+    pred = predict_naive_bayes(df, "id", "text", m)
+    got = {r["id"]: r["predicted"] for r in pred.collect()}
+    assert all(got[i] == "sport" for i in range(40))
+    assert all(got[100 + i] == "tech" for i in range(20))
+    # the mixed doc leans on priors + shared evidence, never null
+    assert got[200] in {"sport", "tech"}
+    # margins positive on separable docs
+    margs = {r["id"]: r["margin"] for r in pred.collect()}
+    assert margs[0] > 1 and margs[100] > 1
+
+
+def test_naive_bayes_margin_abstention_and_ties(spark):
+    from dataframe_spark.ml import fit_naive_bayes, predict_naive_bayes
+
+    # perfectly symmetric classes: the crossover doc must tie
+    rows = (
+        [(i, "a", "left left left") for i in range(10)]
+        + [(100 + i, "b", "right right right") for i in range(10)]
+        + [(500, "a", "left right")]  # symmetric evidence, equal priors
+    )
+    df = spark.createDataFrame(rows, "id long, y string, text string")
+    m = fit_naive_bayes(df.where("id < 500"), "y", "text", top_v=100)
+    pred = {r["id"]: r for r in predict_naive_bayes(
+        df, "id", "text", m, margin=1e-3).collect()}
+    # tie -> margin 0 -> abstain under the gate
+    assert pred[500]["margin"] == 0.0 and pred[500]["predicted"] is None
+    # decisive docs still predict
+    assert pred[0]["predicted"] == "a" and pred[100]["predicted"] == "b"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fit_naive_bayes(df.where("y is null"), "y", "text")
