@@ -13,3 +13,33 @@ def streaming_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def streaming_bloom_screen(
+    stream: SparkDF,
+    seen_df: SparkDF,
+    key_cols: list[str],
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> SparkDF:
+    """Stateless incremental-ingest screen for streams: drop every
+    arriving row whose key tuple is (probably) already in a STATIC
+    corpus. The Bloom filter over the corpus is built once in batch
+    (operators/dedup.bloom_build — one broadcastable map row) and
+    each micro-batch probes it with a pure map-only expression: no
+    streaming state at all, no join against the old corpus, no
+    watermark needed. Complements streaming_dedup, which handles
+    WITHIN-stream duplicates with watermark-bounded state; chain
+    both for "new vs history AND new vs itself" ingest dedup.
+    No false negatives: a key present in the corpus never passes."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import bloom_build, bloom_might_contain
+
+    bloom = bloom_build(seen_df, key_cols, m_bits=m_bits, k=k)
+    probe = bloom_might_contain(key_cols, m_bits, k)
+    return (
+        stream.crossJoin(F.broadcast(bloom))
+        .where(~probe)
+        .drop("__bloom")
+    )

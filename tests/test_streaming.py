@@ -268,3 +268,35 @@ def test_psi_stream_matches_batch_twin(spark, sf_dir, stream):
         ).collect()
     }
     assert got == want and len(want) > 10
+
+
+def test_streaming_bloom_screen_matches_batch(spark, sf_dir, stream):
+    """The stateless corpus screen must pass exactly the rows the
+    batch bloom_filter_new passes (same filter, same hashes), and
+    never leak a key that exists in the static corpus."""
+    from dataframe_spark.operators.dedup import bloom_filter_new
+    from dataframe_spark.streaming import streaming_bloom_screen
+
+    ev = load_table(spark, sf_dir, "events")
+    seen = ev.where(F.col("event_id") % 2 == 0)
+    q = (
+        streaming_bloom_screen(stream, seen, ["event_id"])
+        .select("event_id")
+        .writeStream.format("memory")
+        .queryName("bloom_screen")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["event_id"] for r in spark.sql("select * from bloom_screen").collect()}
+    want = {
+        r["event_id"]
+        for r in bloom_filter_new(ev, seen, ["event_id"]).select("event_id").collect()
+    }
+    assert got == want
+    # the hard guarantee: nothing from the seen corpus leaks through
+    assert got.isdisjoint(
+        {r["event_id"] for r in seen.select("event_id").collect()}
+    )
+    assert got  # odd-id events survive
