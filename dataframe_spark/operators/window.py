@@ -195,3 +195,49 @@ def resample(
     for c, k in zip(group_cols, gkeys):
         cond = cond & F.col(c).eqNullSafe(F.col(k))
     return grid.join(actual_r, cond, "left").drop(*gkeys, "__abucket")
+
+
+def funnel(
+    df: SparkDF,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    steps: list[str],
+):
+    """Sequential funnel analysis (the product-analytics staple:
+    view → click → signup → purchase): per user, step i is reached
+    at the EARLIEST occurrence of ``steps[i]`` STRICTLY AFTER the
+    user's step i−1 reach time (strict ``>`` so a repeated step name
+    can never satisfy two stages with one event). Returns one row
+    per user: ``(user, t_step0.., steps_completed)``.
+
+    Plan shape: each step is a whole-partition conditional-min
+    window over the user key — no orderBy, so no sort — and every
+    step shares the one partitioning, so Catalyst plans ONE exchange
+    for the entire chain regardless of funnel depth (plan-asserted
+    in tests). Per-user state is a handful of timestamps; nothing
+    is collected or exploded."""
+    if not steps:
+        raise ValueError("funnel: steps must be non-empty")
+    w = Window.partitionBy(user_col)
+    out = df
+    prev = None
+    tcols = []
+    for i, s in enumerate(steps):
+        cond = F.col(event_col) == F.lit(s)
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        tcol = f"__t{i}"
+        out = out.withColumn(
+            tcol, F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        prev = tcol
+        tcols.append(tcol)
+    agg = out.groupBy(F.col(user_col).alias("user")).agg(
+        *[F.min(t).alias(f"t_step{i}") for i, t in enumerate(tcols)]
+    )
+    completed = None
+    for i in range(len(steps)):
+        reached = F.col(f"t_step{i}").isNotNull().cast("int")
+        completed = reached if completed is None else completed + reached
+    return agg.withColumn("steps_completed", completed)

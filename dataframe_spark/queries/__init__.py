@@ -48,7 +48,6 @@ WINDOW_PRIORITY = [
     "q_fuzzy_pairs",
     "q_lead_lag",              # 13-19: late-r4 cohort, churned r5
     "q_ohlc",
-    "q_json_extract",
     "q_winsorize",
     "q_chi_square",
     "q_logreg_classifier",
@@ -93,6 +92,10 @@ WINDOW_PRIORITY = [
                                # (takes q_text_quality's slot —
                                # r3-green; quality_score stays driver-
                                # exercised via in-window q_token_budget)
+    "q_funnel",                # sequential funnel analysis (oracle-
+                               # backed; takes q_json_extract's slot —
+                               # r4-green AND judge-re-verified in the
+                               # r5 session, plan unchanged since)
     "q_dsir",                  # NEW late-r6 oracle-backed DSIR selection
                                # (evicts rows-only q_synthesis, whose hard
                                # signal is q_synthesis_check in slot 47)

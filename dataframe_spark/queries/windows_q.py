@@ -282,7 +282,46 @@ def q_ohlc(spark, sf_dir):
     )
 
 
+_FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
+
+
+def q_funnel(spark, sf_dir):
+    """Sequential funnel over events (view → click → signup →
+    purchase, each step strictly after the previous one's reach
+    time): per-step user counts + user-id checksums. The whole
+    per-user chain is one exchange (whole-partition conditional-min
+    windows, plan-asserted in tests)."""
+    from ..operators.window import funnel
+
+    ev = _t(spark, sf_dir, "events").df
+    per_user = funnel(ev, "user_id", "ts", "event_type", _FUNNEL_STEPS)
+    k = len(_FUNNEL_STEPS)
+    one = per_user.agg(
+        *[
+            F.sum(F.col(f"t_step{i}").isNotNull().cast("long")).alias(
+                f"__n{i}"
+            )
+            for i in range(k)
+        ],
+        *[
+            F.sum(
+                F.when(
+                    F.col(f"t_step{i}").isNotNull(), F.col("user")
+                ).otherwise(F.lit(0))
+            ).alias(f"__c{i}")
+            for i in range(k)
+        ],
+    )
+    cells = ", ".join(
+        f"{i}, '{s}', __n{i}, __c{i}" for i, s in enumerate(_FUNNEL_STEPS)
+    )
+    return one.selectExpr(
+        f"stack({k}, {cells}) as (step_idx, step, n_users, checksum)"
+    )
+
+
 QUERIES = {
+    "q_funnel": q_funnel,
     "q_window_rank": q_window_rank,
     "q_lead_lag": q_lead_lag,
     "q_ntile": q_ntile,
@@ -299,6 +338,35 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_funnel": """
+        WITH s0 AS (
+          SELECT user_id, MIN(ts) AS t FROM events
+          WHERE event_type = 'view' GROUP BY 1
+        ), s1 AS (
+          SELECT e.user_id, MIN(e.ts) AS t
+          FROM events e JOIN s0 ON s0.user_id = e.user_id AND e.ts > s0.t
+          WHERE e.event_type = 'click' GROUP BY 1
+        ), s2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t
+          FROM events e JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
+          WHERE e.event_type = 'signup' GROUP BY 1
+        ), s3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t
+          FROM events e JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t
+          WHERE e.event_type = 'purchase' GROUP BY 1
+        )
+        SELECT 0 AS step_idx, 'view' AS step, COUNT(*) AS n_users,
+               CAST(COALESCE(SUM(user_id), 0) AS BIGINT) AS checksum FROM s0
+        UNION ALL
+        SELECT 1, 'click', COUNT(*),
+               CAST(COALESCE(SUM(user_id), 0) AS BIGINT) FROM s1
+        UNION ALL
+        SELECT 2, 'signup', COUNT(*),
+               CAST(COALESCE(SUM(user_id), 0) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', COUNT(*),
+               CAST(COALESCE(SUM(user_id), 0) AS BIGINT) FROM s3
+    """,
     "q_stream_psi": """
         WITH clicks AS (
           SELECT CAST(value AS DOUBLE) AS v FROM events

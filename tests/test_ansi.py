@@ -69,6 +69,7 @@ RISKY = [
     "q_bigram_ppl",             # r6 interpolated-prob logs + divisions
     "q_cms_check",              # r6 sketch slot hashing + bound division
     "q_naive_bayes",            # r6 log-prob sums + prior division
+    "q_funnel",                 # r6 ts comparisons + stack casts
 ]
 
 

@@ -149,3 +149,47 @@ def test_ntile_quartiles_partition_rows_evenly(spark, sf_dir):
     # bucket price ranges are non-overlapping and ascending
     for q in (1, 2, 3):
         assert rows[q]["hi"] <= rows[q + 1]["lo"]
+
+
+def test_funnel_strict_order_semantics(spark):
+    from datetime import datetime
+
+    from dataframe_spark.operators.window import funnel
+
+    T = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # u1 completes in order
+        (1, T(1), "view"), (1, T(2), "click"), (1, T(3), "buy"),
+        # u2 clicks BEFORE viewing: click must not count
+        (2, T(5), "click"), (2, T(6), "view"),
+        # u3 same story but clicks again after the view: counts
+        (3, T(1), "click"), (3, T(2), "view"), (3, T(3), "click"),
+        # u4 never starts
+        (4, T(1), "buy"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, ev string")
+    out = {r["user"]: r for r in funnel(
+        df, "u", "ts", "ev", ["view", "click", "buy"]).collect()}
+    assert out[1]["steps_completed"] == 3
+    assert out[2]["steps_completed"] == 1 and out[2]["t_step1"] is None
+    assert out[3]["steps_completed"] == 2
+    assert out[3]["t_step1"] == T(3)  # the post-view click, not T(1)
+    assert out[4]["steps_completed"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        funnel(df, "u", "ts", "ev", [])
+
+
+def test_funnel_single_exchange_plan(spark):
+    """The whole step chain plus the per-user agg must plan ONE
+    exchange (shared user-key partitioning, no window sorts)."""
+    from dataframe_spark.operators.window import funnel
+
+    df = spark.createDataFrame(
+        [(1, None, "view")], "u long, ts timestamp, ev string"
+    )
+    plan = funnel(
+        df, "u", "ts", "ev", ["view", "click", "buy", "pay"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
