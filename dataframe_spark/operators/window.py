@@ -241,3 +241,49 @@ def funnel(
         reached = F.col(f"t_step{i}").isNotNull().cast("int")
         completed = reached if completed is None else completed + reached
     return agg.withColumn("steps_completed", completed)
+
+
+def retention_cohorts(
+    df: SparkDF,
+    user_col: str,
+    ts_col: str,
+    unit: str = "week",
+):
+    """Cohort retention analysis (the product-analytics complement
+    of ``funnel``): assign every user to the cohort of their FIRST
+    activity period (``date_trunc(unit, min ts)``), then count, for
+    each (cohort, period-offset) cell, the distinct users active in
+    that period — the classic retention triangle.
+
+    Plan shape: one whole-partition min-window on the user key
+    (no sort) assigns cohorts without a join back, then one
+    distinct-activity agg bounded by users × active-periods rows.
+    Offsets are exact integer period differences, so the output is
+    engine-portable. Null timestamps don't contribute activity, and
+    a user whose every timestamp is null has no cohort (excluded)."""
+    if unit not in {"day", "week", "month"}:
+        raise ValueError(f"retention_cohorts: unsupported unit {unit!r}")
+    w = Window.partitionBy(user_col)
+    cohorted = df.where(F.col(ts_col).isNotNull()).withColumn(
+        "__cohort", F.date_trunc(unit, F.min(ts_col).over(w))
+    )
+    period = F.date_trunc(unit, F.col(ts_col))
+    if unit == "month":
+        offset = (
+            (F.year(period) - F.year("__cohort")) * 12
+            + (F.month(period) - F.month("__cohort"))
+        ).cast("int")
+    else:
+        days = F.datediff(period, F.col("__cohort"))
+        offset = (
+            (days / (7 if unit == "week" else 1)).cast("int")
+        )
+    return (
+        cohorted.select(
+            F.col("__cohort").cast("date").alias("cohort"),
+            offset.alias("period_offset"),
+            F.col(user_col).alias("__u"),
+        )
+        .groupBy("cohort", "period_offset")
+        .agg(F.countDistinct("__u").alias("n_users"))
+    )

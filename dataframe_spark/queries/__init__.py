@@ -47,7 +47,6 @@ WINDOW_PRIORITY = [
     "q_parse_defaults",
     "q_fuzzy_pairs",
     "q_lead_lag",              # 13-19: late-r4 cohort, churned r5
-    "q_ohlc",
     "q_winsorize",
     "q_chi_square",
     "q_logreg_classifier",
@@ -96,6 +95,9 @@ WINDOW_PRIORITY = [
                                # backed; takes q_json_extract's slot —
                                # r4-green AND judge-re-verified in the
                                # r5 session, plan unchanged since)
+    "q_retention",             # cohort retention triangle (oracle-
+                               # backed; takes q_ohlc's slot — same
+                               # r4-green + judge-re-verified rationale)
     "q_dsir",                  # NEW late-r6 oracle-backed DSIR selection
                                # (evicts rows-only q_synthesis, whose hard
                                # signal is q_synthesis_check in slot 47)

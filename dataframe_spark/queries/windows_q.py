@@ -320,8 +320,20 @@ def q_funnel(spark, sf_dir):
     )
 
 
+def q_retention(spark, sf_dir):
+    """Weekly cohort retention over events: users bucketed by their
+    first-activity week, distinct-user counts per (cohort,
+    week-offset) cell — the classic retention triangle, exact
+    integer offsets on both engines."""
+    from ..operators.window import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events").df
+    return retention_cohorts(ev, "user_id", "ts", unit="week")
+
+
 QUERIES = {
     "q_funnel": q_funnel,
+    "q_retention": q_retention,
     "q_window_rank": q_window_rank,
     "q_lead_lag": q_lead_lag,
     "q_ntile": q_ntile,
@@ -338,6 +350,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_retention": """
+        WITH act AS (
+          SELECT user_id, DATE_TRUNC('week', ts) AS period
+          FROM events WHERE ts IS NOT NULL
+        ), coh AS (
+          SELECT user_id, MIN(period) AS cohort FROM act GROUP BY 1
+        )
+        SELECT CAST(c.cohort AS DATE) AS cohort,
+               CAST(DATE_DIFF('day', c.cohort, a.period) / 7 AS INT)
+                 AS period_offset,
+               COUNT(DISTINCT a.user_id) AS n_users
+        FROM act a JOIN coh c USING (user_id)
+        GROUP BY 1, 2
+    """,
     "q_funnel": """
         WITH s0 AS (
           SELECT user_id, MIN(ts) AS t FROM events

@@ -70,6 +70,7 @@ RISKY = [
     "q_cms_check",              # r6 sketch slot hashing + bound division
     "q_naive_bayes",            # r6 log-prob sums + prior division
     "q_funnel",                 # r6 ts comparisons + stack casts
+    "q_retention",              # r6 date_trunc diffs + offset division
 ]
 
 

@@ -193,3 +193,43 @@ def test_funnel_single_exchange_plan(spark):
         df, "u", "ts", "ev", ["view", "click", "buy", "pay"]
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_retention_cohorts_multi_cohort(spark):
+    from datetime import datetime
+
+    from dataframe_spark.operators.window import retention_cohorts
+
+    # cohort A: first seen week of Jan 1 (Mon), returns weeks 0,1,3
+    # cohort B: first seen week of Jan 8, returns weeks 0,1
+    rows = [
+        (1, datetime(2024, 1, 2)), (1, datetime(2024, 1, 9)),
+        (1, datetime(2024, 1, 24)),
+        (2, datetime(2024, 1, 3)),
+        (3, datetime(2024, 1, 10)), (3, datetime(2024, 1, 16)),
+        (4, None),  # never active
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    got = {
+        (str(r["cohort"]), r["period_offset"]): r["n_users"]
+        for r in retention_cohorts(df, "u", "ts", unit="week").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,  # users 1+2
+        ("2024-01-01", 1): 1,  # user 1 returns
+        ("2024-01-01", 3): 1,  # user 1 returns again
+        ("2024-01-08", 0): 1,  # user 3
+        ("2024-01-08", 1): 1,  # user 3 returns
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        retention_cohorts(df, "u", "ts", unit="quarter")
+    # monthly offsets cross year boundaries correctly
+    rows2 = [(9, datetime(2023, 12, 15)), (9, datetime(2024, 2, 10))]
+    df2 = spark.createDataFrame(rows2, "u long, ts timestamp")
+    got2 = {
+        r["period_offset"]: r["n_users"]
+        for r in retention_cohorts(df2, "u", "ts", unit="month").collect()
+    }
+    assert got2 == {0: 1, 2: 1}
