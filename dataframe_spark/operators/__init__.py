@@ -1,3 +1,25 @@
-from . import dedup, embeddings, graph, multimodal, quantiles, similarity, text, window
+from . import (
+    dedup,
+    dsir,
+    embeddings,
+    graph,
+    multimodal,
+    quantiles,
+    similarity,
+    sketch,
+    text,
+    window,
+)
 
-__all__ = ["dedup", "embeddings", "graph", "quantiles", "similarity", "text", "window", "multimodal"]
+__all__ = [
+    "dedup",
+    "dsir",
+    "embeddings",
+    "graph",
+    "multimodal",
+    "quantiles",
+    "similarity",
+    "sketch",
+    "text",
+    "window",
+]
