@@ -30,7 +30,7 @@ class's VOCAB-token occurrences, V the retained vocabulary size.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import functions as F
@@ -42,7 +42,6 @@ class NaiveBayesModel:
     table: SparkDF  # (token, __lp_<i> per class) bounded by top_v
     totals: SparkDF  # one row: __prior_<i>, __oov_<i> per class
     top_v: int = 1000
-    extra: dict = field(default_factory=dict)
 
 
 def fit_naive_bayes(
@@ -61,8 +60,13 @@ def fit_naive_bayes(
     classes = sorted(
         r[0] for r in src.select(label_col).distinct().collect()
     )
-    if not classes:
-        raise ValueError("fit_naive_bayes: no non-null labels")
+    if len(classes) < 2:
+        # a one-class "classifier" has no margin semantics (and the
+        # oracle's runner-up aggregate would disagree with the
+        # +inf-margin shortcut) — reject it at fit time
+        raise ValueError(
+            f"fit_naive_bayes: need >= 2 distinct labels, got {classes}"
+        )
     vocab = _top_vocab(vocabulary(src, text_col), top_v).select("token")
 
     pairs = src.select(

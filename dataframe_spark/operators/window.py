@@ -260,11 +260,15 @@ def retention_cohorts(
     distinct-activity agg bounded by users × active-periods rows.
     Offsets are exact integer period differences, so the output is
     engine-portable. Null timestamps don't contribute activity, and
-    a user whose every timestamp is null has no cohort (excluded)."""
+    a user whose every timestamp is null has no cohort (excluded),
+    and NULL user ids carry no identity to retain (excluded — a
+    countDistinct over the null partition would emit 0-user cells)."""
     if unit not in {"day", "week", "month"}:
         raise ValueError(f"retention_cohorts: unsupported unit {unit!r}")
     w = Window.partitionBy(user_col)
-    cohorted = df.where(F.col(ts_col).isNotNull()).withColumn(
+    cohorted = df.where(
+        F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+    ).withColumn(
         "__cohort", F.date_trunc(unit, F.min(ts_col).over(w))
     )
     period = F.date_trunc(unit, F.col(ts_col))

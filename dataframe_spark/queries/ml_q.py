@@ -243,7 +243,7 @@ def q_naive_bayes(spark, sf_dir):
     (~1e-11) can never flip a cell."""
     from ..ml.naive_bayes import fit_naive_bayes, predict_naive_bayes
 
-    docs = _t(spark, sf_dir, "documents").df
+    docs = load_table(spark, sf_dir, "documents")
     model = fit_naive_bayes(docs, "lang", "text", top_v=1000)
     pred = predict_naive_bayes(
         docs, "doc_id", "text", model, margin=1e-3, round_decimals=4
@@ -256,13 +256,6 @@ def q_naive_bayes(spark, sf_dir):
     )
 
 
-def _t(spark, sf_dir, name):
-    from ..tables import load_table as _lt
-    from ..core import DataFrame as _DF
-
-    return _DF(_lt(spark, sf_dir, name))
-
-
 QUERIES = {
     "q_mutual_info": q_mutual_info,
     "q_naive_bayes": q_naive_bayes,
@@ -272,9 +265,9 @@ QUERIES = {
     "q_logreg_classifier": q_logreg_classifier,
 }
 
-_NB_TOKS = (
-    "LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'), x -> x <> '')"
-)
+# one shared oracle-side tokenizer: any change to the Spark
+# tokenizer (operators/text.tokens) must land in text_q._TOKS once
+from .text_q import _TOKS as _NB_TOKS
 
 ORACLES = {
     "q_mutual_info": _MI_ORACLE,
@@ -285,14 +278,16 @@ ORACLES = {
           SELECT doc_id, lang, token, COUNT(*) AS tf
           FROM tok GROUP BY 1, 2, 3
         ), counts AS (
-          SELECT token, COUNT(*) AS n FROM tok GROUP BY 1
+          SELECT token, COUNT(*) AS n FROM tok
+          WHERE lang IS NOT NULL GROUP BY 1
         ), vocab AS (
           SELECT token FROM counts ORDER BY n DESC, token ASC LIMIT 1000
         ), cls AS (
           SELECT DISTINCT lang AS c FROM documents WHERE lang IS NOT NULL
         ), ctk AS (
           SELECT t.token, t.lang AS c, SUM(t.tf) AS cnt
-          FROM tf t JOIN vocab USING (token) GROUP BY 1, 2
+          FROM tf t JOIN vocab USING (token)
+          WHERE t.lang IS NOT NULL GROUP BY 1, 2
         ), tc AS (
           SELECT cl.c, COALESCE(SUM(k.cnt), 0) AS t_c
           FROM cls cl LEFT JOIN ctk k ON k.c = cl.c GROUP BY 1

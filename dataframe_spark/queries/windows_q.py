@@ -367,7 +367,7 @@ ORACLES = {
     "q_funnel": """
         WITH s0 AS (
           SELECT user_id, MIN(ts) AS t FROM events
-          WHERE event_type = 'view' GROUP BY 1
+          WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
         ), s1 AS (
           SELECT e.user_id, MIN(e.ts) AS t
           FROM events e JOIN s0 ON s0.user_id = e.user_id AND e.ts > s0.t

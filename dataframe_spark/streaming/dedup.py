@@ -32,14 +32,9 @@ def streaming_bloom_screen(
     WITHIN-stream duplicates with watermark-bounded state; chain
     both for "new vs history AND new vs itself" ingest dedup.
     No false negatives: a key present in the corpus never passes."""
-    from pyspark.sql import functions as F
+    from ..operators.dedup import bloom_filter_new
 
-    from ..operators.dedup import bloom_build, bloom_might_contain
-
-    bloom = bloom_build(seen_df, key_cols, m_bits=m_bits, k=k)
-    probe = bloom_might_contain(key_cols, m_bits, k)
-    return (
-        stream.crossJoin(F.broadcast(bloom))
-        .where(~probe)
-        .drop("__bloom")
-    )
+    # delegate: the batch op already works on a streaming input
+    # (stream-static broadcast join), and one copy of the probe
+    # pipeline can't drift from the other
+    return bloom_filter_new(stream, seen_df, key_cols, m_bits=m_bits, k=k)
