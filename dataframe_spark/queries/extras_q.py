@@ -269,7 +269,30 @@ def q_source_overlap(spark, sf_dir):
     return source_overlap(docs, "source", "text", n=3)
 
 
+def q_validate(spark, sf_dir):
+    """Deequ-style contract over orders: five rules — completeness,
+    allowed-set (binding: 'P' status rows violate), format regex,
+    value range (binding above 300k), and key uniqueness — all
+    row-level rules in ONE conditional-count agg pass."""
+    from ..operators import validate as V
+
+    o = load_table(spark, sf_dir, "orders")
+    return V.validate(
+        o,
+        row_rules={
+            "custkey_not_null": V.is_null("o_custkey"),
+            "status_in_of": V.not_in_set("o_orderstatus", ["O", "F"]),
+            "priority_format": V.not_matching(
+                "o_orderpriority", "^[1-5]-[A-Z ]+$"
+            ),
+            "totalprice_range": V.not_in_range("o_totalprice", 0, 300000),
+        },
+        unique_keys={"orderkey_unique": ["o_orderkey"]},
+    )
+
+
 QUERIES = {
+    "q_validate": q_validate,
     "q_winsorize": q_winsorize,
     "q_sample_group": q_sample_group,
     "q_ks_test": q_ks_test,
@@ -290,6 +313,34 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_validate": """
+        WITH base AS (
+          SELECT COUNT(*) AS n,
+            SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_null,
+            SUM(CASE WHEN o_orderstatus IS NULL
+                       OR o_orderstatus NOT IN ('O', 'F')
+                     THEN 1 ELSE 0 END) AS v_set,
+            SUM(CASE WHEN o_orderpriority IS NULL
+                       OR NOT REGEXP_MATCHES(o_orderpriority,
+                                             '^[1-5]-[A-Z ]+$')
+                     THEN 1 ELSE 0 END) AS v_fmt,
+            SUM(CASE WHEN o_totalprice IS NULL
+                       OR o_totalprice < 0 OR o_totalprice > 300000
+                     THEN 1 ELSE 0 END) AS v_rng,
+            COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_uni
+          FROM orders
+        )
+        SELECT rule, n AS n_rows,
+               CAST(viol AS BIGINT) AS n_violations,
+               ROUND(viol / CAST(n AS DOUBLE), 6) AS frac_violations
+        FROM (
+          SELECT 'custkey_not_null' AS rule, n, v_null AS viol FROM base
+          UNION ALL SELECT 'status_in_of', n, v_set FROM base
+          UNION ALL SELECT 'priority_format', n, v_fmt FROM base
+          UNION ALL SELECT 'totalprice_range', n, v_rng FROM base
+          UNION ALL SELECT 'orderkey_unique', n, v_uni FROM base
+        )
+    """,
     "q_approx_quantiles_check": """
         SELECT column_name, CAST(prob AS DOUBLE) AS prob,
                TRUE AS within_rank_bound FROM (VALUES

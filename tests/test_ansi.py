@@ -71,6 +71,7 @@ RISKY = [
     "q_naive_bayes",            # r6 log-prob sums + prior division
     "q_funnel",                 # r6 ts comparisons + stack casts
     "q_retention",              # r6 date_trunc diffs + offset division
+    "q_validate",               # r6 violation-fraction division + regex
 ]
 
 

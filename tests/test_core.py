@@ -486,3 +486,42 @@ def test_drop_last_multi_column_order(spark):
     )
     kept = [(r["x"], r["y"]) for r in df.drop_last(2, order_by=["x", "y"]).collect()]
     assert kept == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_validate_rules_and_uniqueness(spark):
+    from pyspark.sql import functions as F
+
+    from dataframe_spark.operators import validate as V
+
+    rows = [
+        (1, "a@x.com", 5.0, "ok"),
+        (2, None, 50.0, "ok"),        # null email
+        (3, "bad-email", -1.0, "ok"),  # bad fmt, out of range
+        (3, "c@x.com", 5.0, "bad"),   # dup id, bad status
+        (None, "d@x.com", None, "ok"),  # null id, null val
+    ]
+    df = spark.createDataFrame(rows, "id long, email string, v double, s string")
+    out = {r["rule"]: r for r in V.validate(
+        df,
+        row_rules={
+            "email_format": V.not_matching("email", "^[a-z]+@[a-z.]+$"),
+            "v_range": V.not_in_range("v", 0, 10),
+            "status_ok": V.not_in_set("s", ["ok"]),
+            "id_present": V.is_null("id"),
+        },
+        unique_keys={"id_unique": ["id"]},
+    ).collect()}
+    assert out["email_format"]["n_violations"] == 2  # null + bad-email
+    assert out["v_range"]["n_violations"] == 3       # 50, -1, null
+    assert out["status_ok"]["n_violations"] == 1
+    assert out["id_present"]["n_violations"] == 1
+    # 5 rows, 3 distinct non-null ids -> 2 violations (dup + null key)
+    assert out["id_unique"]["n_violations"] == 2
+    assert all(r["n_rows"] == 5 for r in out.values())
+    assert out["status_ok"]["frac_violations"] == 0.2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        V.validate(df)
+    with _pytest.raises(ValueError):
+        V.validate(df, row_rules={"x": V.is_null("id")}, unique_keys={"x": ["id"]})
