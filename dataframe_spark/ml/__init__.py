@@ -1,4 +1,5 @@
 from .decision_tree import Tree, fit_decision_tree, tao_optimize, tree_to_expr
+from .ols import OLSModel, fit_ols, linear_fit_simple, predict_ols_expr
 from .naive_bayes import (
     NaiveBayesModel,
     fit_naive_bayes,
@@ -36,6 +37,10 @@ __all__ = [
     "fit_regression",
     "mutual_information",
     "synthesize_feature_expr",
+    "OLSModel",
+    "fit_ols",
+    "linear_fit_simple",
+    "predict_ols_expr",
     "NaiveBayesModel",
     "fit_naive_bayes",
     "predict_naive_bayes",

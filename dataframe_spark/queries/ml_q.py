@@ -256,8 +256,22 @@ def q_naive_bayes(spark, sf_dir):
     )
 
 
+def q_ols(spark, sf_dir):
+    """Per-returnflag simple regression l_extendedprice ~ l_quantity
+    — one regr_* aggregation pass; both engines ship the identical
+    closed-form aggregate family, so slope/intercept/R² parity is a
+    direct built-in-vs-built-in check (rounded to 4)."""
+    from ..ml.ols import linear_fit_simple
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return linear_fit_simple(
+        li, "l_extendedprice", "l_quantity", ["l_returnflag"]
+    )
+
+
 QUERIES = {
     "q_mutual_info": q_mutual_info,
+    "q_ols": q_ols,
     "q_naive_bayes": q_naive_bayes,
     "q_pca_check": q_pca_check,
     "q_synthesis": q_synthesis,
@@ -271,6 +285,16 @@ from .text_q import _TOKS as _NB_TOKS
 
 ORACLES = {
     "q_mutual_info": _MI_ORACLE,
+    "q_ols": """
+        SELECT l_returnflag,
+               COUNT(*) FILTER (l_extendedprice IS NOT NULL
+                                AND l_quantity IS NOT NULL) AS n,
+               ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+               ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4)
+                 AS intercept,
+               ROUND(REGR_R2(l_extendedprice, l_quantity), 4) AS r2
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "q_naive_bayes": f"""
         WITH tok AS (
           SELECT doc_id, lang, UNNEST({_NB_TOKS}) AS token FROM documents

@@ -72,6 +72,7 @@ RISKY = [
     "q_funnel",                 # r6 ts comparisons + stack casts
     "q_retention",              # r6 date_trunc diffs + offset division
     "q_validate",               # r6 violation-fraction division + regex
+    "q_ols",                    # r6 regr_* covariance divisions
 ]
 
 

@@ -288,3 +288,46 @@ def test_naive_bayes_margin_abstention_and_ties(spark):
 
     with _pytest.raises(ValueError):
         fit_naive_bayes(df.where("y is null"), "y", "text")
+
+
+def test_ols_recovers_planted_coefficients(spark):
+    import numpy as np
+
+    from dataframe_spark.ml import fit_ols, linear_fit_simple, predict_ols_expr
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(5)
+    X = rng.randn(500, 3)
+    y = 2.5 + 1.0 * X[:, 0] - 3.0 * X[:, 1] + 0.5 * X[:, 2] + rng.randn(500) * 0.01
+    rows = [
+        (float(X[i, 0]), float(X[i, 1]), float(X[i, 2]), float(y[i]))
+        for i in range(500)
+    ] + [(None, 0.0, 0.0, 0.0)]  # incomplete row: excluded
+    df = spark.createDataFrame(rows, "a double, b double, c double, y double")
+    m = fit_ols(df, "y", ["a", "b", "c"])
+    assert m.n == 500
+    assert abs(m.intercept - 2.5) < 0.01
+    for got, want in zip(m.weights, [1.0, -3.0, 0.5]):
+        assert abs(got - want) < 0.01
+    # prediction expression matches the fit
+    resid = df.where("a is not null").select(
+        F.abs(F.col("y") - predict_ols_expr(m)).alias("r")
+    ).agg(F.max("r")).first()[0]
+    assert resid < 0.1
+    # matches numpy lstsq on the same data
+    A = np.column_stack([np.ones(500), X])
+    beta = np.linalg.lstsq(A, y, rcond=None)[0]
+    assert abs(m.intercept - beta[0]) < 1e-8
+    # simple per-group fit: slope/r2 sane on y ~ a
+    s = linear_fit_simple(df.where("a is not null"), "y", "a").first()
+    assert s["n"] == 500 and abs(s["slope"] - 1.0) < 0.5 and 0 <= s["r2"] <= 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fit_ols(df, "y", [])
+    with _pytest.raises(ValueError):
+        fit_ols(df.where("a is null and y > 1"), "y", ["a"])
+    # collinear features -> singular design
+    df2 = df.withColumn("a2", F.col("a") * 2)
+    with _pytest.raises(ValueError):
+        fit_ols(df2.where("a is not null"), "y", ["a", "a2"])
