@@ -1,6 +1,7 @@
 from . import (
     dedup,
     dsir,
+    encode,
     embeddings,
     graph,
     multimodal,
@@ -14,6 +15,7 @@ from . import (
 __all__ = [
     "dedup",
     "dsir",
+    "encode",
     "embeddings",
     "graph",
     "multimodal",

@@ -269,9 +269,31 @@ def q_ols(spark, sf_dir):
     )
 
 
+def q_target_encode(spark, sf_dir):
+    """Smoothed + leave-one-out target encoding of order priority
+    against total price: per-category row counts, the smoothed
+    encoding, and the per-category sum of LOO encodings (rounded
+    per row BEFORE the sum — engine-stable) — both formulas fully
+    re-derived by the oracle."""
+    from ..operators.encode import target_encode, target_encode_loo
+
+    o = load_table(spark, sf_dir, "orders")
+    enc = target_encode(o, "o_orderpriority", "o_totalprice", alpha=10.0)
+    loo = target_encode_loo(o, "o_orderpriority", "o_totalprice", alpha=10.0)
+    a = enc.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max("te"), 4).alias("te"),
+    )
+    b = loo.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.round("te_loo", 4)), 2).alias("loo_sum")
+    )
+    return a.join(b, "o_orderpriority")
+
+
 QUERIES = {
     "q_mutual_info": q_mutual_info,
     "q_ols": q_ols,
+    "q_target_encode": q_target_encode,
     "q_naive_bayes": q_naive_bayes,
     "q_pca_check": q_pca_check,
     "q_synthesis": q_synthesis,
@@ -285,6 +307,36 @@ from .text_q import _TOKS as _NB_TOKS
 
 ORACLES = {
     "q_mutual_info": _MI_ORACLE,
+    "q_target_encode": """
+        WITH stats AS (
+          SELECT o_orderpriority AS cat,
+                 SUM(CAST(o_totalprice AS DOUBLE)) AS s,
+                 COUNT(o_totalprice) AS nt
+          FROM orders GROUP BY 1
+        ), gmean AS (
+          SELECT SUM(CAST(o_totalprice AS DOUBLE)) / COUNT(o_totalprice) AS g
+          FROM orders
+        ), enc AS (
+          SELECT cat, nt, g,
+                 (COALESCE(s, 0) + 10.0 * g) / (nt + 10.0) AS te, s
+          FROM stats CROSS JOIN gmean
+        ), loo AS (
+          SELECT o.o_orderpriority AS cat,
+            ROUND(CASE WHEN o.o_totalprice IS NOT NULL
+              THEN (e.s - CAST(o.o_totalprice AS DOUBLE) + 10.0 * e.g)
+                   / (e.nt - 1 + 10.0)
+              ELSE (COALESCE(e.s, 0) + 10.0 * e.g) / (e.nt + 10.0)
+              END, 4) AS v
+          FROM orders o JOIN enc e ON o.o_orderpriority = e.cat
+        )
+        SELECT e.cat AS o_orderpriority,
+               cnt.n, ROUND(e.te, 4) AS te, l.loo_sum
+        FROM enc e
+        JOIN (SELECT o_orderpriority AS cat, COUNT(*) AS n
+              FROM orders GROUP BY 1) cnt ON cnt.cat = e.cat
+        JOIN (SELECT cat, ROUND(SUM(v), 2) AS loo_sum
+              FROM loo GROUP BY 1) l ON l.cat = e.cat
+    """,
     "q_ols": """
         SELECT l_returnflag,
                COUNT(*) FILTER (l_extendedprice IS NOT NULL

@@ -73,6 +73,7 @@ RISKY = [
     "q_retention",              # r6 date_trunc diffs + offset division
     "q_validate",               # r6 violation-fraction division + regex
     "q_ols",                    # r6 regr_* covariance divisions
+    "q_target_encode",          # r6 smoothed-mean + LOO divisions
 ]
 
 

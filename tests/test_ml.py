@@ -331,3 +331,41 @@ def test_ols_recovers_planted_coefficients(spark):
     df2 = df.withColumn("a2", F.col("a") * 2)
     with _pytest.raises(ValueError):
         fit_ols(df2.where("a is not null"), "y", ["a", "a2"])
+
+
+def test_target_encoding_smoothing_and_loo(spark):
+    from pyspark.sql import functions as F
+
+    from dataframe_spark.operators.encode import (
+        target_encode,
+        target_encode_loo,
+    )
+
+    rows = (
+        [("a", 10.0), ("a", 20.0), ("a", 30.0)]
+        + [("b", 100.0)]          # rare category: shrinks to global
+        + [("c", None)]           # category with no targets
+        + [(None, 50.0)]          # null category forms its own group
+    )
+    df = spark.createDataFrame(rows, "cat string, y double")
+    g = (10 + 20 + 30 + 100 + 50) / 5.0  # 42.0 global mean
+    enc = {r["cat"]: r["te"] for r in
+           target_encode(df, "cat", "y", alpha=2.0).collect()}
+    assert abs(enc["a"] - (60 + 2 * g) / 5.0) < 1e-9
+    assert abs(enc["b"] - (100 + 2 * g) / 3.0) < 1e-9
+    assert abs(enc["c"] - g) < 1e-9          # pure prior
+    assert abs(enc[None] - (50 + 2 * g) / 3.0) < 1e-9
+    # LOO: each row's own y removed; singleton 'b' falls to the prior
+    loo = target_encode_loo(df, "cat", "y", alpha=2.0)
+    got = {(r["cat"], r["y"]): r["te_loo"] for r in loo.collect()}
+    assert abs(got[("a", 10.0)] - (50 + 2 * g) / 4.0) < 1e-9
+    assert abs(got[("b", 100.0)] - (0 + 2 * g) / 2.0) < 1e-9
+    assert abs(got[("c", None)] - g) < 1e-9  # null target: full encoding
+    # the LOO feature never equals a leaked per-row target
+    assert all(abs(v - 100.0) > 1 for v in got.values())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        target_encode(df, "cat", "y", alpha=-1)
+    with _pytest.raises(ValueError):
+        target_encode_loo(df, "cat", "y", alpha=0)
