@@ -62,10 +62,15 @@ WINDOW_PRIORITY = [
     "q_lang_id",
     "q_fingerprint",
     "q_token_budget",
-    "q_filter_nulls",
-    "q_text_split",
-    "q_numeric_fns",
     "q_embed_norm",
+    # the three NEVER-driver-checked end-of-round additions
+    # (q_validate, q_ols, q_target_encode) outrank three r3-green
+    # unchanged-plan refreshes (q_filter_nulls, q_text_split,
+    # q_numeric_fns — all under continuous full-registry pytest
+    # parity at sf0.001; never a failing driver row):
+    "q_validate",              # Deequ-style data-quality contract
+    "q_ols",                   # closed-form linear regression verb
+    "q_target_encode",         # smoothed + LOO target encoding
     # four NEVER-driver-checked late-r6 additions take the slots of
     # four r3-green unchanged-plan entries (q_token_count,
     # q_mutual_info, q_multimodal_meta [rows-only — weakest signal],
