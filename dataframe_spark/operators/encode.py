@@ -16,6 +16,8 @@ group (null-safe join), matching groupBy semantics.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import functions as F
 
@@ -93,3 +95,81 @@ def target_encode_loo(
         (s + F.lit(alpha) * F.col("__g")) / (F.col("__n") + F.lit(alpha))
     )
     return joined.withColumn(out_col, loo).drop("__cat", "__s", "__n", "__g")
+
+
+def one_hot(
+    df: SparkDF,
+    cat_col: str,
+    categories: list | None = None,
+    prefix: str | None = None,
+    max_categories: int = 1000,
+) -> SparkDF:
+    """Append one 0/1 int column per category ({prefix}_{value},
+    non-alphanumerics sanitized to '_'). When ``categories`` is
+    None they are derived in one bounded distinct pass and sorted —
+    deterministic column order on any run. The category list is
+    driver-side MODEL state, so cardinality above ``max_categories``
+    raises: a high-cardinality column wants target_encode or
+    hash_encode, whose state does not grow with cardinality. Null
+    categories encode as all-zeros (pass an explicit None in
+    ``categories`` to give nulls their own indicator). Encoding
+    itself is map-only — no join, no shuffle."""
+    if categories is None:
+        rows = (
+            df.select(F.col(cat_col).alias("__cat"))
+            .where(F.col("__cat").isNotNull())
+            .distinct()
+            .limit(max_categories + 1)
+            .collect()
+        )
+        if len(rows) > max_categories:
+            raise ValueError(
+                f"one_hot: {cat_col} has more than {max_categories} "
+                "categories; use target_encode or hash_encode"
+            )
+        categories = sorted(r["__cat"] for r in rows)
+    base = prefix if prefix is not None else cat_col
+    seen: set[str] = set()
+    out = df
+    for val in categories:
+        tag = re.sub(r"[^0-9A-Za-z]+", "_", str(val))
+        name = f"{base}_{tag}"
+        while name in seen:  # distinct values sanitizing to one tag
+            name += "_"
+        seen.add(name)
+        cond = (
+            F.col(cat_col).isNull()
+            if val is None
+            else (F.col(cat_col) == F.lit(val))
+        )
+        out = out.withColumn(name, cond.cast("int"))
+        if val is not None:
+            # a null category must not null the indicator
+            out = out.withColumn(name, F.coalesce(F.col(name), F.lit(0)))
+    return out
+
+
+def hash_encode(
+    df: SparkDF,
+    cols: list[str],
+    n_buckets: int,
+    out_col: str = "feature_bucket",
+) -> SparkDF:
+    """The hashing trick: a portable bucket index in [0, n_buckets)
+    over the key tuple — first 8 md5 hex chars of the null-coalesced
+    '\\x1f'-joined columns, mod n_buckets (the row_uniform hash
+    convention, so any engine reproduces it). ZERO driver state at
+    any cardinality and map-only — the scale path past
+    one_hot/target_encode; collisions ≈ 1/n_buckets are the
+    standard accepted trade (Weinberger et al. 2009)."""
+    if n_buckets <= 0:
+        raise ValueError(f"hash_encode: n_buckets must be > 0, got {n_buckets}")
+    keyed = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols
+    ]
+    idx = (
+        F.conv(F.substring(F.md5(F.concat_ws("\x1f", *keyed)), 1, 8), 16, 10)
+        .cast("bigint")
+        % F.lit(n_buckets)
+    )
+    return df.withColumn(out_col, idx.cast("int"))

@@ -290,10 +290,30 @@ def q_target_encode(spark, sf_dir):
     return a.join(b, "o_orderpriority")
 
 
+def q_onehot_hash(spark, sf_dir):
+    """One-hot + feature-hashing encode of orders: auto-derived
+    sorted one-hot columns over order priority (indicator sums per
+    status re-derived by the oracle as conditional counts) and the
+    portable md5 bucket index over (custkey, priority) — bucket
+    count/checksum reproduced exactly by DuckDB's md5."""
+    from ..operators.encode import hash_encode, one_hot
+
+    o = load_table(spark, sf_dir, "orders")
+    enc = one_hot(o, "o_orderpriority")
+    enc = hash_encode(enc, ["o_custkey", "o_orderpriority"], 64)
+    return enc.groupBy("o_orderstatus").agg(
+        F.sum("o_orderpriority_1_URGENT").alias("n_urgent"),
+        F.sum("o_orderpriority_5_LOW").alias("n_low"),
+        F.count_distinct("feature_bucket").alias("n_buckets"),
+        F.sum("feature_bucket").alias("bucket_sum"),
+    )
+
+
 QUERIES = {
     "q_mutual_info": q_mutual_info,
     "q_ols": q_ols,
     "q_target_encode": q_target_encode,
+    "q_onehot_hash": q_onehot_hash,
     "q_naive_bayes": q_naive_bayes,
     "q_pca_check": q_pca_check,
     "q_synthesis": q_synthesis,
@@ -336,6 +356,23 @@ ORACLES = {
               FROM orders GROUP BY 1) cnt ON cnt.cat = e.cat
         JOIN (SELECT cat, ROUND(SUM(v), 2) AS loo_sum
               FROM loo GROUP BY 1) l ON l.cat = e.cat
+    """,
+    "q_onehot_hash": """
+        WITH h AS (
+          SELECT o_orderstatus,
+                 CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS u,
+                 CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS l,
+                 CAST('0x' || SUBSTR(MD5(CONCAT_WS(CHR(31),
+                      CAST(o_custkey AS VARCHAR), o_orderpriority)), 1, 8)
+                      AS BIGINT) % 64 AS feature_bucket
+          FROM orders
+        )
+        SELECT o_orderstatus,
+               CAST(SUM(u) AS BIGINT) AS n_urgent,
+               CAST(SUM(l) AS BIGINT) AS n_low,
+               COUNT(DISTINCT feature_bucket) AS n_buckets,
+               CAST(SUM(feature_bucket) AS BIGINT) AS bucket_sum
+        FROM h GROUP BY 1
     """,
     "q_ols": """
         SELECT l_returnflag,

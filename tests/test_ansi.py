@@ -74,6 +74,7 @@ RISKY = [
     "q_validate",               # r6 violation-fraction division + regex
     "q_ols",                    # r6 regr_* covariance divisions
     "q_target_encode",          # r6 smoothed-mean + LOO divisions
+    "q_onehot_hash",            # r6 md5 conv cast + modulo bucketing
 ]
 
 

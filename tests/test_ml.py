@@ -369,3 +369,58 @@ def test_target_encoding_smoothing_and_loo(spark):
         target_encode(df, "cat", "y", alpha=-1)
     with _pytest.raises(ValueError):
         target_encode_loo(df, "cat", "y", alpha=0)
+
+
+def test_one_hot_indicators_and_guards(spark):
+    import pytest as _pytest
+    from dataframe_spark.operators.encode import one_hot
+
+    rows = [("a b", 1), ("a-b", 2), ("c", 3), (None, 4)]
+    df = spark.createDataFrame(rows, "cat string, id int")
+    enc = one_hot(df, "cat")
+    # 'a b' and 'a-b' sanitize to the same tag; the second gets a
+    # trailing '_' instead of silently overwriting the first
+    assert "cat_a_b" in enc.columns and "cat_a_b_" in enc.columns
+    got = {r["id"]: (r["cat_a_b"], r["cat_a_b_"], r["cat_c"])
+           for r in enc.collect()}
+    assert got[1] == (1, 0, 0)
+    assert got[2] == (0, 1, 0)
+    assert got[3] == (0, 0, 1)
+    assert got[4] == (0, 0, 0)  # null category: all-zeros, never null
+    # explicit None category gets its own indicator
+    enc2 = one_hot(df, "cat", categories=["c", None], prefix="p")
+    got2 = {r["id"]: (r["p_c"], r["p_None"]) for r in enc2.collect()}
+    assert got2[4] == (0, 1) and got2[3] == (1, 0)
+    # cardinality guard: driver-side category state must stay bounded
+    with _pytest.raises(ValueError):
+        one_hot(df.selectExpr("cast(id as string) as cat", "id"),
+                "cat", max_categories=2)
+
+
+def test_hash_encode_portable_and_bounded(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from dataframe_spark.operators.encode import hash_encode
+
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 7).cast("string").alias("k")
+    )
+    out = hash_encode(df, ["id", "k"], 16, out_col="b")
+    stats = out.agg(
+        F.min("b").alias("lo"), F.max("b").alias("hi"),
+        F.count_distinct("b").alias("nd"),
+    ).first()
+    assert 0 <= stats["lo"] and stats["hi"] < 16
+    assert stats["nd"] > 8  # 500 rows over 16 buckets fill most
+    # deterministic across invocations (md5, not rand/hash seed)
+    a = sorted(r["b"] for r in out.collect())
+    b = sorted(r["b"] for r in hash_encode(df, ["id", "k"], 16,
+                                           out_col="b").collect())
+    assert a == b
+    # null key is a distinct value, not a crash
+    dfn = spark.createDataFrame([(None,), ("x",)], "k string")
+    vals = hash_encode(dfn, ["k"], 1000).collect()
+    assert len(vals) == 2 and all(v["feature_bucket"] is not None
+                                  for v in vals)
+    with _pytest.raises(ValueError):
+        hash_encode(df, ["k"], 0)
