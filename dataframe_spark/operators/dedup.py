@@ -490,6 +490,96 @@ def remove_duplicated_spans(
     )
 
 
+def dedup_paragraphs(
+    df: SparkDF,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> SparkDF:
+    """Paragraph/line-level exact dedup — the RefinedWeb "line-wise
+    corrections" / CCNet paragraph-dedup stage (Penedo et al. 2023
+    §3; Wenzek et al. 2020 §2). Whole-doc dedup misses boilerplate
+    lines shared across otherwise-unique pages; span dedup
+    (``remove_duplicated_spans``) ignores the document's own
+    structure. This splits each document on ``sep``, keeps exactly
+    ONE canonical occurrence of every duplicated paragraph — the
+    smallest (id, index), deterministic — and rewrites the corpus
+    with the survivors rejoined by ``sep``. Paragraphs shorter than
+    ``min_chars`` after trimming (headings, blank structure lines)
+    always survive: removing them destroys layout without saving
+    tokens.
+
+    Returns (id, n_paras, n_removed, clean_text); clean_text is ''
+    for a document whose every paragraph was removed, and a null
+    ``text_col`` coalesces to the empty document rather than
+    dropping the row.
+
+    Plan (size-of-data, no pairwise work): one split + posexplode,
+    canonical owners from one agg keyed on the paragraph's xxhash64
+    (8 B shuffle keys, never the paragraph string; HAVING count >= 2
+    so unique paragraphs skip the join entirely), one hash-keyed
+    join back (AQE-skew-safe — a boilerplate line repeated millions
+    of times is a hot key, not a hot partition), and one per-doc
+    agg to reassemble. Hash identity accepts the same ~2^-64
+    collision trade as ``remove_duplicated_spans``."""
+    import re as _re
+
+    parts = _reusable(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.split(
+                    F.coalesce(F.col(text_col), F.lit("")),
+                    _re.escape(sep),
+                )
+            ).alias("idx", "__para"),
+        ).withColumn("__norm", F.trim("__para"))
+    )
+    cand = parts.where(F.length("__norm") >= min_chars)
+    canon = (
+        cand.groupBy(F.xxhash64("__norm").alias("__h"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.struct("id", "idx")).alias("__w0"),
+        )
+        .where(F.col("__n") >= 2)
+        .select("__h", "__w0")
+    )
+    flagged = parts.join(
+        canon, F.xxhash64("__norm") == F.col("__h"), "left"
+    ).withColumn(
+        "__keep",
+        (F.length("__norm") < min_chars)
+        | F.col("__w0").isNull()
+        | (
+            (F.col("id") == F.col("__w0").getField("id"))
+            & (F.col("idx") == F.col("__w0").getField("idx"))
+        ),
+    )
+    return flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.when(~F.col("__keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.array_join(
+            F.transform(
+                # collect_list drops the nulls of removed paragraphs
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"),
+                            F.struct("idx", F.col("__para").alias("p")),
+                        )
+                    )
+                ),
+                lambda s: s["p"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+
+
 def source_overlap(
     df: SparkDF, source_col: str, text_col: str, n: int = 3
 ) -> SparkDF:

@@ -179,6 +179,21 @@ def q_remove_spans(spark, sf_dir):
     )
 
 
+def q_dedup_paragraphs(spark, sf_dir):
+    """Paragraph-level exact dedup (operators/dedup.py
+    dedup_paragraphs — the RefinedWeb line-dedup stage): split each
+    document on the ' a ' separator (the synthetic corpus has no
+    newlines), keep the first global occurrence of every duplicated
+    >=10-char paragraph, rebuild the text. The oracle recomputes the
+    identical removal with paragraph STRINGS instead of xxhash64
+    (same result absent 2^-64 collisions) and re-derives every
+    cleaned text with STRING_AGG over the surviving indexes."""
+    from ..operators.dedup import dedup_paragraphs
+
+    docs = _t(spark, sf_dir, "documents").df
+    return dedup_paragraphs(docs, "doc_id", "text", sep=" a ", min_chars=10)
+
+
 def q_quantile_bucket(spark, sf_dir):
     """Equi-depth bucketing (operators/quantiles.py quantile_bucket):
     exact quartile cuts broadcast as one row, assignment map-side —
@@ -306,6 +321,7 @@ QUERIES = {
     "q_hcat": q_hcat,
     "q_duplicated_spans": q_duplicated_spans,
     "q_remove_spans": q_remove_spans,
+    "q_dedup_paragraphs": q_dedup_paragraphs,
     "q_quantile_bucket": q_quantile_bucket,
     "q_approx_quantiles": q_approx_quantiles,
     "q_approx_quantiles_check": q_approx_quantiles_check,
@@ -561,6 +577,39 @@ ORACLES = {
                  AS dup_span_frac
         FROM win w LEFT JOIN wfreq f ON w.span = f.span
         GROUP BY w.id
+    """,
+    "q_dedup_paragraphs": """
+        WITH parts AS (
+          SELECT id, r['i'] AS idx, r['p'] AS para, TRIM(r['p']) AS norm
+          FROM (
+            SELECT doc_id AS id,
+                   UNNEST(LIST_TRANSFORM(
+                     GENERATE_SERIES(1, LEN(sp)),
+                     i -> {'i': i - 1, 'p': sp[i]})) AS r
+            FROM (SELECT doc_id,
+                         STRING_SPLIT(COALESCE(text, ''), ' a ') AS sp
+                  FROM documents)
+          )
+        ),
+        canon AS (
+          SELECT norm, MIN({'d': id, 'x': idx}) AS w0
+          FROM parts WHERE LEN(norm) >= 10
+          GROUP BY norm HAVING COUNT(*) >= 2
+        ),
+        flagged AS (
+          SELECT p.id, p.idx, p.para,
+                 (LEN(p.norm) < 10 OR c.norm IS NULL
+                  OR (p.id = c.w0['d'] AND p.idx = c.w0['x'])) AS keep
+          FROM parts p
+          LEFT JOIN canon c
+            ON p.norm = c.norm AND LEN(p.norm) >= 10
+        )
+        SELECT id, COUNT(*) AS n_paras,
+               CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_removed,
+               COALESCE(STRING_AGG(CASE WHEN keep THEN para END,
+                                   ' a ' ORDER BY idx), '') AS clean_text
+        FROM flagged GROUP BY id
     """,
     "q_remove_spans": """
         WITH tok AS (

@@ -75,6 +75,7 @@ RISKY = [
     "q_ols",                    # r6 regr_* covariance divisions
     "q_target_encode",          # r6 smoothed-mean + LOO divisions
     "q_onehot_hash",            # r6 md5 conv cast + modulo bucketing
+    "q_dedup_paragraphs",       # r6 split/posexplode index arithmetic
 ]
 
 

@@ -459,3 +459,45 @@ def test_cms_guards(spark):
         cms_build(df, ["k"], width=0)
     with pytest.raises(ValueError):
         cms_build(df, ["k"], width=1 << 23, depth=4)  # slot cap
+
+
+def test_dedup_paragraphs_keep_first_and_structure(spark):
+    from dataframe_spark.operators.dedup import dedup_paragraphs
+
+    boiler = "subscribe to our newsletter today"
+    rows = [
+        (1, f"unique opening line\n{boiler}\nmore unique text"),
+        (2, f"{boiler}\nanother page entirely"),
+        (3, f"x\n{boiler}"),          # 'x' is short: always survives
+        (4, None),                     # null text -> empty document
+        (5, boiler),                   # single all-removed paragraph
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r
+        for r in dedup_paragraphs(
+            df, "doc_id", "text", sep="\n", min_chars=3
+        ).collect()
+    }
+    assert len(out) == 5  # null-text doc kept as a row
+    # doc 1 owns the canonical occurrence (smallest (id, idx))
+    assert out[1]["n_removed"] == 0
+    assert out[1]["clean_text"] == rows[0][1]
+    # later occurrences removed, structure rejoined with the sep
+    assert out[2]["n_removed"] == 1
+    assert out[2]["clean_text"] == "another page entirely"
+    # short paragraph survives even though it repeats nowhere
+    assert out[3]["clean_text"] == "x"
+    assert out[4]["n_paras"] == 1 and out[4]["clean_text"] == ""
+    assert out[5]["clean_text"] == "" and out[5]["n_removed"] == 1
+    # regex-special separator is treated literally
+    df2 = spark.createDataFrame(
+        [(1, "aa|bb"), (2, "aa|cc")], "doc_id long, text string"
+    )
+    got = {
+        r["id"]: r["clean_text"]
+        for r in dedup_paragraphs(
+            df2, "doc_id", "text", sep="|", min_chars=2
+        ).collect()
+    }
+    assert got[1] == "aa|bb" and got[2] == "cc"
