@@ -6,6 +6,7 @@ from . import (
     graph,
     multimodal,
     quantiles,
+    scale,
     similarity,
     sketch,
     text,
@@ -20,6 +21,7 @@ __all__ = [
     "graph",
     "multimodal",
     "quantiles",
+    "scale",
     "similarity",
     "sketch",
     "text",

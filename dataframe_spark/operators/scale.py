@@ -1,0 +1,143 @@
+"""Feature scaling — the sklearn preprocessing triple re-expressed
+as broadcast-stats plans (StandardScaler / MinMaxScaler /
+RobustScaler). Beyond the reference surface (its nearest verb is
+zScore, Functions.hs standardize), but the natural completion of the
+feature-engineering family next to the encoders and quantile
+bucketing.
+
+Scale design: every scaler is (1) ONE hash-agg producing one tiny
+stats row per group (or one global row), (2) a broadcast join back,
+(3) a pure map-side arithmetic column — the same plan at any data
+size; no window functions, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import functions as F
+
+
+def _joined_stats(df: SparkDF, stats: SparkDF, group_cols) -> SparkDF:
+    if group_cols:
+        return df.join(F.broadcast(stats), list(group_cols), "left")
+    return df.crossJoin(F.broadcast(stats))
+
+
+def standard_scale(
+    df: SparkDF,
+    value_col: str,
+    group_cols: Sequence[str] | None = None,
+    out_col: str | None = None,
+) -> SparkDF:
+    """(x - mean) / stddev per group (population std, ddof=0 — the
+    sklearn StandardScaler convention). A zero-variance group scales
+    to 0.0 rather than null/inf (sklearn's scale_=1 fallback); null
+    values stay null; a group with no non-null values passes nulls
+    through."""
+    out_col = out_col or f"{value_col}_std"
+    v = F.col(value_col).cast("double")
+    keys = list(group_cols or [])
+    agg = [
+        F.avg(v).alias("__mu"),
+        F.stddev_pop(v).alias("__sd"),
+    ]
+    stats = df.groupBy(*keys).agg(*agg) if keys else df.agg(*agg)
+    scaled = F.when(v.isNull() | F.col("__mu").isNull(), F.lit(None)).otherwise(
+        F.when(F.col("__sd") == 0.0, F.lit(0.0)).otherwise(
+            (v - F.col("__mu")) / F.col("__sd")
+        )
+    )
+    return (
+        _joined_stats(df, stats, keys)
+        .withColumn(out_col, scaled)
+        .drop("__mu", "__sd")
+    )
+
+
+def minmax_scale(
+    df: SparkDF,
+    value_col: str,
+    group_cols: Sequence[str] | None = None,
+    feature_range: tuple[float, float] = (0.0, 1.0),
+    out_col: str | None = None,
+) -> SparkDF:
+    """(x - min) / (max - min), affinely mapped into
+    ``feature_range`` per group (sklearn MinMaxScaler). A constant
+    group maps to the range lower bound (sklearn's zero-range
+    handling); nulls stay null. min/max skip NaN via conditional
+    aggregates — NaN sorts greatest in Spark and would otherwise
+    poison the extent (the plot_all_histograms lesson, ADVICE r5)."""
+    lo_r, hi_r = float(feature_range[0]), float(feature_range[1])
+    if not hi_r > lo_r:
+        raise ValueError(f"feature_range must be increasing, got {feature_range}")
+    out_col = out_col or f"{value_col}_minmax"
+    v = F.col(value_col).cast("double")
+    clean = F.when(~F.isnan(v), v)
+    keys = list(group_cols or [])
+    agg = [F.min(clean).alias("__lo"), F.max(clean).alias("__hi")]
+    stats = df.groupBy(*keys).agg(*agg) if keys else df.agg(*agg)
+    unit = F.when(
+        F.col("__hi") == F.col("__lo"), F.lit(0.0)
+    ).otherwise((v - F.col("__lo")) / (F.col("__hi") - F.col("__lo")))
+    scaled = F.when(v.isNull() | F.col("__lo").isNull(), F.lit(None)).otherwise(
+        unit * F.lit(hi_r - lo_r) + F.lit(lo_r)
+    )
+    return (
+        _joined_stats(df, stats, keys)
+        .withColumn(out_col, scaled)
+        .drop("__lo", "__hi")
+    )
+
+
+def robust_scale(
+    df: SparkDF,
+    value_col: str,
+    group_cols: Sequence[str] | None = None,
+    lower: float = 0.25,
+    upper: float = 0.75,
+    out_col: str | None = None,
+    distributed: bool | None = None,
+) -> SparkDF:
+    """(x - median) / (q_upper - q_lower) per group (sklearn
+    RobustScaler: centering on the median, scaling by the
+    IQR — outlier-insensitive where mean/std are not). Quantiles are
+    EXACT via the same gated strategy as winsorize (buffered
+    percentile small / sharded two-pass radix large,
+    operators/quantiles.py) and join back as one broadcast row per
+    group. A zero-IQR group scales to 0.0; nulls stay null."""
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got {lower}, {upper}")
+    out_col = out_col or f"{value_col}_robust"
+    keys = list(group_cols or [])
+    probs = sorted({float(lower), 0.5, float(upper)})
+    from .quantiles import exact_quantiles_grouped, grouped_quantiles_buffered
+
+    if distributed is None:
+        from ..plans.stats import plan_size_bytes
+
+        distributed = plan_size_bytes(df) > 256 * 1024 * 1024
+    if keys:
+        fn = exact_quantiles_grouped if distributed else grouped_quantiles_buffered
+        q = fn(df, keys, value_col, probs)
+    else:
+        from .quantiles import exact_quantiles
+
+        q = exact_quantiles(df, [value_col], probs)
+    stats = q.groupBy(*keys).agg(
+        F.min(F.when(F.col("prob") == float(lower), F.col("value"))).alias("__ql"),
+        F.min(F.when(F.col("prob") == 0.5, F.col("value"))).alias("__md"),
+        F.min(F.when(F.col("prob") == float(upper), F.col("value"))).alias("__qh"),
+    )
+    v = F.col(value_col).cast("double")
+    scaled = F.when(v.isNull() | F.col("__md").isNull(), F.lit(None)).otherwise(
+        F.when(F.col("__qh") == F.col("__ql"), F.lit(0.0)).otherwise(
+            (v - F.col("__md")) / (F.col("__qh") - F.col("__ql"))
+        )
+    )
+    return (
+        _joined_stats(df, stats, keys)
+        .withColumn(out_col, scaled)
+        .drop("__ql", "__md", "__qh")
+    )

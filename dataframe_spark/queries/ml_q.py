@@ -309,8 +309,35 @@ def q_onehot_hash(spark, sf_dir):
     )
 
 
+def q_scale(spark, sf_dir):
+    """The sklearn scaler triple (operators/scale.py): per-returnflag
+    standard / min-max / robust scaling of l_extendedprice, each ONE
+    broadcast-stats row per group + map-side arithmetic. The oracle
+    re-derives all three from AVG/STDDEV_POP/MIN/MAX/QUANTILE_CONT
+    (the exact-quantile engine matches QUANTILE_CONT interpolation)
+    and checks distribution summaries of the scaled columns."""
+    from ..operators.scale import minmax_scale, robust_scale, standard_scale
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = standard_scale(li, "l_extendedprice", ["l_returnflag"])
+    s = minmax_scale(s, "l_extendedprice", ["l_returnflag"])
+    s = robust_scale(s, "l_extendedprice", ["l_returnflag"])
+    rb = F.col("l_extendedprice_robust")
+    return s.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.stddev_pop("l_extendedprice_std"), 4).alias("sd_std"),
+        F.round(F.avg("l_extendedprice_minmax"), 4).alias("avg_mm"),
+        F.round(F.avg(rb), 4).alias("avg_rb"),
+        F.round(F.max(rb), 4).alias("max_rb"),
+        F.sum(F.when(F.abs(rb) > 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_out"),
+    )
+
+
 QUERIES = {
     "q_mutual_info": q_mutual_info,
+    "q_scale": q_scale,
     "q_ols": q_ols,
     "q_target_encode": q_target_encode,
     "q_onehot_hash": q_onehot_hash,
@@ -356,6 +383,36 @@ ORACLES = {
               FROM orders GROUP BY 1) cnt ON cnt.cat = e.cat
         JOIN (SELECT cat, ROUND(SUM(v), 2) AS loo_sum
               FROM loo GROUP BY 1) l ON l.cat = e.cat
+    """,
+    "q_scale": """
+        WITH v AS (
+          SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v
+          FROM lineitem
+        ), s AS (
+          SELECT l_returnflag,
+                 AVG(v) AS mu, STDDEV_POP(v) AS sd,
+                 MIN(v) AS lo, MAX(v) AS hi,
+                 QUANTILE_CONT(v, 0.25) AS ql,
+                 QUANTILE_CONT(v, 0.5) AS md,
+                 QUANTILE_CONT(v, 0.75) AS qh
+          FROM v GROUP BY 1
+        ), sc AS (
+          SELECT v.l_returnflag,
+                 CASE WHEN sd = 0 THEN 0.0 ELSE (v - mu) / sd END AS zs,
+                 CASE WHEN hi = lo THEN 0.0
+                      ELSE (v - lo) / (hi - lo) END AS mm,
+                 CASE WHEN qh = ql THEN 0.0
+                      ELSE (v - md) / (qh - ql) END AS rb
+          FROM v JOIN s USING (l_returnflag)
+        )
+        SELECT l_returnflag, COUNT(*) AS n,
+               ROUND(STDDEV_POP(zs), 4) AS sd_std,
+               ROUND(AVG(mm), 4) AS avg_mm,
+               ROUND(AVG(rb), 4) AS avg_rb,
+               ROUND(MAX(rb), 4) AS max_rb,
+               CAST(SUM(CASE WHEN ABS(rb) > 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_out
+        FROM sc GROUP BY 1
     """,
     "q_onehot_hash": """
         WITH h AS (

@@ -76,6 +76,7 @@ RISKY = [
     "q_target_encode",          # r6 smoothed-mean + LOO divisions
     "q_onehot_hash",            # r6 md5 conv cast + modulo bucketing
     "q_dedup_paragraphs",       # r6 split/posexplode index arithmetic
+    "q_scale",                  # r6 three scaler divisions (CASE-guarded)
 ]
 
 

@@ -424,3 +424,52 @@ def test_hash_encode_portable_and_bounded(spark):
                                   for v in vals)
     with _pytest.raises(ValueError):
         hash_encode(df, ["k"], 0)
+
+
+def test_scalers_closed_form_and_edges(spark):
+    import math
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from dataframe_spark.operators.scale import (
+        minmax_scale,
+        robust_scale,
+        standard_scale,
+    )
+
+    rows = [
+        ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+        ("b", 7.0), ("b", 7.0),          # zero-variance group
+        ("c", None),                      # all-null group
+        ("a", None),                      # null value in a live group
+        ("a", float("nan")),              # NaN must not poison extents
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    clean = df.where(~F.isnan(F.coalesce(F.col("x"), F.lit(0.0))))
+
+    z = {(r["g"], r["x"]): r["x_std"]
+         for r in standard_scale(clean, "x", ["g"]).collect()}
+    mu, sd = 2.5, math.sqrt(1.25)  # population std of 1..4
+    assert abs(z[("a", 1.0)] - (1 - mu) / sd) < 1e-12
+    assert z[("b", 7.0)] == 0.0               # zero variance -> 0
+    assert z[("c", None)] is None and z[("a", None)] is None
+
+    mm = {(r["g"], r["x"]): r["x_minmax"]
+          for r in minmax_scale(df, "x", ["g"],
+                                feature_range=(-1.0, 1.0)).collect()}
+    assert mm[("a", 1.0)] == -1.0 and mm[("a", 4.0)] == 1.0
+    assert abs(mm[("a", 2.0)] - (-1 + 2 * (1 / 3))) < 1e-12
+    assert mm[("b", 7.0)] == -1.0             # constant -> lower bound
+
+    rb = {(r["g"], r["x"]): r["x_robust"]
+          for r in robust_scale(clean, "x", ["g"]).collect()}
+    # group a: q25=1.75, med=2.5, q75=3.25 (QUANTILE_CONT) -> IQR 1.5
+    assert abs(rb[("a", 4.0)] - (4 - 2.5) / 1.5) < 1e-12
+    assert rb[("b", 7.0)] == 0.0              # zero IQR -> 0
+
+    # global (ungrouped) path
+    g = standard_scale(clean.where("x is not null"), "x").collect()
+    assert all(r["x_std"] is not None for r in g)
+    with _pytest.raises(ValueError):
+        minmax_scale(df, "x", feature_range=(1.0, 1.0))
+    with _pytest.raises(ValueError):
+        robust_scale(df, "x", lower=0.8, upper=0.2)
