@@ -338,6 +338,116 @@ def _freq_pairs(s) -> Column:
     )
 
 
+def token_entropy(df, id_col: str, text_col: str):
+    """Per-document Shannon entropy of the token distribution (bits)
+    — the information-density quality signal: templated/repetitive
+    documents score low where ``repetition_metrics`` needs an
+    explicit n-gram to catch them, and machine-generated keyword
+    stuffing scores low while reading as 'diverse' to stopword
+    ratios. Returns (id, n_tokens, n_distinct, entropy,
+    norm_entropy) with norm_entropy = entropy / log2(n_distinct)
+    in [0, 1] (0 for <= 1 distinct token; empty docs score 0, not
+    null — same explicit-zero contract as quality_score post-r5).
+
+    Plan: entirely IN-ROW via the run-length term-frequency kernel
+    (``term_freq_pairs``) — H = log2(n) - (Σ c·log2 c)/n needs no
+    per-token shuffle; the whole operator is one map-side
+    projection."""
+    # null text -> empty token array, NOT null-propagated aggregates
+    pairs = term_freq_pairs(F.coalesce(F.col(text_col), F.lit("")))
+    n = F.aggregate(
+        pairs, F.lit(0).cast("long"), lambda a, p: a + p["tf"]
+    )
+    clogc = F.aggregate(
+        pairs,
+        F.lit(0.0),
+        lambda a, p: a + p["tf"].cast("double") * F.log2(p["tf"].cast("double")),
+    )
+    ent = F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.log2(n.cast("double")) - clogc / n.cast("double")
+    )
+    nd = F.size(pairs)
+    return df.select(
+        F.col(id_col).alias("id"),
+        n.alias("n_tokens"),
+        nd.cast("long").alias("n_distinct"),
+        ent.alias("entropy"),
+        F.when(nd <= 1, F.lit(0.0))
+        .otherwise(ent / F.log2(nd.cast("double")))
+        .alias("norm_entropy"),
+    )
+
+
+def pmi_collocations(df, text_col: str, min_count: int = 5, top_n: int = 100):
+    """Corpus collocation extraction by pointwise mutual information
+    (Church & Hanks 1990): PMI(w1, w2) = log2(p(w1 w2) / (p(w1)
+    p(w2))) over adjacent token pairs — the classic vocabulary-
+    induction / multi-word-expression signal ('new york' scores
+    high, 'of the' low). ``min_count`` floors the pair count (PMI is
+    notoriously noisy on rare pairs); the result is the ``top_n``
+    pairs by ROUNDED pmi (4 dp, round-first like bm25) with (w1, w2)
+    tie-breaks — deterministic on any engine.
+
+    Plan: one bigram-count shuffle + one unigram-count shuffle
+    (both map-side combined), two joins of the bigram table against
+    the unigram counts (AQE picks broadcast when the vocab fits),
+    totals as one broadcast row. No driver state, no pairwise work
+    beyond adjacency."""
+    from .dedup import window_array_expr
+
+    from ..plans.hints import ensure_scan_parallelism
+
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    src = ensure_scan_parallelism(df)
+    uni = vocabulary(src, text_col)
+    # persisted: the bigram counts feed BOTH the (unfiltered) pair
+    # total and the min_count-filtered scoring side — without the
+    # persist the tokenize + bigram shuffle runs twice
+    from .dedup import _reusable
+
+    bg_all = _reusable(
+        src.select(
+            F.explode(window_array_expr(tokens(text_col), 2)).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+    )
+    bg = bg_all.where(F.col("c_pair") >= min_count)
+    totals = uni.agg(F.sum("n").alias("__n_tok")).crossJoin(
+        bg_all.agg(F.sum("c_pair").alias("__n_pair"))
+    )
+    u1 = uni.select(F.col("token").alias("w1"), F.col("n").alias("c1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("n").alias("c2"))
+    scored = (
+        bg.withColumn("w1", F.substring_index("bigram", " ", 1))
+        .withColumn("w2", F.substring_index("bigram", " ", -1))
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "c_pair",
+            "c1",
+            "c2",
+            F.round(
+                F.log2(
+                    (F.col("c_pair").cast("double") / F.col("__n_pair"))
+                    / (
+                        (F.col("c1").cast("double") / F.col("__n_tok"))
+                        * (F.col("c2").cast("double") / F.col("__n_tok"))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(top_n)
+
+
 def tf_idf(df, id_col: str, text_col: str):
     """Per (doc, token) TF-IDF: tf * ln(n_docs / df).
 

@@ -82,6 +82,33 @@ def q_vocabulary(spark, sf_dir):
     return T.vocabulary(docs, "text", top_n=50)
 
 
+def q_token_entropy(spark, sf_dir):
+    """Per-doc Shannon entropy of the token distribution
+    (operators/text.py token_entropy — wholly in-row via the
+    run-length term-frequency kernel, zero shuffle). The oracle
+    recomputes H = log2(n) - Σc·log2(c)/n from an explicit
+    (doc, token) group-count."""
+    docs = _t(spark, sf_dir, "documents").df
+    e = T.token_entropy(docs, "doc_id", "text")
+    return e.select(
+        "id",
+        "n_tokens",
+        "n_distinct",
+        F.round("entropy", 4).alias("entropy"),
+        F.round("norm_entropy", 4).alias("norm_entropy"),
+    )
+
+
+def q_pmi(spark, sf_dir):
+    """PMI collocation extraction (operators/text.py
+    pmi_collocations): top-50 adjacent token pairs by rounded
+    pointwise mutual information at pair-count floor 10. Both sides
+    order by (pmi desc, w1, w2) — a deterministic total order, so
+    the LIMIT cut selects the identical set."""
+    docs = _t(spark, sf_dir, "documents").df
+    return T.pmi_collocations(docs, "text", min_count=10, top_n=50)
+
+
 def q_tfidf(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").df
     out = T.tf_idf(docs, "doc_id", "text")
@@ -360,6 +387,8 @@ QUERIES = {
     "q_lang_id": q_lang_id,
     "q_fingerprint": q_fingerprint,
     "q_vocabulary": q_vocabulary,
+    "q_token_entropy": q_token_entropy,
+    "q_pmi": q_pmi,
     "q_tfidf": q_tfidf,
     "q_corpus_filter": q_corpus_filter,
     "q_perplexity": q_perplexity,
@@ -763,6 +792,58 @@ ORACLES = {
         SELECT source, COUNT(*) AS n_docs,
                ROUND(AVG(quality), 4) AS avg_quality
         FROM kept WHERE rn = 1 GROUP BY source
+    """,
+    "q_token_entropy": f"""
+        WITH tok AS (
+          SELECT doc_id AS id, {_TOKS} AS t FROM documents
+        ), tf AS (
+          SELECT id, token, COUNT(*) AS c
+          FROM (SELECT id, UNNEST(t) AS token FROM tok) GROUP BY 1, 2
+        ), h AS (
+          SELECT id, CAST(SUM(c) AS BIGINT) AS n,
+                 COUNT(*) AS nd,
+                 SUM(c * LOG2(c)) AS s
+          FROM tf GROUP BY 1
+        )
+        SELECT tok.id,
+               COALESCE(h.n, 0) AS n_tokens,
+               COALESCE(h.nd, 0) AS n_distinct,
+               CASE WHEN COALESCE(h.n, 0) <= 0 THEN 0.0
+                    ELSE ROUND(LOG2(h.n) - h.s / h.n, 4) END AS entropy,
+               CASE WHEN COALESCE(h.nd, 0) <= 1 THEN 0.0
+                    ELSE ROUND((LOG2(h.n) - h.s / h.n) / LOG2(h.nd), 4)
+                    END AS norm_entropy
+        FROM tok LEFT JOIN h ON tok.id = h.id
+    """,
+    "q_pmi": f"""
+        WITH tok AS (
+          SELECT {_TOKS} AS t FROM documents
+        ), uni AS (
+          SELECT token, COUNT(*) AS n
+          FROM (SELECT UNNEST(t) AS token FROM tok) GROUP BY 1
+        ), big AS (
+          SELECT bigram, COUNT(*) AS c_pair
+          FROM (
+            SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1),
+                          i -> t[i] || ' ' || t[i+1])) AS bigram
+            FROM tok WHERE LEN(t) >= 2
+          ) GROUP BY 1
+        ), tot AS (
+          SELECT (SELECT CAST(SUM(n) AS DOUBLE) FROM uni) AS n_tok,
+                 (SELECT CAST(SUM(c_pair) AS DOUBLE) FROM big) AS n_pair
+        )
+        SELECT w1, w2, c_pair, c1, c2,
+               ROUND(LOG2((c_pair / n_pair)
+                          / ((c1 / n_tok) * (c2 / n_tok))), 4) AS pmi
+        FROM (
+          SELECT SPLIT_PART(bigram, ' ', 1) AS w1,
+                 SPLIT_PART(bigram, ' ', 2) AS w2, c_pair
+          FROM big WHERE c_pair >= 10
+        ) b
+        JOIN (SELECT token AS w1, n AS c1 FROM uni) u1 USING (w1)
+        JOIN (SELECT token AS w2, n AS c2 FROM uni) u2 USING (w2)
+        CROSS JOIN tot
+        ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 50
     """,
     "q_vocabulary": f"""
         SELECT token, COUNT(*) AS n

@@ -77,6 +77,8 @@ RISKY = [
     "q_onehot_hash",            # r6 md5 conv cast + modulo bucketing
     "q_dedup_paragraphs",       # r6 split/posexplode index arithmetic
     "q_scale",                  # r6 three scaler divisions (CASE-guarded)
+    "q_token_entropy",          # r6 log2 + entropy divisions (guarded)
+    "q_pmi",                    # r6 pmi probability-ratio divisions
 ]
 
 

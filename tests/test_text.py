@@ -510,3 +510,51 @@ def test_bigram_ppl_interpolation_floor_and_edges(spark):
     assert out[1]["n_bigrams"] == 3
     with pytest.raises(ValueError):
         T.bigram_perplexity_score(df, "id", "text", bilm, unilm, totals, lam=1.5)
+
+
+def test_token_entropy_closed_form(spark):
+    import math
+    from dataframe_spark.operators.text import token_entropy
+
+    rows = [
+        (1, "a a a a"),            # single token: H = 0
+        (2, "a b c d"),            # uniform over 4: H = 2 bits
+        (3, "a a b"),              # H = -(2/3)log2(2/3) - (1/3)log2(1/3)
+        (4, ""),                   # empty doc: explicit zeros
+        (5, None),                 # null doc: explicit zeros
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in token_entropy(df, "doc_id", "text").collect()}
+    assert got[1]["entropy"] == 0.0 and got[1]["norm_entropy"] == 0.0
+    assert abs(got[2]["entropy"] - 2.0) < 1e-12
+    assert abs(got[2]["norm_entropy"] - 1.0) < 1e-12
+    h3 = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert abs(got[3]["entropy"] - h3) < 1e-12
+    assert abs(got[3]["norm_entropy"] - h3 / 1.0) < 1e-12  # log2(2)=1
+    for i in (4, 5):
+        assert got[i]["n_tokens"] == 0 and got[i]["entropy"] == 0.0
+        assert got[i]["norm_entropy"] == 0.0
+
+
+def test_pmi_collocations_closed_form(spark):
+    import math
+    import pytest as _pytest
+    from dataframe_spark.operators.text import pmi_collocations
+
+    # 'x y' always collocates; 'a b' co-occurs at chance
+    rows = [(i, "x y a b a c b a") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(df, "text", min_count=6, top_n=10)
+    got = {(r["w1"], r["w2"]): r for r in out.collect()}
+    assert ("x", "y") in got
+    r = got[("x", "y")]
+    # closed form: 48 tokens, 42 bigrams, c(x)=c(y)=6, c_pair=6
+    expect = math.log2((6 / 42) / ((6 / 48) * (6 / 48)))
+    assert abs(r["pmi"] - round(expect, 4)) < 1e-9
+    assert r["c_pair"] == 6 and r["c1"] == 6 and r["c2"] == 6
+    # the perfect collocation outranks every chance pair
+    assert max(got.values(), key=lambda v: v["pmi"])["pmi"] == r["pmi"]
+    # min_count floor excludes rarer pairs entirely
+    assert all(v["c_pair"] >= 6 for v in got.values())
+    with _pytest.raises(ValueError):
+        pmi_collocations(df, "text", min_count=0)
