@@ -134,3 +134,82 @@ def dedup_corpus(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def pagerank(
+    edges: SparkDF,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+    symmetrize: bool = False,
+) -> SparkDF:
+    """Fixed-iteration PageRank (Page et al. 1999 power iteration)
+    over an edge list — centrality scoring for graph-shaped corpus
+    signals (run it over the symmetrized near-dup similarity graph
+    and the rank measures how REPRESENTATIVE a document is of its
+    neighborhood; over a link graph it is the classic web-quality
+    prior, e.g. the Common Crawl URL-importance filter).
+
+    Returns (node, rank) for every node appearing in ``edges``,
+    ranks summing to ~1 when no node lacks out-edges. Dangling-mass
+    redistribution is deliberately NOT implemented: with
+    ``symmetrize=True`` (an undirected similarity graph — every node
+    has out-degree = in-degree >= 1) no dangling nodes exist, and a
+    directed input with dangling nodes raises rather than silently
+    leaking rank mass.
+
+    Plan: each of the ``iters`` rounds is ONE contribution join
+    (edges × ranks, shuffling on node id, AQE-skew-safe for hub
+    nodes) + ONE dst-keyed sum with map-side partials; rank state
+    stays executor-side (node-sized), lineage truncated per round
+    with localCheckpoint exactly like connected_components. The only
+    driver scalars are the node count and the dangling check."""
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col("u") != F.col("v")
+    )
+    if symmetrize:
+        e = _symmetrize(e)
+    e = e.distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("__od"))
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    n_dangling = nodes.join(outdeg, nodes["node"] == outdeg["u"], "left_anti").count()
+    if n_dangling:
+        raise ValueError(
+            f"pagerank: {n_dangling} nodes have no out-edges; pass "
+            "symmetrize=True or complete the graph first"
+        )
+    contrib_src = e.join(outdeg, "u")
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        sums = (
+            contrib_src.join(ranks, contrib_src["u"] == ranks["node"])
+            .select("v", (F.col("rank") / F.col("__od")).alias("__c"))
+            .groupBy("v")
+            .agg(F.sum("__c").alias("__m"))
+        )
+        ranks = (
+            nodes.join(sums, nodes["node"] == sums["v"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("__m"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -55,14 +55,23 @@ WINDOW_PRIORITY = [
     "q_sessionize",            # sentinel (failed r1+r2 — keep hard signal)
     "q_source_overlap",        # 22-43: r3-last longest-unverified
     "q_stream_window",
-    "q_repetition",
-    "q_redact",
-    "q_pack",
-    "q_mixture",
+    # five NEVER-driver-checked late-r6 additions (one_hot/hash_encode,
+    # the scaler triple, paragraph dedup, token entropy, PMI) take the
+    # slots of five r3-green unchanged-plan entries (q_repetition,
+    # q_redact, q_pack, q_mixture, q_embed_norm — none touched since
+    # their green rows; all stay under continuous full-registry pytest
+    # parity at sf0.001 and each new query passed tools/parity at
+    # sf0.01 this session). q_lang_id / q_fingerprint / q_token_budget
+    # KEEP their slots: their plans changed r5 (null-clamp, unicode
+    # punct, quality_score) after their r3 green rows.
+    "q_onehot_hash",
+    "q_scale",
+    "q_dedup_paragraphs",
+    "q_token_entropy",
+    "q_pmi",
     "q_lang_id",
     "q_fingerprint",
     "q_token_budget",
-    "q_embed_norm",
     # the three NEVER-driver-checked end-of-round additions
     # (q_validate, q_ols, q_target_encode) outrank three r3-green
     # unchanged-plan refreshes (q_filter_nulls, q_text_split,

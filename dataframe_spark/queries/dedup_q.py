@@ -159,6 +159,23 @@ def q_dedup_embedding(spark, sf_dir):
     return similarity.cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
 
 
+def q_pagerank(spark, sf_dir):
+    """PageRank centrality over the symmetrized cosine-similarity
+    graph (operators/graph.py pagerank, 10 power iterations at
+    damping 0.85) — representativeness scoring of the embedding
+    corpus. The oracle reruns the identical power iteration as a
+    DuckDB recursive CTE over brute-force cosine edges (same
+    threshold/rounding as q_dedup_embedding)."""
+    from ..operators.graph import pagerank
+
+    emb = _t(spark, sf_dir, "embeddings").df
+    edges = similarity.cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    pr = pagerank(
+        edges, "a_id", "b_id", damping=0.85, iters=10, symmetrize=True
+    )
+    return pr.select("node", F.round("rank", 6).alias("pr_rank"))
+
+
 def q_semdedup(spark, sf_dir):
     """Rows-only: cluster assignments depend on the seeded k-means
     model (not SQL-expressible); q_semdedup_check is the sibling
@@ -503,6 +520,7 @@ QUERIES = {
     "q_dedup_simhash_check": q_dedup_simhash_check,
     "q_knn_lsh_recall": q_knn_lsh_recall,
     "q_dedup_embedding": q_dedup_embedding,
+    "q_pagerank": q_pagerank,
     "q_semdedup": q_semdedup,
     "q_semdedup_check": q_semdedup_check,
     "q_knn_brute": q_knn_brute,
@@ -697,6 +715,32 @@ ORACLES = {
                TRUE AS kept_separated,
                TRUE AS nonempty
         FROM embeddings WHERE embedding IS NOT NULL
+    """,
+    "q_pagerank": """
+        WITH RECURSIVE e0 AS (
+          SELECT a.vec_id AS u, b.vec_id AS v
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])),
+                      4) >= 0.4
+        ),
+        edges AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        outdeg AS (SELECT u, COUNT(*) AS od FROM edges GROUP BY 1),
+        nodes AS (SELECT DISTINCT u AS node FROM edges),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        pr(iter, node, r) AS (
+          SELECT 0, node, 1.0 / n FROM nodes CROSS JOIN nn
+          UNION ALL
+          SELECT p.iter + 1, e.v,
+                 (1.0 - 0.85) / nn.n + 0.85 * SUM(p.r / o.od)
+          FROM pr p
+          JOIN edges e ON e.u = p.node
+          JOIN outdeg o ON o.u = p.node
+          CROSS JOIN nn
+          WHERE p.iter < 10
+          GROUP BY p.iter, e.v, nn.n
+        )
+        SELECT node, ROUND(r, 6) AS pr_rank FROM pr WHERE iter = 10
     """,
     "q_dedup_embedding": """
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,

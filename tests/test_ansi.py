@@ -79,6 +79,7 @@ RISKY = [
     "q_scale",                  # r6 three scaler divisions (CASE-guarded)
     "q_token_entropy",          # r6 log2 + entropy divisions (guarded)
     "q_pmi",                    # r6 pmi probability-ratio divisions
+    "q_pagerank",               # r6 rank/outdeg divisions x10 iterations
 ]
 
 

@@ -501,3 +501,39 @@ def test_dedup_paragraphs_keep_first_and_structure(spark):
         ).collect()
     }
     assert got[1] == "aa|bb" and got[2] == "cc"
+
+
+def test_pagerank_closed_form_and_guards(spark):
+    from dataframe_spark.operators.graph import pagerank
+
+    # directed 3-node graph with known 10-iteration ranks (computed
+    # by plain-python power iteration: 1->3, 2->3, 3->1, 1->2)
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 1), (1, 2)], "src long, dst long"
+    )
+    got = {r["node"]: r["rank"]
+           for r in pagerank(edges, iters=10).collect()}
+    expect = {1: 0.388913, 2: 0.214416, 3: 0.396670}
+    for n, v in expect.items():
+        assert abs(got[n] - v) < 1e-6
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    # symmetric graph: a hub (touching everything) outranks leaves
+    sym = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2)], "src long, dst long"
+    )
+    pr = {r["node"]: r["rank"]
+          for r in pagerank(sym, symmetrize=True, iters=10).collect()}
+    assert pr[0] == max(pr.values()) and pr[3] == min(pr.values())
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+
+    import pytest as _pytest
+
+    # dangling node (2 has no out-edge) must raise, not leak mass
+    dang = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError):
+        pagerank(dang, iters=2)
+    with _pytest.raises(ValueError):
+        pagerank(edges, damping=1.0)
+    with _pytest.raises(ValueError):
+        pagerank(edges, iters=0)
