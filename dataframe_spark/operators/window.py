@@ -291,3 +291,51 @@ def retention_cohorts(
         .groupBy("cohort", "period_offset")
         .agg(F.countDistinct("__u").alias("n_users"))
     )
+
+
+def scd2_history(
+    df: SparkDF,
+    key_cols,
+    ts_col: str,
+    attr_cols,
+    tiebreak_cols=None,
+    collapse_unchanged: bool = True,
+) -> SparkDF:
+    """Compact a change-event stream into a type-2 slowly-changing-
+    dimension history (the Kimball SCD2 shape every warehouse builds
+    from CDC feeds): one row per VERSION of each key, with
+    ``valid_from`` / ``valid_to`` (null = open), a 1-based
+    ``version`` number, and ``is_current``. With
+    ``collapse_unchanged`` (default) consecutive events whose
+    ``attr_cols`` are identical (null-safe struct compare) merge
+    into one version — the CDC-compaction step; pass False to keep
+    every event as a version.
+
+    Rows with a null ``ts_col`` are dropped (an untimed change
+    cannot be ordered into a history); pass ``tiebreak_cols`` (e.g.
+    an event id) to make same-timestamp orders deterministic.
+
+    Plan: ONE shuffle on the key — the change-detection lag, the
+    version row_number, and the valid_to lead all share the same
+    (key, order) window, so Spark reuses a single exchange+sort."""
+    keys = list(key_cols) if not isinstance(key_cols, str) else [key_cols]
+    attrs = list(attr_cols) if not isinstance(attr_cols, str) else [attr_cols]
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    src = df.where(F.col(ts_col).isNotNull())
+    if collapse_unchanged:
+        cur = F.struct(*[F.col(c) for c in attrs])
+        # cur is a struct literal (never NULL itself), so eqNullSafe
+        # is false vs the first row's null lag AND handles null
+        # FIELDS inside the struct — both count as a change
+        changed = ~cur.eqNullSafe(F.lag(cur).over(w))
+        src = src.withColumn("__chg", changed).where("__chg").drop("__chg")
+    return src.select(
+        *keys,
+        *attrs,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

@@ -103,6 +103,31 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_scd2(spark, sf_dir):
+    """SCD2 change-history compaction (operators/window.py
+    scd2_history): each user's event_type stream collapsed into
+    versioned dimension rows; summarized per user as version count,
+    the open (current) version's type, and how many versions were
+    'error' states. Same-timestamp orders are event_id-tiebroken
+    (the q_sessionize lesson); raw timestamps stay out of the output
+    so ns-vs-us parquet precision cannot skew the hash."""
+    from ..operators.window import scd2_history
+
+    ev = _t(spark, sf_dir, "events").df
+    hist = scd2_history(
+        ev, ["user_id"], "ts", ["event_type"], tiebreak_cols=["event_id"]
+    )
+    return hist.groupBy("user_id").agg(
+        F.max("version").cast("long").alias("n_versions"),
+        F.max(
+            F.when(F.col("is_current"), F.col("event_type"))
+        ).alias("current_type"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).cast("long").alias("n_error_versions"),
+    )
+
+
 def q_sessionize(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").df
     # event_id tiebreak: equal-ts events at a gap boundary would
@@ -343,6 +368,7 @@ QUERIES = {
     "q_window_rolling": q_window_rolling,
     "q_asof_join": q_asof_join,
     "q_sessionize": q_sessionize,
+    "q_scd2": q_scd2,
     "q_stream_window": q_stream_window,
     "q_stream_dedup": q_stream_dedup,
     "q_resample": q_resample,
@@ -526,6 +552,29 @@ ORACLES = {
           JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
           WHERE e.event_type = 'purchase' AND e.user_id < 50
         ) WHERE rn = 1
+    """,
+    "q_scd2": """
+        WITH changes AS (
+          SELECT user_id, event_type, ts, event_id
+          FROM (SELECT user_id, event_type, ts, event_id,
+                       (ROW_NUMBER() OVER w = 1
+                        OR event_type IS DISTINCT FROM
+                           LAG(event_type) OVER w) AS chg
+                FROM events WHERE ts IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          WHERE chg
+        ), versions AS (
+          SELECT user_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS version
+          FROM changes
+        )
+        SELECT user_id,
+               CAST(MAX(version) AS BIGINT) AS n_versions,
+               ARG_MAX(event_type, version) AS current_type,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_error_versions
+        FROM versions GROUP BY user_id
     """,
     "q_sessionize": """
         WITH marked AS (

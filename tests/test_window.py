@@ -233,3 +233,47 @@ def test_retention_cohorts_multi_cohort(spark):
         for r in retention_cohorts(df2, "u", "ts", unit="month").collect()
     }
     assert got2 == {0: 1, 2: 1}
+
+
+def test_scd2_history_compaction(spark):
+    from datetime import datetime as dt
+
+    from dataframe_spark.operators.window import scd2_history
+
+    rows = [
+        # user 1: a a b a  -> versions a, b, a (middle run collapsed)
+        (1, dt(2024, 1, 1), 10, "a"),
+        (1, dt(2024, 1, 2), 11, "a"),
+        (1, dt(2024, 1, 3), 12, "b"),
+        (1, dt(2024, 1, 4), 13, "a"),
+        # user 2: null attr then value (null-safe change detection)
+        (2, dt(2024, 1, 1), 20, None),
+        (2, dt(2024, 1, 2), 21, None),
+        (2, dt(2024, 1, 3), 22, "x"),
+        # user 3: untimed event dropped entirely
+        (3, None, 30, "z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "uid int, ts timestamp, eid int, state string"
+    )
+    hist = scd2_history(df, ["uid"], "ts", ["state"],
+                        tiebreak_cols=["eid"]).collect()
+    by_user = {}
+    for r in hist:
+        by_user.setdefault(r["uid"], []).append(r)
+    for v in by_user.values():
+        v.sort(key=lambda r: r["version"])
+    u1 = by_user[1]
+    assert [r["state"] for r in u1] == ["a", "b", "a"]
+    assert [r["version"] for r in u1] == [1, 2, 3]
+    assert u1[0]["valid_from"] == dt(2024, 1, 1)
+    assert u1[0]["valid_to"] == dt(2024, 1, 3)     # next CHANGE, not next event
+    assert u1[-1]["valid_to"] is None and u1[-1]["is_current"]
+    assert sum(r["is_current"] for r in u1) == 1
+    u2 = by_user[2]
+    assert [r["state"] for r in u2] == [None, "x"]  # null run collapsed once
+    assert 3 not in by_user                          # null ts dropped
+    # collapse off: every event is a version
+    full = scd2_history(df, ["uid"], "ts", ["state"], tiebreak_cols=["eid"],
+                        collapse_unchanged=False).collect()
+    assert sum(1 for r in full if r["uid"] == 1) == 4
