@@ -53,6 +53,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
         text.token_count("text").alias("n_tokens"),
     )
 
+    # 1a. Token entropy: information-density gate (in-row, zero
+    #     shuffle) — catches templated docs repetition n-grams miss
+    scored = scored.join(
+        text.token_entropy(docs, "doc_id", "text").select(
+            F.col("id").alias("doc_id"), "norm_entropy"
+        ),
+        "doc_id",
+    )
+
     # 2. Gopher-style repetition filters (in-row run-length scans)
     rep = text.repetition_metrics(docs, "doc_id", "text")
     scored = scored.join(

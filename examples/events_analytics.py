@@ -49,7 +49,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
     ).first()
     print("funnel reach:", {s: reach[s] for s in steps})
 
-    # 3. Weekly cohort retention triangle
+    # 3. SCD2 state history: each user's event_type stream
+    #    compacted into versioned dimension rows (one shuffle)
+    from dataframe_spark.operators.window import scd2_history
+
+    hist = scd2_history(
+        ev, ["user_id"], "ts", ["event_type"], tiebreak_cols=["event_id"]
+    )
+    n_versions = hist.count()
+    n_current = hist.where("is_current").count()
+    print(f"scd2 versions: {n_versions} ({n_current} open)")
+
+    # 4. Weekly cohort retention triangle
     tri = retention_cohorts(ev, "user_id", "ts", unit="week")
     from dataframe_spark.display import to_markdown
 
