@@ -335,9 +335,40 @@ def q_scale(spark, sf_dir):
     )
 
 
+def q_binary_metrics(spark, sf_dir):
+    """Binary-classifier evaluation (ml/metrics.py binary_metrics):
+    exact midrank-tie ROC-AUC on the Mann-Whitney rank machinery +
+    clipped log loss + thresholded confusion family, over a
+    deterministic synthetic score (portable md5 uniform mixed 30/70
+    with the label) so DuckDB reproduces every value bit-for-bit."""
+    from ..ml.metrics import binary_metrics
+    from ..operators.text import row_uniform
+
+    o = load_table(spark, sf_dir, "orders")
+    y = (F.col("o_orderkey") % 3 == 0).cast("int")
+    s = (
+        F.lit(0.7) * row_uniform([F.col("o_orderkey").cast("string")])
+        + F.lit(0.3) * y
+    )
+    m = binary_metrics(
+        o.select(y.alias("y"), s.alias("s")), "y", "s", threshold=0.5
+    )
+    return m.select(
+        "n",
+        "n_pos",
+        F.round("auc", 4).alias("auc"),
+        F.round("accuracy", 4).alias("accuracy"),
+        F.round("precision", 4).alias("precision"),
+        F.round("recall", 4).alias("recall"),
+        F.round("f1", 4).alias("f1"),
+        F.round("log_loss", 4).alias("log_loss"),
+    )
+
+
 QUERIES = {
     "q_mutual_info": q_mutual_info,
     "q_scale": q_scale,
+    "q_binary_metrics": q_binary_metrics,
     "q_ols": q_ols,
     "q_target_encode": q_target_encode,
     "q_onehot_hash": q_onehot_hash,
@@ -383,6 +414,41 @@ ORACLES = {
               FROM orders GROUP BY 1) cnt ON cnt.cat = e.cat
         JOIN (SELECT cat, ROUND(SUM(v), 2) AS loo_sum
               FROM loo GROUP BY 1) l ON l.cat = e.cat
+    """,
+    "q_binary_metrics": """
+        WITH sc AS (
+          SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS y,
+                 0.7 * (CAST('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)),
+                                            1, 8) AS BIGINT) / 4294967296.0)
+                 + 0.3 * (CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+                   AS s
+          FROM orders
+        ), r AS (
+          SELECT y, s,
+                 RANK() OVER (ORDER BY s)
+                 + (COUNT(*) OVER (PARTITION BY s) - 1) / 2.0 AS mid
+          FROM sc
+        ), agg AS (
+          SELECT COUNT(*) AS n, SUM(y) AS n_pos,
+                 SUM(CASE WHEN y = 1 THEN mid END) AS rpos,
+                 SUM(CASE WHEN s >= 0.5 AND y = 1 THEN 1 ELSE 0 END) AS tp,
+                 SUM(CASE WHEN s >= 0.5 AND y = 0 THEN 1 ELSE 0 END) AS fp,
+                 SUM(CASE WHEN s < 0.5 AND y = 1 THEN 1 ELSE 0 END) AS fn,
+                 AVG(-(y * LN(LEAST(GREATEST(s, 1e-15), 1 - 1e-15))
+                       + (1 - y)
+                         * LN(1 - LEAST(GREATEST(s, 1e-15), 1 - 1e-15))))
+                   AS ll
+          FROM r
+        )
+        SELECT CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+               ROUND((rpos - n_pos * (n_pos + 1) / 2.0)
+                     / (n_pos * (n - n_pos)), 4) AS auc,
+               ROUND((n - fp - fn) / CAST(n AS DOUBLE), 4) AS accuracy,
+               ROUND(tp / CAST(tp + fp AS DOUBLE), 4) AS precision,
+               ROUND(tp / CAST(tp + fn AS DOUBLE), 4) AS recall,
+               ROUND(2.0 * tp / CAST(2 * tp + fp + fn AS DOUBLE), 4) AS f1,
+               ROUND(ll, 4) AS log_loss
+        FROM agg
     """,
     "q_scale": """
         WITH v AS (

@@ -80,6 +80,7 @@ RISKY = [
     "q_token_entropy",          # r6 log2 + entropy divisions (guarded)
     "q_pmi",                    # r6 pmi probability-ratio divisions
     "q_pagerank",               # r6 rank/outdeg divisions x10 iterations
+    "q_binary_metrics",         # r6 auc/logloss divisions + clipped logs
 ]
 
 

@@ -473,3 +473,34 @@ def test_scalers_closed_form_and_edges(spark):
         minmax_scale(df, "x", feature_range=(1.0, 1.0))
     with _pytest.raises(ValueError):
         robust_scale(df, "x", lower=0.8, upper=0.2)
+
+
+def test_binary_metrics_closed_form(spark):
+    import math
+    from dataframe_spark.ml import binary_metrics
+
+    # hand-computable: scores 0.9/0.8 pos, 0.8/0.1 neg (one tie pair)
+    rows = [(1, 0.9), (1, 0.8), (0, 0.8), (0, 0.1),
+            (None, 0.5), (2, 0.5), (1, None)]   # excluded rows
+    df = spark.createDataFrame(rows, "y int, s double")
+    m = binary_metrics(df, "y", "s", threshold=0.5).first()
+    assert m["n"] == 4 and m["n_pos"] == 2
+    # pairs: (0.9>0.8)=1, (0.9>0.1)=1, (0.8=0.8)=0.5, (0.8>0.1)=1
+    assert abs(m["auc"] - 3.5 / 4) < 1e-12
+    # at 0.5: tp=2, fp=1, fn=0, tn=1
+    assert m["accuracy"] == 0.75
+    assert abs(m["precision"] - 2 / 3) < 1e-12
+    assert m["recall"] == 1.0
+    assert abs(m["f1"] - 0.8) < 1e-12
+    ll = -(math.log(0.9) + math.log(0.8)
+           + math.log(1 - 0.8) + math.log(1 - 0.1)) / 4
+    assert abs(m["log_loss"] - ll) < 1e-12
+    # hard 0/1 scores must clip, not inf
+    hard = spark.createDataFrame([(1, 1.0), (0, 0.0), (1, 0.0)],
+                                 "y int, s double")
+    h = binary_metrics(hard, "y", "s").first()
+    assert math.isfinite(h["log_loss"])
+    # single-class input: auc null, confusion family still defined
+    pos = spark.createDataFrame([(1, 0.9), (1, 0.2)], "y int, s double")
+    p = binary_metrics(pos, "y", "s").first()
+    assert p["auc"] is None and p["recall"] == 0.5 and p["precision"] == 1.0
