@@ -105,3 +105,58 @@ def binary_metrics(
         f1.alias("f1"),
         "log_loss",
     )
+
+
+def multiclass_metrics(
+    df: SparkDF,
+    label_col: str,
+    pred_col: str,
+) -> SparkDF:
+    """Long-form per-class evaluation for multi-class predictions:
+    one row per class (class, n_true, n_pred, tp, precision, recall,
+    f1) — every class appearing in EITHER the labels or the
+    predictions gets a row (a never-predicted class shows recall 0 /
+    precision null, not a missing row). Null labels/predictions are
+    excluded as unscoreable.
+
+    Plan: two class-keyed aggregates (true side carrying tp via a
+    conditional sum, predicted side carrying n_pred) full-outer
+    joined on the class — everything after the first agg is bounded
+    by the class cardinality, never the data size. Macro/micro
+    averages are one further tiny agg away (micro accuracy =
+    sum(tp) / sum(n_true))."""
+    y = F.col(label_col).cast("string")
+    p = F.col(pred_col).cast("string")
+    src = df.where(y.isNotNull() & p.isNotNull()).select(
+        y.alias("__y"), p.alias("__p")
+    )
+    t = src.groupBy(F.col("__y").alias("class")).agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(F.when(F.col("__p") == F.col("__y"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+    )
+    pr = src.groupBy(F.col("__p").alias("class")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    j = t.join(pr, "class", "full_outer").select(
+        "class",
+        F.coalesce("n_true", F.lit(0)).alias("n_true"),
+        F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+        F.coalesce("tp", F.lit(0)).alias("tp"),
+    )
+    tp = F.col("tp")
+    precision = tp / F.nullif(F.col("n_pred").cast("double"), F.lit(0.0))
+    recall = tp / F.nullif(F.col("n_true").cast("double"), F.lit(0.0))
+    f1 = (2.0 * tp) / F.nullif(
+        (F.col("n_true") + F.col("n_pred")).cast("double"), F.lit(0.0)
+    )
+    return j.select(
+        "class",
+        "n_true",
+        "n_pred",
+        "tp",
+        precision.alias("precision"),
+        recall.alias("recall"),
+        f1.alias("f1"),
+    )

@@ -365,10 +365,45 @@ def q_binary_metrics(spark, sf_dir):
     )
 
 
+_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_multiclass_metrics(spark, sf_dir):
+    """Per-class precision/recall/F1 (ml/metrics.py
+    multiclass_metrics) over a deterministic synthetic prediction:
+    the true order priority, cyclically shifted to the next class
+    for the ~25% of rows whose portable md5 uniform < 0.25 — both
+    engines rebuild the identical confusion matrix."""
+    from ..ml.metrics import multiclass_metrics
+    from ..operators.text import row_uniform
+
+    o = load_table(spark, sf_dir, "orders")
+    u = row_uniform([F.col("o_orderkey").cast("string")])
+    shift = F.col("o_orderpriority")
+    for cur, nxt in zip(_PRIOS, _PRIOS[1:] + _PRIOS[:1]):
+        shift = F.when(F.col("o_orderpriority") == cur, nxt).otherwise(shift)
+    pred = F.when(u < 0.25, shift).otherwise(F.col("o_orderpriority"))
+    m = multiclass_metrics(
+        o.select(F.col("o_orderpriority").alias("y"), pred.alias("p")),
+        "y",
+        "p",
+    )
+    return m.select(
+        "class",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.round("precision", 4).alias("precision"),
+        F.round("recall", 4).alias("recall"),
+        F.round("f1", 4).alias("f1"),
+    )
+
+
 QUERIES = {
     "q_mutual_info": q_mutual_info,
     "q_scale": q_scale,
     "q_binary_metrics": q_binary_metrics,
+    "q_multiclass_metrics": q_multiclass_metrics,
     "q_ols": q_ols,
     "q_target_encode": q_target_encode,
     "q_onehot_hash": q_onehot_hash,
@@ -414,6 +449,42 @@ ORACLES = {
               FROM orders GROUP BY 1) cnt ON cnt.cat = e.cat
         JOIN (SELECT cat, ROUND(SUM(v), 2) AS loo_sum
               FROM loo GROUP BY 1) l ON l.cat = e.cat
+    """,
+    "q_multiclass_metrics": """
+        WITH sc AS (
+          SELECT o_orderpriority AS y,
+                 CASE WHEN CAST('0x' || SUBSTR(MD5(CAST(o_orderkey AS
+                                VARCHAR)), 1, 8) AS BIGINT)
+                           / 4294967296.0 < 0.25
+                      THEN CASE o_orderpriority
+                             WHEN '1-URGENT' THEN '2-HIGH'
+                             WHEN '2-HIGH' THEN '3-MEDIUM'
+                             WHEN '3-MEDIUM' THEN '4-NOT SPECIFIED'
+                             WHEN '4-NOT SPECIFIED' THEN '5-LOW'
+                             WHEN '5-LOW' THEN '1-URGENT'
+                             ELSE o_orderpriority END
+                      ELSE o_orderpriority END AS p
+          FROM orders
+        ), t AS (
+          SELECT y AS class, COUNT(*) AS n_true,
+                 CAST(SUM(CASE WHEN p = y THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tp
+          FROM sc GROUP BY 1
+        ), pr AS (
+          SELECT p AS class, COUNT(*) AS n_pred FROM sc GROUP BY 1
+        )
+        SELECT class,
+               COALESCE(n_true, 0) AS n_true,
+               COALESCE(n_pred, 0) AS n_pred,
+               COALESCE(tp, 0) AS tp,
+               ROUND(COALESCE(tp, 0) / NULLIF(CAST(n_pred AS DOUBLE), 0.0), 4)
+                 AS precision,
+               ROUND(COALESCE(tp, 0) / NULLIF(CAST(n_true AS DOUBLE), 0.0), 4)
+                 AS recall,
+               ROUND(2.0 * COALESCE(tp, 0)
+                     / NULLIF(CAST(COALESCE(n_true, 0) + COALESCE(n_pred, 0)
+                                   AS DOUBLE), 0.0), 4) AS f1
+        FROM t FULL OUTER JOIN pr USING (class)
     """,
     "q_binary_metrics": """
         WITH sc AS (

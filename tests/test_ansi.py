@@ -81,6 +81,7 @@ RISKY = [
     "q_pmi",                    # r6 pmi probability-ratio divisions
     "q_pagerank",               # r6 rank/outdeg divisions x10 iterations
     "q_binary_metrics",         # r6 auc/logloss divisions + clipped logs
+    "q_multiclass_metrics",     # r6 per-class ratio divisions (nullif)
 ]
 
 

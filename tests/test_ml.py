@@ -504,3 +504,29 @@ def test_binary_metrics_closed_form(spark):
     pos = spark.createDataFrame([(1, 0.9), (1, 0.2)], "y int, s double")
     p = binary_metrics(pos, "y", "s").first()
     assert p["auc"] is None and p["recall"] == 0.5 and p["precision"] == 1.0
+
+
+def test_multiclass_metrics_closed_form(spark):
+    from dataframe_spark.ml import multiclass_metrics
+
+    rows = [
+        ("a", "a"), ("a", "a"), ("a", "b"),      # a: 2/3 recalled
+        ("b", "a"),                              # b: never right
+        ("c", "c"),                              # c: perfect
+        (None, "a"), ("a", None),                # excluded
+    ]
+    df = spark.createDataFrame(rows, "y string, p string")
+    got = {r["class"]: r for r in multiclass_metrics(df, "y", "p").collect()}
+    a = got["a"]
+    assert (a["n_true"], a["n_pred"], a["tp"]) == (3, 3, 2)
+    assert abs(a["precision"] - 2 / 3) < 1e-12
+    assert abs(a["recall"] - 2 / 3) < 1e-12
+    b = got["b"]
+    assert (b["n_true"], b["n_pred"], b["tp"]) == (1, 1, 0)
+    assert b["precision"] == 0.0 and b["recall"] == 0.0 and b["f1"] == 0.0
+    assert got["c"]["f1"] == 1.0
+    # a predicted-only class still gets a row (precision 0, recall null)
+    df2 = spark.createDataFrame([("a", "z"), ("a", "a")], "y string, p string")
+    g2 = {r["class"]: r for r in multiclass_metrics(df2, "y", "p").collect()}
+    assert g2["z"]["n_true"] == 0 and g2["z"]["recall"] is None
+    assert g2["z"]["precision"] == 0.0
