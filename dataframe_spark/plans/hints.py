@@ -114,3 +114,53 @@ def salted_join(
     )
     out = salted_l.join(salted_r, on=[*on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def bloom_semi_join(
+    probe,
+    build,
+    probe_keys: list[str],
+    build_keys: list[str],
+    m_bits: int = 1 << 20,
+    k: int = 5,
+):
+    """Semi join with a Bloom pre-filter on the probe side — the
+    runtime-filter pattern Spark applies automatically only in
+    narrow cases (spark.sql.optimizer.runtimeFilter.*): build a
+    ~m/8-byte Bloom over the build side's keys, broadcast it, and
+    drop probe rows whose keys CANNOT match (bit-test fused into the
+    probe scan) before the exact semi join sees them. Result is
+    EXACTLY ``probe SEMI JOIN build`` — the Bloom has no false
+    negatives, and the exact join removes its false positives — but
+    the shuffle moves only the pre-filtered survivors: at 100 TB a
+    probe side that is 95% non-matching pays 5% of the exchange.
+
+    Accepts plain Spark DataFrames; key lists must be same-length.
+    The build side is scanned twice (once for the filter, once for
+    the exact join) — right when the build side is small relative to
+    the probe shuffle saved, which is the only time a runtime filter
+    is worth it at all."""
+    if len(probe_keys) != len(build_keys):
+        raise ValueError(
+            f"key lists differ in length: {probe_keys} vs {build_keys}"
+        )
+    from ..operators.dedup import bloom_build, bloom_might_contain
+
+    # hash on the PROBE-side column names: rename build keys to match
+    # so both sides feed identical md5 inputs
+    b = build.select(
+        *[F.col(bk).alias(pk) for pk, bk in zip(probe_keys, build_keys)]
+    )
+    bloom = bloom_build(b, probe_keys, m_bits=m_bits, k=k)
+    screened = (
+        probe.crossJoin(F.broadcast(bloom))
+        .where(bloom_might_contain(probe_keys, m_bits, k))
+        .drop("__bloom")
+    )
+    cond = None
+    for pk in probe_keys:
+        # plain equality, NOT eqNullSafe: ANSI semi-join semantics —
+        # null keys never match, mirroring SQL IN/EXISTS
+        e = screened[pk] == b[pk]
+        cond = e if cond is None else (cond & e)
+    return screened.join(b, cond, "left_semi")

@@ -221,6 +221,33 @@ def q_join_full(spark, sf_dir):
     return s.full_outer_join(["nationkey"], c).df
 
 
+def q_bloom_semi(spark, sf_dir):
+    """Bloom-prefiltered semi join (plans/hints.py bloom_semi_join):
+    lineitem rows whose order is urgent-and-finished, screened by a
+    broadcast Bloom over the selective build keys BEFORE the exact
+    semi join — result exactly equal to the ANSI semi join (no false
+    negatives; the exact join removes false positives), which is
+    precisely what the oracle runs."""
+    from ..plans.hints import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem").df
+    o = (
+        _t(spark, sf_dir, "orders")
+        .df.where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderstatus") == "F")
+        )
+        .select("o_orderkey")
+    )
+    kept = bloom_semi_join(li, o, ["l_orderkey"], ["o_orderkey"])
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("double")).cast("long").alias(
+            "sum_qty"
+        ),
+    )
+
+
 def q_join_semi_anti(spark, sf_dir):
     """Per nation: customers with orders (semi join) vs without
     (anti join). Both joins ship only the key column of orders."""
@@ -773,6 +800,7 @@ QUERIES = {
     "q_join_left": q_join_left,
     "q_join_full": q_join_full,
     "q_join_semi_anti": q_join_semi_anti,
+    "q_bloom_semi": q_bloom_semi,
     "q5_local_supplier": q5_local_supplier,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q_union": q_union,
@@ -1024,6 +1052,18 @@ ORACLES = {
         FROM (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
         FULL OUTER JOIN (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
           USING (nationkey)
+    """,
+    "q_bloom_semi": """
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DOUBLE)) AS BIGINT) AS sum_qty
+        FROM lineitem l
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_orderkey = l.l_orderkey
+            AND o.o_orderpriority = '1-URGENT'
+            AND o.o_orderstatus = 'F'
+        )
+        GROUP BY l_returnflag
     """,
     "q_join_semi_anti": """
         SELECT COALESCE(w.c_nationkey, wo.c_nationkey) AS c_nationkey,

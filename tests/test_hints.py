@@ -52,3 +52,36 @@ def test_salted_join_matches_plain_join(spark):
         F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
     ).first()
     assert (plain["n"], plain["sv"]) == (salted["n"], salted["sv"])
+
+
+def test_bloom_semi_join_exact_equivalence(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from dataframe_spark.plans.hints import bloom_semi_join
+
+    probe = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (None, "d"), (2, "e")],
+        "k int, v string",
+    )
+    build = spark.createDataFrame([(2,), (3,), (None,)], "bk int")
+    got = sorted(
+        (r["k"], r["v"])
+        for r in bloom_semi_join(probe, build, ["k"], ["bk"]).collect()
+    )
+    want = sorted(
+        (r["k"], r["v"])
+        for r in probe.join(
+            build, probe["k"] == build["bk"], "left_semi"
+        ).collect()
+    )
+    assert got == want  # exact ANSI semi-join semantics, nulls dropped
+    assert got == [(2, "b"), (2, "e"), (3, "c")]
+    # the bloom probe must sit in the plan BEFORE the join (bit tests
+    # fused into the probe side scan)
+    plan = (
+        bloom_semi_join(probe, build, ["k"], ["bk"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "shiftright" in plan
+    with _pytest.raises(ValueError):
+        bloom_semi_join(probe, build, ["k"], ["bk", "bk2"])
