@@ -1,5 +1,5 @@
 from .decision_tree import Tree, fit_decision_tree, tao_optimize, tree_to_expr
-from .metrics import binary_metrics, multiclass_metrics
+from .metrics import binary_metrics, lift_table, multiclass_metrics
 from .ols import OLSModel, fit_ols, linear_fit_simple, predict_ols_expr
 from .naive_bayes import (
     NaiveBayesModel,

@@ -160,3 +160,59 @@ def multiclass_metrics(
         recall.alias("recall"),
         f1.alias("f1"),
     )
+
+
+def lift_table(
+    df: SparkDF,
+    label_col: str,
+    score_col: str,
+    n_buckets: int = 10,
+) -> SparkDF:
+    """Decile lift / calibration table — the model-diagnostics view
+    scoring teams read before any threshold is chosen: equi-depth
+    score buckets (exact quantile cuts via operators/quantiles.py
+    quantile_bucket — no global NTILE sort), each with its event
+    rate, lift over the base rate, and the cumulative fraction of
+    all positives captured from the top bucket down.
+
+    Returns one row per non-empty bucket (bucket, n, n_pos,
+    event_rate, lift, cum_capture), bucket ``n_buckets - 1`` =
+    highest scores. Labels outside {0, 1} and null scores are
+    excluded, matching binary_metrics.
+
+    Plan: the bucket-cut broadcast + map-side assignment of
+    quantile_bucket, ONE bucket-keyed agg, then windows over the
+    <= n_buckets result rows (bounded domain — a single tiny task,
+    not a data-sized sort)."""
+    from pyspark.sql.window import Window
+
+    from ..operators.quantiles import quantile_bucket
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    y = F.col(label_col).cast("int")
+    s = F.col(score_col).cast("double")
+    src = df.where(y.isin(1, 0) & s.isNotNull()).select(
+        y.alias("__y"), s.alias("__s")
+    )
+    bucketed = quantile_bucket(src, "__s", n_buckets, out_col="bucket")
+    agg = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y").cast("long").alias("n_pos"),
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.partitionBy().orderBy(F.col("bucket").desc())
+    tot_n = F.sum("n").over(w_all).cast("double")
+    tot_pos = F.sum("n_pos").over(w_all).cast("double")
+    rate = F.col("n_pos") / F.col("n").cast("double")
+    base = tot_pos / tot_n
+    return agg.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "n",
+        "n_pos",
+        rate.alias("event_rate"),
+        (rate / F.nullif(base, F.lit(0.0))).alias("lift"),
+        (
+            F.sum("n_pos").over(w_cum) / F.nullif(tot_pos, F.lit(0.0))
+        ).alias("cum_capture"),
+    )

@@ -399,11 +399,38 @@ def q_multiclass_metrics(spark, sf_dir):
     )
 
 
+def q_lift(spark, sf_dir):
+    """Decile lift table (ml/metrics.py lift_table) over the same
+    deterministic md5-mixed score as q_binary_metrics: equi-depth
+    deciles by exact quantile cuts, per-decile event rate / lift /
+    top-down cumulative capture — DuckDB re-derives the cuts with
+    QUANTILE_CONT and every ratio."""
+    from ..ml.metrics import lift_table
+    from ..operators.text import row_uniform
+
+    o = load_table(spark, sf_dir, "orders")
+    y = (F.col("o_orderkey") % 3 == 0).cast("int")
+    s = (
+        F.lit(0.7) * row_uniform([F.col("o_orderkey").cast("string")])
+        + F.lit(0.3) * y
+    )
+    t = lift_table(o.select(y.alias("y"), s.alias("s")), "y", "s", 10)
+    return t.select(
+        "bucket",
+        "n",
+        "n_pos",
+        F.round("event_rate", 4).alias("event_rate"),
+        F.round("lift", 4).alias("lift"),
+        F.round("cum_capture", 4).alias("cum_capture"),
+    )
+
+
 QUERIES = {
     "q_mutual_info": q_mutual_info,
     "q_scale": q_scale,
     "q_binary_metrics": q_binary_metrics,
     "q_multiclass_metrics": q_multiclass_metrics,
+    "q_lift": q_lift,
     "q_ols": q_ols,
     "q_target_encode": q_target_encode,
     "q_onehot_hash": q_onehot_hash,
@@ -449,6 +476,47 @@ ORACLES = {
               FROM orders GROUP BY 1) cnt ON cnt.cat = e.cat
         JOIN (SELECT cat, ROUND(SUM(v), 2) AS loo_sum
               FROM loo GROUP BY 1) l ON l.cat = e.cat
+    """,
+    "q_lift": """
+        WITH sc AS (
+          SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS y,
+                 0.7 * (CAST('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)),
+                                            1, 8) AS BIGINT) / 4294967296.0)
+                 + 0.3 * (CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+                   AS s
+          FROM orders
+        ), cuts AS (
+          SELECT QUANTILE_CONT(s, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                   0.6, 0.7, 0.8, 0.9]) AS c
+          FROM sc
+        ), assigned AS (
+          SELECT y,
+                 CAST(CASE WHEN s > c[1] THEN 1 ELSE 0 END
+                    + CASE WHEN s > c[2] THEN 1 ELSE 0 END
+                    + CASE WHEN s > c[3] THEN 1 ELSE 0 END
+                    + CASE WHEN s > c[4] THEN 1 ELSE 0 END
+                    + CASE WHEN s > c[5] THEN 1 ELSE 0 END
+                    + CASE WHEN s > c[6] THEN 1 ELSE 0 END
+                    + CASE WHEN s > c[7] THEN 1 ELSE 0 END
+                    + CASE WHEN s > c[8] THEN 1 ELSE 0 END
+                    + CASE WHEN s > c[9] THEN 1 ELSE 0 END AS INT)
+                   AS bucket
+          FROM sc, cuts
+        ), agg AS (
+          SELECT bucket, COUNT(*) AS n,
+                 CAST(SUM(y) AS BIGINT) AS n_pos
+          FROM assigned GROUP BY bucket
+        )
+        SELECT bucket, n, n_pos,
+               ROUND(n_pos / CAST(n AS DOUBLE), 4) AS event_rate,
+               ROUND((n_pos / CAST(n AS DOUBLE))
+                     / NULLIF(SUM(n_pos) OVER ()
+                              / CAST(SUM(n) OVER () AS DOUBLE), 0.0), 4)
+                 AS lift,
+               ROUND(SUM(n_pos) OVER (ORDER BY bucket DESC)
+                     / NULLIF(CAST(SUM(n_pos) OVER () AS DOUBLE), 0.0), 4)
+                 AS cum_capture
+        FROM agg
     """,
     "q_multiclass_metrics": """
         WITH sc AS (

@@ -82,6 +82,7 @@ RISKY = [
     "q_pagerank",               # r6 rank/outdeg divisions x10 iterations
     "q_binary_metrics",         # r6 auc/logloss divisions + clipped logs
     "q_multiclass_metrics",     # r6 per-class ratio divisions (nullif)
+    "q_lift",                   # r6 rate/base-rate/capture divisions
 ]
 
 

@@ -530,3 +530,24 @@ def test_multiclass_metrics_closed_form(spark):
     g2 = {r["class"]: r for r in multiclass_metrics(df2, "y", "p").collect()}
     assert g2["z"]["n_true"] == 0 and g2["z"]["recall"] is None
     assert g2["z"]["precision"] == 0.0
+
+
+def test_lift_table_closed_form(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from dataframe_spark.ml import lift_table
+
+    # 20 rows, scores 1..20, positives exactly the top 5 scores
+    rows = [(1 if i > 15 else 0, float(i)) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "y int, s double")
+    t = {r["bucket"]: r for r in lift_table(df, "y", "s", 4).collect()}
+    assert sorted(t) == [0, 1, 2, 3]
+    assert all(t[b]["n"] == 5 for b in t)
+    assert t[3]["n_pos"] == 5 and t[3]["event_rate"] == 1.0
+    # base rate 0.25 -> top-bucket lift 4
+    assert abs(t[3]["lift"] - 4.0) < 1e-12
+    assert t[3]["cum_capture"] == 1.0   # all positives in the top decile
+    assert t[0]["n_pos"] == 0 and t[0]["lift"] == 0.0
+    assert t[0]["cum_capture"] == 1.0   # cumulative from the top reaches 1
+    with _pytest.raises(ValueError):
+        lift_table(df, "y", "s", 1)
