@@ -38,10 +38,14 @@ def standard_scale(
     through."""
     out_col = out_col or f"{value_col}_std"
     v = F.col(value_col).cast("double")
+    # NaN-filtered moments (the minmax/plot_all_histograms lesson,
+    # ADVICE r5): one NaN would otherwise poison avg/stddev into NaN
+    # and silently NaN every scaled value in the group
+    clean = F.when(~F.isnan(v), v)
     keys = list(group_cols or [])
     agg = [
-        F.avg(v).alias("__mu"),
-        F.stddev_pop(v).alias("__sd"),
+        F.avg(clean).alias("__mu"),
+        F.stddev_pop(clean).alias("__sd"),
     ]
     stats = df.groupBy(*keys).agg(*agg) if keys else df.agg(*agg)
     scaled = F.when(v.isNull() | F.col("__mu").isNull(), F.lit(None)).otherwise(

@@ -400,12 +400,14 @@ def pmi_collocations(df, text_col: str, min_count: int = 5, top_n: int = 100):
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     src = ensure_scan_parallelism(df)
-    uni = vocabulary(src, text_col)
-    # persisted: the bigram counts feed BOTH the (unfiltered) pair
-    # total and the min_count-filtered scoring side — without the
-    # persist the tokenize + bigram shuffle runs twice
     from .dedup import _reusable
 
+    # BOTH count frames are multi-consumer: uni feeds the token
+    # total + the w1 and w2 join sides (3 consumers), bg_all feeds
+    # the unfiltered pair total + the min_count-filtered scoring
+    # side — unpersisted, each extra consumer re-pays the tokenize +
+    # count shuffle (review r6)
+    uni = _reusable(vocabulary(src, text_col))
     bg_all = _reusable(
         src.select(
             F.explode(window_array_expr(tokens(text_col), 2)).alias("bigram")

@@ -450,6 +450,11 @@ def test_scalers_closed_form_and_edges(spark):
          for r in standard_scale(clean, "x", ["g"]).collect()}
     mu, sd = 2.5, math.sqrt(1.25)  # population std of 1..4
     assert abs(z[("a", 1.0)] - (1 - mu) / sd) < 1e-12
+    # a NaN row must not poison the group's moments (NaN-filtered
+    # aggregates, the ADVICE-r5 lesson): other rows scale identically
+    zr = {(r["g"], r["x"]): r["x_std"]
+          for r in standard_scale(df, "x", ["g"]).collect()}
+    assert abs(zr[("a", 1.0)] - (1 - mu) / sd) < 1e-12
     assert z[("b", 7.0)] == 0.0               # zero variance -> 0
     assert z[("c", None)] is None and z[("a", None)] is None
 
