@@ -339,3 +339,55 @@ def scd2_history(
         F.lead(ts_col).over(w).alias("valid_to"),
         F.row_number().over(w).alias("version"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def ewma(
+    df: SparkDF,
+    key_cols,
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    tiebreak_cols=None,
+    out_col: str = "ewma",
+) -> SparkDF:
+    """Per-key exponentially weighted moving average (the pandas
+    ``ewm(adjust=False)`` recurrence: y_1 = x_1, y_t = (1-α)·y_{t-1}
+    + α·x_t) — the smoothing every monitoring/forecast baseline
+    starts from, and a genuine recurrence no built-in Spark window
+    expresses exactly (a running SUM of x_i/(1-α)^i overflows double
+    past a few thousand steps).
+
+    Plan: ONE shuffle on the key, then an Arrow-batched grouped
+    kernel (applyInPandas) runs the O(n) recurrence per key — the
+    panel-data contract that one key's series fits an executor,
+    identical to every grouped kernel here. Null values propagate
+    the previous EWMA forward (pandas ignore-na=False semantics:
+    the weight still decays); rows with null ``ts_col`` are dropped.
+
+    Returns key_cols + ts/tiebreak cols + value + ``out_col``."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    keys = list(key_cols) if not isinstance(key_cols, str) else [key_cols]
+    ties = list(tiebreak_cols or [])
+    cols = keys + [ts_col] + ties + [value_col]
+    src = (
+        df.where(F.col(ts_col).isNotNull())
+        .select(*cols)
+        .withColumn(value_col, F.col(value_col).cast("double"))
+    )
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # do NOT src.schema.add(...): classic pyspark caches and returns
+    # the DataFrame's own StructType, and .add mutates it in place —
+    # the input frame would then claim a phantom out_col column
+    schema = StructType(
+        list(src.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+    order = [ts_col] + ties
+
+    def _kernel(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort")
+        pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        return pdf
+
+    return src.groupBy(*keys).applyInPandas(_kernel, schema)

@@ -128,6 +128,26 @@ def q_scd2(spark, sf_dir):
     )
 
 
+def q_ewma(spark, sf_dir):
+    """Per-user EWMA of event values (operators/window.py ewma,
+    pandas adjust=False recurrence in an Arrow grouped kernel).
+    The oracle evaluates the closed form y_t = (1-a)^(t-1)·x_1 +
+    Σ a(1-a)^(t-i)·x_i with DuckDB list comprehensions — identical
+    up to ~1e-13, far inside the 4-dp round."""
+    from ..operators.window import ewma
+
+    ev = _t(spark, sf_dir, "events").df
+    y = ewma(ev, ["user_id"], "ts", "value", alpha=0.3,
+             tiebreak_cols=["event_id"])
+    return y.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.max_by("ewma", F.struct("ts", "event_id")), 4
+        ).alias("last_ewma"),
+        F.round(F.sum("ewma"), 4).alias("sum_ewma"),
+    )
+
+
 def q_sessionize(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").df
     # event_id tiebreak: equal-ts events at a gap boundary would
@@ -369,6 +389,7 @@ QUERIES = {
     "q_asof_join": q_asof_join,
     "q_sessionize": q_sessionize,
     "q_scd2": q_scd2,
+    "q_ewma": q_ewma,
     "q_stream_window": q_stream_window,
     "q_stream_dedup": q_stream_dedup,
     "q_resample": q_resample,
@@ -552,6 +573,27 @@ ORACLES = {
           JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
           WHERE e.event_type = 'purchase' AND e.user_id < 50
         ) WHERE rn = 1
+    """,
+    "q_ewma": """
+        WITH s AS (
+          SELECT user_id,
+                 LIST(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS v
+          FROM events WHERE ts IS NOT NULL
+          GROUP BY user_id
+        ), y AS (
+          SELECT user_id, LEN(v) AS n,
+                 LIST_TRANSFORM(GENERATE_SERIES(1, LEN(v)), t ->
+                   POWER(0.7, t - 1) * v[1]
+                   + COALESCE(LIST_SUM(LIST_TRANSFORM(
+                       GENERATE_SERIES(2, t),
+                       i -> 0.3 * POWER(0.7, t - i) * v[i])), 0)
+                 ) AS ys
+          FROM s
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n,
+               ROUND(ys[n], 4) AS last_ewma,
+               ROUND(LIST_SUM(ys), 4) AS sum_ewma
+        FROM y
     """,
     "q_scd2": """
         WITH changes AS (

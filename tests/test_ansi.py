@@ -83,6 +83,7 @@ RISKY = [
     "q_binary_metrics",         # r6 auc/logloss divisions + clipped logs
     "q_multiclass_metrics",     # r6 per-class ratio divisions (nullif)
     "q_lift",                   # r6 rate/base-rate/capture divisions
+    "q_ewma",                   # r6 decay-weight powers + float sums
 ]
 
 

@@ -277,3 +277,32 @@ def test_scd2_history_compaction(spark):
     full = scd2_history(df, ["uid"], "ts", ["state"], tiebreak_cols=["eid"],
                         collapse_unchanged=False).collect()
     assert sum(1 for r in full if r["uid"] == 1) == 4
+
+
+def test_ewma_recurrence_and_guards(spark):
+    from datetime import datetime as dt
+
+    import pytest as _pytest
+    from dataframe_spark.operators.window import ewma
+
+    rows = [
+        (1, dt(2024, 1, 1), 1, 10.0),
+        (1, dt(2024, 1, 2), 2, 20.0),
+        (1, dt(2024, 1, 3), 3, 30.0),
+        (2, dt(2024, 1, 1), 4, 5.0),
+        (2, None, 5, 99.0),   # untimed row dropped
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, eid int, v double")
+    got = {(r["k"], r["eid"]): r["ewma"]
+           for r in ewma(df, ["k"], "ts", "v", alpha=0.5,
+                         tiebreak_cols=["eid"]).collect()}
+    # adjust=False recurrence: y1=10, y2=15, y3=22.5
+    assert got[(1, 1)] == 10.0
+    assert got[(1, 2)] == 15.0
+    assert got[(1, 3)] == 22.5
+    assert got[(2, 4)] == 5.0
+    assert (2, 5) not in got
+    # input frame must be untouched (schema-mutation regression)
+    assert "ewma" not in df.columns
+    with _pytest.raises(ValueError):
+        ewma(df, ["k"], "ts", "v", alpha=0.0)
