@@ -53,8 +53,18 @@ WINDOW_PRIORITY = [
     "q_perplexity",
     "q1_pricing_summary",      # 20-21: sentinels
     "q_sessionize",            # sentinel (failed r1+r2 — keep hard signal)
-    "q_source_overlap",        # 22-43: r3-last longest-unverified
-    "q_stream_window",
+    # the two NEVER-driver-checked queries with the most novel
+    # correctness surface take the last two r3-green unchanged-plan
+    # slots (q_source_overlap, q_stream_window — both under
+    # continuous sf0.001 pytest parity, plans untouched since r3):
+    # q_pagerank (iterative power method vs a recursive-CTE oracle)
+    # and q_ewma (Arrow grouped kernel vs a closed-form float
+    # oracle). The five remaining late-r6 additions (q_scd2,
+    # q_binary_metrics, q_multiclass_metrics, q_bloom_semi, q_lift —
+    # all sf0.01 parity-PASS this session) enter next rotation, the
+    # q_validate precedent.
+    "q_pagerank",
+    "q_ewma",
     # five NEVER-driver-checked late-r6 additions (one_hot/hash_encode,
     # the scaler triple, paragraph dedup, token entropy, PMI) take the
     # slots of five r3-green unchanged-plan entries (q_repetition,
