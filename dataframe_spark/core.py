@@ -1162,6 +1162,64 @@ class DataFrame:
             )
         )
 
+    def kaplan_meier(self, duration_col, event_col) -> "DataFrame":
+        """Kaplan–Meier survival estimator over (duration, event)
+        pairs — event = 1 observed, 0 right-censored (the standard
+        churn/retention/time-to-failure curve). Returns one row per
+        distinct duration (t, n_risk, n_event, n_censored, survival)
+        with S(t) = Π_{t' <= t} (1 - d_{t'} / r_{t'}).
+
+        Rides the SAME partition-offset prefix machinery as the
+        two-sample tests (_two_sample_prefix, a = events,
+        b = censored): per-duration counts and inclusive cumulative
+        counts arrive fully parallel; the remaining cumulative
+        log-product window runs over the PER-DURATION aggregate —
+        bounded by the duration domain (days/weeks), not the row
+        count. For continuous durations, pre-bucket to a calendar
+        grain first.
+
+        When the risk set empties (d_t = r_t), survival is exactly
+        0 from that t on — computed via an explicit flag, never
+        ln(0) (Spark's log(0) is null and would silently VANISH from
+        the window sum)."""
+        from pyspark.sql.window import Window
+
+        per_value, totals = self._two_sample_prefix(
+            duration_col, event_col, 1, 0
+        )
+        j = per_value.crossJoin(F.broadcast(totals))
+        n_all = (F.col("__ta") + F.col("__tb")).cast("double")
+        at_risk = (
+            n_all
+            - (F.col("__cuma") + F.col("__cumb"))
+            + (F.col("__na") + F.col("__nb"))
+        )
+        term = F.when(
+            (F.col("__na") > 0) & (F.col("__na") < at_risk),
+            F.log((at_risk - F.col("__na")) / at_risk),
+        ).otherwise(F.lit(0.0))
+        dead = F.when(F.col("__na") >= at_risk, 1).otherwise(0)
+        w = Window.orderBy("t").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        rows = j.select(
+            F.col("__v").alias("t"),
+            at_risk.cast("long").alias("n_risk"),
+            F.col("__na").cast("long").alias("n_event"),
+            F.col("__nb").cast("long").alias("n_censored"),
+            term.alias("__term"),
+            dead.alias("__dead"),
+        )
+        surv = F.when(
+            F.sum("__dead").over(w) > 0, F.lit(0.0)
+        ).otherwise(F.exp(F.sum("__term").over(w)))
+        return self._wrap(
+            rows.select(
+                "t", "n_risk", "n_event", "n_censored",
+                surv.alias("survival"),
+            )
+        )
+
     def welch_t_test(self, value_col, group_col, a, b) -> "DataFrame":
         """Welch's unequal-variance two-sample t-test on the means of
         the ``a`` and ``b`` populations — the parametric companion

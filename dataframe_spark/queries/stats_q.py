@@ -327,7 +327,44 @@ def q_approx_distinct_check(spark, sf_dir):
     )
 
 
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curve (core.py kaplan_meier, the
+    two-sample prefix machinery with a = events / b = censored):
+    per-user days from first activity to first PURCHASE, right-
+    censored at last activity for users who never purchase — DuckDB
+    re-derives risk sets, per-duration event counts, and the
+    cumulative log-product survival."""
+    ev = _t(spark, sf_dir, "events").df
+    pu = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("__first"),
+            F.max("ts").alias("__last"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("__purch"),
+        )
+        .select(
+            F.datediff(
+                F.to_date(F.coalesce("__purch", "__last")),
+                F.to_date("__first"),
+            ).alias("duration"),
+            F.col("__purch").isNotNull().cast("int").alias("event"),
+        )
+    )
+    km = DataFrame(pu).kaplan_meier("duration", "event").df
+    return km.select(
+        F.col("t").cast("long").alias("t"),
+        "n_risk",
+        "n_event",
+        "n_censored",
+        F.round("survival", 6).alias("survival"),
+    )
+
+
 QUERIES = {
+    "q_kaplan_meier": q_kaplan_meier,
     "q_approx_distinct": q_approx_distinct,
     "q_approx_distinct_check": q_approx_distinct_check,
     "q_skewness": q_skewness,
@@ -346,6 +383,42 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_kaplan_meier": """
+        WITH pu AS (
+          SELECT user_id,
+                 DATE_DIFF('day', CAST(MIN(ts) AS DATE),
+                           CAST(COALESCE(
+                             MIN(CASE WHEN event_type = 'purchase'
+                                      THEN ts END),
+                             MAX(ts)) AS DATE)) AS t,
+                 CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+                                    THEN ts END) IS NOT NULL
+                      THEN 1 ELSE 0 END AS ev
+          FROM events WHERE ts IS NOT NULL GROUP BY user_id
+        ), pv AS (
+          SELECT t, SUM(ev) AS d, SUM(1 - ev) AS c FROM pu GROUP BY t
+        ), cum AS (
+          SELECT t, d, c,
+                 (SELECT COUNT(*) FROM pu)
+                 - SUM(d + c) OVER (ORDER BY t) + (d + c) AS r
+          FROM pv
+        ), terms AS (
+          SELECT t, d, c, r,
+                 CASE WHEN d > 0 AND d < r
+                      THEN LN((r - d) / CAST(r AS DOUBLE))
+                      ELSE 0.0 END AS term,
+                 CASE WHEN d >= r THEN 1 ELSE 0 END AS dead
+          FROM cum
+        )
+        SELECT t,
+               CAST(r AS BIGINT) AS n_risk,
+               CAST(d AS BIGINT) AS n_event,
+               CAST(c AS BIGINT) AS n_censored,
+               ROUND(CASE WHEN SUM(dead) OVER (ORDER BY t) > 0 THEN 0.0
+                          ELSE EXP(SUM(term) OVER (ORDER BY t)) END, 6)
+                 AS survival
+        FROM terms
+    """,
     "q_approx_distinct_check": """
         SELECT column_name, TRUE AS within_bounds FROM (VALUES
           ('l_orderkey'), ('l_partkey'), ('l_returnflag')

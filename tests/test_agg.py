@@ -353,3 +353,25 @@ def test_welch_t_known_values(spark):
     df2 = DataFrame(spark.createDataFrame(same, "v double, g string"))
     r2 = df2.welch_t_test("v", F.col("g"), "a", "b").df.collect()[0]
     assert abs(r2["t"]) < 1e-9
+
+
+def test_kaplan_meier_closed_form(spark):
+    from dataframe_spark.core import DataFrame
+
+    # textbook example: durations 1,2(censored),3,4 over 4 subjects
+    rows = [(1, 1), (2, 0), (3, 1), (4, 1)]
+    df = DataFrame(spark.createDataFrame(rows, "d int, e int"))
+    km = {r["t"]: r for r in df.kaplan_meier("d", "e").collect()}
+    # t=1: r=4, d=1 -> S=3/4; t=2: censored only, S unchanged;
+    # t=3: r=2, d=1 -> S=3/8; t=4: r=1, d=1 -> S=0
+    assert km[1]["n_risk"] == 4 and abs(km[1]["survival"] - 0.75) < 1e-12
+    assert km[2]["n_event"] == 0 and abs(km[2]["survival"] - 0.75) < 1e-12
+    assert km[3]["n_risk"] == 2 and abs(km[3]["survival"] - 0.375) < 1e-12
+    # risk set empties: survival exactly 0, no ln(0) null-vanishing
+    assert km[4]["n_risk"] == 1 and km[4]["survival"] == 0.0
+    # ties at one duration: both events leave together
+    rows2 = [(5, 1), (5, 1), (7, 0)]
+    df2 = DataFrame(spark.createDataFrame(rows2, "d int, e int"))
+    km2 = {r["t"]: r for r in df2.kaplan_meier("d", "e").collect()}
+    assert km2[5]["n_event"] == 2 and abs(km2[5]["survival"] - 1 / 3) < 1e-12
+    assert km2[7]["n_censored"] == 1 and abs(km2[7]["survival"] - 1 / 3) < 1e-12

@@ -84,6 +84,7 @@ RISKY = [
     "q_multiclass_metrics",     # r6 per-class ratio divisions (nullif)
     "q_lift",                   # r6 rate/base-rate/capture divisions
     "q_ewma",                   # r6 decay-weight powers + float sums
+    "q_kaplan_meier",           # r6 risk-ratio logs + exp cumulative
 ]
 
 
