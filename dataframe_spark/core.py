@@ -1220,6 +1220,114 @@ class DataFrame:
             )
         )
 
+    def logrank_test(
+        self, duration_col, event_col, group_col, a, b
+    ) -> "DataFrame":
+        """Two-sample log-rank (Mantel–Cox) test — the standard
+        comparison of two right-censored survival curves (does
+        cohort ``a`` churn faster than ``b``?). At every distinct
+        duration with d total events, group a's expected share is
+        e_a = d·r_a/r and the hypergeometric variance is
+        v = d·(r_a/r)·(1−r_a/r)·(r−d)/(r−1); the statistic is
+        z = Σ(d_a − e_a)/√Σv, chi2 = z². Returns one row
+        (observed_a, expected_a, z, chi2, n_a, n_b).
+
+        Plan: the same shape as _two_sample_prefix widened to four
+        conditional counts (events/censored × group): ONE
+        duration-keyed count shuffle, partition-offset cumulative
+        sums (range repartition, ≤ shuffle.partitions offset rows
+        broadcast back), then one tiny agg over per-duration rows —
+        no single-partition sort of the data."""
+        from pyspark.sql.window import Window
+
+        v, e, g = _c(duration_col), _c(event_col), _c(group_col)
+        cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0))  # noqa: E731
+        counts = (
+            self.df.where(v.isNotNull() & e.isin(1, 0) & g.isin(a, b))
+            .groupBy(v.alias("__v"))
+            .agg(
+                cnt((g == a) & (e == 1)).alias("__da"),
+                cnt((g == b) & (e == 1)).alias("__db"),
+                cnt(g == a).alias("__na"),
+                cnt(g == b).alias("__nb"),
+            )
+        )
+        tagged = (
+            counts.repartitionByRange("__v")
+            .sortWithinPartitions("__v")
+            .withColumn("__pid", F.spark_partition_id())
+        )
+        w_off = Window.orderBy("__pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = (
+            tagged.groupBy("__pid")
+            .agg(F.sum("__na").alias("__pa"), F.sum("__nb").alias("__pb"))
+            .select(
+                "__pid",
+                F.coalesce(F.sum("__pa").over(w_off), F.lit(0)).alias("__offa"),
+                F.coalesce(F.sum("__pb").over(w_off), F.lit(0)).alias("__offb"),
+            )
+        )
+        totals = counts.agg(
+            F.sum("__na").alias("__ta"), F.sum("__nb").alias("__tb")
+        )
+        w_local = (
+            Window.partitionBy("__pid")
+            .orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        per_value = tagged.join(F.broadcast(offsets), "__pid").select(
+            "__v",
+            "__da",
+            "__db",
+            "__na",
+            "__nb",
+            (F.sum("__na").over(w_local) + F.col("__offa")).alias("__cuma"),
+            (F.sum("__nb").over(w_local) + F.col("__offb")).alias("__cumb"),
+        )
+        j = per_value.crossJoin(F.broadcast(totals))
+        # risk sets: everyone whose duration >= t (inclusive cum is
+        # through t, so add this row's own counts back)
+        ra = (F.col("__ta") - F.col("__cuma") + F.col("__na")).cast("double")
+        rb = (F.col("__tb") - F.col("__cumb") + F.col("__nb")).cast("double")
+        r = ra + rb
+        d = (F.col("__da") + F.col("__db")).cast("double")
+        ea = d * ra / F.nullif(r, F.lit(0.0))
+        var = (
+            d
+            * (ra / F.nullif(r, F.lit(0.0)))
+            * (rb / F.nullif(r, F.lit(0.0)))
+            * (r - d)
+            / F.nullif(r - 1.0, F.lit(0.0))
+        )
+        stats = j.select(
+            F.col("__da").cast("double").alias("__oa"),
+            F.coalesce(ea, F.lit(0.0)).alias("__ea"),
+            F.coalesce(var, F.lit(0.0)).alias("__va"),
+            "__ta",
+            "__tb",
+        ).agg(
+            F.sum("__oa").alias("observed_a"),
+            F.sum("__ea").alias("expected_a"),
+            F.sum("__va").alias("__var"),
+            F.max("__ta").alias("n_a"),
+            F.max("__tb").alias("n_b"),
+        )
+        z = (F.col("observed_a") - F.col("expected_a")) / F.nullif(
+            F.sqrt(F.col("__var")), F.lit(0.0)
+        )
+        return self._wrap(
+            stats.select(
+                "observed_a",
+                "expected_a",
+                z.alias("z"),
+                (z * z).alias("chi2"),
+                "n_a",
+                "n_b",
+            )
+        )
+
     def welch_t_test(self, value_col, group_col, a, b) -> "DataFrame":
         """Welch's unequal-variance two-sample t-test on the means of
         the ``a`` and ``b`` populations — the parametric companion

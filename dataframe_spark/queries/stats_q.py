@@ -363,8 +363,45 @@ def q_kaplan_meier(spark, sf_dir):
     )
 
 
+def q_logrank(spark, sf_dir):
+    """Log-rank test (core.py logrank_test) comparing time-to-first-
+    purchase survival between even and odd user cohorts — observed
+    vs hypergeometric-expected events, DuckDB re-deriving risk sets
+    and the full statistic."""
+    ev = _t(spark, sf_dir, "events").df
+    pu = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("__first"),
+            F.max("ts").alias("__last"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("__purch"),
+        )
+        .select(
+            F.datediff(
+                F.to_date(F.coalesce("__purch", "__last")),
+                F.to_date("__first"),
+            ).alias("duration"),
+            F.col("__purch").isNotNull().cast("int").alias("event"),
+            (F.col("user_id") % 2).cast("int").alias("grp"),
+        )
+    )
+    res = DataFrame(pu).logrank_test("duration", "event", "grp", 0, 1).df
+    return res.select(
+        F.col("observed_a").cast("long").alias("observed_a"),
+        F.round("expected_a", 4).alias("expected_a"),
+        F.round("z", 4).alias("z"),
+        F.round("chi2", 4).alias("chi2"),
+        "n_a",
+        "n_b",
+    )
+
+
 QUERIES = {
     "q_kaplan_meier": q_kaplan_meier,
+    "q_logrank": q_logrank,
     "q_approx_distinct": q_approx_distinct,
     "q_approx_distinct_check": q_approx_distinct_check,
     "q_skewness": q_skewness,
@@ -383,6 +420,60 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_logrank": """
+        WITH pu AS (
+          SELECT user_id,
+                 DATE_DIFF('day', CAST(MIN(ts) AS DATE),
+                           CAST(COALESCE(
+                             MIN(CASE WHEN event_type = 'purchase'
+                                      THEN ts END),
+                             MAX(ts)) AS DATE)) AS t,
+                 CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+                                    THEN ts END) IS NOT NULL
+                      THEN 1 ELSE 0 END AS ev,
+                 CAST(user_id % 2 AS INT) AS grp
+          FROM events WHERE ts IS NOT NULL GROUP BY user_id
+        ), pv AS (
+          SELECT t,
+                 SUM(CASE WHEN grp = 0 AND ev = 1 THEN 1 ELSE 0 END) AS da,
+                 SUM(CASE WHEN grp = 1 AND ev = 1 THEN 1 ELSE 0 END) AS db,
+                 SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS na,
+                 SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS nb
+          FROM pu GROUP BY t
+        ), cum AS (
+          SELECT t, da, db, na, nb,
+                 SUM(na) OVER (ORDER BY t) AS cna,
+                 SUM(nb) OVER (ORDER BY t) AS cnb,
+                 (SELECT SUM(na) FROM pv) AS ta,
+                 (SELECT SUM(nb) FROM pv) AS tb
+          FROM pv
+        ), terms AS (
+          SELECT t, da,
+                 CAST(ta - cna + na AS DOUBLE) AS ra,
+                 CAST(tb - cnb + nb AS DOUBLE) AS rb,
+                 CAST(da + db AS DOUBLE) AS d,
+                 ta, tb
+          FROM cum
+        ), scored AS (
+          SELECT da,
+                 d * ra / NULLIF(ra + rb, 0.0) AS ea,
+                 d * (ra / NULLIF(ra + rb, 0.0))
+                   * (rb / NULLIF(ra + rb, 0.0))
+                   * (ra + rb - d) / NULLIF(ra + rb - 1.0, 0.0) AS va,
+                 ta, tb
+          FROM terms
+        )
+        SELECT CAST(SUM(da) AS BIGINT) AS observed_a,
+               ROUND(SUM(COALESCE(ea, 0.0)), 4) AS expected_a,
+               ROUND((SUM(da) - SUM(COALESCE(ea, 0.0)))
+                     / NULLIF(SQRT(SUM(COALESCE(va, 0.0))), 0.0), 4) AS z,
+               ROUND(POWER((SUM(da) - SUM(COALESCE(ea, 0.0)))
+                     / NULLIF(SQRT(SUM(COALESCE(va, 0.0))), 0.0), 2), 4)
+                 AS chi2,
+               CAST(MAX(ta) AS BIGINT) AS n_a,
+               CAST(MAX(tb) AS BIGINT) AS n_b
+        FROM scored
+    """,
     "q_kaplan_meier": """
         WITH pu AS (
           SELECT user_id,

@@ -375,3 +375,30 @@ def test_kaplan_meier_closed_form(spark):
     km2 = {r["t"]: r for r in df2.kaplan_meier("d", "e").collect()}
     assert km2[5]["n_event"] == 2 and abs(km2[5]["survival"] - 1 / 3) < 1e-12
     assert km2[7]["n_censored"] == 1 and abs(km2[7]["survival"] - 1 / 3) < 1e-12
+
+
+def test_logrank_closed_form(spark):
+    import math
+
+    from dataframe_spark.core import DataFrame
+
+    # identical survival in both groups: z ~ 0
+    same = [(1, 1, 0), (2, 1, 0), (3, 1, 0), (1, 1, 1), (2, 1, 1), (3, 1, 1)]
+    df = DataFrame(spark.createDataFrame(same, "d int, e int, g int"))
+    r = df.logrank_test("d", "e", "g", 0, 1).df.first()
+    assert r["observed_a"] == 3.0
+    assert abs(r["observed_a"] - r["expected_a"]) < 1e-12
+    assert abs(r["z"]) < 1e-9 and r["n_a"] == 3 and r["n_b"] == 3
+    # hand-computed: a dies at 1, b at 2 (2 subjects)
+    rows = [(1, 1, 0), (2, 1, 1)]
+    df2 = DataFrame(spark.createDataFrame(rows, "d int, e int, g int"))
+    r2 = df2.logrank_test("d", "e", "g", 0, 1).df.first()
+    # t=1: r=2, ra=1, d=1 -> ea=0.5, var=0.25; t=2: ra=0 -> ea=0, var=0
+    assert abs(r2["expected_a"] - 0.5) < 1e-12
+    assert abs(r2["z"] - (1 - 0.5) / math.sqrt(0.25)) < 1e-12
+    assert abs(r2["chi2"] - 1.0) < 1e-12
+    # censored rows shrink risk sets without counting as events
+    cens = [(1, 0, 0), (2, 1, 1)]
+    df3 = DataFrame(spark.createDataFrame(cens, "d int, e int, g int"))
+    r3 = df3.logrank_test("d", "e", "g", 0, 1).df.first()
+    assert r3["observed_a"] == 0.0 and r3["expected_a"] == 0.0

@@ -85,6 +85,7 @@ RISKY = [
     "q_lift",                   # r6 rate/base-rate/capture divisions
     "q_ewma",                   # r6 decay-weight powers + float sums
     "q_kaplan_meier",           # r6 risk-ratio logs + exp cumulative
+    "q_logrank",                # r6 hypergeometric variance divisions
 ]
 
 
