@@ -330,3 +330,152 @@ def test_dsir_scores_match_python(spark, docs_):
         for r in dsir.dsir_scores(df, "doc_id", "text", ratios, B).collect()
     }
     assert got == pytest.approx(expect)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@FEW
+def test_pagerank_matches_python_power_iteration(spark, edges_):
+    from dataframe_spark.operators.graph import pagerank
+
+    # symmetrize so no node dangles
+    und = sorted({(a, b) for a, b in edges_} | {(b, a) for a, b in edges_})
+    nodes = sorted({n for e in und for n in e})
+    od = {}
+    for a, _ in und:
+        od[a] = od.get(a, 0) + 1
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(5):
+        nxt = {v: 0.15 / n for v in nodes}
+        for a, b in und:
+            nxt[b] += 0.85 * r[a] / od[a]
+        r = nxt
+    df = spark.createDataFrame(und, "src long, dst long")
+    got = {
+        row["node"]: row["rank"]
+        for row in pagerank(df, iters=5).collect()
+    }
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - r[v]) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aaaa", "bbbb", "cc", "dddd", ""]),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@FEW
+def test_dedup_paragraphs_equals_brute_force(spark, paras_):
+    from dataframe_spark.operators.dedup import dedup_paragraphs
+
+    docs_ = ["|".join(p) for p in paras_]
+    MIN = 3
+    # python brute force: global keep-first of trimmed paras >= MIN chars
+    seen = set()
+    want = {}
+    for i, txt in enumerate(docs_):
+        kept, removed, parts = [], 0, txt.split("|")
+        for p in parts:
+            t = p.strip()
+            if len(t) < MIN:
+                kept.append(p)
+            elif t not in seen:
+                seen.add(t)
+                kept.append(p)
+            else:
+                removed += 1
+        want[i] = (len(parts), removed, "|".join(kept))
+    df = spark.createDataFrame(
+        list(enumerate(docs_)), "doc_id long, text string"
+    )
+    got = {
+        r["id"]: (r["n_paras"], r["n_removed"], r["clean_text"])
+        for r in dedup_paragraphs(
+            df, "doc_id", "text", sep="|", min_chars=MIN
+        ).collect()
+    }
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=1,
+        max_size=20,
+    ),
+    st.floats(min_value=0.05, max_value=1.0),
+)
+@FEW
+def test_ewma_matches_pandas(spark, vals, alpha):
+    import pandas as pd
+
+    from dataframe_spark.operators.window import ewma
+
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (1, base + timedelta(hours=i), i, float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, eid int, v double")
+    got = [
+        r["ewma"]
+        for r in ewma(df, ["k"], "ts", "v", alpha=alpha,
+                      tiebreak_cols=["eid"])
+        .orderBy("eid").collect()
+    ]
+    want = pd.Series(vals).ewm(alpha=alpha, adjust=False).mean().tolist()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert abs(g - w) < 1e-9
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 8), st.integers(0, 1)),
+        min_size=1,
+        max_size=15,
+    )
+)
+@FEW
+def test_kaplan_meier_matches_python(spark, pairs):
+    from dataframe_spark.core import DataFrame
+
+    # python reference KM over distinct durations
+    times = sorted({t for t, _ in pairs})
+    n_all = len(pairs)
+    want, s, used = {}, 1.0, 0
+    for t in times:
+        d = sum(1 for x, e in pairs if x == t and e == 1)
+        m = sum(1 for x, _ in pairs if x == t)
+        r = n_all - used
+        if d > 0:
+            s *= (r - d) / r
+        want[t] = (r, d, m - d, s)
+        used += m
+    df = DataFrame(spark.createDataFrame(pairs, "d int, e int"))
+    got = {
+        r["t"]: (r["n_risk"], r["n_event"], r["n_censored"], r["survival"])
+        for r in df.kaplan_meier("d", "e").collect()
+    }
+    assert set(got) == set(want)
+    for t in times:
+        assert got[t][:3] == want[t][:3]
+        assert abs(got[t][3] - want[t][3]) < 1e-9
