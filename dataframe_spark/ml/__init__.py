@@ -1,3 +1,4 @@
+from .cox import CoxModel, fit_cox, partial_hazard_expr
 from .decision_tree import Tree, fit_decision_tree, tao_optimize, tree_to_expr
 from .metrics import binary_metrics, lift_table, multiclass_metrics
 from .ols import OLSModel, fit_ols, linear_fit_simple, predict_ols_expr

@@ -399,9 +399,69 @@ def q_logrank(spark, sf_dir):
     )
 
 
+def _cox_frame(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").df
+    return (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("__first"),
+            F.max("ts").alias("__last"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("__purch"),
+            F.count(F.lit(1)).alias("__n_ev"),
+            F.avg("value").alias("avg_value"),
+        )
+        .select(
+            F.datediff(
+                F.to_date(F.coalesce("__purch", "__last")),
+                F.to_date("__first"),
+            ).alias("duration"),
+            F.col("__purch").isNotNull().cast("int").alias("event"),
+            F.log1p(F.col("__n_ev").cast("double")).alias("log_events"),
+            "avg_value",
+        )
+    )
+
+
+def q_cox_check(spark, sf_dir):
+    """Hard-signal convergence invariant for Cox proportional
+    hazards (the q_pca_check pattern — the fit is iterative, so the
+    INVARIANTS are what cross-engine verification can pin): fit
+    time-to-first-purchase on (log1p(events), avg value), then
+    recompute the Breslow score and log-PL AT the fitted
+    coefficients wholly in Spark — at a converged optimum the score
+    is ~0 and the likelihood beats the beta = 0 baseline. n_rows /
+    n_events are pinned by the oracle's own per-user recounts."""
+    from ..ml.cox import cox_score_frame, fit_cox
+
+    pu = _cox_frame(spark, sf_dir)
+    m = fit_cox(
+        pu, "duration", "event", ["log_events", "avg_value"], max_iter=20
+    )
+    sf = cox_score_frame(pu, "duration", "event", m)
+    counts = pu.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event").cast("long").alias("n_events"),
+    )
+    return counts.crossJoin(F.broadcast(sf)).select(
+        "n_rows",
+        "n_events",
+        F.lit(bool(m.converged)).alias("converged"),
+        (
+            (F.abs(F.col("g0")) < 1e-5) & (F.abs(F.col("g1")) < 1e-5)
+        ).alias("score_zero_ok"),
+        (F.col("logpl") > F.lit(float(m.baseline_logpl))).alias(
+            "improved_ok"
+        ),
+    )
+
+
 QUERIES = {
     "q_kaplan_meier": q_kaplan_meier,
     "q_logrank": q_logrank,
+    "q_cox_check": q_cox_check,
     "q_approx_distinct": q_approx_distinct,
     "q_approx_distinct_check": q_approx_distinct_check,
     "q_skewness": q_skewness,
@@ -420,6 +480,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_cox_check": """
+        WITH pu AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+          FROM events WHERE ts IS NOT NULL GROUP BY user_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_events,
+               TRUE AS converged, TRUE AS score_zero_ok,
+               TRUE AS improved_ok
+        FROM pu
+    """,
     "q_logrank": """
         WITH pu AS (
           SELECT user_id,

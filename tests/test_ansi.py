@@ -86,6 +86,7 @@ RISKY = [
     "q_ewma",                   # r6 decay-weight powers + float sums
     "q_kaplan_meier",           # r6 risk-ratio logs + exp cumulative
     "q_logrank",                # r6 hypergeometric variance divisions
+    "q_cox_check",              # r6 exp/log risk-set ratios x Newton
 ]
 
 

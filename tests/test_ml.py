@@ -556,3 +556,45 @@ def test_lift_table_closed_form(spark):
     assert t[0]["cum_capture"] == 1.0   # cumulative from the top reaches 1
     with _pytest.raises(ValueError):
         lift_table(df, "y", "s", 1)
+
+
+def test_cox_recovers_planted_hazard(spark):
+    import math
+
+    import numpy as np
+    import pytest as _pytest
+    from dataframe_spark.ml import fit_cox, partial_hazard_expr
+    from dataframe_spark.ml.cox import cox_score_frame
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(400):
+        x = float(i % 2)
+        x2 = float((i % 5) - 2)
+        lam = math.exp(1.0 * x - 0.5 * x2) * 0.1
+        t = float(rng.exponential(1.0 / lam))
+        cens = float(rng.exponential(30.0))
+        rows.append((min(t, cens), 1 if t <= cens else 0, x, x2))
+    df = spark.createDataFrame(rows, "t double, e int, x double, x2 double")
+    m = fit_cox(df, "t", "e", ["x", "x2"], max_iter=15)
+    assert m.converged
+    assert abs(m.coefs[0] - 1.0) < 0.35       # planted beta recovered
+    assert abs(m.coefs[1] + 0.5) < 0.25
+    assert m.final_logpl > m.baseline_logpl   # likelihood improved
+    # score at the optimum ~ 0, recomputed wholly in Spark
+    r = cox_score_frame(df, "t", "e", m).first()
+    assert abs(r["g0"]) < 1e-6 and abs(r["g1"]) < 1e-6
+    assert abs(r["logpl"] - m.final_logpl) < 1e-6
+    # risk scoring compiles to a pure Column: high-x subjects riskier
+    scored = df.select("x", partial_hazard_expr(m).alias("h"))
+    hz = scored.groupBy("x").agg(F.avg("h").alias("h")).collect()
+    hmap = {r["x"]: r["h"] for r in hz}
+    assert hmap[1.0] > hmap[0.0]
+    # guards
+    with _pytest.raises(ValueError):
+        fit_cox(df, "t", "e", [])
+    with _pytest.raises(ValueError):
+        fit_cox(df.withColumn("c", F.lit(1.0)), "t", "e", ["c"])
+    with _pytest.raises(ValueError):
+        fit_cox(df.where("e = 0"), "t", "e", ["x"])  # no events
