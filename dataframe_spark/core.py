@@ -1220,6 +1220,54 @@ class DataFrame:
             )
         )
 
+    def restricted_mean_survival(
+        self, duration_col, event_col, tau: float
+    ) -> "DataFrame":
+        """Restricted mean survival time — the area under the
+        Kaplan–Meier curve up to ``tau`` (the standard effect size
+        when hazards are non-proportional: 'average event-free time
+        over the first tau days'). One row (rmst, tau, n).
+
+        Built directly on :meth:`kaplan_meier`'s per-duration frame:
+        the step integral Σ S(t_prev)·(min(t, tau) − t_prev) plus
+        the open tail S(t_last)·(tau − t_last) — two windows over
+        the duration-bounded KM rows, then one tiny agg."""
+        if tau <= 0:
+            raise ValueError(f"tau must be > 0, got {tau}")
+        from pyspark.sql.window import Window
+
+        km = self.kaplan_meier(duration_col, event_col).df
+        w = Window.orderBy("t")
+        t = F.col("t").cast("double")
+        prev_t = F.coalesce(F.lag(t).over(w), F.lit(0.0))
+        prev_s = F.coalesce(F.lag("survival").over(w), F.lit(1.0))
+        seg = F.when(
+            prev_t < tau,
+            prev_s * (F.least(t, F.lit(float(tau))) - prev_t),
+        ).otherwise(F.lit(0.0))
+        rows = km.select(
+            seg.alias("__seg"),
+            t.alias("__t"),
+            F.col("survival").alias("__s"),
+        )
+        agg = rows.agg(
+            F.sum("__seg").alias("__area"),
+            F.max_by("__s", "__t").alias("__last_s"),
+            F.max("__t").alias("__last_t"),
+            F.count(F.lit(1)).alias("__nt"),
+        )
+        tail = F.when(
+            F.col("__last_t") < tau,
+            F.col("__last_s") * (F.lit(float(tau)) - F.col("__last_t")),
+        ).otherwise(F.lit(0.0))
+        return self._wrap(
+            agg.select(
+                (F.col("__area") + tail).alias("rmst"),
+                F.lit(float(tau)).alias("tau"),
+                F.col("__nt").alias("n_durations"),
+            )
+        )
+
     def logrank_test(
         self, duration_col, event_col, group_col, a, b
     ) -> "DataFrame":

@@ -458,10 +458,41 @@ def q_cox_check(spark, sf_dir):
     )
 
 
+def q_rmst(spark, sf_dir):
+    """Restricted mean survival time to 60 days (core.py
+    restricted_mean_survival — the KM step integral): average
+    purchase-free days over the first 60, on the same
+    time-to-first-purchase setup as q_kaplan_meier."""
+    ev = _t(spark, sf_dir, "events").df
+    pu = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("__first"),
+            F.max("ts").alias("__last"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("__purch"),
+        )
+        .select(
+            F.datediff(
+                F.to_date(F.coalesce("__purch", "__last")),
+                F.to_date("__first"),
+            ).alias("duration"),
+            F.col("__purch").isNotNull().cast("int").alias("event"),
+        )
+    )
+    r = DataFrame(pu).restricted_mean_survival("duration", "event", 60.0).df
+    return r.select(
+        F.round("rmst", 6).alias("rmst"), "tau", "n_durations"
+    )
+
+
 QUERIES = {
     "q_kaplan_meier": q_kaplan_meier,
     "q_logrank": q_logrank,
     "q_cox_check": q_cox_check,
+    "q_rmst": q_rmst,
     "q_approx_distinct": q_approx_distinct,
     "q_approx_distinct_check": q_approx_distinct_check,
     "q_skewness": q_skewness,
@@ -546,6 +577,58 @@ ORACLES = {
                CAST(MAX(ta) AS BIGINT) AS n_a,
                CAST(MAX(tb) AS BIGINT) AS n_b
         FROM scored
+    """,
+    "q_rmst": """
+        WITH pu AS (
+          SELECT user_id,
+                 DATE_DIFF('day', CAST(MIN(ts) AS DATE),
+                           CAST(COALESCE(
+                             MIN(CASE WHEN event_type = 'purchase'
+                                      THEN ts END),
+                             MAX(ts)) AS DATE)) AS t,
+                 CASE WHEN MIN(CASE WHEN event_type = 'purchase'
+                                    THEN ts END) IS NOT NULL
+                      THEN 1 ELSE 0 END AS ev
+          FROM events WHERE ts IS NOT NULL GROUP BY user_id
+        ), pv AS (
+          SELECT t, SUM(ev) AS d, SUM(1 - ev) AS c FROM pu GROUP BY t
+        ), cum AS (
+          SELECT t, d, c,
+                 (SELECT COUNT(*) FROM pu)
+                 - SUM(d + c) OVER (ORDER BY t) + (d + c) AS r
+          FROM pv
+        ), terms AS (
+          SELECT t,
+                 CASE WHEN d > 0 AND d < r
+                      THEN LN((r - d) / CAST(r AS DOUBLE))
+                      ELSE 0.0 END AS term,
+                 CASE WHEN d >= r THEN 1 ELSE 0 END AS dead
+          FROM cum
+        ), km AS (
+          SELECT t,
+                 CASE WHEN SUM(dead) OVER (ORDER BY t) > 0 THEN 0.0
+                      ELSE EXP(SUM(term) OVER (ORDER BY t)) END AS s
+          FROM terms
+        ), seg AS (
+          SELECT CAST(t AS DOUBLE) AS t, s,
+                 COALESCE(LAG(CAST(t AS DOUBLE)) OVER (ORDER BY t), 0.0)
+                   AS pt,
+                 COALESCE(LAG(s) OVER (ORDER BY t), 1.0) AS ps
+          FROM km
+        ), a AS (
+          SELECT SUM(CASE WHEN pt < 60.0
+                          THEN ps * (LEAST(t, 60.0) - pt)
+                          ELSE 0.0 END) AS area,
+                 ARG_MAX(s, t) AS last_s, MAX(t) AS last_t,
+                 COUNT(*) AS nt
+          FROM seg
+        )
+        SELECT ROUND(area + CASE WHEN last_t < 60.0
+                                 THEN last_s * (60.0 - last_t)
+                                 ELSE 0.0 END, 6) AS rmst,
+               CAST(60.0 AS DOUBLE) AS tau,
+               CAST(nt AS BIGINT) AS n_durations
+        FROM a
     """,
     "q_kaplan_meier": """
         WITH pu AS (

@@ -402,3 +402,26 @@ def test_logrank_closed_form(spark):
     df3 = DataFrame(spark.createDataFrame(cens, "d int, e int, g int"))
     r3 = df3.logrank_test("d", "e", "g", 0, 1).df.first()
     assert r3["observed_a"] == 0.0 and r3["expected_a"] == 0.0
+
+
+def test_rmst_closed_form(spark):
+    import pytest as _pytest
+
+    from dataframe_spark.core import DataFrame
+
+    # S: 1 on [0,1), 0.75 on [1,3), 0.375 on [3,4), 0 after 4
+    rows = [(1, 1), (2, 0), (3, 1), (4, 1)]
+    df = DataFrame(spark.createDataFrame(rows, "d int, e int"))
+    r = df.restricted_mean_survival("d", "e", tau=10.0).df.first()
+    want = 1 * 1 + 0.75 * 2 + 0.375 * 1  # survival 0 past t=4
+    assert abs(r["rmst"] - want) < 1e-12
+    # tau inside the curve truncates the integral
+    r2 = df.restricted_mean_survival("d", "e", tau=2.0).df.first()
+    assert abs(r2["rmst"] - (1 * 1 + 0.75 * 1)) < 1e-12
+    # tau beyond the last time with nonzero survival adds the tail
+    rows3 = [(1, 1), (2, 0)]  # S = 0.5 on [1,2), censored tail stays 0.5
+    df3 = DataFrame(spark.createDataFrame(rows3, "d int, e int"))
+    r3 = df3.restricted_mean_survival("d", "e", tau=5.0).df.first()
+    assert abs(r3["rmst"] - (1 * 1 + 0.5 * 4)) < 1e-12
+    with _pytest.raises(ValueError):
+        df.restricted_mean_survival("d", "e", tau=0)

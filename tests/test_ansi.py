@@ -87,6 +87,7 @@ RISKY = [
     "q_kaplan_meier",           # r6 risk-ratio logs + exp cumulative
     "q_logrank",                # r6 hypergeometric variance divisions
     "q_cox_check",              # r6 exp/log risk-set ratios x Newton
+    "q_rmst",                   # r6 KM step-integral arithmetic
 ]
 
 
