@@ -60,7 +60,37 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
     n_current = hist.where("is_current").count()
     print(f"scd2 versions: {n_versions} ({n_current} open)")
 
-    # 4. Weekly cohort retention triangle
+    # 4. Survival: time to first purchase (KM + log-rank + Cox)
+    ts_first = F.min("ts")
+    purch = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    pu = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(ts_first.alias("f"), F.max("ts").alias("l"),
+             purch.alias("p"), F.count(F.lit(1)).alias("ne"),
+             F.avg("value").alias("av"))
+        .select(
+            F.datediff(F.to_date(F.coalesce("p", "l")),
+                       F.to_date("f")).alias("duration"),
+            F.col("p").isNotNull().cast("int").alias("event"),
+            (F.col("user_id") % 2).cast("int").alias("cohort"),
+            F.log1p(F.col("ne").cast("double")).alias("log_events"),
+            "av",
+        )
+    )
+    km = D.DataFrame(pu).kaplan_meier("duration", "event")
+    med = km.df.where("survival <= 0.5").agg(F.min("t")).first()[0]
+    print(f"median time to purchase: {med} days")
+    lr = D.DataFrame(pu).logrank_test(
+        "duration", "event", "cohort", 0, 1).df.first()
+    print(f"log-rank even-vs-odd cohorts: chi2={lr['chi2']:.3f}")
+    from dataframe_spark.ml import fit_cox
+
+    cm = fit_cox(pu, "duration", "event", ["log_events", "av"])
+    print("cox hazard coefs:", dict(zip(cm.feature_cols,
+                                        [round(c, 4) for c in cm.coefs])))
+
+    # 5. Weekly cohort retention triangle
     tri = retention_cohorts(ev, "user_id", "ts", unit="week")
     from dataframe_spark.display import to_markdown
 
