@@ -59,10 +59,11 @@ WINDOW_PRIORITY = [
     # continuous sf0.001 pytest parity, plans untouched since r3):
     # q_pagerank (iterative power method vs a recursive-CTE oracle)
     # and q_ewma (Arrow grouped kernel vs a closed-form float
-    # oracle). The five remaining late-r6 additions (q_scd2,
-    # q_binary_metrics, q_multiclass_metrics, q_bloom_semi, q_lift —
-    # all sf0.01 parity-PASS this session) enter next rotation, the
-    # q_validate precedent.
+    # oracle). The nine remaining late-r6 additions (q_scd2,
+    # q_binary_metrics, q_multiclass_metrics, q_bloom_semi, q_lift,
+    # q_kaplan_meier, q_logrank, q_cox_check, q_rmst — all sf0.01
+    # parity-PASS this session) enter next rotation, the q_validate
+    # precedent.
     "q_pagerank",
     "q_ewma",
     # five NEVER-driver-checked late-r6 additions (one_hot/hash_encode,
