@@ -145,3 +145,95 @@ def robust_scale(
         .withColumn(out_col, scaled)
         .drop("__ql", "__md", "__qh")
     )
+
+
+# inverse-CDF thresholds for Poisson(1), capped at 8 (tail mass
+# ~1e-5 folded into the cap) — shared verbatim by the DuckDB oracle
+POISSON1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+]
+
+
+def poisson1_from_uniform(u):
+    """Poisson(1) draw from a uniform via the inverse CDF ladder —
+    a pure nested CASE, identical on any engine."""
+    expr = F.lit(len(POISSON1_CDF))
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        expr = F.when(u < POISSON1_CDF[k], k).otherwise(expr)
+    return expr
+
+
+def bootstrap_mean_se(
+    df: SparkDF,
+    value_col: str,
+    key_cols: Sequence[str],
+    group_cols: Sequence[str] | None = None,
+    n_replicates: int = 50,
+) -> SparkDF:
+    """Deterministic Poisson bootstrap of the mean (Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams", Google 2012;
+    the scalable bootstrap: resampling WITH replacement at 100 TB is
+    impossible, but per-row Poisson(1) replicate weights are a
+    one-pass map): every row gets, for each replicate b, a weight
+    drawn from Poisson(1) via the portable md5 uniform over
+    (key_cols, b) — the SAME replicate weights on any engine, run,
+    or retry. Returns one row per group: (group..., mean, se_boot,
+    n, n_replicates), se_boot = stddev_samp of the replicate means.
+
+    Plan: explode the replicate index (data × B rows, but map-side
+    partial aggregation combines per (group, b) BEFORE the shuffle —
+    exchange volume is #groups × B, not rows × B), one (group, b)
+    agg, one group agg. Null values are excluded like avg does."""
+    from ..operators.text import row_uniform
+
+    if n_replicates < 2:
+        raise ValueError(f"need >= 2 replicates, got {n_replicates}")
+    keys = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    src = df.where(v.isNotNull() & ~F.isnan(v)).select(
+        *keys,
+        v.alias("__x"),
+        *[F.col(k) for k in key_cols if k not in keys],
+    )
+    rep = src.select(
+        *keys,
+        "__x",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(n_replicates) - 1))
+        ).alias("__b"),
+        *[F.col(k) for k in key_cols if k not in keys],
+    )
+    u = row_uniform(
+        [F.col(k).cast("string") for k in key_cols]
+        + [F.col("__b").cast("string")]
+    )
+    w = poisson1_from_uniform(u).cast("double")
+    per_rep = (
+        rep.select(*keys, "__b", (w * F.col("__x")).alias("__wx"),
+                   w.alias("__w"))
+        .groupBy(*keys, "__b")
+        .agg(F.sum("__wx").alias("__swx"), F.sum("__w").alias("__sw"))
+        .where(F.col("__sw") > 0)
+        .select(
+            *keys, (F.col("__swx") / F.col("__sw")).alias("__mb")
+        )
+    )
+    plain = (
+        df.where(v.isNotNull() & ~F.isnan(v))
+        .groupBy(*keys)
+        .agg(F.avg(v).alias("mean"), F.count(F.lit(1)).alias("n"))
+    )
+    boot = per_rep.groupBy(*keys).agg(
+        F.stddev_samp("__mb").alias("se_boot"),
+        F.count(F.lit(1)).alias("n_replicates"),
+    )
+    if keys:
+        return plain.join(boot, keys, "left")
+    return plain.crossJoin(boot)

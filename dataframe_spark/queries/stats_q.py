@@ -488,7 +488,33 @@ def q_rmst(spark, sf_dir):
     )
 
 
+def q_bootstrap(spark, sf_dir):
+    """Deterministic Poisson-bootstrap SE of the per-returnflag mean
+    price (operators/scale.py bootstrap_mean_se, B = 50): replicate
+    weights are Poisson(1) draws from the portable md5 uniform over
+    (orderkey, linenumber, b), so DuckDB redraws the IDENTICAL
+    weights and reproduces every replicate mean."""
+    from ..operators.scale import bootstrap_mean_se
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = bootstrap_mean_se(
+        li,
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        ["l_returnflag"],
+        n_replicates=50,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("mean", 2).alias("mean"),
+        F.round("se_boot", 4).alias("se_boot"),
+        "n",
+        "n_replicates",
+    )
+
+
 QUERIES = {
+    "q_bootstrap": q_bootstrap,
     "q_kaplan_meier": q_kaplan_meier,
     "q_logrank": q_logrank,
     "q_cox_check": q_cox_check,
@@ -510,7 +536,51 @@ QUERIES = {
     "q_rollup": q_rollup,
 }
 
+from ..operators.scale import POISSON1_CDF as _PCDF
+
+_POIS_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(_PCDF)
+    )
+    + f" ELSE {len(_PCDF)} END"
+)
+
 ORACLES = {
+    "q_bootstrap": f"""
+        WITH rep AS (
+          SELECT l_returnflag,
+                 CAST(l_extendedprice AS DOUBLE) AS x,
+                 CAST('0x' || SUBSTR(MD5(CONCAT_WS(CHR(31),
+                        CAST(l_orderkey AS VARCHAR),
+                        CAST(l_linenumber AS VARCHAR),
+                        CAST(b AS VARCHAR))), 1, 8) AS BIGINT)
+                   / 4294967296.0 AS u,
+                 b
+          FROM lineitem
+          CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 49)) AS b)
+          WHERE l_extendedprice IS NOT NULL
+        ), weighted AS (
+          SELECT l_returnflag, b,
+                 SUM(({_POIS_CASE}) * x) AS swx,
+                 SUM({_POIS_CASE}) AS sw
+          FROM rep GROUP BY 1, 2
+        ), means AS (
+          SELECT l_returnflag, swx / sw AS mb
+          FROM weighted WHERE sw > 0
+        ), plain AS (
+          SELECT l_returnflag,
+                 ROUND(AVG(CAST(l_extendedprice AS DOUBLE)), 2) AS mean,
+                 COUNT(*) AS n
+          FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+        )
+        SELECT p.l_returnflag, p.mean,
+               ROUND(m.se, 4) AS se_boot, p.n, m.nb AS n_replicates
+        FROM plain p JOIN (
+          SELECT l_returnflag, STDDEV_SAMP(mb) AS se, COUNT(*) AS nb
+          FROM means GROUP BY 1
+        ) m USING (l_returnflag)
+    """,
     "q_cox_check": """
         WITH pu AS (
           SELECT user_id,

@@ -88,6 +88,7 @@ RISKY = [
     "q_logrank",                # r6 hypergeometric variance divisions
     "q_cox_check",              # r6 exp/log risk-set ratios x Newton
     "q_rmst",                   # r6 KM step-integral arithmetic
+    "q_bootstrap",              # r6 weighted-mean ratios + md5 casts
 ]
 
 

@@ -598,3 +598,41 @@ def test_cox_recovers_planted_hazard(spark):
         fit_cox(df.withColumn("c", F.lit(1.0)), "t", "e", ["c"])
     with _pytest.raises(ValueError):
         fit_cox(df.where("e = 0"), "t", "e", ["x"])  # no events
+
+
+def test_bootstrap_se_statistical_properties(spark):
+    import math
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from dataframe_spark.operators.scale import (
+        bootstrap_mean_se,
+        poisson1_from_uniform,
+    )
+
+    # Poisson(1) ladder: mean ~1, var ~1 over a fine uniform grid
+    grid = spark.range(100000).select(
+        ((F.col("id") + 0.5) / 100000.0).alias("u")
+    )
+    w = grid.select(poisson1_from_uniform(F.col("u")).alias("w")).agg(
+        F.avg("w").alias("m"), F.var_pop("w").alias("v")
+    ).first()
+    assert abs(w["m"] - 1.0) < 0.01 and abs(w["v"] - 1.0) < 0.05
+
+    # bootstrap SE tracks the analytic sigma/sqrt(n)
+    n = 2000
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 100).cast("double").alias("x"),
+    )
+    out = bootstrap_mean_se(df, "x", ["id"], n_replicates=60).first()
+    analytic = out and math.sqrt(
+        sum((k - 49.5) ** 2 for k in range(100)) / 100 / n
+    )
+    assert out["n"] == n and out["n_replicates"] == 60
+    assert 0.5 * analytic < out["se_boot"] < 2.0 * analytic
+    # deterministic: identical weights -> identical SE across runs
+    again = bootstrap_mean_se(df, "x", ["id"], n_replicates=60).first()
+    assert again["se_boot"] == out["se_boot"]
+    with _pytest.raises(ValueError):
+        bootstrap_mean_se(df, "x", ["id"], n_replicates=1)
