@@ -1162,6 +1162,77 @@ class DataFrame:
             )
         )
 
+    def spearman_corr(self, col_a, col_b) -> "DataFrame":
+        """Spearman rank correlation — Pearson on midranks, the
+        monotonic-association companion to ``correlation`` (robust
+        to outliers and nonlinear-but-monotone relations). Returns
+        one row (spearman, pearson, n) so the two coefficients read
+        side by side.
+
+        No global sort: each column's per-VALUE midranks come from
+        a value-keyed count agg + the partition-offset prefix
+        pattern (midrank = cum − (m−1)/2 for m ties ending at
+        inclusive prefix cum), joined back value-keyed (AQE picks
+        the strategy); one corr agg finishes. Rows where either
+        side is null/NaN are excluded pairwise-complete."""
+        from pyspark.sql.window import Window
+
+        a, b = _c(col_a).cast("double"), _c(col_b).cast("double")
+        src = self.df.select(a.alias("__a"), b.alias("__b")).where(
+            F.col("__a").isNotNull()
+            & F.col("__b").isNotNull()
+            & ~F.isnan("__a")
+            & ~F.isnan("__b")
+        )
+
+        def midranks(col):
+            counts = src.groupBy(F.col(col).alias("__v")).agg(
+                F.count(F.lit(1)).alias("__m")
+            )
+            tagged = (
+                counts.repartitionByRange("__v")
+                .sortWithinPartitions("__v")
+                .withColumn("__pid", F.spark_partition_id())
+            )
+            w_off = Window.orderBy("__pid").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+            offsets = (
+                tagged.groupBy("__pid")
+                .agg(F.sum("__m").alias("__pm"))
+                .select(
+                    "__pid",
+                    F.coalesce(
+                        F.sum("__pm").over(w_off), F.lit(0)
+                    ).alias("__off"),
+                )
+            )
+            w_local = (
+                Window.partitionBy("__pid")
+                .orderBy("__v")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            return tagged.join(F.broadcast(offsets), "__pid").select(
+                F.col("__v").alias(f"{col}_v"),
+                (
+                    F.sum("__m").over(w_local)
+                    + F.col("__off")
+                    - (F.col("__m") - 1) / 2.0
+                ).alias(f"{col}_r"),
+            )
+
+        ra, rb = midranks("__a"), midranks("__b")
+        ranked = src.join(
+            ra, F.col("__a") == F.col("__a_v")
+        ).join(rb, F.col("__b") == F.col("__b_v"))
+        return self._wrap(
+            ranked.agg(
+                F.corr("__a_r", "__b_r").alias("spearman"),
+                F.corr("__a", "__b").alias("pearson"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
     def kaplan_meier(self, duration_col, event_col) -> "DataFrame":
         """Kaplan–Meier survival estimator over (duration, event)
         pairs — event = 1 observed, 0 right-censored (the standard

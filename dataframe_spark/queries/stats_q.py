@@ -513,7 +513,22 @@ def q_bootstrap(spark, sf_dir):
     )
 
 
+def q_spearman(spark, sf_dir):
+    """Spearman rank correlation of quantity vs price (core.py
+    spearman_corr — per-value midranks from the partition-offset
+    prefix pattern, no global sort), with Pearson alongside; DuckDB
+    re-derives midranks with window RANK + tie counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.spearman_corr("l_quantity", "l_extendedprice").df
+    return r.select(
+        F.round("spearman", 4).alias("spearman"),
+        F.round("pearson", 4).alias("pearson"),
+        "n",
+    )
+
+
 QUERIES = {
+    "q_spearman": q_spearman,
     "q_bootstrap": q_bootstrap,
     "q_kaplan_meier": q_kaplan_meier,
     "q_logrank": q_logrank,
@@ -547,6 +562,25 @@ _POIS_CASE = (
 )
 
 ORACLES = {
+    "q_spearman": """
+        WITH src AS (
+          SELECT CAST(l_quantity AS DOUBLE) AS a,
+                 CAST(l_extendedprice AS DOUBLE) AS b
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        ), r AS (
+          SELECT a, b,
+                 RANK() OVER (ORDER BY a)
+                 + (COUNT(*) OVER (PARTITION BY a) - 1) / 2.0 AS ra,
+                 RANK() OVER (ORDER BY b)
+                 + (COUNT(*) OVER (PARTITION BY b) - 1) / 2.0 AS rb
+          FROM src
+        )
+        SELECT ROUND(CORR(ra, rb), 4) AS spearman,
+               ROUND(CORR(a, b), 4) AS pearson,
+               COUNT(*) AS n
+        FROM r
+    """,
     "q_bootstrap": f"""
         WITH rep AS (
           SELECT l_returnflag,

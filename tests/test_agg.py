@@ -425,3 +425,35 @@ def test_rmst_closed_form(spark):
     assert abs(r3["rmst"] - (1 * 1 + 0.5 * 4)) < 1e-12
     with _pytest.raises(ValueError):
         df.restricted_mean_survival("d", "e", tau=0)
+
+
+def test_spearman_closed_form(spark):
+    from dataframe_spark.core import DataFrame
+
+    # perfectly monotone but nonlinear: spearman 1, pearson < 1
+    rows = [(float(i), float(i) ** 3) for i in range(1, 11)]
+    df = DataFrame(spark.createDataFrame(rows, "a double, b double"))
+    r = df.spearman_corr("a", "b").df.first()
+    assert abs(r["spearman"] - 1.0) < 1e-12
+    assert r["pearson"] < 1.0 and r["n"] == 10
+    # anti-monotone: -1
+    rows2 = [(float(i), float(-i)) for i in range(5)]
+    df2 = DataFrame(spark.createDataFrame(rows2, "a double, b double"))
+    assert abs(df2.spearman_corr("a", "b").df.first()["spearman"] + 1.0) < 1e-12
+    # ties get midranks: scipy-checked value for this shape
+    rows3 = [(1.0, 1.0), (1.0, 2.0), (2.0, 3.0), (3.0, 3.0)]
+    df3 = DataFrame(spark.createDataFrame(rows3, "a double, b double"))
+    got = df3.spearman_corr("a", "b").df.first()["spearman"]
+    # midranks: a -> 1.5,1.5,3,4 ; b -> 1,2,3.5,3.5 ; corr = 0.888528...
+    import math
+    ra = [1.5, 1.5, 3.0, 4.0]
+    rb = [1.0, 2.0, 3.5, 3.5]
+    ma, mb = sum(ra) / 4, sum(rb) / 4
+    num = sum((x - ma) * (y - mb) for x, y in zip(ra, rb))
+    den = math.sqrt(sum((x - ma) ** 2 for x in ra)
+                    * sum((y - mb) ** 2 for y in rb))
+    assert abs(got - num / den) < 1e-12
+    # null/NaN rows excluded pairwise-complete
+    rows4 = rows + [(None, 1.0), (2.0, float("nan"))]
+    df4 = DataFrame(spark.createDataFrame(rows4, "a double, b double"))
+    assert df4.spearman_corr("a", "b").df.first()["n"] == 10

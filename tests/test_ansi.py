@@ -89,6 +89,7 @@ RISKY = [
     "q_cox_check",              # r6 exp/log risk-set ratios x Newton
     "q_rmst",                   # r6 KM step-integral arithmetic
     "q_bootstrap",              # r6 weighted-mean ratios + md5 casts
+    "q_spearman",               # r6 midrank arithmetic + corr
 ]
 
 
