@@ -279,3 +279,49 @@ def test_remove_spans_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in phys
     opt = out._jdf.queryExecution().optimizedPlan().toString()
     assert "InMemoryRelation" in opt
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """The change-detection lag, version row_number, and valid_to
+    lead must share one (key, order) exchange+sort."""
+    from dataframe_spark.operators.window import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = _plan(
+        scd2_history(ev, ["user_id"], "ts", ["event_type"],
+                     tiebreak_cols=["event_id"])
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "PushedFilters: [IsNotNull(ts)]" in plan
+
+
+def test_dedup_paragraphs_prunes_and_shares_explode(spark, sf_dir):
+    from dataframe_spark.operators.dedup import dedup_paragraphs
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(dedup_paragraphs(docs, "doc_id", "text", sep=" a ",
+                                  min_chars=10))
+    # scan reads only the two needed columns
+    tail = plan.split("ReadSchema")[-1]
+    assert "doc_id" in tail and "lang" not in tail
+    # the split+posexplode feeds both consumers from ONE cached frame
+    assert "InMemoryRelation" in plan
+
+
+def test_spearman_and_bootstrap_no_cartesian_data_paths(spark, sf_dir):
+    from dataframe_spark.core import DataFrame
+    from dataframe_spark.operators.scale import bootstrap_mean_se
+
+    li = DataFrame(load_table(spark, sf_dir, "lineitem"))
+    p1 = _plan(li.spearman_corr("l_quantity", "l_extendedprice").df)
+    assert "CartesianProduct" not in p1
+    p2 = _plan(
+        bootstrap_mean_se(
+            li.df, "l_extendedprice",
+            ["l_orderkey", "l_linenumber"], ["l_returnflag"],
+            n_replicates=10,
+        )
+    )
+    assert "CartesianProduct" not in p2
+    # replicate explode combines map-side: partial agg before exchange
+    assert "partial_" in p2 or "HashAggregate" in p2
