@@ -52,6 +52,22 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
     print(f"PSI               {psi['psi']:.4f}   (<0.1 stable, >0.25 shifted)")
     print("=== categorical: event_type vs day-of-week ===")
     print(f"chi2={chi['chi2']:.2f}  dof={chi['dof']}  V={chi['cramers_v']:.4f}")
+    sp = ev.spearman_corr("value", F.hour("ts")).df.collect()[0]
+    from dataframe_spark.operators.scale import bootstrap_mean_se
+
+    bse = bootstrap_mean_se(
+        ev.df.where(g.isin("click", "purchase")),
+        "value",
+        ["event_id"],
+        ["event_type"],
+        n_replicates=40,
+    ).collect()
+    print("=== association / uncertainty ===")
+    print(f"spearman(value, hour) {sp['spearman']:+.4f} "
+          f"(pearson {sp['pearson']:+.4f})")
+    for r in sorted(bse, key=lambda r: r["event_type"]):
+        print(f"mean value[{r['event_type']}] = {r['mean']:.2f} "
+              f"+- {r['se_boot']:.3f} (poisson bootstrap, B=40)")
     print("=== text: src0 vs src1 token mix ===")
     print(
         f"JSD {jsd['jsd_bits']:.4f} bits over {jsd['vocab_union']} union tokens"
