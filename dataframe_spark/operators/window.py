@@ -391,3 +391,70 @@ def ewma(
         return pdf
 
     return src.groupBy(*keys).applyInPandas(_kernel, schema)
+
+
+def apply_cdc(
+    snapshot: SparkDF,
+    changes: SparkDF,
+    key_cols,
+    ts_col: str,
+    op_col: str = "op",
+    delete_value: str = "D",
+    tiebreak_cols=None,
+) -> SparkDF:
+    """Apply a change-data-capture feed onto a snapshot, latest-wins
+    — the MERGE INTO every warehouse refresh runs: for each key the
+    newest change (by ``ts_col``, then ``tiebreak_cols``) decides
+    the row; ``delete_value`` in ``op_col`` removes the key; keys
+    with no change keep their snapshot row; keys appearing only in
+    the changes are inserts. The winning change's values replace the
+    snapshot's WHOLESALE (a null attr in a change row is a real
+    null, not a keep-old) — the standard full-row CDC contract.
+
+    ``changes`` must carry the snapshot's columns plus ts/op.
+    Returns the snapshot schema. Plan: one key-windowed latest-change
+    pick + one key full-outer join — two shuffles on the key,
+    AQE-skew-safe, no driver state."""
+    keys = list(key_cols) if not isinstance(key_cols, str) else [key_cols]
+    data_cols = snapshot.columns
+    missing = [c for c in data_cols + [ts_col, op_col]
+               if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes missing columns: {missing}")
+    order = [F.col(ts_col).desc()] + [
+        F.col(c).desc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            *[F.col(k).alias(f"__k_{k}") for k in keys],
+            *[
+                F.col(c).alias(f"__c_{c}")
+                for c in data_cols
+                if c not in keys
+            ],
+            F.col(op_col).alias("__op"),
+        )
+    )
+    cond = None
+    for k in keys:
+        e = snapshot[k].eqNullSafe(latest[f"__k_{k}"])
+        cond = e if cond is None else (cond & e)
+    j = snapshot.join(latest, cond, "full_outer")
+    changed = F.col("__op").isNotNull()
+    kept = j.where(~changed | (F.col("__op") != delete_value))
+    out_cols = []
+    for c in data_cols:
+        if c in keys:
+            out_cols.append(
+                F.coalesce(snapshot[c], F.col(f"__k_{c}")).alias(c)
+            )
+        else:
+            out_cols.append(
+                F.when(changed, F.col(f"__c_{c}"))
+                .otherwise(snapshot[c])
+                .alias(c)
+            )
+    return kept.select(*out_cols)

@@ -148,6 +148,36 @@ def q_ewma(spark, sf_dir):
     )
 
 
+def q_cdc(spark, sf_dir):
+    """CDC merge-apply (operators/window.py apply_cdc, latest-wins
+    with deletes): synthesized change feed over customer — +100
+    balance updates at ts 1 for custkey % 3, deletes at ts 2 for
+    custkey % 7 (keys divisible by 21 get both; the delete wins).
+    DuckDB re-derives the identical merge with ROW_NUMBER + FULL
+    OUTER JOIN."""
+    from ..operators.window import apply_cdc
+
+    c = _t(spark, sf_dir, "customer").df
+    upd = (
+        c.where(F.col("c_custkey") % 3 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100)
+        .withColumn("ts", F.lit(1))
+        .withColumn("op", F.lit("U"))
+    )
+    dele = (
+        c.where(F.col("c_custkey") % 7 == 0)
+        .withColumn("ts", F.lit(2))
+        .withColumn("op", F.lit("D"))
+    )
+    out = apply_cdc(c, upd.unionByName(dele), ["c_custkey"], "ts")
+    return out.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("c_acctbal").cast("double")), 2).alias(
+            "bal_sum"
+        ),
+    )
+
+
 def q_sessionize(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").df
     # event_id tiebreak: equal-ts events at a gap boundary would
@@ -390,6 +420,7 @@ QUERIES = {
     "q_sessionize": q_sessionize,
     "q_scd2": q_scd2,
     "q_ewma": q_ewma,
+    "q_cdc": q_cdc,
     "q_stream_window": q_stream_window,
     "q_stream_dedup": q_stream_dedup,
     "q_resample": q_resample,
@@ -573,6 +604,35 @@ ORACLES = {
           JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
           WHERE e.event_type = 'purchase' AND e.user_id < 50
         ) WHERE rn = 1
+    """,
+    "q_cdc": """
+        WITH ch AS (
+          SELECT c_custkey, c_nationkey,
+                 c_acctbal + 100 AS c_acctbal, 1 AS ts, 'U' AS op
+          FROM customer WHERE c_custkey % 3 = 0
+          UNION ALL
+          SELECT c_custkey, c_nationkey, c_acctbal, 2 AS ts, 'D' AS op
+          FROM customer WHERE c_custkey % 7 = 0
+        ), latest AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                         ORDER BY ts DESC) AS rn
+            FROM ch
+          ) WHERE rn = 1
+        ), merged AS (
+          SELECT CASE WHEN l.c_custkey IS NOT NULL
+                      THEN l.c_nationkey ELSE s.c_nationkey END
+                   AS c_nationkey,
+                 CASE WHEN l.c_custkey IS NOT NULL
+                      THEN l.c_acctbal ELSE s.c_acctbal END AS bal,
+                 l.op
+          FROM customer s FULL OUTER JOIN latest l
+            ON s.c_custkey = l.c_custkey
+        )
+        SELECT c_nationkey, COUNT(*) AS n,
+               ROUND(SUM(CAST(bal AS DOUBLE)), 2) AS bal_sum
+        FROM merged WHERE op IS NULL OR op <> 'D'
+        GROUP BY 1
     """,
     "q_ewma": """
         WITH s AS (

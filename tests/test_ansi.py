@@ -90,6 +90,7 @@ RISKY = [
     "q_rmst",                   # r6 KM step-integral arithmetic
     "q_bootstrap",              # r6 weighted-mean ratios + md5 casts
     "q_spearman",               # r6 midrank arithmetic + corr
+    "q_cdc",                    # r6 modulo predicates + merge coalesces
 ]
 
 

@@ -306,3 +306,37 @@ def test_ewma_recurrence_and_guards(spark):
     assert "ewma" not in df.columns
     with _pytest.raises(ValueError):
         ewma(df, ["k"], "ts", "v", alpha=0.0)
+
+
+def test_apply_cdc_merge_semantics(spark):
+    import pytest as _pytest
+    from dataframe_spark.operators.window import apply_cdc
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, name string, bal double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", None, 5, "U"),    # update: null attr is a REAL null
+            (2, "b1", 21.0, 3, "U"),    # older update loses
+            (3, "c", 30.0, 1, "D"),     # delete
+            (4, "d", 40.0, 2, "I"),     # insert (key not in snapshot)
+            (4, "d0", 39.0, 1, "U"),    # older insert-version loses
+        ],
+        "k int, name string, bal double, ts int, op string",
+    )
+    out = {r["k"]: r for r in apply_cdc(snap, changes, ["k"], "ts").collect()}
+    assert set(out) == {1, 2, 4}          # 3 deleted, 4 inserted
+    assert out[1]["name"] == "a"           # untouched snapshot row
+    assert out[2]["name"] == "b2" and out[2]["bal"] is None  # latest wins
+    assert out[4]["name"] == "d" and out[4]["bal"] == 40.0
+    # delete-then-reinsert: latest op wins regardless of kind
+    redo = spark.createDataFrame(
+        [(1, "a9", 1.0, 9, "U"), (1, "x", 0.0, 8, "D")],
+        "k int, name string, bal double, ts int, op string",
+    )
+    out2 = {r["k"]: r for r in apply_cdc(snap, redo, ["k"], "ts").collect()}
+    assert out2[1]["name"] == "a9"
+    with _pytest.raises(ValueError):
+        apply_cdc(snap, changes.drop("name"), ["k"], "ts")
