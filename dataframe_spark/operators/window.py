@@ -458,3 +458,68 @@ def apply_cdc(
                 .alias(c)
             )
     return kept.select(*out_cols)
+
+
+def top_paths(
+    df: SparkDF,
+    key_col: str,
+    ts_col: str,
+    step_col: str,
+    n: int = 3,
+    k: int = 20,
+    tiebreak_cols=None,
+    sep: str = " > ",
+) -> SparkDF:
+    """Top-k most common n-step event paths (the product-analytics
+    'paths' report: which 3-step journeys dominate?). Each key's
+    events are ordered by (ts, tiebreaks), consecutive ``n``-grams
+    of ``step_col`` become path strings, and the corpus-wide top-k
+    by count (ties broken by path text — deterministic on any
+    engine) comes back as (path, n_occurrences, n_keys).
+
+    Plan: ONE key shuffle builds each key's ordered step array
+    in-row (collect_list of (ts, tie, step) structs + array_sort —
+    the panel contract: one key's events fit an executor), n-grams
+    stay in-row, then one explode + count agg (map-side combined)
+    and a TakeOrdered top-k — no global sort."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    ties = list(tiebreak_cols or [])
+    struct_cols = [F.col(ts_col)] + [F.col(c) for c in ties] + [
+        F.col(step_col).cast("string").alias("__s")
+    ]
+    seqs = (
+        df.where(F.col(ts_col).isNotNull() & F.col(step_col).isNotNull())
+        .groupBy(F.col(key_col).alias("__k"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(*struct_cols))),
+                lambda s: s["__s"],
+            ).alias("__steps")
+        )
+    )
+    # n-gram strings from positional slices (NOT dedup's
+    # window_array_expr, which joins with ' ' — steps may contain
+    # spaces, so the separator must be distinctive). Sequences
+    # shorter than n yield an EMPTY array via the explicit guard:
+    # Spark's sequence(1, 0) DESCENDS to [1, 0] rather than being
+    # empty, and slice(start = 0) then throws
+    path_arr = F.when(
+        F.size("__steps") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__steps") - (n - 1)),
+            lambda i: F.array_join(F.slice("__steps", i, n), sep),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    paths = seqs.select(
+        "__k", F.explode(path_arr).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("__k").alias("n_keys"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("path"))
+        .limit(k)
+    )

@@ -178,6 +178,20 @@ def q_cdc(spark, sf_dir):
     )
 
 
+def q_top_paths(spark, sf_dir):
+    """Top-15 three-step event paths across users (operators/
+    window.py top_paths: ordered in-row sequences, sliced n-grams,
+    one count shuffle, deterministic (count desc, path) cut).
+    DuckDB re-derives paths with LIST(... ORDER BY) + slices."""
+    from ..operators.window import top_paths
+
+    ev = _t(spark, sf_dir, "events").df
+    return top_paths(
+        ev, "user_id", "ts", "event_type", n=3, k=15,
+        tiebreak_cols=["event_id"],
+    )
+
+
 def q_sessionize(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").df
     # event_id tiebreak: equal-ts events at a gap boundary would
@@ -421,6 +435,7 @@ QUERIES = {
     "q_scd2": q_scd2,
     "q_ewma": q_ewma,
     "q_cdc": q_cdc,
+    "q_top_paths": q_top_paths,
     "q_stream_window": q_stream_window,
     "q_stream_dedup": q_stream_dedup,
     "q_resample": q_resample,
@@ -604,6 +619,26 @@ ORACLES = {
           JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
           WHERE e.event_type = 'purchase' AND e.user_id < 50
         ) WHERE rn = 1
+    """,
+    "q_top_paths": """
+        WITH seqs AS (
+          SELECT user_id,
+                 LIST(event_type ORDER BY ts, event_id) AS s
+          FROM events
+          WHERE ts IS NOT NULL AND event_type IS NOT NULL
+          GROUP BY user_id
+        ), paths AS (
+          SELECT user_id,
+                 UNNEST(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, GREATEST(LEN(s) - 2, 0)),
+                   i -> s[i] || ' > ' || s[i+1] || ' > ' || s[i+2]))
+                   AS path
+          FROM seqs
+        )
+        SELECT path, COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT user_id) AS n_keys
+        FROM paths GROUP BY path
+        ORDER BY n_occurrences DESC, path ASC LIMIT 15
     """,
     "q_cdc": """
         WITH ch AS (

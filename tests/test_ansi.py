@@ -91,6 +91,7 @@ RISKY = [
     "q_bootstrap",              # r6 weighted-mean ratios + md5 casts
     "q_spearman",               # r6 midrank arithmetic + corr
     "q_cdc",                    # r6 modulo predicates + merge coalesces
+    "q_top_paths",              # r6 slice/sequence index arithmetic
 ]
 
 

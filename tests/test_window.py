@@ -340,3 +340,32 @@ def test_apply_cdc_merge_semantics(spark):
     assert out2[1]["name"] == "a9"
     with _pytest.raises(ValueError):
         apply_cdc(snap, changes.drop("name"), ["k"], "ts")
+
+
+def test_top_paths_closed_form(spark):
+    from datetime import datetime as dt
+
+    import pytest as _pytest
+    from dataframe_spark.operators.window import top_paths
+
+    rows = []
+    # two users walk a>b>c>b>c ; one user walks x>y only (too short
+    # for 3-grams beyond one)
+    for u in (1, 2):
+        for i, s in enumerate(["a", "b", "c", "b", "c"]):
+            rows.append((u, dt(2024, 1, 1 + i), i, s))
+    rows += [(3, dt(2024, 1, 1), 0, "x"), (3, dt(2024, 1, 2), 1, "y")]
+    df = spark.createDataFrame(rows, "u int, ts timestamp, eid int, s string")
+    got = {r["path"]: (r["n_occurrences"], r["n_keys"])
+           for r in top_paths(df, "u", "ts", "s", n=3, k=10,
+                              tiebreak_cols=["eid"]).collect()}
+    assert got["a > b > c"] == (2, 2)
+    assert got["b > c > b"] == (2, 2)
+    assert got["c > b > c"] == (2, 2)
+    assert len(got) == 3            # user 3's 2-event walk yields none
+    # order ties deterministically by path text; k caps the result
+    top1 = top_paths(df, "u", "ts", "s", n=3, k=1,
+                     tiebreak_cols=["eid"]).collect()
+    assert len(top1) == 1 and top1[0]["path"] == "a > b > c"
+    with _pytest.raises(ValueError):
+        top_paths(df, "u", "ts", "s", n=1)
