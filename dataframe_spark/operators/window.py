@@ -523,3 +523,91 @@ def top_paths(
         .orderBy(F.desc("n_occurrences"), F.asc("path"))
         .limit(k)
     )
+
+
+def cusum_changepoint(
+    df: SparkDF,
+    key_cols,
+    ts_col: str,
+    value_col: str,
+    slack: float = 0.5,
+    threshold: float = 5.0,
+    tiebreak_cols=None,
+) -> SparkDF:
+    """Per-key two-sided CUSUM change-point detection (Page 1954):
+    values standardized against the key's own mean/std, then
+    S+_t = max(0, S+_{t-1} + z_t - slack) (upward shifts) and the
+    mirrored S-. Where the drift suite (PSI/KS) says THAT two slices
+    differ, CUSUM localizes WHEN a stream's level shifted. Returns
+    per key: (key..., n, max_pos, max_neg, first_alarm) with
+    first_alarm the 1-based step where either statistic first
+    exceeded ``threshold`` (null = in control; compare on raw
+    float64 — both engines evaluate the same sequential arithmetic,
+    so drift is ~1e-13, far from any sane threshold).
+
+    Plan: ONE key shuffle into an Arrow grouped kernel; inside, the
+    recurrence is fully vectorized via the identity
+    S_t = C_t - min(0, min_{i<=t} C_i) with C the cumsum of
+    (z - slack) — O(n) numpy, no python loop. Panel contract: one
+    key's series fits an executor. Null values and untimed rows are
+    dropped; a zero-variance key never alarms."""
+    import numpy as np
+
+    if threshold <= 0:
+        raise ValueError(f"threshold must be > 0, got {threshold}")
+    keys = list(key_cols) if not isinstance(key_cols, str) else [key_cols]
+    ties = list(tiebreak_cols or [])
+    order = [ts_col] + ties
+    src = df.where(
+        F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col).cast("double"))
+    ).select(
+        *keys, *order, F.col(value_col).cast("double").alias("__v")
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [src.schema[k] for k in keys]
+        + [
+            StructField("n", LongType()),
+            StructField("max_pos", DoubleType()),
+            StructField("max_neg", DoubleType()),
+            StructField("first_alarm", IntegerType()),
+        ]
+    )
+
+    def _kernel(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order, kind="mergesort")
+        v = pdf["__v"].to_numpy(dtype="float64")
+        mu, sd = v.mean(), v.std()  # ddof=0
+        z = (v - mu) / sd if sd > 0 else np.zeros_like(v)
+
+        def stat(sign):
+            c = np.cumsum(sign * z - slack)
+            run_min = np.minimum.accumulate(np.minimum(c, 0.0))
+            return c - run_min
+
+        sp, sn = stat(1.0), stat(-1.0)
+        hit = np.flatnonzero((sp > threshold) | (sn > threshold))
+        first = int(hit[0]) + 1 if hit.size else None
+        head = {k: [pdf[k].iloc[0]] for k in keys}
+        return pd.DataFrame(
+            {
+                **head,
+                "n": [len(v)],
+                "max_pos": [float(sp.max()) if len(v) else 0.0],
+                "max_neg": [float(sn.max()) if len(v) else 0.0],
+                "first_alarm": [first],
+            }
+        )
+
+    return src.groupBy(*keys).applyInPandas(_kernel, schema)

@@ -192,6 +192,35 @@ def q_top_paths(spark, sf_dir):
     )
 
 
+def q_cusum(spark, sf_dir):
+    """Per-user CUSUM change-point detection (operators/window.py
+    cusum_changepoint) on event values with a planted mid-year +25
+    level shift for even users — even users alarm, odd stay in
+    control. The oracle reruns the recurrence as a recursive CTE
+    (max(0, S + z - slack) step-for-step)."""
+    from ..operators.window import cusum_changepoint
+
+    ev = _t(spark, sf_dir, "events").df
+    shifted = ev.withColumn(
+        "value",
+        F.col("value")
+        + F.when(
+            (F.month("ts") >= 7) & (F.col("user_id") % 2 == 0), 25.0
+        ).otherwise(0.0),
+    )
+    out = cusum_changepoint(
+        shifted, ["user_id"], "ts", "value",
+        slack=0.5, threshold=4.0, tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        "n",
+        F.round("max_pos", 4).alias("max_pos"),
+        F.round("max_neg", 4).alias("max_neg"),
+        "first_alarm",
+    )
+
+
 def q_sessionize(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").df
     # event_id tiebreak: equal-ts events at a gap boundary would
@@ -436,6 +465,7 @@ QUERIES = {
     "q_ewma": q_ewma,
     "q_cdc": q_cdc,
     "q_top_paths": q_top_paths,
+    "q_cusum": q_cusum,
     "q_stream_window": q_stream_window,
     "q_stream_dedup": q_stream_dedup,
     "q_resample": q_resample,
@@ -619,6 +649,45 @@ ORACLES = {
           JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
           WHERE e.event_type = 'purchase' AND e.user_id < 50
         ) WHERE rn = 1
+    """,
+    "q_cusum": """
+        WITH RECURSIVE src AS (
+          SELECT user_id, ts, event_id,
+                 CAST(value AS DOUBLE)
+                 + CASE WHEN MONTH(ts) >= 7 AND user_id % 2 = 0
+                        THEN 25.0 ELSE 0.0 END AS v
+          FROM events
+          WHERE ts IS NOT NULL AND value IS NOT NULL
+        ), st AS (
+          SELECT user_id, AVG(v) AS mu, STDDEV_POP(v) AS sd
+          FROM src GROUP BY 1
+        ), z AS (
+          SELECT s.user_id,
+                 ROW_NUMBER() OVER (PARTITION BY s.user_id
+                                    ORDER BY ts, event_id) AS rn,
+                 CASE WHEN sd > 0 THEN (v - mu) / sd ELSE 0.0 END AS z
+          FROM src s JOIN st USING (user_id)
+        ), rec AS (
+          -- CAST the seed: a bare 0.0 is DECIMAL(2,1) and the
+          -- recursion's column type is fixed by the base case,
+          -- quantizing every step to one decimal
+          SELECT user_id, 0 AS rn,
+                 CAST(0.0 AS DOUBLE) AS sp,
+                 CAST(0.0 AS DOUBLE) AS sn
+          FROM st
+          UNION ALL
+          SELECT r.user_id, r.rn + 1,
+                 GREATEST(0.0, r.sp + z.z - 0.5),
+                 GREATEST(0.0, r.sn - z.z - 0.5)
+          FROM rec r JOIN z ON z.user_id = r.user_id
+                           AND z.rn = r.rn + 1
+        )
+        SELECT user_id, CAST(MAX(rn) AS BIGINT) AS n,
+               ROUND(MAX(sp), 4) AS max_pos,
+               ROUND(MAX(sn), 4) AS max_neg,
+               CAST(MIN(CASE WHEN sp > 4.0 OR sn > 4.0 THEN rn END)
+                    AS INT) AS first_alarm
+        FROM rec GROUP BY user_id
     """,
     "q_top_paths": """
         WITH seqs AS (

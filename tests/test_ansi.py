@@ -92,6 +92,7 @@ RISKY = [
     "q_spearman",               # r6 midrank arithmetic + corr
     "q_cdc",                    # r6 modulo predicates + merge coalesces
     "q_top_paths",              # r6 slice/sequence index arithmetic
+    "q_cusum",                  # r6 standardized recurrence divisions
 ]
 
 

@@ -369,3 +369,40 @@ def test_top_paths_closed_form(spark):
     assert len(top1) == 1 and top1[0]["path"] == "a > b > c"
     with _pytest.raises(ValueError):
         top_paths(df, "u", "ts", "s", n=1)
+
+
+def test_cusum_detects_planted_shift(spark):
+    from datetime import datetime as dt, timedelta
+
+    import pytest as _pytest
+    from dataframe_spark.operators.window import cusum_changepoint
+
+    base = dt(2024, 1, 1)
+    rows = []
+    # key 1: level shift +5 sigma-ish at step 30; key 2: in control
+    for i in range(60):
+        rows.append((1, base + timedelta(hours=i), i,
+                     10.0 + (8.0 if i >= 30 else 0.0) + (i % 3)))
+        rows.append((2, base + timedelta(hours=i), i, 10.0 + (i % 3)))
+    df = spark.createDataFrame(rows, "k int, ts timestamp, eid int, v double")
+    out = {r["k"]: r for r in cusum_changepoint(
+        df, ["k"], "ts", "v", slack=0.5, threshold=4.0,
+        tiebreak_cols=["eid"]).collect()}
+    # self-standardized: the pre-shift half sits below the overall
+    # mean, so the DOWNWARD statistic alarms first — the shift is
+    # detected, just on the mirror side
+    assert out[1]["first_alarm"] is not None
+    assert out[2]["first_alarm"] is None      # in control: no alarm
+    assert out[1]["max_pos"] > 4.0 > out[2]["max_pos"]
+    assert out[1]["max_neg"] > 4.0 > out[2]["max_neg"]
+    # recurrence equivalence: identity form == explicit loop
+    import numpy as np
+    v = np.array([r[3] for r in rows if r[0] == 1])
+    z = (v - v.mean()) / v.std()
+    s, mx = 0.0, 0.0
+    for x in z:
+        s = max(0.0, s + x - 0.5)
+        mx = max(mx, s)
+    assert abs(out[1]["max_pos"] - mx) < 1e-9
+    with _pytest.raises(ValueError):
+        cusum_changepoint(df, ["k"], "ts", "v", threshold=0)
