@@ -237,3 +237,62 @@ def bootstrap_mean_se(
     if keys:
         return plain.join(boot, keys, "left")
     return plain.crossJoin(boot)
+
+
+def mad_outliers(
+    df: SparkDF,
+    value_col: str,
+    group_cols: Sequence[str] | None = None,
+    k: float = 3.5,
+    out_col: str | None = None,
+    distributed: bool | None = None,
+) -> SparkDF:
+    """Robust outlier FLAGGING by the MAD rule (Iglewicz & Hoaglin
+    1993): a row is an outlier when |x − median| > k·1.4826·MAD,
+    MAD = median(|x − median|) — the flag-not-clip counterpart of
+    winsorize, immune to the masking that mean/std rules suffer
+    (outliers inflate the std that is supposed to catch them).
+    Appends boolean ``out_col`` (null values stay null; a zero-MAD
+    group — over half the values identical — flags any deviation).
+
+    Plan: TWO exact-quantile passes on the gated engine (median,
+    then median of in-row absolute deviations against the broadcast
+    medians) + one broadcast join back; assignment is map-side. The
+    1.4826 constant makes k·MAD comparable to k·sigma under
+    normality."""
+    out_col = out_col or f"{value_col}_outlier"
+    keys = list(group_cols or [])
+    from .quantiles import (
+        exact_quantiles,
+        exact_quantiles_grouped,
+        grouped_quantiles_buffered,
+    )
+
+    if distributed is None:
+        from ..plans.stats import plan_size_bytes
+
+        distributed = plan_size_bytes(df) > 256 * 1024 * 1024
+    fn = exact_quantiles_grouped if distributed else grouped_quantiles_buffered
+
+    def _median_of(frame, col):
+        if keys:
+            q = fn(frame, keys, col, [0.5])
+        else:
+            q = exact_quantiles(frame, [col], [0.5]).select(
+                F.col("value").alias("value")
+            )
+        return q.groupBy(*keys).agg(F.min("value").alias("__m"))
+
+    v = F.col(value_col).cast("double")
+    med = _median_of(df, value_col)
+    dev = _joined_stats(df, med.withColumnRenamed("__m", "__med"), keys)
+    dev = dev.withColumn("__absdev", F.abs(v - F.col("__med")))
+    mad = _median_of(dev, "__absdev").withColumnRenamed("__m", "__mad")
+    flagged = _joined_stats(dev, mad, keys).withColumn(
+        out_col,
+        F.when(v.isNull() | F.col("__med").isNull(), F.lit(None)).otherwise(
+            F.abs(v - F.col("__med"))
+            > F.lit(float(k)) * 1.4826 * F.col("__mad")
+        ),
+    )
+    return flagged.drop("__med", "__absdev", "__mad")

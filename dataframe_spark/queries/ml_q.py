@@ -425,9 +425,37 @@ def q_lift(spark, sf_dir):
     )
 
 
+def q_mad_outliers(spark, sf_dir):
+    """MAD-rule robust outlier flagging (operators/scale.py
+    mad_outliers, k = 3.5) on order totals per priority class —
+    DuckDB re-derives the median, the MAD, and every flag."""
+    from ..operators.scale import mad_outliers
+
+    o = load_table(spark, sf_dir, "orders")
+    out = mad_outliers(
+        o, "o_totalprice", ["o_orderpriority"], k=3.5
+    )
+    return out.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice_outlier").cast("int"))
+        .cast("long")
+        .alias("n_outliers"),
+        F.round(
+            F.max(
+                F.when(
+                    ~F.col("o_totalprice_outlier"),
+                    F.col("o_totalprice").cast("double"),
+                )
+            ),
+            2,
+        ).alias("max_inlier"),
+    )
+
+
 QUERIES = {
     "q_mutual_info": q_mutual_info,
     "q_scale": q_scale,
+    "q_mad_outliers": q_mad_outliers,
     "q_binary_metrics": q_binary_metrics,
     "q_multiclass_metrics": q_multiclass_metrics,
     "q_lift": q_lift,
@@ -476,6 +504,28 @@ ORACLES = {
               FROM orders GROUP BY 1) cnt ON cnt.cat = e.cat
         JOIN (SELECT cat, ROUND(SUM(v), 2) AS loo_sum
               FROM loo GROUP BY 1) l ON l.cat = e.cat
+    """,
+    "q_mad_outliers": """
+        WITH v AS (
+          SELECT o_orderpriority AS g,
+                 CAST(o_totalprice AS DOUBLE) AS x
+          FROM orders
+        ), med AS (
+          SELECT g, MEDIAN(x) AS m FROM v GROUP BY 1
+        ), mad AS (
+          SELECT v.g, MEDIAN(ABS(x - m)) AS d
+          FROM v JOIN med USING (g) GROUP BY 1
+        ), flagged AS (
+          SELECT v.g, x,
+                 ABS(x - m) > 3.5 * 1.4826 * d AS isout
+          FROM v JOIN med USING (g) JOIN mad USING (g)
+        )
+        SELECT g AS o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN isout THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_outliers,
+               ROUND(MAX(CASE WHEN NOT isout THEN x END), 2)
+                 AS max_inlier
+        FROM flagged GROUP BY 1
     """,
     "q_lift": """
         WITH sc AS (

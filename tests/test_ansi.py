@@ -93,6 +93,7 @@ RISKY = [
     "q_cdc",                    # r6 modulo predicates + merge coalesces
     "q_top_paths",              # r6 slice/sequence index arithmetic
     "q_cusum",                  # r6 standardized recurrence divisions
+    "q_mad_outliers",           # r6 MAD-scaled threshold compares
 ]
 
 

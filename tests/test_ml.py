@@ -636,3 +636,24 @@ def test_bootstrap_se_statistical_properties(spark):
     assert again["se_boot"] == out["se_boot"]
     with _pytest.raises(ValueError):
         bootstrap_mean_se(df, "x", ["id"], n_replicates=1)
+
+
+def test_mad_outliers_closed_form(spark):
+    from dataframe_spark.operators.scale import mad_outliers
+
+    # group a: median 10, MAD 1 -> cutoff 3.5*1.4826 ~ 5.19, so the
+    # planted 100 is the single flag and the 8..12 band stays clean
+    rows = ([("a", float(v)) for v in [8, 9, 10, 11, 12]]
+            + [("a", 100.0), ("a", None)]
+            + [("b", 5.0), ("b", 5.0), ("b", 5.0)])   # zero-MAD group
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = mad_outliers(df, "x", ["g"], k=3.5)
+    got = {(r["g"], r["x"]): r["x_outlier"] for r in out.collect()}
+    assert got[("a", 100.0)] is True
+    assert all(got[("a", float(v))] is False for v in [8, 9, 10, 11, 12])
+    assert got[("a", None)] is None          # null stays null
+    assert got[("b", 5.0)] is False          # zero MAD, zero deviation
+    # ungrouped path
+    g = mad_outliers(df.where("x is not null"), "x", k=3.5)
+    flags = {r["x"]: r["x_outlier"] for r in g.collect()}
+    assert flags[100.0] is True
