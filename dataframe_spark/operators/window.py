@@ -611,3 +611,85 @@ def cusum_changepoint(
         )
 
     return src.groupBy(*keys).applyInPandas(_kernel, schema)
+
+
+def holt_linear(
+    df: SparkDF,
+    key_cols,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 1,
+    tiebreak_cols=None,
+) -> SparkDF:
+    """Per-key Holt linear-trend smoothing (double exponential —
+    the trend-aware step past ``ewma``): l_t = α·y_t +
+    (1-α)(l_{t-1} + b_{t-1}), b_t = β(l_t − l_{t-1}) + (1-β)b_{t-1},
+    standard init l_1 = y_1, b_1 = y_2 − y_1. Returns per key:
+    (key..., n, level, trend, forecast, sse) with forecast =
+    l_n + horizon·b_n and sse over the one-step-ahead in-sample
+    predictions — the residual scale a monitoring alert needs.
+    Keys with fewer than two timed points are dropped (no trend is
+    identifiable).
+
+    Plan: ONE key shuffle into an Arrow grouped kernel; the coupled
+    recurrence runs as an O(n) loop over the key's own series (the
+    panel contract). Untimed/null rows are dropped."""
+    if not 0.0 < alpha <= 1.0 or not 0.0 <= beta <= 1.0:
+        raise ValueError(f"need 0<alpha<=1, 0<=beta<=1, got {alpha}, {beta}")
+    keys = list(key_cols) if not isinstance(key_cols, str) else [key_cols]
+    ties = list(tiebreak_cols or [])
+    order = [ts_col] + ties
+    src = df.where(
+        F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col).cast("double"))
+    ).select(*keys, *order, F.col(value_col).cast("double").alias("__v"))
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [src.schema[k] for k in keys]
+        + [
+            StructField("n", LongType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("forecast", DoubleType()),
+            StructField("sse", DoubleType()),
+        ]
+    )
+
+    def _kernel(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order, kind="mergesort")
+        y = pdf["__v"].to_numpy(dtype="float64")
+        if len(y) < 2:
+            return pd.DataFrame(
+                {c.name: pd.Series(dtype=object) for c in schema.fields}
+            )
+        lvl, tr, sse = y[0], y[1] - y[0], 0.0
+        for t in range(1, len(y)):
+            pred = lvl + tr
+            sse += (y[t] - pred) ** 2
+            new_lvl = alpha * y[t] + (1.0 - alpha) * pred
+            tr = beta * (new_lvl - lvl) + (1.0 - beta) * tr
+            lvl = new_lvl
+        head = {k: [pdf[k].iloc[0]] for k in keys}
+        return pd.DataFrame(
+            {
+                **head,
+                "n": [len(y)],
+                "level": [lvl],
+                "trend": [tr],
+                "forecast": [lvl + horizon * tr],
+                "sse": [sse],
+            }
+        )
+
+    return src.groupBy(*keys).applyInPandas(_kernel, schema)

@@ -221,6 +221,29 @@ def q_cusum(spark, sf_dir):
     )
 
 
+def q_holt(spark, sf_dir):
+    """Holt linear-trend smoothing per user (operators/window.py
+    holt_linear, alpha 0.5 / beta 0.3, 5-step forecast). The oracle
+    reruns the coupled recurrence step-for-step as a recursive CTE
+    (state = level, trend, sse; DOUBLE-cast seeds — the DECIMAL
+    recursion-type trap from q_cusum)."""
+    from ..operators.window import holt_linear
+
+    ev = _t(spark, sf_dir, "events").df
+    out = holt_linear(
+        ev, ["user_id"], "ts", "value",
+        alpha=0.5, beta=0.3, horizon=5, tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        "n",
+        F.round("level", 4).alias("level"),
+        F.round("trend", 4).alias("trend"),
+        F.round("forecast", 4).alias("forecast"),
+        F.round("sse", 2).alias("sse"),
+    )
+
+
 def q_sessionize(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").df
     # event_id tiebreak: equal-ts events at a gap boundary would
@@ -466,6 +489,7 @@ QUERIES = {
     "q_cdc": q_cdc,
     "q_top_paths": q_top_paths,
     "q_cusum": q_cusum,
+    "q_holt": q_holt,
     "q_stream_window": q_stream_window,
     "q_stream_dedup": q_stream_dedup,
     "q_resample": q_resample,
@@ -649,6 +673,42 @@ ORACLES = {
           JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
           WHERE e.event_type = 'purchase' AND e.user_id < 50
         ) WHERE rn = 1
+    """,
+    "q_holt": """
+        WITH RECURSIVE src AS (
+          SELECT user_id, CAST(value AS DOUBLE) AS v,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY user_id) AS nn
+          FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        ), init AS (
+          SELECT a.user_id, a.nn, a.v AS y1, b.v AS y2
+          FROM src a JOIN src b
+            ON a.user_id = b.user_id AND b.rn = 2
+          WHERE a.rn = 1 AND a.nn >= 2
+        ), rec AS (
+          SELECT user_id, nn, 1 AS rn,
+                 CAST(y1 AS DOUBLE) AS l,
+                 CAST(y2 - y1 AS DOUBLE) AS b,
+                 CAST(0.0 AS DOUBLE) AS sse
+          FROM init
+          UNION ALL
+          -- (1.0 - 0.3), not 0.7: the literal differs from the
+          -- engine-side 1 - beta by one ulp and the recurrence is
+          -- compared step-for-step
+          SELECT r.user_id, r.nn, r.rn + 1,
+                 0.5 * s.v + (1.0 - 0.5) * (r.l + r.b),
+                 0.3 * ((0.5 * s.v + (1.0 - 0.5) * (r.l + r.b)) - r.l)
+                   + (1.0 - 0.3) * r.b,
+                 r.sse + (s.v - (r.l + r.b)) * (s.v - (r.l + r.b))
+          FROM rec r JOIN src s
+            ON s.user_id = r.user_id AND s.rn = r.rn + 1
+        )
+        SELECT user_id, CAST(nn AS BIGINT) AS n,
+               ROUND(l, 4) AS level, ROUND(b, 4) AS trend,
+               ROUND(l + 5 * b, 4) AS forecast,
+               ROUND(sse, 2) AS sse
+        FROM rec WHERE rn = nn
     """,
     "q_cusum": """
         WITH RECURSIVE src AS (

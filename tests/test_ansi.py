@@ -94,6 +94,7 @@ RISKY = [
     "q_top_paths",              # r6 slice/sequence index arithmetic
     "q_cusum",                  # r6 standardized recurrence divisions
     "q_mad_outliers",           # r6 MAD-scaled threshold compares
+    "q_holt",                   # r6 coupled smoothing recurrences
 ]
 
 

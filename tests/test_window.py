@@ -406,3 +406,46 @@ def test_cusum_detects_planted_shift(spark):
     assert abs(out[1]["max_pos"] - mx) < 1e-9
     with _pytest.raises(ValueError):
         cusum_changepoint(df, ["k"], "ts", "v", threshold=0)
+
+
+def test_holt_linear_closed_form(spark):
+    from datetime import datetime as dt, timedelta
+
+    import pytest as _pytest
+    from dataframe_spark.operators.window import holt_linear
+
+    base = dt(2024, 1, 1)
+    # perfect line y = 3 + 2t: Holt locks on exactly (init is exact
+    # and every one-step prediction has zero error)
+    rows = [(1, base + timedelta(days=t), t, 3.0 + 2.0 * t)
+            for t in range(10)]
+    rows += [(2, base, 0, 7.0)]  # single point: dropped
+    df = spark.createDataFrame(rows, "k int, ts timestamp, eid int, v double")
+    out = {r["k"]: r for r in holt_linear(
+        df, ["k"], "ts", "v", alpha=0.5, beta=0.3, horizon=5,
+        tiebreak_cols=["eid"]).collect()}
+    r = out[1]
+    assert abs(r["level"] - (3.0 + 2.0 * 9)) < 1e-9
+    assert abs(r["trend"] - 2.0) < 1e-9
+    assert abs(r["forecast"] - (21.0 + 5 * 2.0)) < 1e-9
+    assert r["sse"] == 0.0
+    assert 2 not in out                      # < 2 points: unidentifiable
+    # hand-rolled recurrence equivalence on noisy data
+    vals = [5.0, 7.0, 6.0, 9.0, 8.0]
+    rows3 = [(3, base + timedelta(days=t), t, v)
+             for t, v in enumerate(vals)]
+    df3 = spark.createDataFrame(rows3, "k int, ts timestamp, eid int, v double")
+    got = holt_linear(df3, ["k"], "ts", "v", alpha=0.4, beta=0.2,
+                      tiebreak_cols=["eid"]).collect()[0]
+    lvl, tr, sse = vals[0], vals[1] - vals[0], 0.0
+    for y in vals[1:]:
+        pred = lvl + tr
+        sse += (y - pred) ** 2
+        nl = 0.4 * y + 0.6 * pred
+        tr = 0.2 * (nl - lvl) + 0.8 * tr
+        lvl = nl
+    assert abs(got["level"] - lvl) < 1e-9
+    assert abs(got["trend"] - tr) < 1e-9
+    assert abs(got["sse"] - sse) < 1e-9
+    with _pytest.raises(ValueError):
+        holt_linear(df, ["k"], "ts", "v", alpha=0.0)
