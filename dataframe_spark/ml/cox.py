@@ -237,6 +237,11 @@ def fit_cox(
         if float(np.max(np.abs(step))) < tol:
             converged = True
             break
+    if not converged:
+        # the loop's logpl was evaluated at the PRE-update beta; one
+        # extra evaluation keeps final_logpl aligned with the
+        # returned coefficients on a max_iter exit
+        logpl = float(_pass_frame(src, xs, pairs, beta).first()["logpl"])
     try:
         proj.unpersist()
     except Exception:

@@ -50,11 +50,17 @@ def target_encode(
     mean (the α-smoothing limit)."""
     if alpha < 0:
         raise ValueError(f"target_encode: alpha must be >= 0, got {alpha}")
+    # alpha = 0 + a category whose targets are all null would divide
+    # 0.0/0.0 = NaN; nullif + coalesce keeps the documented
+    # global-mean fallback
     enc = _cat_stats(df, cat_col, y_col).select(
         "__cat",
-        (
+        F.coalesce(
             (F.coalesce(F.col("__s"), F.lit(0.0)) + F.lit(alpha) * F.col("__g"))
-            / (F.col("__n") + F.lit(alpha))
+            / F.nullif(
+                (F.col("__n") + F.lit(alpha)).cast("double"), F.lit(0.0)
+            ),
+            F.col("__g"),
         ).alias(out_col),
     )
     return df.join(

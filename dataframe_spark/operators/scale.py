@@ -284,13 +284,21 @@ def mad_outliers(
         return q.groupBy(*keys).agg(F.min("value").alias("__m"))
 
     v = F.col(value_col).cast("double")
-    med = _median_of(df, value_col)
+    # NaN contract (the standard/minmax convention, ADVICE r6): NaN
+    # sorts greatest in the quantile engine, so unfiltered NaNs shift
+    # the median/MAD; exclude them from both passes and null the flag
+    clean = df.where(v.isNull() | ~F.isnan(v))
+    med = _median_of(clean, value_col)
     dev = _joined_stats(df, med.withColumnRenamed("__m", "__med"), keys)
     dev = dev.withColumn("__absdev", F.abs(v - F.col("__med")))
-    mad = _median_of(dev, "__absdev").withColumnRenamed("__m", "__mad")
+    mad = _median_of(
+        dev.where(v.isNull() | ~F.isnan(v)), "__absdev"
+    ).withColumnRenamed("__m", "__mad")
     flagged = _joined_stats(dev, mad, keys).withColumn(
         out_col,
-        F.when(v.isNull() | F.col("__med").isNull(), F.lit(None)).otherwise(
+        F.when(
+            v.isNull() | F.isnan(v) | F.col("__med").isNull(), F.lit(None)
+        ).otherwise(
             F.abs(v - F.col("__med"))
             > F.lit(float(k)) * 1.4826 * F.col("__mad")
         ),

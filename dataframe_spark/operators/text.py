@@ -933,7 +933,9 @@ def c4_flags(
     any scale. Null/empty documents fail ``keep`` explicitly (the
     quality_score null-clamp convention)."""
     toks = tokens(text_col)
-    n = F.size(toks)
+    # legacy (non-ANSI) size(null) is -1; audit column should read
+    # NULL for a null document, matching the SQL oracle
+    n = F.when(_c(text_col).isNotNull(), F.size(toks))
     total_len = F.aggregate(
         toks, F.lit(0), lambda acc, w: acc + F.length(w)
     )

@@ -363,6 +363,12 @@ def test_target_encoding_smoothing_and_loo(spark):
     assert abs(got[("c", None)] - g) < 1e-9  # null target: full encoding
     # the LOO feature never equals a leaked per-row target
     assert all(abs(v - 100.0) > 1 for v in got.values())
+    # alpha=0: all-null-target category must hit the documented
+    # global-mean fallback, not 0.0/0.0 = NaN (ADVICE r6)
+    raw = {r["cat"]: r["te"] for r in
+           target_encode(df, "cat", "y", alpha=0.0).collect()}
+    assert abs(raw["c"] - g) < 1e-9
+    assert abs(raw["a"] - 20.0) < 1e-9       # unsmoothed per-cat mean
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
@@ -644,11 +650,19 @@ def test_mad_outliers_closed_form(spark):
     # group a: median 10, MAD 1 -> cutoff 3.5*1.4826 ~ 5.19, so the
     # planted 100 is the single flag and the 8..12 band stays clean
     rows = ([("a", float(v)) for v in [8, 9, 10, 11, 12]]
-            + [("a", 100.0), ("a", None)]
+            + [("a", 100.0), ("a", None), ("a", float("nan"))]
             + [("b", 5.0), ("b", 5.0), ("b", 5.0)])   # zero-MAD group
     df = spark.createDataFrame(rows, "g string, x double")
     out = mad_outliers(df, "x", ["g"], k=3.5)
-    got = {(r["g"], r["x"]): r["x_outlier"] for r in out.collect()}
+    got, nan_flags = {}, []
+    for r in out.collect():
+        if r["x"] is not None and r["x"] != r["x"]:
+            nan_flags.append(r["x_outlier"])
+        else:
+            got[(r["g"], r["x"])] = r["x_outlier"]
+    # NaN rows are excluded from the median/MAD and flag as null
+    # (the standard/minmax scaler NaN contract, ADVICE r6)
+    assert nan_flags == [None]
     assert got[("a", 100.0)] is True
     assert all(got[("a", float(v))] is False for v in [8, 9, 10, 11, 12])
     assert got[("a", None)] is None          # null stays null

@@ -393,6 +393,8 @@ def test_c4_flags_rules(spark):
     assert not out[3]["keep"] and out[3]["mean_word_len"] == 1.0
     assert not out[4]["keep"] and out[4]["has_bad_phrase"]
     assert not out[5]["keep"] and not out[5]["has_bad_phrase"]
+    # null document audits as NULL n_words, not legacy size() -1
+    assert out[5]["n_words"] is None and out[5]["mean_word_len"] is None
     # all input columns survive (audit mode)
     assert "text" in out[1].asDict()
 
