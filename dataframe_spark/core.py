@@ -1777,9 +1777,19 @@ class DataFrame:
         # kernel (np.quantile has no skipna and one NaN poisons it);
         # an all-null column still has its (empty-array) group and
         # yields an all-null row.
+        # coalesce(16): the gate already bounds this input, so fewer
+        # Python tasks = fewer worker dispatch + Arrow round-trip
+        # latencies, the measured floor of this path (1.04 s -> 0.80 s
+        # at sf0.1; coalesce never increases partition count, so
+        # already-narrow inputs are untouched). Profiled alternatives
+        # all slower: F.percentile buffers 1.7 s, approx+exact-refine
+        # 3.1 s, single-reducer 1.3 s, JVM melt+window-sort 2.0 s,
+        # JVM sort_array+element_at 1.6 s, one-row collect_list 0.84 s.
         packed = df.select(
             *[F.col(c).cast("double").alias(c) for c in num_cols]
-        ).mapInPandas(_pack_columns(num_cols), "ci int, vals array<double>")
+        ).coalesce(16).mapInPandas(
+            _pack_columns(num_cols), "ci int, vals array<double>"
+        )
         summary = packed.groupBy("ci").applyInPandas(
             _np_summary,
             "ci int, mean double, std double, min double, "
