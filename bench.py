@@ -40,6 +40,15 @@ HEADLINE = [
     "q_decontaminate",
     "q_pack",
     "q_group_quantiles",
+    # r6-era heavyweights (VERDICT r6 ask #5): the expensive surface
+    # moved past the r1-vintage headline; track their cost per round
+    "q_cox_check",
+    "q_semdedup_check",
+    "q_holt",
+    "q_naive_bayes",
+    "q_bigram_ppl",
+    # r7: salted hot-key join — the skew story exercised at scale
+    "q_skew_join",
 ]
 
 
@@ -128,6 +137,20 @@ def main():
             elapsed = round(time.monotonic() - t0, 3)
             times[name] = min(times.get(name, elapsed), elapsed)
 
+    # One COLD-build pass (VERDICT r6 ask #3b): rebuild each query's
+    # DataFrame through py4j + analysis and execute it, so the record
+    # carries both the prepared-query headline (deployment steady
+    # state) and the construction-inclusive wall — the r5->r6
+    # methodology step stays decomposable round-over-round.
+    raw = all_queries()
+    cold_total = 0.0
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        raw[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        cold_total += time.monotonic() - t0
+
     scaling = _scaling_check(spark, qs, sf_dir, times)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -142,6 +165,7 @@ def main():
         "queries": times,
         "sf": sf,
         "fixed_overhead_sec": round(floor, 3),
+        "cold_build_headline_sec": round(cold_total, 3),
     }
     if scaling:
         out["scaling_10x"] = scaling
@@ -168,6 +192,7 @@ def main():
         "unit": "sec",
         "sf": sf,
         "fixed_overhead_sec": out["fixed_overhead_sec"],
+        "cold_build_headline_sec": out["cold_build_headline_sec"],
     }
     if "vs_baseline_total" in out:
         summary["vs_baseline_total"] = out["vs_baseline_total"]
@@ -223,7 +248,11 @@ def _scaling_check(spark, qs, sf_dir, times) -> dict:
 
     best10: dict[str, float] = {}
     for name in HEADLINE:
-        best10[name] = _best(name, 2)
+        # sub-second sf0.1 walls: one tenant-steal burst on a 10x run
+        # otherwise lands a fake multi-x factor in the permanent
+        # record (r6's q_decontaminate 5.23 vs 1.93 re-measured) —
+        # give small denominators >=4 reps up front (VERDICT r6 ask #3a)
+        best10[name] = _best(name, 4 if times[name] < 1.0 else 2)
     # Suspicious rows (factor > 3.5) are re-measured in DEFERRED
     # passes over the whole suspicious set, not immediately: the
     # box's tenant-steal arrives in multi-minute bursts, so back-to-
