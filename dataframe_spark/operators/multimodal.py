@@ -85,6 +85,171 @@ def extract_image_features(media: SparkDF, batch_size: int = 1024) -> SparkDF:
     return media.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+def image_ahash(
+    media: SparkDF,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    cells: int = 48,
+) -> SparkDF:
+    """Perceptual average-hash (aHash) per payload: (id, ahash).
+
+    The STUB boundary is the decode only: the ``cells``-cell luma
+    grid is the strided byte-sum of the payload (cell i sums bytes at
+    offsets ≡ i mod cells) — a real build would decode pixels and
+    box-downsample to the same grid shape. Everything downstream is
+    the real aHash algorithm: bit i set iff grid_i > mean(grid),
+    assembled into one BIGINT. Arrow-batched pandas_udf (numpy
+    bincount per payload, no per-byte Python), map-only — fuses into
+    the scan, zero shuffle at any scale. Null/empty payloads hash to
+    null. ``cells`` must fit signed-64 minus the sign bit."""
+    if not 1 <= cells <= 62:
+        raise ValueError(f"image_ahash: cells must be in [1, 62], got {cells}")
+    import numpy as np
+
+    @F.pandas_udf("long")
+    def _ahash(payloads: pd.Series) -> pd.Series:
+        w = 1 << np.arange(cells, dtype=np.int64)
+        out = []
+        for p in payloads:
+            if p is None or len(p) == 0:
+                out.append(None)
+                continue
+            b = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+            grid = np.bincount(
+                np.arange(len(b)) % cells, weights=b, minlength=cells
+            )
+            out.append(int(w[grid > grid.mean()].sum()))
+        return pd.Series(out, dtype="Int64")
+
+    return media.select(
+        F.col(id_col).alias("id"), _ahash(F.col(payload_col)).alias("ahash")
+    )
+
+
+def phash_pairs(
+    media: SparkDF,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    cells: int = 48,
+) -> SparkDF:
+    """Near-duplicate image pairs by aHash hamming distance
+    <= ``max_hamming``: (a_id, b_id, hamming).
+
+    The dedup.simhash_pairs banding plan over the image hash: the
+    ``cells``-bit hash splits into FOUR equal chunks, any pair within
+    hamming 3 must agree exactly on >= 1 chunk (pigeonhole), so
+    candidates come from four hash-joins — sum-of-squared-bucket-
+    sizes cost, never a corpus cross product. Complete only for
+    max_hamming <= 3 with 4 chunks (simhash_pairs review r5), so a
+    larger radius is rejected. Feeds operators/graph.py
+    cluster-dedup the same way text simhash does."""
+    if max_hamming > 3:
+        raise ValueError(
+            "phash_pairs is exact only for max_hamming <= 3 with "
+            "4-chunk banding; a larger radius needs max_hamming + 1 "
+            "chunks"
+        )
+    if cells % 4:
+        raise ValueError(f"phash_pairs: cells must divide into 4 chunks, got {cells}")
+    from .dedup import _reusable
+
+    width = cells // 4
+    mask = (1 << width) - 1
+    sigs = _reusable(
+        image_ahash(media, id_col, payload_col, cells).where(
+            F.col("ahash").isNotNull()
+        )
+    )
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("ahash"), width * i).bitwiseAND(F.lit(mask))
+            for i in range(4)
+        ]
+    )
+    banded = sigs.select(
+        "id", "ahash", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    a = banded.select(
+        F.col("id").alias("a_id"), F.col("ahash").alias("h_a"), "chunk_idx", "chunk"
+    )
+    b = banded.select(
+        F.col("id").alias("b_id"), F.col("ahash").alias("h_b"), "chunk_idx", "chunk"
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "h_a", "h_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+def image_quality(
+    media: SparkDF,
+    min_width: int = 64,
+    max_aspect: float = 2.0,
+    min_entropy: float = 1.0,
+) -> SparkDF:
+    """Quality gates over the fake-decoded image: appends ``width``,
+    ``height``, ``aspect``, ``entropy`` (Shannon entropy of the
+    payload byte histogram, bits — a real build would use pixel
+    luma), and a combined ``keep``. Feature extraction is one
+    Arrow-batched kernel; the gates are JVM expressions so callers
+    can re-threshold without re-decoding. Null payloads fail keep
+    explicitly with null features."""
+    import numpy as np
+
+    @F.pandas_udf("struct<width:int,height:int,entropy:double>")
+    def _feats(payloads: pd.Series) -> pd.DataFrame:
+        ws, hs, es = [], [], []
+        for p in payloads:
+            if p is None or len(p) == 0:
+                ws.append(None), hs.append(None), es.append(None)
+                continue
+            w, h, _ = _fake_decode(p)
+            b = np.frombuffer(p, dtype=np.uint8)
+            counts = np.bincount(b, minlength=256)
+            probs = counts[counts > 0] / len(b)
+            ws.append(w), hs.append(h)
+            es.append(float(-(probs * np.log2(probs)).sum()))
+        return pd.DataFrame({"width": pd.array(ws, dtype="Int32"),
+                             "height": pd.array(hs, dtype="Int32"),
+                             "entropy": es})
+
+    out = media.withColumn("__f", _feats(F.col("payload")))
+    aspect = F.round(
+        F.greatest(F.col("__f.width"), F.col("__f.height"))
+        / F.nullif(
+            F.least(F.col("__f.width"), F.col("__f.height")).cast("double"),
+            F.lit(0.0),
+        ),
+        4,
+    )
+    keep = F.coalesce(
+        (F.col("__f.width") >= min_width)
+        & (aspect <= max_aspect)
+        & (F.col("__f.entropy") >= min_entropy),
+        F.lit(False),
+    )
+    return (
+        out.withColumns(
+            {
+                "width": F.col("__f.width"),
+                "height": F.col("__f.height"),
+                "aspect": aspect,
+                "entropy": F.round(F.col("__f.entropy"), 4),
+                "keep": keep,
+            }
+        )
+        .drop("__f")
+    )
+
+
 def resize_stub(media: SparkDF, width: int, height: int) -> SparkDF:
     """STUB resize: real impl would re-encode pixels; the fake
     truncates payloads deterministically (keeps plumbing honest:

@@ -294,6 +294,18 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_image_phash_dedup(spark, sf_dir):
+    """Perceptual-hash near-dup pairs over binary payloads
+    (multimodal.phash_pairs): 48-bit strided-sum aHash, 4-chunk
+    pigeonhole banding, hamming <= 3. The oracle recomputes the hash
+    from the same deterministic fake-decode bytes and brute-forces
+    ALL pairs — so a green row certifies both the Arrow hash kernel
+    and the banding's completeness (banded ≡ brute force)."""
+    docs = _t(spark, sf_dir, "documents").df
+    media = multimodal.attach_payload(docs, "doc_id", "text")
+    return multimodal.phash_pairs(media, "media_id", "payload")
+
+
 def q_embed_norm(spark, sf_dir):
     """L2 normalization + int8 quantization, verified per row: the
     raw norm, the first normalized element, and the integer checksum
@@ -528,6 +540,7 @@ QUERIES = {
     "q_knn_ivf_recall": q_knn_ivf_recall,
     "q_knn_ivf": q_knn_ivf,
     "q_multimodal_meta": q_multimodal_meta,
+    "q_image_phash_dedup": q_image_phash_dedup,
     "q_embed_norm": q_embed_norm,
     "q_embed_centroid": q_embed_centroid,
     "q_fuzzy_pairs": q_fuzzy_pairs,
@@ -762,6 +775,37 @@ ORACLES = {
         SELECT doc_id AS media_id, STRLEN(text)::BIGINT AS byte_length,
                MD5(text) AS digest
         FROM documents
+    """,
+    # ahash recomputed from the same fake-decode bytes (ASCII text:
+    # ORD(char) == payload byte — the q_fingerprint convention), then
+    # BRUTE-FORCE all-pairs hamming: the oracle certifies banding
+    # completeness, not just hash parity.
+    "q_image_phash_dedup": """
+        WITH cp AS (
+          SELECT doc_id AS media_id,
+                 LIST_TRANSFORM(
+                   LIST_FILTER(STRING_SPLIT(text, ''), c -> c <> ''),
+                   c -> CAST(ORD(c) AS BIGINT)) AS v
+          FROM documents
+        ), grid AS (
+          SELECT media_id, i,
+                 COALESCE(LIST_SUM(
+                   LIST_FILTER(v, (x, j) -> (j - 1) % 48 = i)), 0) AS g
+          FROM cp, RANGE(48) t(i)
+        ), hm AS (
+          SELECT media_id,
+                 CAST(SUM(CASE WHEN g > avg_g
+                           THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                           ELSE 0 END) AS BIGINT) AS ahash
+          FROM (SELECT media_id, i, g,
+                       AVG(g) OVER (PARTITION BY media_id) AS avg_g
+                FROM grid) s
+          GROUP BY media_id
+        )
+        SELECT a.media_id AS a_id, b.media_id AS b_id,
+               BIT_COUNT(XOR(a.ahash, b.ahash)) AS hamming
+        FROM hm a JOIN hm b ON a.media_id < b.media_id
+        WHERE BIT_COUNT(XOR(a.ahash, b.ahash)) <= 3
     """,
     # q_dedup_minhash / q_dedup_simhash / q_knn_lsh / q_sample:
     # intentionally no oracle (engine-hash / RNG dependent) —

@@ -126,6 +126,31 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
     sem_drop = sem.where(~F.col("keep")).select(F.col("id").alias("doc_id"))
     kept = kept.join(sem_drop, "doc_id", "left_anti")
 
+    # 3d. Multimodal stage: perceptual-hash image dedup + quality
+    #     gates over the binary payloads (here the UTF-8 bytes stand
+    #     in for image bytes — the decode is the documented stub; the
+    #     aHash/banding/hamming machinery is real). Images whose
+    #     payloads near-duplicate (hamming <= 3) collapse onto one
+    #     canonical media row via the same connected-components pass
+    #     the text dedup uses.
+    from dataframe_spark.operators.multimodal import (
+        attach_payload,
+        image_quality,
+        phash_pairs,
+    )
+
+    media = attach_payload(kept, "doc_id", "text")
+    media = image_quality(media, min_width=64, max_aspect=2.0,
+                          min_entropy=1.0)
+    img_pairs = phash_pairs(media.where("keep"), "media_id", "payload")
+    img_comp = connected_components(img_pairs, "a_id", "b_id")
+    img_keep = img_comp.groupBy("component").agg(
+        F.min("node").alias("keep_id"))
+    img_dupes = img_comp.join(
+        img_keep, img_comp["node"] == img_keep["keep_id"], "left_anti"
+    ).select(F.col("node").alias("doc_id"))
+    kept = kept.join(img_dupes, "doc_id", "left_anti")
+
     # 4. PII redaction (chained regexp_replace, pure JVM)
     kept = text.redact(
         kept,

@@ -29,6 +29,75 @@ def test_resize_stub_bounds_payload(docs):
     assert all(r["byte_length"] <= 16 for r in out)
 
 
+def test_image_ahash_closed_form(spark):
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    rows = [(1, b"A" * 96), (2, b"A" * 95 + b"Z"), (3, None), (4, b"")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["id"]: r["ahash"] for r in M.image_ahash(df).collect()}
+    # constant payload: every cell equals the mean -> no bit set
+    assert got[1] == 0
+    # replay the strided-sum spec for row 2
+    b = np.frombuffer(b"A" * 95 + b"Z", dtype=np.uint8).astype(np.int64)
+    grid = np.bincount(np.arange(len(b)) % 48, weights=b, minlength=48)
+    expect = int((1 << np.arange(48, dtype=np.int64))[grid > grid.mean()].sum())
+    assert got[2] == expect
+    assert got[3] is None and got[4] is None   # null/empty hash to null
+    with pytest.raises(ValueError):
+        M.image_ahash(df, cells=63)
+
+
+def test_phash_pairs_match_brute_force(spark):
+    import numpy as np
+    import pytest
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(32, 127, size=400, dtype=np.uint8)
+    payloads = []
+    for i in range(40):
+        b = base.copy()
+        # mutate i bytes: low i stays within hamming 3, high i drifts out
+        for j in range(i):
+            b[(7 * j) % len(b)] = 32 + ((b[(7 * j) % len(b)] + 13) % 95)
+        payloads.append((i, bytes(b)))
+    df = spark.createDataFrame(payloads, "media_id long, payload binary")
+    got = {(r["a_id"], r["b_id"]): r["hamming"]
+           for r in M.phash_pairs(df).collect()}
+
+    def ahash(p):
+        b = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+        g = np.bincount(np.arange(len(b)) % 48, weights=b, minlength=48)
+        return int((1 << np.arange(48, dtype=np.int64))[g > g.mean()].sum())
+
+    hs = {i: ahash(p) for i, p in payloads}
+    brute = {}
+    for i in range(40):
+        for j in range(i + 1, 40):
+            d = bin(hs[i] ^ hs[j]).count("1")
+            if d <= 3:
+                brute[(i, j)] = d
+    assert got == brute and len(brute) > 5   # banding is complete
+    with pytest.raises(ValueError):
+        M.phash_pairs(df, max_hamming=4)
+    with pytest.raises(ValueError):
+        M.phash_pairs(df, cells=50)
+
+
+def test_image_quality_gates(spark):
+    rows = [(1, b"x" * 500), (2, b"\x00" * 200), (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    media = df.selectExpr("media_id", "payload", "'x' AS mime",
+                          "cast(500 as bigint) AS byte_length")
+    out = {r["media_id"]: r for r in M.image_quality(media).collect()}
+    # constant payload: zero entropy -> gated out
+    assert out[1]["entropy"] == 0.0 and out[1]["keep"] is False
+    assert out[2]["entropy"] == 0.0 and out[2]["keep"] is False
+    assert out[3]["width"] is None and out[3]["keep"] is False
+    assert out[1]["aspect"] >= 1.0
+
+
 def test_frame_sample(docs):
     media = M.attach_payload(docs, "doc_id", "text").limit(3)
     frames = M.frame_sample_stub(media, every_n_bytes=50).collect()
