@@ -9,10 +9,14 @@ materializes until an action, so Catalyst sees whole pipelines and
 applies pushdown/pruning/join-reordering across verb boundaries.
 The underlying plan is always available as ``.df``.
 
-Scale notes: no verb ever calls ``.collect()`` on table data.
-Scalar-statistic verbs (``impute``, ``summarize``) are expressed as
-single-pass aggregations cross-joined back as broadcast one-row
-plans, so they remain fully distributed.
+Scale notes: no OPERATOR verb calls ``.collect()`` on table data;
+the documented exceptions are display paths (terminal rendering is
+driver-side by nature), ``drop_last``'s gated boundary counts, and
+bounded MODEL state in iterative fits (k×dim centroids, vocab-capped
+LMs, gradient rows — never row data). Scalar-statistic verbs
+(``impute``, ``summarize``) are expressed as single-pass
+aggregations cross-joined back as broadcast one-row plans, so they
+remain fully distributed.
 """
 
 from __future__ import annotations

@@ -35,6 +35,15 @@ TABLES = [
 # (it is also what our q_dedup_ngram_jaccard oracle runs).
 FALLBACK_TO = {"q_dedup_minhash": "q_dedup_ngram_jaccard"}
 
+# Headline queries whose oracle is an INVARIANT CHECK, not a
+# re-computation: the Spark side fits the model (Cox Newton passes,
+# SemDeDup k-means) while the DuckDB SQL only validates scaffolding
+# (constant TRUE columns + row counts, single-digit ms). A
+# spark_sec/duck_sec ratio would compare a model fit against a
+# COUNT(*) — recorded separately, excluded from vs_baseline, their
+# Spark wall still tracked in the bench headline.
+INVARIANT_ONLY = {"q_cox_check", "q_semdedup_check"}
+
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -48,6 +57,7 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     times: dict[str, float] = {}
+    invariant: dict[str, float] = {}
     skipped: list[str] = []
     for name in HEADLINE:
         sql_name = name if name in oracles else FALLBACK_TO.get(name)
@@ -61,7 +71,10 @@ def main():
             con.execute(sql).fetchall()
             el = time.monotonic() - t0
             best = el if best is None else min(best, el)
-        times[name] = round(best, 3)
+        if name in INVARIANT_ONLY:
+            invariant[name] = round(best, 3)
+        else:
+            times[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
@@ -73,6 +86,7 @@ def main():
         "sf": sf,
         "total_sec": round(sum(times.values()), 3),
         "queries": times,
+        "invariant_oracles": invariant,
         "skipped": skipped,
     }
 
@@ -95,6 +109,14 @@ def main():
         lines.append(f"| {name}{note} | {sec} |")
     lines += [
         f"| **total** | **{payload['total_sec']}** |",
+        "",
+        "Invariant-only oracles (the DuckDB SQL validates scaffolding —",
+        "constant TRUE columns — while Spark fits the actual model, so a",
+        "ratio would compare a Cox/k-means fit against a COUNT(*); Spark",
+        "wall still tracked in the bench headline, excluded from",
+        "vs_baseline): "
+        + (", ".join(f"{k} ({v}s)" for k, v in invariant.items()) or "none")
+        + ".",
         "",
         f"Skipped (engine-specific, no comparable SQL): {', '.join(skipped) or 'none'}.",
         "",
