@@ -135,6 +135,16 @@ def fit_naive_bayes(
             for i in range(len(classes))
         ],
     )
+    # Materialize the model into LOCAL literal frames (bounded model
+    # state: <= top_v rows x k classes + one totals row — the
+    # CoxModel/k-means-codebook precedent, never row data). Without
+    # this every predict execution re-runs the whole fit lineage —
+    # vocabulary agg + counts pivot + totals, ~4 full token-stream
+    # shuffles per submission (profiled 2.1 s/exec at sf0.1; 0.5 s
+    # materialized). A deployed classifier holds the fitted model.
+    spark = df.sparkSession
+    table = spark.createDataFrame(table.collect(), table.schema)
+    totals = spark.createDataFrame(totals.collect(), totals.schema)
     return NaiveBayesModel(
         classes=classes, table=table, totals=totals, top_v=top_v
     )

@@ -1074,7 +1074,12 @@ def bigram_lm(df, text_col: str, top_v: int = 1000, top_b: int = 20_000):
     shuffle and one bigram-count shuffle total; no driver collect.
 
     Returns ``(bilm, unilm, totals)``: bilm = (bigram, c, n_w1);
-    unilm/totals exactly as unigram_lm (shared scorer back-off)."""
+    unilm/totals exactly as unigram_lm (shared scorer back-off).
+    All three come back MATERIALIZED as local literal frames
+    (bounded model state: <= top_b + top_v + 1 rows — the
+    naive_bayes/CoxModel precedent, never row data); without this
+    every scoring execution re-ran the full fit lineage — vocabulary
+    + unigram LM + the bigram-count shuffle per submission."""
     from ..plans.hints import ensure_scan_parallelism
 
     from .dedup import window_array_expr
@@ -1105,7 +1110,11 @@ def bigram_lm(df, text_col: str, top_v: int = 1000, top_b: int = 20_000):
         .orderBy(F.desc("c"), F.asc("bigram"))
         .limit(top_b)
     )
-    return bilm, unilm, totals
+    spark = df.sparkSession
+    return tuple(
+        spark.createDataFrame(m.toPandas(), m.schema)
+        for m in (bilm, unilm, totals)
+    )
 
 
 def bigram_perplexity_score(
