@@ -325,3 +325,34 @@ def test_spearman_and_bootstrap_no_cartesian_data_paths(spark, sf_dir):
     assert "CartesianProduct" not in p2
     # replicate explode combines map-side: partial agg before exchange
     assert "partial_" in p2 or "HashAggregate" in p2
+
+
+def test_skew_join_salted_plan(spark, sf_dir):
+    """q_skew_join must actually exercise the salted sort-merge path:
+    no broadcast of the replicated dim (the merge hint holds), the
+    join keys include the salt, and the zipf-key derivation stays
+    in-row (no extra exchange for it)."""
+    from dataframe_spark.queries.relational import q_skew_join
+
+    plan = _plan(q_skew_join(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert "__salt" in plan            # salt is a join key
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_phash_pairs_banded_plan(spark, sf_dir):
+    """The perceptual-hash dedup must join on banded chunks (hash
+    join on chunk values), never cross-join the corpus; the
+    signature frame is persisted so the self-join's two sides share
+    ONE hash computation."""
+    from dataframe_spark.operators.multimodal import (
+        attach_payload,
+        phash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_payload(docs, "doc_id", "text")
+    plan = _plan(phash_pairs(media))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "InMemoryRelation" in plan  # _reusable signature frame
+    assert "chunk" in plan             # banded join keys
