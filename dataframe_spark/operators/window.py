@@ -34,6 +34,25 @@ def epoch_seconds(df: SparkDF, time_col: str):
     return F.col(time_col).cast("timestamp").cast("double")
 
 
+def _kernel_width(src: SparkDF, keys) -> SparkDF:
+    """Pre-partition a grouped-Python-kernel input by its keys at
+    defaultParallelism width. AQE coalesces the groupBy exchange by
+    BYTES, but a grouped applyInPandas stage's cost is per-GROUP
+    Python/Arrow overhead AQE cannot see — a many-small-keys panel
+    (1500 users, 100k rows) collapsed to 2 tasks and serialized the
+    kernel (q_holt 2.42 s -> 0.66 s with this, r7). The explicit
+    repartition satisfies the groupBy's ClusteredDistribution, so
+    the plan still has exactly ONE exchange; on a cluster
+    defaultParallelism = total cores, the right width for a
+    CPU-bound kernel stage. Spark Connect (no sparkContext) falls
+    back to the plain groupBy exchange."""
+    try:
+        width = src.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        return src
+    return src.repartition(width, *keys)
+
+
 def asof_join(
     left: SparkDF,
     right: SparkDF,
@@ -390,7 +409,9 @@ def ewma(
         pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
         return pdf
 
-    return src.groupBy(*keys).applyInPandas(_kernel, schema)
+    return _kernel_width(src, keys).groupBy(*keys).applyInPandas(
+        _kernel, schema
+    )
 
 
 def apply_cdc(
@@ -610,7 +631,9 @@ def cusum_changepoint(
             }
         )
 
-    return src.groupBy(*keys).applyInPandas(_kernel, schema)
+    return _kernel_width(src, keys).groupBy(*keys).applyInPandas(
+        _kernel, schema
+    )
 
 
 def holt_linear(
@@ -692,4 +715,6 @@ def holt_linear(
             }
         )
 
-    return src.groupBy(*keys).applyInPandas(_kernel, schema)
+    return _kernel_width(src, keys).groupBy(*keys).applyInPandas(
+        _kernel, schema
+    )

@@ -87,7 +87,10 @@ WINDOW_PRIORITY = [
     "q_describe",
     "q_value_counts",
     "q_mode",
-    "q_collect_list",
+    "q_ewma",                  # plan changed r7 (_kernel_width) after its
+                               # r6 green row — must re-enter; takes
+                               # q_collect_list's backfill slot (r4-green,
+                               # plan unchanged, pytest parity, r8 queue)
     "q4_order_priority",
     "q7_nation_volume",
     "q9_product_profit",
