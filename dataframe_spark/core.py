@@ -2049,5 +2049,14 @@ class GroupedDataFrame:
     def apply_in_pandas(self, fn, schema) -> DataFrame:
         """Escape hatch for per-group imperative logic (Arrow-batched
         grouped-map, the Spark-native analogue of the reference's
-        vector-of-vectors group representation)."""
-        return DataFrame(self.df.groupBy(*self.keys).applyInPandas(fn, schema))
+        vector-of-vectors group representation). Pre-partitioned at
+        kernel width: AQE coalesces the exchange by bytes, but the
+        stage cost is per-GROUP Python overhead AQE can't see (the
+        q_holt lesson, r7)."""
+        from .operators.window import _kernel_width
+
+        return DataFrame(
+            _kernel_width(self.df, self.keys)
+            .groupBy(*self.keys)
+            .applyInPandas(fn, schema)
+        )
