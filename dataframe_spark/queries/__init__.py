@@ -82,15 +82,17 @@ WINDOW_PRIORITY = [
     "q_embed_centroid",
     "q_text_quality",
     "q_stream_dedup",
-    # 41-50: r4 backfill rotation (rest of the r4 cohort enters r8)
+    # 41-50: r4 backfill rotation + late-r7 plan-change re-entries.
+    # q_ewma (_kernel_width), q_naive_bayes and q_bigram_ppl (bounded
+    # model tables materialized at fit time) all changed plans AFTER
+    # their r6 green rows — the must-re-enter rule outranks backfill,
+    # taking the q_collect_list / q_value_counts / q_mode slots
+    # (r4-green, plans unchanged, continuous pytest parity, r8 queue).
     "q_stats_agg",
     "q_describe",
-    "q_value_counts",
-    "q_mode",
-    "q_ewma",                  # plan changed r7 (_kernel_width) after its
-                               # r6 green row — must re-enter; takes
-                               # q_collect_list's backfill slot (r4-green,
-                               # plan unchanged, pytest parity, r8 queue)
+    "q_ewma",
+    "q_naive_bayes",
+    "q_bigram_ppl",
     "q4_order_priority",
     "q7_nation_volume",
     "q9_product_profit",
