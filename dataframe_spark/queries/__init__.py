@@ -93,7 +93,10 @@ WINDOW_PRIORITY = [
     "q_ewma",
     "q_naive_bayes",
     "q_bigram_ppl",
-    "q4_order_priority",
+    "q_image_quality",         # NEW late-r7 (oracle-backed quality gates);
+                               # never-checked-first rule — takes
+                               # q4_order_priority's backfill slot
+                               # (r4-green, plan unchanged, r8 queue)
     "q7_nation_volume",
     "q9_product_profit",
     "q13_order_counts",

@@ -306,6 +306,21 @@ def q_image_phash_dedup(spark, sf_dir):
     return multimodal.phash_pairs(media, "media_id", "payload")
 
 
+def q_image_quality(spark, sf_dir):
+    """Image quality gates (multimodal.image_quality): width/height
+    from the deterministic fake decode, aspect, Shannon byte-entropy,
+    and the combined keep verdict — every column re-derived by the
+    oracle from the same payload bytes (ASCII: ORD(char) == byte)."""
+    docs = _t(spark, sf_dir, "documents").df
+    media = multimodal.attach_payload(docs, "doc_id", "text")
+    out = multimodal.image_quality(
+        media, min_width=64, max_aspect=1.6, min_entropy=1.0
+    )
+    return out.select(
+        "media_id", "width", "height", "aspect", "entropy", "keep"
+    )
+
+
 def q_embed_norm(spark, sf_dir):
     """L2 normalization + int8 quantization, verified per row: the
     raw norm, the first normalized element, and the integer checksum
@@ -541,6 +556,7 @@ QUERIES = {
     "q_knn_ivf": q_knn_ivf,
     "q_multimodal_meta": q_multimodal_meta,
     "q_image_phash_dedup": q_image_phash_dedup,
+    "q_image_quality": q_image_quality,
     "q_embed_norm": q_embed_norm,
     "q_embed_centroid": q_embed_centroid,
     "q_fuzzy_pairs": q_fuzzy_pairs,
@@ -806,6 +822,40 @@ ORACLES = {
                BIT_COUNT(XOR(a.ahash, b.ahash)) AS hamming
         FROM hm a JOIN hm b ON a.media_id < b.media_id
         WHERE BIT_COUNT(XOR(a.ahash, b.ahash)) <= 3
+    """,
+    # every feature re-derived from the payload bytes: width/height
+    # are the documented fake-decode (64 + n % 64, 64 + n % 48 over
+    # the byte length), entropy is Shannon over the byte histogram
+    # (ASCII text: ORD(char) == byte), keep = the same gates the
+    # Spark side applies (rounded aspect <= 1.6, entropy >= 1.0,
+    # width >= 64)
+    "q_image_quality": """
+        WITH cp AS (
+          SELECT doc_id,
+                 UNNEST(LIST_TRANSFORM(
+                   LIST_FILTER(STRING_SPLIT(text, ''), c -> c <> ''),
+                   c -> ORD(c))) AS b
+          FROM documents
+        ), hist AS (
+          SELECT doc_id, b, COUNT(*) AS c FROM cp GROUP BY 1, 2
+        ), tot AS (
+          SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n FROM hist GROUP BY 1
+        ), feat AS (
+          SELECT h.doc_id,
+                 -SUM((c / n) * LOG2(c / n)) AS entropy,
+                 CAST(MAX(64 + CAST(n AS BIGINT) % 64) AS INT) AS width,
+                 CAST(MAX(64 + CAST(n AS BIGINT) % 48) AS INT) AS height
+          FROM hist h JOIN tot t USING (doc_id) GROUP BY 1
+        )
+        SELECT doc_id AS media_id, width, height,
+               ROUND(GREATEST(width, height) * 1.0
+                     / LEAST(width, height), 4) AS aspect,
+               ROUND(entropy, 4) AS entropy,
+               (width >= 64
+                AND ROUND(GREATEST(width, height) * 1.0
+                          / LEAST(width, height), 4) <= 1.6
+                AND entropy >= 1.0) AS keep
+        FROM feat
     """,
     # q_dedup_minhash / q_dedup_simhash / q_knn_lsh / q_sample:
     # intentionally no oracle (engine-hash / RNG dependent) —
