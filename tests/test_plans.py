@@ -356,3 +356,19 @@ def test_phash_pairs_banded_plan(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "InMemoryRelation" in plan  # _reusable signature frame
     assert "chunk" in plan             # banded join keys
+
+
+def test_grouped_kernel_width_single_exchange(spark, sf_dir):
+    """_kernel_width's explicit repartition must SATISFY the
+    groupBy's distribution (one exchange total) while widening the
+    kernel stage past AQE's byte-based coalescing (the q_holt
+    2.4s->0.66s lesson, r7)."""
+    from dataframe_spark.operators.window import holt_linear
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = _plan(
+        holt_linear(ev, ["user_id"], "ts", "value",
+                    tiebreak_cols=["event_id"])
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "REPARTITION_BY_NUM" in plan  # width pinned, AQE can't shrink it
