@@ -96,6 +96,23 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
 
     print(to_markdown(D.DataFrame(tri.orderBy("cohort", "period_offset")), n=8))
 
+    # 6. Per-user monitoring: Holt trend forecast + CUSUM change
+    #    alarms over the value stream (one key shuffle each; the
+    #    kernels run width-pinned — see _kernel_width)
+    from dataframe_spark.operators.window import (
+        cusum_changepoint,
+        holt_linear,
+    )
+
+    hl = holt_linear(ev, ["user_id"], "ts", "value",
+                     horizon=5, tiebreak_cols=["event_id"])
+    up = hl.where("trend > 0").count()
+    print(f"users trending up (Holt 5-step): {up}")
+    cp = cusum_changepoint(ev, ["user_id"], "ts", "value",
+                           threshold=5.0, tiebreak_cols=["event_id"])
+    alarms = cp.where("first_alarm is not null").count()
+    print(f"users with a CUSUM change alarm: {alarms}")
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
