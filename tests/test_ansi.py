@@ -13,6 +13,7 @@ SF = "/root/testdata/sf0.001"
 RISKY = [
     "q_skew_join",       # r7 md5-uniform hot-key cast + /1e9 scaling
     "q_image_phash_dedup",  # r7 bigint shifts/bit_count + hash casts
+    "q_image_quality",   # r7 aspect division (nullif) + entropy kernel
     "q_dedup_cluster",   # hash-sum convergence checksum (overflow)
     "q_synthesis",       # pearson corr on constant candidates (0/0)
     "q_numeric_fns",     # division-heavy expression surface
