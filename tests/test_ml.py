@@ -290,6 +290,39 @@ def test_naive_bayes_margin_abstention_and_ties(spark):
         fit_naive_bayes(df.where("y is null"), "y", "text")
 
 
+def test_naive_bayes_inrow_and_join_paths_agree(spark):
+    """The small-vocab in-row map scorer and the large-vocab
+    explode/join scorer must produce identical (predicted, margin)
+    on the same model — exercised on a corpus whose vocabulary
+    exceeds the 2000-row gate so predict routes to the JOIN path,
+    then compared against the in-row scorer called directly."""
+    import numpy as np
+
+    from dataframe_spark.ml import fit_naive_bayes, predict_naive_bayes
+    from dataframe_spark.ml.naive_bayes import _predict_inrow
+
+    rng = np.random.RandomState(3)
+    vocab = [f"tok{i}" for i in range(2600)]
+    rows = []
+    for d in range(120):
+        y = "a" if d % 2 == 0 else "b"
+        # class-skewed halves of the big vocabulary + shared noise
+        base = 0 if y == "a" else 1300
+        words = [vocab[base + int(rng.randint(0, 1300))] for _ in range(30)]
+        words += [vocab[int(rng.randint(0, 2600))] for _ in range(5)]
+        rows.append((d, y, " ".join(words)))
+    df = spark.createDataFrame(rows, "id long, y string, text string")
+    m = fit_naive_bayes(df, "y", "text", top_v=2600)
+    assert m.table.count() > 2000          # the gate routes to the join path
+    joined = {r["id"]: (r["predicted"], r["margin"])
+              for r in predict_naive_bayes(df, "id", "text", m,
+                                           margin=1e-3).collect()}
+    inrow = {r["id"]: (r["predicted"], r["margin"])
+             for r in _predict_inrow(df, "id", "text", m,
+                                     1e-3, 6).collect()}
+    assert joined == inrow and len(joined) == 120
+
+
 def test_ols_recovers_planted_coefficients(spark):
     import numpy as np
 
