@@ -103,6 +103,16 @@ WINDOW_PRIORITY = [
     "q17_small_quantity",
 ]
 
+# R8 ROTATION QUEUE (stale-first, unless r8 plan changes preempt):
+# the r4-green cohort not covered by the r7 window — q_collect_list,
+# q_value_counts, q_mode, q4_order_priority (late-r7 evictions),
+# q_ohlc, q_json_extract, q_ntile, q_quantile_bucket, q_rollup,
+# q_grouping_sets, q_skewness, q_hcat, q_duplicated_spans,
+# q_sample_group, q_interval_join, and the TPC-H composites
+# q8/q10/q12/q14/q15/q18/q19/q21/q22 — then the r5-green cohort by
+# age. All remain under continuous full-registry pytest parity at
+# sf0.001 meanwhile.
+#
 # (Previous rounds' windows live in git history for the rotation
 # audit trail.)
 # plain raise, not assert: the guard must survive python -O
