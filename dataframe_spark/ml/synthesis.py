@@ -234,8 +234,8 @@ def _score(
     results: list[tuple[Prog, float, int]] = []
     progs = _nub_by_key(progs)
     cfg_chunk = 100
-    for lo in range(0, len(progs), cfg_chunk):
-        chunk = progs[lo : lo + cfg_chunk]
+
+    def _score_chunk(chunk):
         aggs = []
         for i, p in enumerate(chunk):
             c = p.col
@@ -274,6 +274,7 @@ def _score(
                 raise ValueError(f"unknown loss {loss!r}")
             aggs.extend([bad, sig, *score_exprs])
         row = work.agg(*aggs).first()
+        chunk_results: list[tuple[Prog, float, int]] = []
         for i, p in enumerate(chunk):
             if row[f"b{i}"]:
                 continue
@@ -296,7 +297,28 @@ def _score(
                 )
             if score is None or math.isnan(score) or math.isinf(score):
                 continue
-            results.append((p, score, row[f"g{i}"]))
+            chunk_results.append((p, score, row[f"g{i}"]))
+        return chunk_results
+
+    # Chunks are independent aggregations over the SAME persisted
+    # working set — submit them as CONCURRENT Spark jobs (py4j job
+    # submission is thread-safe; the scheduler interleaves their
+    # stages across the executor cores) instead of serially paying
+    # ~n_chunks x per-job latency. Results are reassembled in chunk
+    # order so the stable size-sort's tie-breaks — and therefore the
+    # returned beam — are byte-identical to the serial loop.
+    chunks = [
+        progs[lo : lo + cfg_chunk] for lo in range(0, len(progs), cfg_chunk)
+    ]
+    if len(chunks) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(chunks))) as ex:
+            for part in ex.map(_score_chunk, chunks):
+                results.extend(part)
+    else:
+        for chunk in chunks:
+            results.extend(_score_chunk(chunk))
     # result-equivalence dedup: smallest expression wins per signature
     results.sort(key=lambda r: r[0].size)
     seen_sigs, out = set(), []

@@ -89,7 +89,10 @@ WINDOW_PRIORITY = [
     # taking the q_collect_list / q_value_counts / q_mode slots
     # (r4-green, plans unchanged, continuous pytest parity, r8 queue).
     "q_stats_agg",
-    "q_describe",
+    "q_synthesis_check",       # late-r7 plan change (concurrent-chunk
+                               # scoring) after its r6 green row — must
+                               # re-enter; takes q_describe's backfill
+                               # slot (r4-green, plan unchanged, r8 queue)
     "q_ewma",
     "q_naive_bayes",
     "q_bigram_ppl",
