@@ -42,6 +42,11 @@ class NaiveBayesModel:
     table: SparkDF  # (token, __lp_<i> per class) bounded by top_v
     totals: SparkDF  # one row: __prior_<i>, __oov_<i> per class
     top_v: int = 1000
+    # retained-vocabulary size, cached at fit time so path selection
+    # in predict never triggers a Spark job (a count() on a
+    # lineage-backed table would re-run the whole fit). None for a
+    # hand-built model → predict falls back to counting once.
+    n_vocab: int | None = None
 
 
 def fit_naive_bayes(
@@ -143,10 +148,15 @@ def fit_naive_bayes(
     # shuffles per submission (profiled 2.1 s/exec at sf0.1; 0.5 s
     # materialized). A deployed classifier holds the fitted model.
     spark = df.sparkSession
-    table = spark.createDataFrame(table.collect(), table.schema)
+    table_rows = table.collect()
+    table = spark.createDataFrame(table_rows, table.schema)
     totals = spark.createDataFrame(totals.collect(), totals.schema)
     return NaiveBayesModel(
-        classes=classes, table=table, totals=totals, top_v=top_v
+        classes=classes,
+        table=table,
+        totals=totals,
+        top_v=top_v,
+        n_vocab=len(table_rows),
     )
 
 
@@ -168,18 +178,27 @@ def predict_naive_bayes(
     — what an oracle-compared confusion matrix should count
     separately). Zero-token docs are absent.
 
-    Plan gate: models up to 2000 vocab rows score IN-ROW — the
-    (token -> per-class logp array) table compiles to a literal map
-    and the whole document scores inside one ``aggregate``/
-    ``zip_with`` expression over its tf pairs: map-only, ZERO
-    shuffles, fuses into the scan (measured 1.18 s -> 0.29 s at
-    sf0.1, confusion matrix byte-identical). GetMapValue is a
-    linear probe, so larger vocabularies route through the
-    explode -> broadcast-join -> per-doc agg plan below instead."""
+    Plan gate: small models score IN-ROW — the (token -> per-class
+    logp array) table compiles to a literal map and the whole
+    document scores inside one ``aggregate``/``zip_with`` expression
+    over its tf pairs: map-only, ZERO shuffles, fuses into the scan
+    (measured 1.18 s -> 0.29 s at sf0.1, confusion matrix
+    byte-identical). The gate bounds TOTAL literal size
+    (vocab x classes <= 4000 scalar entries), not just vocab rows —
+    a wide-class model (k=50) would otherwise compile a ~100k-expr
+    analyzed plan and fall out of codegen. GetMapValue is a linear
+    probe, so larger models route through the explode ->
+    broadcast-join -> per-doc agg plan below instead. Vocab size
+    comes from the fit-time cache (model.n_vocab); counting a
+    lineage-backed table here would launch a full fit re-run just
+    to pick a path."""
     from ..operators.text import term_freq_pairs
 
     k = len(model.classes)
-    if model.table.count() <= 2000:
+    n_vocab = model.n_vocab
+    if n_vocab is None:  # hand-built model: count once, cache
+        n_vocab = model.n_vocab = model.table.count()
+    if n_vocab * k <= 4000:
         return _predict_inrow(
             df, id_col, text_col, model, margin, round_decimals
         )

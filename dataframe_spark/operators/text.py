@@ -1111,8 +1111,12 @@ def bigram_lm(df, text_col: str, top_v: int = 1000, top_b: int = 20_000):
         .limit(top_b)
     )
     spark = df.sparkSession
+    # collect()-based materialization (the fit_naive_bayes idiom):
+    # a pandas round-trip would coerce any nullable long column to
+    # float64/NaN and then fail or silently quantize against the
+    # long schema — Row lists re-create losslessly.
     return tuple(
-        spark.createDataFrame(m.toPandas(), m.schema)
+        spark.createDataFrame(m.collect(), m.schema)
         for m in (bilm, unilm, totals)
     )
 

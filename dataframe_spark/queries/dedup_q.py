@@ -803,6 +803,10 @@ ORACLES = {
                    LIST_FILTER(STRING_SPLIT(text, ''), c -> c <> ''),
                    c -> CAST(ORD(c) AS BIGINT)) AS v
           FROM documents
+          -- operator contract: null/empty payloads hash to null and
+          -- are filtered before pairing (an all-zero grid would
+          -- otherwise pair every empty doc at hamming 0)
+          WHERE text IS NOT NULL AND LEN(text) > 0
         ), grid AS (
           SELECT media_id, i,
                  COALESCE(LIST_SUM(
@@ -847,15 +851,19 @@ ORACLES = {
                  CAST(MAX(64 + CAST(n AS BIGINT) % 48) AS INT) AS height
           FROM hist h JOIN tot t USING (doc_id) GROUP BY 1
         )
-        SELECT doc_id AS media_id, width, height,
-               ROUND(GREATEST(width, height) * 1.0
-                     / LEAST(width, height), 4) AS aspect,
-               ROUND(entropy, 4) AS entropy,
-               (width >= 64
-                AND ROUND(GREATEST(width, height) * 1.0
-                          / LEAST(width, height), 4) <= 1.6
-                AND entropy >= 1.0) AS keep
-        FROM feat
+        -- LEFT JOIN from documents: the operator emits a row for
+        -- EVERY doc — null/empty payloads get null features and an
+        -- explicit keep=false (cp produces no rows for them, so an
+        -- inner shape would drop them from the oracle)
+        SELECT d.doc_id AS media_id, f.width, f.height,
+               ROUND(GREATEST(f.width, f.height) * 1.0
+                     / LEAST(f.width, f.height), 4) AS aspect,
+               ROUND(f.entropy, 4) AS entropy,
+               COALESCE(f.width >= 64
+                AND ROUND(GREATEST(f.width, f.height) * 1.0
+                          / LEAST(f.width, f.height), 4) <= 1.6
+                AND f.entropy >= 1.0, FALSE) AS keep
+        FROM documents d LEFT JOIN feat f ON d.doc_id = f.doc_id
     """,
     # q_dedup_minhash / q_dedup_simhash / q_knn_lsh / q_sample:
     # intentionally no oracle (engine-hash / RNG dependent) —

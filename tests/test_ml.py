@@ -313,7 +313,8 @@ def test_naive_bayes_inrow_and_join_paths_agree(spark):
         rows.append((d, y, " ".join(words)))
     df = spark.createDataFrame(rows, "id long, y string, text string")
     m = fit_naive_bayes(df, "y", "text", top_v=2600)
-    assert m.table.count() > 2000          # the gate routes to the join path
+    # gate bounds vocab x classes; this model exceeds it → join path
+    assert m.n_vocab is not None and m.n_vocab * len(m.classes) > 4000
     joined = {r["id"]: (r["predicted"], r["margin"])
               for r in predict_naive_bayes(df, "id", "text", m,
                                            margin=1e-3).collect()}
@@ -321,6 +322,31 @@ def test_naive_bayes_inrow_and_join_paths_agree(spark):
              for r in _predict_inrow(df, "id", "text", m,
                                      1e-3, 6).collect()}
     assert joined == inrow and len(joined) == 120
+
+
+def test_naive_bayes_wide_class_gate_and_vocab_cache(spark):
+    """The in-row gate bounds TOTAL literal size (vocab x classes),
+    so a many-class model with a small vocabulary must route to the
+    join path even though its row count alone would pass; and the
+    fit caches n_vocab so path selection never launches a job."""
+    from dataframe_spark.ml import fit_naive_bayes, predict_naive_bayes
+    from dataframe_spark.ml.naive_bayes import _predict_inrow
+
+    # 10 classes x 500 vocab rows = 5000 literal entries > 4000
+    rows = []
+    for d in range(300):
+        c = d % 10
+        words = [f"w{c}_{d}_{j}" for j in range(3)] + [f"shared{d % 50}"]
+        rows.append((d, f"c{c}", " ".join(words)))
+    df = spark.createDataFrame(rows, "id long, y string, text string")
+    m = fit_naive_bayes(df, "y", "text", top_v=500)
+    assert m.n_vocab == m.table.count()  # cache matches reality
+    assert m.n_vocab * len(m.classes) > 4000
+    joined = {r["id"]: r["predicted"]
+              for r in predict_naive_bayes(df, "id", "text", m).collect()}
+    inrow = {r["id"]: r["predicted"]
+             for r in _predict_inrow(df, "id", "text", m, 0.0, 6).collect()}
+    assert joined == inrow and len(joined) == 300
 
 
 def test_ols_recovers_planted_coefficients(spark):
