@@ -108,77 +108,6 @@ def _aes_log_key(key_cols, w: Column) -> Column:
     return F.log(u) / w
 
 
-def _pack_columns(num_cols):
-    """mapInPandas factory for summarize's small path: per input
-    partition, emit ONE (ci, vals) row per numeric column with the
-    partition's non-null, non-NaN values packed into an array. The
-    quartile shuffle then moves partitions x columns array rows
-    instead of rows x columns scalar rows — same bytes, ~4 orders
-    of magnitude fewer shuffle records (measured 0.79 s -> 0.71 s
-    at sf0.1 over the posexplode melt it replaces)."""
-
-    def _pack(it):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in it:
-            rows = []
-            for i, c in enumerate(num_cols):
-                v = pdf[c].to_numpy()  # double dtype: nulls arrive as NaN
-                rows.append({"ci": i, "vals": v[~np.isnan(v)]})
-            yield pd.DataFrame(rows)
-
-    return _pack
-
-
-_SUMMARY_COLS = ["ci", "mean", "std", "min", "q25", "median", "q75", "max"]
-
-
-def _np_summary(pdf):
-    """Arrow kernel for summarize's small path: moments AND exact
-    interpolated quartiles (numpy 'linear' == SQL percentile_cont)
-    of ONE column's values in a single pass — the per-partition
-    arrays from _pack_columns are concatenated in-worker, keyed by
-    column index so each numeric column is its own group and the
-    kernels run column-parallel instead of funnelling the whole
-    numeric projection through one worker. Computing the moments
-    here too (r5) deletes the separate moments agg scan + the
-    moments↔quartiles join the small path used to pay: the reducer
-    already holds the full (null/NaN-cleaned) column. Quartiles are
-    bit-identical to ``F.percentile``; moments match the
-    distributed path's JVM aggregates to ~1e-12 relative (verified
-    in tests). A single value yields std = NaN, matching
-    ``F.stddev_samp``."""
-    import numpy as np
-    import pandas as pd
-
-    ci = int(pdf["ci"].iloc[0])
-    v = (
-        np.concatenate([np.asarray(a) for a in pdf["vals"]])
-        if len(pdf)
-        else np.array([])
-    )
-    if len(v) == 0:  # all-null column: every statistic stays null
-        return pd.DataFrame(
-            [(ci,) + (None,) * 7], columns=_SUMMARY_COLS
-        )
-    q = np.quantile(v, [0.25, 0.5, 0.75])
-    std = float(np.std(v, ddof=1)) if len(v) >= 2 else float("nan")
-    return pd.DataFrame(
-        [(
-            ci,
-            float(np.mean(v)),
-            std,
-            float(np.min(v)),
-            float(q[0]),
-            float(q[1]),
-            float(q[2]),
-            float(np.max(v)),
-        )],
-        columns=_SUMMARY_COLS,
-    )
-
-
 class DataFrame:
     """Reference-style verbs compiled to Spark plans."""
 
@@ -1773,44 +1702,104 @@ class DataFrame:
             distributed = self._plan_size_bytes() > QUANTILE_BUFFER_MAX_BYTES
         if distributed:
             return self._summarize_distributed(df, num_cols)
-        # pack each partition's column values into arrays keyed by
-        # column index (ci), then shuffle the packed rows so each
-        # column lands on its own reducer and the Arrow summary
-        # kernel (moments + quartiles, one pass — see _np_summary)
-        # runs column-parallel. Nulls AND NaN drop inside the pack
-        # kernel (np.quantile has no skipna and one NaN poisons it);
-        # an all-null column still has its (empty-array) group and
-        # yields an all-null row.
-        # coalesce(16): the gate already bounds this input, so fewer
-        # Python tasks = fewer worker dispatch + Arrow round-trip
-        # latencies, the measured floor of this path (1.04 s -> 0.80 s
-        # at sf0.1; coalesce never increases partition count, so
-        # already-narrow inputs are untouched). Profiled alternatives
-        # all slower: F.percentile buffers 1.7 s, approx+exact-refine
-        # 3.1 s, single-reducer 1.3 s, JVM melt+window-sort 2.0 s,
-        # JVM sort_array+element_at 1.6 s, one-row collect_list 0.84 s.
-        packed = df.select(
-            *[F.col(c).cast("double").alias(c) for c in num_cols]
-        ).coalesce(16).mapInPandas(
-            _pack_columns(num_cols), "ci int, vals array<double>"
+        # Small path, r8: ALL-JVM — the radix histogram locates each
+        # quartile's bin, pass 2 sorts ONLY the hit bins' values
+        # (exact_quantiles_tails; gate-bounded state), and moments
+        # run as an independent branch of the SAME plan (scheduled
+        # concurrently). The two branches meet in a UNION + 16-row
+        # agg instead of broadcast joins: each broadcast wait was a
+        # serial stage, and swapping them out took the sf0.1 wall
+        # 0.94 s -> 0.64 s; replacing the r5-r7 two-Arrow-stage
+        # kernel (pack + np_summary, floor ~0.80 s: two Python
+        # stage boundaries) lands at 0.54 s. coalesce(12): the gate
+        # bounds this input, so fewer tasks = less dispatch latency;
+        # never increases partition count. The final ordering is
+        # coalesce(1).sortWithinPartitions — the output is #cols
+        # rows, and a global orderBy's range exchange measured
+        # 0.11 s of pure latency on 8 rows.
+        from .operators.quantiles import exact_quantiles_tails
+
+        src = df.coalesce(12)
+        probs = [0.25, 0.5, 0.75]
+        names = ["q25", "median", "q75"]
+        # merge_pieces=False: the ≤2 straddle piece rows per
+        # (column, prob) merge inside the union-final agg below
+        # instead of their own exchange (one fewer serial stage)
+        quarts = exact_quantiles_tails(
+            src, num_cols, probs, nparts=12, merge_pieces=False
         )
-        summary = packed.groupBy("ci").applyInPandas(
-            _np_summary,
-            "ci int, mean double, std double, min double, "
-            "q25 double, median double, q75 double, max double",
+        aggs = []
+        for c in num_cols:
+            # NaN skipped to match exact_quantiles_tails' cleaning
+            cc = F.col(c).cast("double")
+            cc = F.when(~F.isnan(cc), cc)
+            aggs += [
+                F.avg(cc).alias(f"__mean_{c}"),
+                F.stddev_samp(cc).alias(f"__std_{c}"),
+                F.min(cc).alias(f"__min_{c}"),
+                F.max(cc).alias(f"__max_{c}"),
+            ]
+        one = src.agg(*aggs)
+        stack_args = []
+        for i, c in enumerate(num_cols):
+            stack_args.append(str(i))
+            stack_args += [
+                _bq(f"__{s}_{c}") for s in ("mean", "std", "min", "max")
+            ]
+        moments = one.selectExpr(
+            f"stack({len(num_cols)}, {', '.join(stack_args)}) as "
+            "(__ci, mean, std, min, max)"
         )
-        # literal column spine: a fully EMPTY input yields no Arrow
-        # batches at all, and every column must still get its
-        # (all-null) row — both sides of this join are #cols rows
-        spine = df.sparkSession.createDataFrame(
-            [(i, c) for i, c in enumerate(num_cols)],
-            "ci int, column_name string",
+        # the moments stack always yields one row per column (a
+        # global agg returns a row even on empty input), so every
+        # column gets its (all-null) row with no literal spine join
+        null_d = F.lit(None).cast("double")
+        piece_cols = [
+            f"__{n}_{s}" for n in names for s in ("vlo", "vhi", "frac")
+        ]
+        m_wide = moments.select(
+            "__ci", "mean", "std", "min", "max",
+            *[null_d.alias(pc) for pc in piece_cols],
         )
+        q_wide = quarts.select(
+            "__ci",
+            *[null_d.alias(s) for s in ("mean", "std", "min", "max")],
+            *[
+                F.when(F.col("prob") == p, F.col(f"__{s}")).alias(
+                    f"__{n}_{s}"
+                )
+                for p, n in zip(probs, names)
+                for s in ("vlo", "vhi", "frac")
+            ],
+        )
+        merged = m_wide.unionByName(q_wide).groupBy("__ci").agg(
+            *[
+                F.max(s).alias(s)
+                for s in ("mean", "std", "min", "max", *piece_cols)
+            ]
+        )
+        name_arr = F.array(*[F.lit(c) for c in num_cols])
+        quart_exprs = [
+            (
+                F.col(f"__{n}_vlo")
+                + F.col(f"__{n}_frac")
+                * (F.col(f"__{n}_vhi") - F.col(f"__{n}_vlo"))
+            ).alias(n)
+            for n in names
+        ]
         return self._wrap(
-            spine.join(summary, "ci", "left")
-            .orderBy("ci")
+            merged.select(
+                F.element_at(name_arr, F.col("__ci") + 1).alias(
+                    "column_name"
+                ),
+                "__ci", "mean", "std", "min", *quart_exprs, "max",
+            )
+            .coalesce(1)
+            .sortWithinPartitions("__ci")
+            .drop("__ci")
             .select(
-                "column_name", "mean", "std", "min", "q25", "median", "q75", "max"
+                "column_name",
+                "mean", "std", "min", "q25", "median", "q75", "max",
             )
         )
 

@@ -49,6 +49,12 @@ _MAG_CLAMP = 70000.0
 _TOP = 200_000  # shift that keeps every finite bin id positive
 
 
+def _bt(name: str) -> str:
+    """Backtick-quoted identifier for selectExpr interpolation
+    (doubles embedded backticks)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _radix_bin(v: Column) -> Column:
     """Deterministic monotonic bin id for a double: larger value ⇒
     larger (or equal) bin, at 64 sub-bins per binary octave —
@@ -261,6 +267,150 @@ def exact_quantiles(
         ).alias("column_name"),
         "prob",
         "value",
+    )
+
+
+def exact_quantiles_tails(
+    df: SparkDF,
+    cols: Sequence[str],
+    probs: Sequence[float],
+    nparts: int = 12,
+    merge_pieces: bool = True,
+) -> SparkDF:
+    """Gated-SMALL-input exact quantiles: (__ci, prob, value) with
+    ``__ci`` the 0-based index into ``cols``; nulls and NaN
+    excluded, all-null columns absent. Values are identical to
+    :func:`exact_quantiles` (quantile_cont semantics).
+
+    The scale engine (:func:`_exact_quantiles_impl`) keeps every
+    stage bounded regardless of input size and pays in serial
+    stages for it (pass-2's count agg → window → conditional-min
+    chain). Below the plan-size gate the input itself is bounded,
+    so pass 2 collapses to ONE agg: per hit (column, radix-bin),
+    ``sort_array(collect_list(v))`` materializes the bin's sorted
+    values (a bin is a ~1/64-octave slice of one column — small at
+    any gated size) and the bracketing order statistics read out by
+    index. With the r7 union-final everywhere (no broadcast-join
+    tail) this took summarize's sf0.1 wall 0.82 s → 0.54 s over the
+    two-Arrow-stage kernel it replaces, and the whole plan is JVM.
+
+    ``coalesce(nparts)``: the gate already bounds the input, so
+    fewer tasks = less dispatch latency (the measured floor of the
+    pack path this replaces); coalesce never increases partition
+    count, so narrow inputs are untouched.
+
+    Straddle case: when ``jlo`` is the last index of its bin and
+    ``jhi`` the first of the next populated bin, there are TWO hit
+    rows per (column, prob). Each extracts its in-range piece with
+    null-safe ``F.get`` (``element_at`` would throw INVALID_INDEX_
+    OF_ZERO on the out-of-range side — and the driver may run under
+    ANSI), and a tiny final agg merges the pieces. With
+    ``merge_pieces=False`` the un-merged piece rows come back
+    instead — (__ci, prob, __vlo, __vhi, __frac), ≤2 rows per
+    (column, prob) — so a caller that already ends in a per-column
+    agg (summarize's union-final) can fold the merge into it and
+    skip this plan's last exchange."""
+    probs = list(dict.fromkeys(float(p) for p in probs))
+    src = df.coalesce(nparts)
+    stack_args = ", ".join(
+        f"{i}, CAST({_bt(c)} AS DOUBLE)" for i, c in enumerate(cols)
+    )
+
+    def stacked() -> SparkDF:
+        return (
+            src.selectExpr(f"stack({len(cols)}, {stack_args}) AS (__ci, __v)")
+            .where(F.col("__v").isNotNull() & ~F.isnan(F.col("__v")))
+            .withColumn("__bin", _radix_bin(F.col("__v")))
+        )
+
+    # PASS 1: per-(column, bin) histogram — #cols × #populated-bins
+    # rows after the map-side combine, then ONE window pass for the
+    # exclusive prefix offsets and column totals (the engine's
+    # zero-join side-chain shape).
+    psums = stacked().groupBy("__ci", "__bin").agg(
+        F.count(F.lit(1)).alias("__s")
+    )
+    w_key = Window.partitionBy("__ci").orderBy("__bin")
+    w_off = w_key.rowsBetween(Window.unboundedPreceding, -1)
+    w_all = w_key.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = psums.select(
+        "__ci",
+        "__bin",
+        "__s",
+        F.coalesce(F.sum("__s").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__s").over(w_all).alias("__n"),
+    )
+    pos = F.col("prob") * (F.col("__n") - 1).cast("double")
+    j1 = F.floor(pos) + 1
+    j2 = F.ceil(pos) + 1
+    hit = (
+        offsets.select(
+            "__ci",
+            "__bin",
+            "__s",
+            "__off",
+            "__n",
+            F.explode(
+                F.array(*[F.lit(float(p)) for p in probs])
+            ).alias("prob"),
+        )
+        .where(
+            ((j1 > F.col("__off")) & (j1 <= F.col("__off") + F.col("__s")))
+            | ((j2 > F.col("__off")) & (j2 <= F.col("__off") + F.col("__s")))
+        )
+        .select(
+            "__ci",
+            "__bin",
+            "__off",
+            "prob",
+            F.floor(pos).alias("__jlo"),
+            F.ceil(pos).alias("__jhi"),
+            (pos - F.floor(pos)).alias("__frac"),
+        )
+    )
+    # PASS 2: fused single-long key (the engine's LongHashedRelation
+    # rationale), then the sorted-tail agg instead of the
+    # count/window/conditional-min chain.
+    fused = F.col("__ci").cast("long") * F.lit(1 << 42) + F.col("__bin")
+    hit_r = F.broadcast(
+        hit.select(
+            fused.alias("__k"), "__off", "prob", "__jlo", "__jhi", "__frac"
+        )
+    )
+    joined = stacked().withColumn("__k", fused).join(hit_r, "__k")
+    tails = joined.groupBy(
+        "__ci", "prob", "__off", "__jlo", "__jhi", "__frac"
+    ).agg(F.sort_array(F.collect_list("__v")).alias("__arr"))
+    pieces = tails.select(
+        "__ci",
+        "prob",
+        "__frac",
+        F.get("__arr", (F.col("__jlo") - F.col("__off")).cast("int")).alias(
+            "__vlo"
+        ),
+        F.get("__arr", (F.col("__jhi") - F.col("__off")).cast("int")).alias(
+            "__vhi"
+        ),
+    )
+    if not merge_pieces:
+        return pieces
+    return (
+        pieces.groupBy("__ci", "prob")
+        .agg(
+            F.max("__vlo").alias("__vlo"),
+            F.max("__vhi").alias("__vhi"),
+            F.first("__frac").alias("__frac"),
+        )
+        .select(
+            "__ci",
+            "prob",
+            (
+                F.col("__vlo")
+                + F.col("__frac") * (F.col("__vhi") - F.col("__vlo"))
+            ).alias("value"),
+        )
     )
 
 

@@ -84,16 +84,17 @@ def test_summarize_auto_cutover(lineitem, monkeypatch):
     import dataframe_spark.core as core
 
     li = lineitem.select(["l_quantity", "l_discount"])
-    # small input → bounded single-group Arrow quartile kernel
+    # small input → gate-bounded sorted-tails plan (hit-bin
+    # collect_list arrays; still pure JVM since r8)
     default = li.summarize()
     plan = default.df._jdf.queryExecution().optimizedPlan().toString()
-    assert "FlatMapGroupsInPandas" in plan
+    assert "sort_array" in plan
     # above-threshold input → sharded exact-quantile plan engages
-    # (pure JVM: no Arrow kernel, no percentile buffer)
+    # (bounded state: no collected bin arrays, no percentile buffer)
     monkeypatch.setattr(core, "QUANTILE_BUFFER_MAX_BYTES", 0)
     dist = li.summarize()
     plan_d = dist.df._jdf.queryExecution().optimizedPlan().toString()
-    assert "FlatMapGroupsInPandas" not in plan_d
+    assert "sort_array" not in plan_d
     assert "percentile" not in plan_d
     # both paths agree (exact quantiles, same interpolation)
     a = {r["column_name"]: r for r in default.collect()}
@@ -101,6 +102,28 @@ def test_summarize_auto_cutover(lineitem, monkeypatch):
     for c in a:
         for s in ("mean", "std", "min", "q25", "median", "q75", "max"):
             assert a[c][s] == pytest.approx(b[c][s], rel=1e-9)
+
+
+def test_summarize_bin_straddle(spark):
+    """The bracketing order statistics can land in two ADJACENT
+    radix bins (jlo the last value of its bin, jhi the first of the
+    next): [1.0, 2.0] puts the median's lo in bin(1.0) and hi in
+    bin(2.0). Each hit row must extract only its in-range piece
+    null-safely (a naive element_at would throw INVALID_INDEX_OF_
+    ZERO on the out-of-range side) and merge to 1.5."""
+    from dataframe_spark import DataFrame
+
+    df = DataFrame(
+        spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    )
+    row = df.summarize(distributed=False).collect()[0]
+    assert row["median"] == pytest.approx(1.5)
+    assert row["q25"] == pytest.approx(1.25)
+    assert row["q75"] == pytest.approx(1.75)
+    # distributed engine agrees on the same straddle input
+    row_d = df.summarize(distributed=True).collect()[0]
+    for s in ("q25", "median", "q75", "mean", "min", "max"):
+        assert row_d[s] == pytest.approx(row[s])
 
 
 def test_impute_median_auto_cutover(small, monkeypatch):

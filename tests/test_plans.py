@@ -166,10 +166,11 @@ def test_sample_k_per_group_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_summarize_quartiles_are_column_parallel(spark):
-    """summarize's small path must shuffle quartile work BY COLUMN
-    INDEX (one reducer per numeric column), never funnel the whole
-    numeric projection through a single constant-key group."""
+def test_summarize_small_path_is_jvm_radix(spark):
+    """summarize's r8 small path contract: all-JVM (no Python/Arrow
+    stage), the pass-2 hit-bin filter joins on the BROADCAST fused
+    long key, and the bin histogram partitions by column index —
+    never a single constant-key funnel."""
     from dataframe_spark import DataFrame
 
     df = DataFrame(
@@ -184,7 +185,10 @@ def test_summarize_quartiles_are_column_parallel(spark):
         .executedPlan()
         .toString()
     )
-    assert "hashpartitioning(ci" in plan
+    assert "hashpartitioning(__ci" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    for marker in ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+        assert marker not in plan
 
 
 def test_perplexity_lm_broadcasts_and_tf_stays_in_row(spark, sf_dir):
