@@ -268,9 +268,15 @@ def kmeans_fit(
     Init is deterministic: the k rows with the smallest
     xxhash64(id, seed). Each iteration is ONE distributed pass:
     assignment is an Arrow-batched pandas UDF (one BLAS matmul per
-    batch against the broadcast centroids), the new centroids are
-    per-dimension avg aggregates (JVM, map-side partial agg). Rows
-    never reach the driver."""
+    batch against the broadcast centroids); the centroid update is
+    posexplode → groupBy(cid, pos) avg — the shuffle is bounded by
+    #partitions × k × dim map-side partials and the collect by
+    k × dim (the model itself). The r7 form unrolled the update
+    into ``dim`` separate ``avg(element_at(vec, i))`` aggregate
+    COLUMNS, fine at the bench's dim=64 but thousands of codegen
+    expressions per pass at real embedding widths (768–4096); the
+    exploded plan keeps a single-digit agg-column count at any dim
+    (pinned in tests at dim 1024). Rows never reach the driver."""
     # null embeddings would poison the init stack (np.stack over a
     # None) and every avg; a corpus with missing vectors is normal —
     # they simply don't participate in the model
@@ -290,17 +296,15 @@ def kmeans_fit(
             "__cid", _assign_udf(_unit_rows(centroids))(F.col("vec"))
         )
         rows = (
-            assigned.groupBy("__cid")
-            .agg(
-                *[
-                    F.avg(F.element_at(F.col("vec"), i + 1)).alias(f"d{i}")
-                    for i in range(dim)
-                ]
+            assigned.select(
+                "__cid", F.posexplode("vec").alias("__pos", "__x")
             )
+            .groupBy("__cid", "__pos")
+            .agg(F.avg("__x").alias("__m"))
             .collect()
         )
         for r in rows:
-            centroids[r["__cid"]] = [r[f"d{i}"] for i in range(dim)]
+            centroids[r["__cid"]][r["__pos"]] = r["__m"]
     return centroids
 
 

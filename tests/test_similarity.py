@@ -154,6 +154,46 @@ def test_knn_lsh_multiprobe_improves_recall(spark, sf_dir):
     assert recalls[2] >= 0.5
 
 
+def test_kmeans_wide_vectors_single_digit_agg_plan(spark):
+    """The r8 centroid update must survive REAL embedding widths:
+    at dim=1024 the old per-dimension unroll was 1024 avg aggregate
+    columns per iteration (codegen pressure and a wide one-row
+    collect); the posexplode plan keeps the agg-column count
+    constant in dim and must recover planted cluster centers."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    dim, per = 1024, 40
+    centers = [np.zeros(dim), np.zeros(dim)]
+    centers[0][0] = 10.0
+    centers[1][1] = 10.0
+    rows = []
+    for ci, c in enumerate(centers):
+        for j in range(per):
+            v = c + rng.normal(0, 0.05, dim)
+            rows.append((ci * per + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    got = similarity.kmeans_fit(df, "id", "vec", k=2, max_iter=4)
+    assert got.shape == (2, dim)
+    # each planted center recovered by SOME centroid (order free)
+    for c in centers:
+        dists = np.linalg.norm(got - c, axis=1)
+        assert dists.min() < 1.0
+    # plan shape: the update aggregates a constant number of columns
+    assigned = df.where(F.col("vec").isNotNull()).select(
+        F.col("id"), F.col("vec")
+    ).withColumn("__cid", F.lit(0))
+    plan = (
+        assigned.select("__cid", F.posexplode("vec").alias("__pos", "__x"))
+        .groupBy("__cid", "__pos")
+        .agg(F.avg("__x").alias("__m"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Generate posexplode" in plan
+
+
 def test_semdedup_known_groups(spark):
     """Two duplicate groups + two isolated vectors: semdedup must
     keep exactly one per group (the min id) and every isolated row,
