@@ -33,7 +33,10 @@ def q_describe(spark, sf_dir):
     out = _t(spark, sf_dir, "orders").describe_columns().df
     # timestamp_ntz vs timestamp depends on the reader session's
     # inferTimestampNTZ setting; normalize for a stable contract.
-    return out.withColumn(
+    # derived_from (r8 provenance metadata) is all-null on a raw
+    # source table and engine-specific by nature — out of the
+    # cross-engine contract.
+    return out.drop("derived_from").withColumn(
         "type", F.regexp_replace("type", "timestamp_ntz", "timestamp")
     )
 

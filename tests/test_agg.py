@@ -42,6 +42,23 @@ def test_describe_columns(small):
     assert d["id"]["type"] == "int"
 
 
+def test_describe_columns_provenance(small):
+    """derive/apply annotate their output with the defining
+    expression (reference CHANGELOG 0.4.0.5); describe_columns
+    surfaces it; source columns stay null."""
+    d = small.derive("v2", F.col("val") * 2).apply(
+        "v2", lambda c: c + 1
+    )
+    rows = {r["column_name"]: r for r in d.describe_columns().collect()}
+    assert rows["val"]["derived_from"] is None
+    prov = rows["v2"]["derived_from"]
+    assert prov is not None and "+" in prov and "1" in prov
+    # derive-only provenance carries the original expression text
+    d2 = small.derive("dbl", F.col("val") * 2)
+    rows2 = {r["column_name"]: r for r in d2.describe_columns().collect()}
+    assert "val" in rows2["dbl"]["derived_from"]
+
+
 def test_summarize(lineitem):
     s = {r["column_name"]: r for r in lineitem.summarize().collect()}
     q = s["l_quantity"]

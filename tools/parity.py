@@ -35,27 +35,30 @@ def normalize(rows, columns):
     return sorted(out)
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
 
+
+def run_parity(spark, sf_dir, only=(), results=None):
+    """Reusable gate: run each queries() entry vs its DuckDB oracle
+    at ``sf_dir``; prints one line per query and returns
+    (n_pass, n_fail, n_rowsonly). ``results`` (optional dict) gets a
+    per-query status string — certify.py records it as an artifact."""
     import __spark_entry__ as entry
-    from dataframe_spark.session import get_spark
 
-    spark = get_spark("parity")
-    spark.sparkContext.setLogLevel("ERROR")
-
+    only = set(only)
     con = duckdb.connect()
-    for t in [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]:
+    for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    if results is None:
+        results = {}
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -66,10 +69,12 @@ def main():
             scols = sdf.columns
         except Exception as e:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            results[name] = f"fail: spark {type(e).__name__}"[:300]
             n_fail += 1
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle)")
+            results[name] = f"rows-only ({len(srows)} rows)"
             n_rowsonly += 1
             continue
         try:
@@ -79,6 +84,7 @@ def main():
             drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
+            results[name] = "fail: duckdb error"
             n_fail += 1
             continue
         # our stringifying compare hides value-TYPE mismatches that a
@@ -108,10 +114,24 @@ def main():
                 problems.append(f"values differ, first diffs: {diff}")
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
+            results[name] = f"fail: {'; '.join(problems)}"[:300]
             n_fail += 1
         else:
             print(f"PASS  {name}: {len(srows)} rows")
+            results[name] = f"pass ({len(srows)} rows)"
             n_pass += 1
+    return n_pass, n_fail, n_rowsonly
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from dataframe_spark.session import get_spark
+
+    spark = get_spark("parity")
+    spark.sparkContext.setLogLevel("ERROR")
+    n_pass, n_fail, n_rowsonly = run_parity(spark, sf_dir, only)
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
     sys.exit(1 if n_fail else 0)
 

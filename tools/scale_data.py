@@ -19,14 +19,25 @@ FACT tables are replicated 10x with structure preserved:
   dedup pipeline.
 
 DIMENSION tables (region/nation/customer/supplier/part) are linked
-unscaled. ``embeddings`` is also linked UNSCALED, deliberately: any
-in-row perturbation cheap enough to run here (e.g. per-copy sign
-masks) leaves cross-copy cosines ~N(0, 1/sqrt(dim)), which at
-dim=64 puts ~0.07% of the ~1.8e8 cross-copy pairs above the 0.4
-near-dup threshold — corrupting the pair-count invariant the check
-depends on. Embedding queries in the 10x map therefore measure a
-fixed-size corpus (factor ~1, a no-regression row), and bench.py
-records that in ``unscaled_tables`` rather than capping silently.
+unscaled.
+
+``embeddings`` (r8) is SYNTHESIZED at 10x rows and dim 256 instead
+of replicated or linked: replication can't work for vectors — any
+in-row perturbation cheap enough to run here leaves cross-copy
+cosines ~N(0, 1/sqrt(dim)), which at the source's dim=64 puts
+~0.07% of all cross-copy pairs above the 0.4 near-dup threshold,
+corrupting every pair-count invariant. The synthetic corpus is
+fully deterministic (xxhash64-derived components, no RNG state):
+vec(id) = ALPHA·center(label(id)) + noise(id), component-wise
+uniform in [-1, 1), which makes expected within-cluster cosine
+ALPHA²/(ALPHA²+1) ≈ 0.55 (above the 0.4 near-dup threshold) and
+cross-cluster cosine ~N(0, 1/sqrt(256)) (P(>0.4) ≈ 1e-10, i.e.
+zero cross-cluster noise pairs). Cluster count scales with the
+corpus (target mean cluster size EMB_CLUSTER_SIZE), so
+within-cluster pair work grows LINEARLY in rows — the regime the
+SemDeDup paper prescribes (k ∝ corpus) and the one worth
+measuring. Chaining 10x → 100x re-synthesizes at 10x the rows
+with the same dim and the same per-id determinism.
 
 Output is parquet (one dir per table) plus symlinks under the
 target dir, written once and reused across runs.
@@ -41,8 +52,12 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 COPIES = 10
-LINKED_TABLES = ("region", "nation", "customer", "supplier", "part",
-                 "embeddings")
+LINKED_TABLES = ("region", "nation", "customer", "supplier", "part")
+
+# synthetic embedding corpus shape (see module docstring)
+EMB_DIM = 256
+EMB_CLUSTER_SIZE = 256  # target mean cluster size; k scales with n
+EMB_ALPHA = 1.1  # within-cluster cosine ≈ α²/(α²+1) ≈ 0.55
 
 
 def _copies(df):
@@ -109,6 +124,8 @@ def generate(spark: SparkSession, src_dir: str, out_dir: str) -> None:
     )
     docs_big.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
+    _synth_embeddings(spark, src_dir, out_dir)
+
     for t in LINKED_TABLES:
         dst = os.path.join(out_dir, f"{t}.parquet")
         # islink, not exists: exists() is False for a broken link and
@@ -120,12 +137,61 @@ def generate(spark: SparkSession, src_dir: str, out_dir: str) -> None:
             )
 
 
+def _unif(*cols):
+    """Deterministic uniform in [-1, 1) from xxhash64 of ``cols`` —
+    in-row, engine-native, no RNG state to thread."""
+    h = F.xxhash64(*cols)
+    return (
+        F.pmod(h, F.lit(1 << 20)).cast("double") / F.lit(float(1 << 19))
+    ) - F.lit(1.0)
+
+
+def _synth_embeddings(spark: SparkSession, src_dir: str, out_dir: str):
+    """Deterministic 10x embedding corpus at dim EMB_DIM with
+    planted clusters (module docstring). Everything is in-row
+    expression work over spark.range — the generator itself scales
+    to any decade."""
+    # a pre-v3 dir linked embeddings to the READ-ONLY source; an
+    # overwrite through the symlink would try to write there
+    dst = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.islink(dst):
+        os.unlink(dst)
+    n_src = spark.read.parquet(f"{src_dir}/embeddings.parquet").count()
+    n_out = n_src * COPIES
+    n_clusters = max(64, n_out // EMB_CLUSTER_SIZE)
+    dims = F.sequence(F.lit(0), F.lit(EMB_DIM - 1))
+    label = F.pmod(
+        F.xxhash64(F.col("vec_id"), F.lit(11)), F.lit(n_clusters)
+    ).cast("int")
+    out = (
+        spark.range(n_out)
+        .withColumnRenamed("id", "vec_id")
+        .withColumn("label", label)
+        .withColumn(
+            "embedding",
+            F.transform(
+                dims,
+                lambda j: (
+                    F.lit(EMB_ALPHA) * _unif(F.col("label"), j, F.lit(3))
+                    + _unif(F.col("vec_id"), j, F.lit(7))
+                ).cast("float"),
+            ),
+        )
+        .select("vec_id", "embedding", "label")
+    )
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+
+
 def ensure(spark: SparkSession, src_dir: str, out_dir: str) -> bool:
     """Generate once; True if the scaled tables are available.
 
     The marker is versioned: v2 added scaled orders/events and the
-    linked dim tables — a v1 dir regenerates in place."""
-    marker = os.path.join(out_dir, "_DONE_v2")
+    linked dim tables; v3 (r8) replaced the unscaled-embeddings
+    symlink with the synthetic clustered corpus — older dirs
+    regenerate in place."""
+    marker = os.path.join(out_dir, "_DONE_v3")
     if os.path.exists(marker):
         return True
     try:
