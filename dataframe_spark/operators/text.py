@@ -911,6 +911,33 @@ def row_uniform(key_cols) -> Column:
     )
 
 
+def row_uniform_slice(hash_col, j: int) -> Column:
+    """Uniform j (0..3) packed in one md5 digest: hex slice
+    [1+8j, 8] scaled by 2^32 — the row_uniform convention, four
+    draws per digest. The md5 IS the cost of wide deterministic
+    weight draws (a bootstrap at B replicates needs B uniforms per
+    row); slicing cuts digest evaluations 4x. Mirror in DuckDB:
+    CAST('0x' || SUBSTR(MD5(key), 1 + 8*j, 8) AS BIGINT) /
+    4294967296.0."""
+    return (
+        F.conv(F.substring(hash_col, 1 + 8 * j, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(float(1 << 32))
+    )
+
+
+def row_digest(key_cols, salt: str) -> Column:
+    """The md5 digest behind row_uniform/row_uniform_slice, exposed
+    so callers can bind it to a real column once (a projection
+    boundary) and slice it four ways without trusting codegen CSE
+    to dedupe repeated md5 subtrees."""
+    keyed = [
+        F.coalesce(_c(k).cast("string"), F.lit("\x00")) for k in key_cols
+    ]
+    return F.md5(F.concat_ws("\x1f", *keyed, F.lit(salt)))
+
+
 def c4_flags(
     df,
     text_col: str,

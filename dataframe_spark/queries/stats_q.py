@@ -585,13 +585,17 @@ ORACLES = {
         FROM r
     """,
     "q_bootstrap": f"""
+        -- r8 chunked-digest weights: uniform b = hex slice (b % 4)
+        -- of md5(orderkey, linenumber, b // 4) — mirrors
+        -- text.row_digest / row_uniform_slice exactly
         WITH rep AS (
           SELECT l_returnflag,
                  CAST(l_extendedprice AS DOUBLE) AS x,
                  CAST('0x' || SUBSTR(MD5(CONCAT_WS(CHR(31),
                         CAST(l_orderkey AS VARCHAR),
                         CAST(l_linenumber AS VARCHAR),
-                        CAST(b AS VARCHAR))), 1, 8) AS BIGINT)
+                        CAST(b // 4 AS VARCHAR))),
+                        1 + 8 * (b % 4), 8) AS BIGINT)
                    / 4294967296.0 AS u,
                  b
           FROM lineitem

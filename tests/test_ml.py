@@ -703,6 +703,37 @@ def test_bootstrap_se_statistical_properties(spark):
         bootstrap_mean_se(df, "x", ["id"], n_replicates=1)
 
 
+def test_bootstrap_wide_and_explode_paths_agree(spark, monkeypatch):
+    """The r8 wide path (2B agg columns, no explode) and the
+    explode path draw weights from the SAME chunked digests and
+    must produce identical replicate SEs up to float summation
+    order (the two plans sum the same weighted terms in different
+    orders — ulp-level drift, far inside the query contract's 4dp
+    rounding); exercised by forcing the gate both ways at one B."""
+    import pytest as _pytest
+
+    import dataframe_spark.operators.scale as scale
+    from pyspark.sql import functions as F
+
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 37).cast("double").alias("x"),
+        (F.col("id") % 3).cast("int").alias("g"),
+    )
+    wide = scale.bootstrap_mean_se(
+        df, "x", ["id"], ["g"], n_replicates=22
+    ).collect()
+    monkeypatch.setattr(scale, "BOOTSTRAP_WIDE_MAX_B", 0)
+    exploded = scale.bootstrap_mean_se(
+        df, "x", ["id"], ["g"], n_replicates=22
+    ).collect()
+    a = {r["g"]: (r["mean"], r["se_boot"], r["n"]) for r in wide}
+    b = {r["g"]: (r["mean"], r["se_boot"], r["n"]) for r in exploded}
+    assert len(a) == 3 and set(a) == set(b)
+    for g in a:
+        assert a[g][0] == b[g][0] and a[g][2] == b[g][2]
+        assert a[g][1] == _pytest.approx(b[g][1], rel=1e-12)
+
+
 def test_mad_outliers_closed_form(spark):
     from dataframe_spark.operators.scale import mad_outliers
 
