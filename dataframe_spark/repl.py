@@ -45,14 +45,11 @@ def _namespace(sf_dir: str):
     return ns, loaded
 
 
-def main(argv=None):
-    argv = sys.argv[1:] if argv is None else argv
-    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
-    ns, loaded = _namespace(sf_dir)
-
-    # boxed-table default formatter (reference Display/Terminal):
-    # typing `df` displays rows, matching the reference repl's
-    # show-by-default ergonomics
+def _make_displayhook():
+    """Boxed-table default formatter (reference Display/Terminal):
+    typing ``df`` displays rows, matching the reference repl's
+    show-by-default ergonomics; everything else keeps the stock
+    repr + ``_`` rebinding semantics."""
     from dataframe_spark.core import DataFrame
     from dataframe_spark.display import to_string
 
@@ -67,7 +64,14 @@ def main(argv=None):
         else:
             print(repr(value))
 
-    sys.displayhook = hook
+    return hook
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    ns, loaded = _namespace(sf_dir)
+    sys.displayhook = _make_displayhook()
     banner = (
         f"dataframe_spark repl — tables from {sf_dir}\n"
         f"  loaded: {', '.join(loaded) or '(none)'}\n"
