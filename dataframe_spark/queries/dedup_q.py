@@ -176,6 +176,17 @@ def q_pagerank(spark, sf_dir):
     return pr.select("node", F.round("rank", 6).alias("pr_rank"))
 
 
+def _semdedup_k(emb) -> int:
+    """SemDeDup's k ∝ corpus rule (the paper's 50k clusters for
+    LAION-440M; similarity.semdedup docstring): target mean cluster
+    size 256 so within-cluster pair work grows LINEARLY with rows.
+    At every driver SF (≤ 2000 vectors) this floors to the historic
+    k=8, so driver results are unchanged; at the 10x/100x scaled
+    corpora k grows (78, 781) and the query keeps its scale
+    contract instead of going quadratic at a pinned k."""
+    return max(8, emb.count() // 256)
+
+
 def q_semdedup(spark, sf_dir):
     """Rows-only: cluster assignments depend on the seeded k-means
     model (not SQL-expressible); q_semdedup_check is the sibling
@@ -183,7 +194,7 @@ def q_semdedup(spark, sf_dir):
     the two operators see the same notion of 'near'."""
     emb = _t(spark, sf_dir, "embeddings").df
     return similarity.semdedup(
-        emb, "vec_id", "embedding", k=8, tau=0.4, max_iter=3
+        emb, "vec_id", "embedding", k=_semdedup_k(emb), tau=0.4, max_iter=3
     )
 
 
@@ -202,7 +213,7 @@ def q_semdedup_check(spark, sf_dir):
     check is robust to float-ulp drift in the k-means model."""
     emb = _t(spark, sf_dir, "embeddings").df
     res = similarity.semdedup(
-        emb, "vec_id", "embedding", k=8, tau=0.4, max_iter=3
+        emb, "vec_id", "embedding", k=_semdedup_k(emb), tau=0.4, max_iter=3
     )
     withv = dedup._reusable(
         res.join(
