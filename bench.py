@@ -49,6 +49,9 @@ HEADLINE = [
     "q_bigram_ppl",
     # r7: salted hot-key join — the skew story exercised at scale
     "q_skew_join",
+    # r8: the Poisson bootstrap joins after its no-explode rework —
+    # track the chunked-digest weight path's cost per round
+    "q_bootstrap",
 ]
 
 
