@@ -179,27 +179,39 @@ def knn_brute(
     )
 
 
-def hyperplane_sketch(vec_col, planes: int = 8, dim: int = 64) -> Column:
+def hyperplane_sketch(
+    vec_col, planes: int = 8, dim: int | None = None
+) -> Column:
     """Sign-sketch of a vector against ``planes`` pseudo-random
     hyperplanes derived from xxhash64(plane, dim-index) — fully
     deterministic, no stored model. Returns an int bucket id.
 
-    The vector length must equal ``dim``: zip_with pads the shorter
-    side with nulls, which null-poisons every projection and
-    silently collapsed EVERY row into bucket 0 — LSH then scans the
-    full corpus with no signal that the dim was wrong (review r5).
-    The guard raises lazily at execution."""
+    ``dim=None`` (default since r8) sizes the planes to each row's
+    own vector (``size(v)``), so the sketch works at any embedding
+    width — the plane component for index i depends only on
+    (plane, i), so fixed-width corpora keep their historic buckets
+    (the r7 default dim=64 pinned the width and hard-errored on the
+    256-dim scaled corpora). Passing an explicit ``dim`` keeps the
+    r5 guard: zip_with pads a mismatched vector with nulls, which
+    null-poisons every projection and silently collapsed EVERY row
+    into bucket 0 — LSH then scans the full corpus with no signal
+    that the dim was wrong. The guard raises lazily at execution."""
     v0 = _dvec(vec_col)
-    v = F.when(
-        F.size(v0) != dim,
-        F.raise_error(
-            F.concat(
-                F.lit(f"hyperplane_sketch: dim={dim} but vector has "),
-                F.size(v0).cast("string"),
-                F.lit(" elements"),
-            )
-        ).cast("array<double>"),
-    ).otherwise(v0)
+    if dim is None:
+        v = v0
+        idx_hi = F.size(v0) - 1
+    else:
+        v = F.when(
+            F.size(v0) != dim,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"hyperplane_sketch: dim={dim} but vector has "),
+                    F.size(v0).cast("string"),
+                    F.lit(" elements"),
+                )
+            ).cast("array<double>"),
+        ).otherwise(v0)
+        idx_hi = F.lit(dim - 1)
     bits = []
     for p in range(planes):
         # plane component for dim i: hash to [-1, 1)
@@ -207,7 +219,7 @@ def hyperplane_sketch(vec_col, planes: int = 8, dim: int = 64) -> Column:
             F.zip_with(
                 v,
                 F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    F.sequence(F.lit(0), idx_hi),
                     lambda i: (
                         F.pmod(F.xxhash64(F.lit(p), i), F.lit(2001)) - 1000
                     ).cast("double")
@@ -426,7 +438,7 @@ def knn_lsh(
     query_id: int,
     k: int = 10,
     planes: int = 6,
-    dim: int = 64,
+    dim: int | None = None,
     probe_radius: int = 0,
 ) -> SparkDF:
     """Approximate top-k: score only rows in the query's hyperplane

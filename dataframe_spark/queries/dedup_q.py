@@ -142,7 +142,7 @@ def q_knn_lsh_recall(spark, sf_dir):
         emb, "vec_id", "embedding", query_id=0, k=10
     ).select("vec_id")
     lsh = similarity.knn_lsh(
-        emb, "vec_id", "embedding", query_id=0, k=10, planes=4, dim=64,
+        emb, "vec_id", "embedding", query_id=0, k=10, planes=4,
         probe_radius=1,
     ).select("vec_id")
     hits = brute.join(lsh, "vec_id").agg(F.count(F.lit(1)).alias("__hits"))
@@ -279,7 +279,7 @@ def q_knn_lsh(spark, sf_dir):
     lifts it to ~0.3-0.5 (radius 2: ~0.8) at proportional cost."""
     emb = _t(spark, sf_dir, "embeddings").df
     return similarity.knn_lsh(
-        emb, "vec_id", "embedding", query_id=0, k=10, planes=4, dim=64,
+        emb, "vec_id", "embedding", query_id=0, k=10, planes=4,
         probe_radius=1,
     )
 
