@@ -392,6 +392,22 @@ def beam_search(
         *[F.col(c).cast("double").alias(c) for c in feature_cols],
         F.col(target).cast("double").alias("__target"),
     ).where(F.col("__target").isNotNull())
+    # Balance BEFORE persisting: the working set is re-scanned once
+    # per scoring chunk (~1 + candidates/100 passes per round), so
+    # every pass inherits the persisted layout. A raw file scan can
+    # be few-partition and SKEWED (the 10x corpus: 12 files, one
+    # straggler task held every scoring stage at (11+1)/12 — 255 s
+    # uncached vs 40 s from the repartitioned table cache); one
+    # 200 MB-scale shuffle here buys core-count balance on all ~90
+    # downstream passes (measured 255 s → ~45 s protocol-
+    # independent). Skipped when the source is already wide enough
+    # (e.g. fed from the repartitioned table cache).
+    try:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        if work.rdd.getNumPartitions() < max(2, parallelism // 2):
+            work = work.repartition(parallelism)
+    except AttributeError:  # Spark Connect: no sparkContext/rdd
+        pass
     work = work.persist()
     try:
         variables = [var_prog(c) for c in feature_cols]
