@@ -100,7 +100,7 @@ WINDOW_PRIORITY = [
     # 40-41: sentinels
     "q1_pricing_summary",
     "q_sessionize",           # failed r1+r2 — keep hard signal
-    # 42-50: r5-green + r8 provenance-annotated derive/apply plans
+    # 42-48: r5-green + r8 provenance-annotated derive/apply plans
     "q_derive",
     "q_apply_where",
     "q_filter",
@@ -108,12 +108,18 @@ WINDOW_PRIORITY = [
     "q_impute",
     "q_join_left",
     "q_join_semi_anti",
-    "q_union",
-    "q_set_ops",
+    # 49-50: LATE-r8 plan change (beam_search now balances its
+    # persisted working set — 255 s → 52 s uncached at 10x): the
+    # must-re-enter rule outranks the provenance cohort, taking the
+    # q_union / q_set_ops slots (metadata-only changes, covered by
+    # CERT_parity_sf0.01.json, queued first for r9)
+    "q_synthesis_check",
+    "q_synthesis",
 ]
 
 # R9 ROTATION QUEUE (stale-first): the provenance-overflow cohort
-# (q_dates, q7_nation_volume, q9_product_profit, q13_order_counts,
+# (q_union, q_set_ops — late-r8 evictions — then q_dates,
+# q7_nation_volume, q9_product_profit, q13_order_counts,
 # q_filter_nulls, q_frequencies), then the remaining r5-green cohort
 # by age (q_boilerplate, q_corpus_filter, q_corr_matrix,
 # q_dedup_embedding, q_dedup_exact, q_distinct, q_exclude,
