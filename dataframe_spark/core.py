@@ -80,10 +80,7 @@ def _q(name: str) -> str:
     return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
-def _bq(name: str) -> str:
-    """Backtick-quoted identifier reference (doubles embedded
-    backticks) for selectExpr."""
-    return "`" + name.replace("`", "``") + "`"
+from .expr import bq as _bq  # shared backtick-quoting helper
 
 
 def _expr_str(expr: Column) -> str:

@@ -31,6 +31,15 @@ def _c(x) -> Column:
     return F.col(x) if isinstance(x, str) else x
 
 
+def bq(name: str) -> str:
+    """Backtick-quoted identifier reference for selectExpr/SQL
+    interpolation (doubles embedded backticks). The single shared
+    quoting helper — core and operators alias this so a column name
+    containing a backtick can never break or inject into an
+    interpolated expression string."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 # --- comparisons & boolean (Functions.hs: eq/lt/gt/leq/geq/and/or/not)
 
 def eq(a, b) -> Column:

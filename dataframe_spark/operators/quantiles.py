@@ -49,10 +49,7 @@ _MAG_CLAMP = 70000.0
 _TOP = 200_000  # shift that keeps every finite bin id positive
 
 
-def _bt(name: str) -> str:
-    """Backtick-quoted identifier for selectExpr interpolation
-    (doubles embedded backticks)."""
-    return "`" + name.replace("`", "``") + "`"
+from ..expr import bq as _bt  # shared backtick-quoting helper
 
 
 def _radix_bin(v: Column) -> Column:
@@ -254,7 +251,7 @@ def exact_quantiles(
     #cols×#probs result rows at the end.
     """
     stack_args = ", ".join(
-        f"{i}, CAST(`{c}` AS DOUBLE)" for i, c in enumerate(cols)
+        f"{i}, CAST({_bt(c)} AS DOUBLE)" for i, c in enumerate(cols)
     )
     long = df.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS (__ci, __v)"

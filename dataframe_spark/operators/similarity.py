@@ -212,6 +212,16 @@ def hyperplane_sketch(
             ).cast("array<double>"),
         ).otherwise(v0)
         idx_hi = F.lit(dim - 1)
+    degenerate = None
+    if dim is None:
+        # With per-row sizing there is no dim guard to raise, so an
+        # empty vector (or one poisoned by a null element) would
+        # project to null on every plane and silently pool in bucket
+        # 0 — the exact collapse the r5 explicit-dim guard prevents.
+        # Null the bucket instead so such rows drop out of LSH.
+        degenerate = (F.size(v0) <= 0) | F.exists(
+            v0, lambda x: x.isNull()
+        )
     bits = []
     for p in range(planes):
         # plane component for dim i: hash to [-1, 1)
@@ -234,6 +244,8 @@ def hyperplane_sketch(
     out = bits[0]
     for b in bits[1:]:
         out = out + b
+    if degenerate is not None:
+        out = F.when(~degenerate, out)
     return out
 
 

@@ -339,3 +339,32 @@ def test_pca_whitening_unit_variance(spark):
         pca_project(df, "embedding", comps, mean, whiten=True)
     with _pytest.raises(ValueError):
         pca_project(df, "embedding", comps, mean, whiten=True, eigvals=ev[:2])
+
+
+def test_hyperplane_sketch_degenerate_vectors_null_bucket(spark):
+    """dim=None must NULL the bucket for empty / null-element
+    vectors instead of pooling them in bucket 0 (the r5 silent-
+    collapse failure, re-introduced by the r8 per-row sizing and
+    fixed in r9)."""
+    rows = [
+        (0, [1.0, 2.0, 3.0]),
+        (1, []),                    # empty
+        (2, [1.0, None, 3.0]),      # null-poisoned
+        (3, None),                  # null vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = df.select(
+        "vec_id",
+        similarity.hyperplane_sketch(F.col("embedding"), planes=4).alias("b"),
+    ).collect()
+    by_id = {r["vec_id"]: r["b"] for r in out}
+    assert by_id[0] is not None
+    assert by_id[1] is None
+    assert by_id[2] is None
+    assert by_id[3] is None
+    # fixed-width corpora keep their historic buckets: explicit dim
+    # agrees with per-row sizing on well-formed vectors
+    ref = df.where("vec_id = 0").select(
+        similarity.hyperplane_sketch(F.col("embedding"), planes=4, dim=3).alias("b")
+    ).collect()[0]["b"]
+    assert by_id[0] == ref

@@ -92,11 +92,20 @@ def sweep_parity(argv):
     sf_dir = "/root/testdata/sf0.01"
     ansi = False
     tag = None
-    for a in argv:
+    it = iter(argv)
+    for a in it:
         if a == "--ansi":
             ansi = True
         elif a.startswith("--tag"):
-            tag = a.split("=", 1)[1]
+            # accept both '--tag=NAME' and '--tag NAME'
+            if "=" in a:
+                tag = a.split("=", 1)[1]
+            else:
+                tag = next(it, None)
+            if not tag:
+                print("--tag requires a value (--tag=NAME or --tag NAME)",
+                      file=sys.stderr)
+                sys.exit(2)
         else:
             sf_dir = a
     if tag is None:
