@@ -560,3 +560,35 @@ def test_pmi_collocations_closed_form(spark):
     assert all(v["c_pair"] >= 6 for v in got.values())
     with _pytest.raises(ValueError):
         pmi_collocations(df, "text", min_count=0)
+
+
+def test_fingerprint_matches_jvm_fold_and_edge_cases(spark):
+    """The r9 Arrow kernel must be bit-identical to the portable
+    left fold acc←(acc·31+ord)%p the oracle runs (and the pre-r9
+    JVM per-character aggregate implemented)."""
+    from pyspark.sql import functions as F
+
+    texts = [
+        (1, "Hello World"),
+        (2, "  padded  "),
+        (3, ""),
+        (4, None),
+        (5, "x" * 5000),
+        (6, "naïve café — ünïcode ✓"),
+    ]
+    df = spark.createDataFrame(texts, "id long, text string")
+    jvm_fold = F.aggregate(
+        F.filter(F.split(F.lower(F.trim(F.col("text"))), ""), lambda c: c != ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % F.lit(1000000007),
+    )
+    out = df.select(
+        "id",
+        T.fingerprint("text").alias("fp"),
+        jvm_fold.alias("ref"),
+    ).collect()
+    for r in out:
+        assert r["fp"] == r["ref"], (r["id"], r["fp"], r["ref"])
+    by_id = {r["id"]: r["fp"] for r in out}
+    assert by_id[3] == 0
+    assert by_id[4] is None
