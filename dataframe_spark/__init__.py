@@ -26,7 +26,7 @@ from .constructors import (
     to_int_matrix,
     to_matrix,
 )
-from .core import Asc, DataFrame, Desc, GroupedDataFrame
+from .core import Asc, DataFrame, Desc, GroupedDataFrame, row_value
 from .interop import to_int_tensor, to_tensor
 from .monad import FrameM
 from .session import get_spark
@@ -54,6 +54,7 @@ from .sources import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "row_value",
     "DataFrame",
     "GroupedDataFrame",
     "FrameM",

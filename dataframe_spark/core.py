@@ -143,6 +143,21 @@ class DataFrame:
     def collect(self):
         return self.df.collect()
 
+    def to_row_list(self, columns: Sequence[str] | None = None):
+        """Materialize all rows as ordered ``(name, value)`` dicts —
+        the reference's ``toRowList`` idiom (Internal/Row.hs:122;
+        CHANGELOG 0.4.0.6). ``columns`` subsets/reorders like the
+        reference's named variant. Driver-side by definition — same
+        memory caveat the reference documents; prefer the
+        distributed verbs for anything size-of-data."""
+        cols = list(columns) if columns is not None else self.df.columns
+        missing = [c for c in cols if c not in self.df.columns]
+        if missing:
+            raise ColumnNotFoundError(missing[0], self.df.columns)
+        return [
+            {c: row[c] for c in cols} for row in self.df.select(*cols).collect()
+        ]
+
     def show(self, n: int = 10):  # pragma: no cover
         self.df.show(n)
 
@@ -2096,3 +2111,29 @@ class GroupedDataFrame:
             .groupBy(*self.keys)
             .applyInPandas(fn, schema)
         )
+
+
+def row_value(col, row):
+    """Typed row accessor mirroring the reference's ``rowValue``
+    (Internal/Row.hs:162; DataFrame.hs export): given a COLUMN
+    REFERENCE and one row (a :meth:`DataFrame.to_row_list` dict or a
+    pyspark ``Row``), return the value, or ``None`` when the column
+    is absent or null — the reference's ``Maybe``. Like the
+    reference, anything other than a plain column reference raises."""
+    if isinstance(col, Column):
+        # accept only a bare attribute reference, per the reference's
+        # "Can only get rowValue of column reference"
+        import re
+
+        m = re.fullmatch(r"Column<'(.+)'>", str(col))
+        name = m.group(1) if m else None
+        if name is None or not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_ ]*", name):
+            raise ValueError("row_value: only plain column references allowed")
+    elif isinstance(col, str):
+        name = col
+    else:
+        raise ValueError("row_value: only plain column references allowed")
+    try:
+        return row[name]
+    except (KeyError, ValueError):
+        return None

@@ -56,3 +56,39 @@ def test_row_index_plan_is_parallel(lineitem):
 def test_sort_by_expression(small):
     out = small.sort_by([F.col("id") % 2, "id"])
     assert [r["id"] for r in out.collect()] == [2, 4, 1, 3]
+
+
+def test_to_row_list_and_row_value(spark):
+    """Reference toRowList/rowValue idiom (Internal/Row.hs:122,162;
+    CHANGELOG 0.4.0.6)."""
+    import pytest
+
+    import dataframe_spark as D
+    from dataframe_spark import expr as F
+    from dataframe_spark.errors import ColumnNotFoundError
+
+    df = D.DataFrame(
+        spark.createDataFrame(
+            [(1, "a", None), (2, "b", 5.0)], "id long, name string, v double"
+        )
+    )
+    rows = df.to_row_list()
+    assert rows == [
+        {"id": 1, "name": "a", "v": None},
+        {"id": 2, "name": "b", "v": 5.0},
+    ]
+    assert list(rows[0]) == ["id", "name", "v"]  # schema order
+    sub = df.to_row_list(columns=["name", "id"])
+    assert list(sub[0]) == ["name", "id"]
+    with pytest.raises(ColumnNotFoundError):
+        df.to_row_list(columns=["nope"])
+    # rowValue: str ref, Column ref, missing -> None, null -> None
+    assert D.row_value("id", rows[1]) == 2
+    assert D.row_value(F.col("name"), rows[0]) == "a"
+    assert D.row_value("v", rows[0]) is None
+    assert D.row_value("absent", rows[0]) is None
+    with pytest.raises(ValueError):
+        D.row_value(F.col("id") + 1, rows[0])
+    # also works on pyspark Rows straight from collect()
+    prow = df.collect()[0]
+    assert D.row_value("name", prow) == "a"
