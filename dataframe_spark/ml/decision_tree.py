@@ -22,6 +22,7 @@ per-node driver loop):
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column
@@ -63,6 +64,24 @@ def tree_to_expr(tree: Tree) -> Column:
     ).otherwise(tree_to_expr(tree.right))
 
 
+def _blocked_features(
+    used: set[str] | frozenset[str],
+    disallowed: Sequence[tuple[str, str]],
+) -> set[str]:
+    """Features that may not be combined with the already-``used``
+    set under ``disallowed`` pair constraints (reference
+    DecisionTree.hs:50 ``disallowedCombinations``): for each
+    forbidden (l, r), using l blocks r and vice versa. A (f, f)
+    self-pair blocks re-use of f."""
+    out: set[str] = set()
+    for l, r in disallowed:
+        if l in used:
+            out.add(r)
+        if r in used:
+            out.add(l)
+    return out
+
+
 def _gini_from_counts(counts: dict) -> float:
     total = sum(counts.values())
     if total == 0:
@@ -81,8 +100,18 @@ def fit_decision_tree(
     exact_midpoints_max: int = 64,
     tao_iterations: int = 10,
     tao_tol: float = 1e-6,
+    disallowed_combinations: Sequence[tuple[str, str]] = (),
 ) -> Tree:
     """Fit a classification tree on numeric features.
+
+    ``disallowed_combinations`` — feature-name pairs that may never
+    be tested together (reference DecisionTree.hs:50 SynthConfig
+    ``disallowedCombinations``; applied to condition generation at
+    DecisionTree.hs:601/676). With single-feature threshold splits
+    the pair constraint binds PATH-wise: no root-to-leaf path tests
+    both members of a forbidden pair (and a (f, f) self-pair forbids
+    re-splitting on f below itself). Enforced in the greedy build
+    and in TAO's per-node re-optimization.
 
     Deterministic: candidate order and argmax tie-breaks are fixed
     (best gini, then feature name, then threshold).
@@ -130,6 +159,9 @@ def fit_decision_tree(
     # frontier: node_id -> Tree to expand; node assignment expression
     # rebuilt per level from the tree-so-far
     frontier = {0: root}
+    # features tested on each frontier node's path from the root
+    # (drives the disallowed_combinations path constraint)
+    frontier_paths: dict[int, frozenset[str]] = {0: frozenset()}
 
     def node_expr() -> Column:
         """Column assigning each row to its current frontier node
@@ -254,11 +286,15 @@ def fit_decision_tree(
         for r in split_rows:
             by_node.setdefault(r["__node"], []).append(r)
         new_frontier: dict[int, Tree] = {}
+        new_paths: dict[int, frozenset[str]] = {}
         next_id = 0
         for nid, t in sorted(expandable.items()):
             rows = by_node.get(nid, [])
             total = t.n
             best = None  # (score, feature, threshold)
+            blocked = _blocked_features(
+                frontier_paths.get(nid, frozenset()), disallowed_combinations
+            )
             cand_iter = [
                 (f, per_node[nid], f"__le_{f}_{i}")
                 for (f, i), per_node in sorted(thr_maps.items())
@@ -268,6 +304,8 @@ def fit_decision_tree(
                 for (f, j), thr in sorted(mid_slots.items())
             ]
             for f, thr, cnt_col in cand_iter:
+                if f in blocked:
+                    continue
                 left_counts = {
                     r[target]: r[cnt_col] for r in rows
                 }
@@ -292,10 +330,14 @@ def fit_decision_tree(
                 t.threshold = thr
                 t.left = Tree()
                 t.right = Tree()
+                child_path = frontier_paths.get(nid, frozenset()) | {f}
                 new_frontier[next_id] = t.left
+                new_paths[next_id] = child_path
                 new_frontier[next_id + 1] = t.right
+                new_paths[next_id + 1] = child_path
                 next_id += 2
         frontier = new_frontier
+        frontier_paths = new_paths
     if tao_iterations > 0:
         root = tao_optimize(
             data,
@@ -307,6 +349,7 @@ def fit_decision_tree(
             min_leaf=min_leaf,
             percentiles=percentiles,
             global_mids=global_mids,
+            disallowed_combinations=disallowed_combinations,
         )
     return root
 
@@ -352,6 +395,42 @@ def _nodes_at_depth(root: Tree, d: int) -> list[Tree]:
     return out
 
 
+def _ancestor_feature_map(root: Tree, d: int) -> dict[int, frozenset]:
+    """id(node-at-depth-d) -> features tested on its path from the
+    root (exclusive of the node itself)."""
+    out: dict[int, frozenset] = {}
+
+    def walk(t: Tree | None, depth: int, feats: frozenset) -> None:
+        if t is None:
+            return
+        if depth == d:
+            out[id(t)] = feats
+            return
+        if t.is_leaf:
+            return
+        walk(t.left, depth + 1, feats | {t.feature})
+        walk(t.right, depth + 1, feats | {t.feature})
+
+    walk(root, 0, frozenset())
+    return out
+
+
+def _descendant_features(t: Tree) -> set[str]:
+    """Features tested anywhere strictly below ``t``."""
+    out: set[str] = set()
+
+    def walk(n: Tree | None) -> None:
+        if n is None or n.is_leaf:
+            return
+        out.add(n.feature)
+        walk(n.left)
+        walk(n.right)
+
+    walk(t.left)
+    walk(t.right)
+    return out
+
+
 def _goes_left(f: str, thr: float) -> Column:
     """Row routing for a candidate split, matching tree_to_expr's
     otherwise-branch semantics: a NULL feature routes right."""
@@ -368,6 +447,7 @@ def tao_optimize(
     min_leaf: int = 1,
     percentiles: tuple = (10, 25, 50, 75, 90),
     global_mids: dict[str, list[float]] | None = None,
+    disallowed_combinations: Sequence[tuple[str, str]] = (),
 ) -> Tree:
     """TAO alternating optimization over a FIXED tree structure
     (reference ``taoOptimize``/``taoIteration``/``optimizeNode``,
@@ -481,6 +561,23 @@ def tao_optimize(
             branches = [t for t in nodes if not t.is_leaf]
             if not branches:
                 continue
+            # disallowed_combinations: re-picking node t's split must
+            # not pair with any ANCESTOR feature nor any feature in
+            # t's FIXED subtrees (the path constraint holds for every
+            # root-to-leaf path through t)
+            anc = (
+                _ancestor_feature_map(root, d)
+                if disallowed_combinations
+                else {}
+            )
+            blocked_for: dict[int, set[str]] = {}
+            for t in branches:
+                used = set(anc.get(id(t), frozenset()))
+                if disallowed_combinations:
+                    used |= _descendant_features(t)
+                blocked_for[ids[id(t)]] = _blocked_features(
+                    used, disallowed_combinations
+                )
             # candidate grid + each branch's current split (so the
             # per-node argmin can never do worse than the status quo)
             cands = sorted(
@@ -534,6 +631,8 @@ def tao_optimize(
                 else:
                     best = None  # (errors, feature, threshold, idx)
                     for i, (f, thr) in enumerate(cands):
+                        if f in blocked_for.get(nid, ()):
+                            continue
                         nl = r[f"__nl_{i}"]
                         if nl < min_leaf or tot - nl < min_leaf:
                             continue

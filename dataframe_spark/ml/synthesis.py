@@ -46,6 +46,11 @@ class Prog:
     col: Column = field(compare=False, hash=False, repr=False)
     is_lit: bool = False
     is_cond: bool = False
+    # source columns the program reads (Synthesis getColumns
+    # analogue) — drives disallowed_combinations filtering
+    cols: frozenset = field(
+        default=frozenset(), compare=False, hash=False, repr=False
+    )
 
 
 @dataclass(frozen=True)
@@ -58,6 +63,10 @@ class BeamConfig:
     include_conditionals: bool = False
     # scale knob (no reference analogue): bound the symbolic expansion
     max_candidates: int = 1200
+    # reference DecisionTree.hs:50 SynthConfig.disallowedCombinations:
+    # (l, r) feature-name pairs that may never appear together in one
+    # candidate expression (checked at generation, DecisionTree.hs:601)
+    disallowed_combinations: tuple = ()
 
 
 @dataclass(frozen=True)
@@ -76,15 +85,30 @@ def lit_prog(v: float) -> Prog:
 
 
 def var_prog(name: str) -> Prog:
-    return Prog(name, 1, F.col(name).cast("double"))
+    return Prog(name, 1, F.col(name).cast("double"), cols=frozenset({name}))
 
 
 def _unary(name: str, col: Column, p: Prog) -> Prog:
-    return Prog(f"{name}({p.key})", p.size + 1, col)
+    return Prog(f"{name}({p.key})", p.size + 1, col, cols=p.cols)
 
 
 def _binop(op: str, p: Prog, q: Prog, col: Column) -> Prog:
-    return Prog(f"({p.key} {op} {q.key})", p.size + q.size + 1, col)
+    return Prog(
+        f"({p.key} {op} {q.key})", p.size + q.size + 1, col, cols=p.cols | q.cols
+    )
+
+
+def _pair_blocker(disallowed):
+    """Compile disallowed (l, r) pairs into a column-set predicate:
+    blocked(cols) ⇔ some pair is fully contained in cols — exactly
+    the reference's generation-time guard (DecisionTree.hs:601:
+    ``l `elem` cols && r `elem` cols``)."""
+    pairs = [frozenset((l, r)) for l, r in disallowed]
+
+    def blocked(cols: frozenset) -> bool:
+        return any(pair <= cols for pair in pairs)
+
+    return blocked if pairs else None
 
 
 _UNARY_FNS = [
@@ -105,12 +129,15 @@ def generate_programs(
     variables: list[Prog],
     constants: list[Prog],
     ps: list[Prog],
+    disallowed: tuple = (),
 ) -> list[Prog]:
     """Synthesis.hs:67 generatePrograms — the symbolic expansion of
     one beam round. With an empty beam it returns variables +
-    constants (the base generation)."""
+    constants (the base generation). ``disallowed`` feature pairs
+    are rejected at combination time (DecisionTree.hs:601)."""
     if not ps:
         return variables + constants
+    blocked = _pair_blocker(disallowed)
     existing = ps + variables + constants
     out: list[Prog] = list(existing)
     for p in ps + variables:
@@ -123,7 +150,7 @@ def generate_programs(
             continue
         for i in range(2, 7):
             out.append(
-                Prog(f"pow({p.key}, {i})", p.size + 1, F.pow(p.col, F.lit(i)))
+                Prog(f"pow({p.key}, {i})", p.size + 1, F.pow(p.col, F.lit(i)), cols=p.cols)
             )
     # One pass over pairs emitting every operator family together, so
     # the max_candidates truncation (applied after a size-stable sort)
@@ -135,6 +162,8 @@ def generate_programs(
                 continue
             if p.is_cond or q.is_cond:
                 continue
+            if blocked is not None and blocked(p.cols | q.cols):
+                continue
             if i >= j:  # commutative ops once per unordered pair
                 out.append(_binop("+", p, q, p.col + q.col))
                 out.append(_binop("*", p, q, p.col * q.col))
@@ -144,6 +173,7 @@ def generate_programs(
                             f"min({p.key}, {q.key})",
                             p.size + q.size + 1,
                             F.least(p.col, q.col),
+                            cols=p.cols | q.cols,
                         )
                     )
                     out.append(
@@ -151,6 +181,7 @@ def generate_programs(
                             f"max({p.key}, {q.key})",
                             p.size + q.size + 1,
                             F.greatest(p.col, q.col),
+                            cols=p.cols | q.cols,
                         )
                     )
             if i != j:
@@ -165,12 +196,16 @@ def generate_programs(
                 for s in existing:
                     if r.is_cond or s.is_cond or r.key == s.key:
                         continue
+                    merged = c.cols | r.cols | s.cols
+                    if blocked is not None and blocked(merged):
+                        continue
                     out.append(
                         Prog(
                             f"if({c.key}, {r.key}, {s.key})",
                             c.size + r.size + s.size + 1,
                             F.when(c.col, r.col).otherwise(s.col),
                             is_cond=True,
+                            cols=merged,
                         )
                     )
     return out
@@ -182,11 +217,15 @@ def generate_conditions(
     conds: list[Prog],
     ps: list[Prog],
     loss: str,
+    disallowed: tuple = (),
 ) -> list[Prog]:
     """Synthesis.hs:45 generateConditions — boolean predicates built
     from <=-comparisons of programs, negations, and and/or
     combinations with prior conditions; the 10 best-scoring (as 0/1
-    features under the same loss) survive."""
+    features under the same loss) survive. ``disallowed`` pairs are
+    rejected at combination time, mirroring the reference's
+    column-pair guard (DecisionTree.hs:676)."""
+    blocked = _pair_blocker(disallowed)
     new: list[Prog] = []
     for p in ps:
         if p.is_lit:
@@ -194,14 +233,18 @@ def generate_conditions(
         for q in ps:
             if p.key == q.key:
                 continue
+            if blocked is not None and blocked(p.cols | q.cols):
+                continue
             new.append(_binop("<=", p, q, p.col <= q.col))
     new.extend(
-        Prog(f"not({c.key})", c.size + 1, ~c.col) for c in conds
+        Prog(f"not({c.key})", c.size + 1, ~c.col, cols=c.cols) for c in conds
     )
     expanded = list(conds) + list(new)
     for p in new:
         for q in conds:
             if p.key != q.key:
+                if blocked is not None and blocked(p.cols | q.cols):
+                    continue
                 expanded.append(_binop("and", p, q, p.col & q.col))
                 expanded.append(_binop("or", p, q, p.col | q.col))
     as_num = [
@@ -420,10 +463,12 @@ def beam_search(
             ps = [p for p, _ in beam]
             if cfg.include_conditionals:
                 conds = generate_conditions(
-                    work, "__target", conds, variables + constants, cfg.loss
+                    work, "__target", conds, variables + constants, cfg.loss,
+                    disallowed=cfg.disallowed_combinations,
                 )
             cands = generate_programs(
-                cfg.include_conditionals, conds, variables, constants, ps
+                cfg.include_conditionals, conds, variables, constants, ps,
+                disallowed=cfg.disallowed_combinations,
             )
             cands = _nub_by_key(cands)[: cfg.max_candidates]
             scored = _score(work, "__target", cands, cfg.loss)

@@ -761,3 +761,44 @@ def test_mad_outliers_closed_form(spark):
     g = mad_outliers(df.where("x is not null"), "x", k=3.5)
     flags = {r["x"]: r["x_outlier"] for r in g.collect()}
     assert flags[100.0] is True
+
+
+def test_tree_disallowed_combinations_pathwise(spark):
+    """disallowed_combinations (reference DecisionTree.hs:50) binds
+    path-wise for threshold trees: no root-to-leaf path tests both
+    members. Labels here need BOTH x and y (XOR-ish quadrants), so
+    the free tree uses both on one path; the constrained tree must
+    not, and accuracy drops."""
+    rows = []
+    for x in range(8):
+        for y in range(8):
+            rows.append((float(x), float(y), int(x < 4 and y < 4)))
+    df = spark.createDataFrame(rows, "x double, y double, label int")
+
+    def paths(t, acc=()):
+        if t is None or t.is_leaf:
+            yield acc
+            return
+        yield from paths(t.left, acc + (t.feature,))
+        yield from paths(t.right, acc + (t.feature,))
+
+    free = fit_decision_tree(
+        df, "label", ["x", "y"], max_depth=2, tao_iterations=0
+    )
+    assert any({"x", "y"} <= set(p) for p in paths(free))
+    err_free = (
+        df.withColumn("p", tree_to_expr(free))
+        .where(F.col("p") != F.col("label")).count()
+    )
+    assert err_free == 0
+
+    constrained = fit_decision_tree(
+        df, "label", ["x", "y"], max_depth=2,
+        disallowed_combinations=[("x", "y")],
+    )
+    assert all(not ({"x", "y"} <= set(p)) for p in paths(constrained))
+    err_con = (
+        df.withColumn("p", tree_to_expr(constrained))
+        .where(F.col("p") != F.col("label")).count()
+    )
+    assert err_con > 0  # the AND-quadrant needs both features on a path

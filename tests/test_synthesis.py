@@ -118,3 +118,82 @@ def test_regression_uses_mse_loss(spark):
     assert res is not None
     # negated-MSE score of a (near-)exact fit is ~0
     assert res.score > -1e-6
+
+
+def _all_progs_respect(res_or_progs, pair):
+    l, r = pair
+    if hasattr(res_or_progs, "key"):
+        keys = [res_or_progs.key]
+    else:
+        keys = [p.key for p in res_or_progs]
+    import re
+
+    def cols_of(key):
+        return set(re.findall(r"[a-z_][a-z0-9_]*", key)) - {
+            "pow", "min", "max", "if", "not", "and", "or", "sqrt", "abs",
+            "log1p", "exp", "sin", "cos", "relu", "signum",
+        }
+
+    return all(not ({l, r} <= cols_of(k)) for k in keys)
+
+
+def test_disallowed_combinations_blocks_pairs(spark):
+    """Reference DecisionTree.hs:50 disallowedCombinations: a planted
+    product target t = x*y is recoverable ONLY by combining x and y;
+    with (x, y) disallowed no candidate may contain both, so the
+    search must settle for a strictly worse single-source program."""
+    from dataframe_spark.ml.synthesis import generate_programs, var_prog
+
+    rows = [
+        (float(x), float((x * 7) % 13 + 1), float(x * ((x * 7) % 13 + 1)))
+        for x in range(1, 41)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, t double")
+    free = synthesize_feature_expr(
+        df, "t", BeamConfig(search_depth=2, beam_length=12)
+    )
+    assert free.score > 0.999  # sanity: x*y is recoverable
+
+    blocked = synthesize_feature_expr(
+        df,
+        "t",
+        BeamConfig(
+            search_depth=2,
+            beam_length=12,
+            disallowed_combinations=(("x", "y"),),
+        ),
+    )
+    assert blocked is not None
+    assert _all_progs_respect(blocked, ("x", "y")), blocked.key
+    assert blocked.score < free.score
+
+    # generation-level check, mirroring the reference guard exactly:
+    # no emitted candidate's column set contains both members
+    vx, vy = var_prog("x"), var_prog("y")
+    cands = generate_programs(
+        False, [], [vx, vy], [], [vx, vy], disallowed=(("x", "y"),)
+    )
+    assert all(not ({"x", "y"} <= p.cols) for p in cands)
+    # and without the constraint the combination IS generated
+    cands_free = generate_programs(False, [], [vx, vy], [], [vx, vy])
+    assert any({"x", "y"} <= p.cols for p in cands_free)
+
+
+def test_disallowed_self_pair_blocks_reuse(spark):
+    """(f, f) forbids f entirely in combinations (the reference's
+    l `elem` cols && r `elem` cols degenerates to membership)."""
+    from dataframe_spark.ml.synthesis import generate_programs, var_prog
+
+    vx, vy = var_prog("x"), var_prog("y")
+    cands = generate_programs(
+        False, [], [vx, vy], [], [vx, vy], disallowed=(("x", "x"),)
+    )
+    # x survives as a bare variable and in UNARY expansions (the
+    # reference guard only filters combinedExprs), but never enters
+    # a binary combination — not even with itself or a literal
+    assert any(p.key == "x" for p in cands)
+    binops = (" + ", " - ", " * ", " / ", "min(", "max(", "if(")
+    for p in cands:
+        if "x" in p.cols:
+            assert p.cols == frozenset({"x"}), p.key
+            assert not any(op in p.key for op in binops), p.key
