@@ -815,6 +815,329 @@ def q22_global_sales(spark, sf_dir):
     )
 
 
+
+
+# --- derived partsupp + TPC-H Q2/Q11/Q16/Q20 -------------------------
+#
+# The synthetic schema has no partsupp table, so the four TPC-H
+# queries whose defining shape is a (correlated) aggregate over the
+# part-supplier relation were inexpressible (SURVEY section-2 item 63
+# gap note; VERDICT r8 ask #2). partsupp is DERIVED deterministically
+# from part x supplier with the TPC-H dbgen supplier-assignment
+# formula (4 suppliers per part, 0-based keys here):
+#   ps_suppkey = (p_partkey + i*(S div 4 + p_partkey div S)) mod S
+# and hash-free arithmetic surrogates for availqty/supplycost, so the
+# SAME rows are constructible in any engine — the DuckDB oracles
+# rebuild it as a CTE and every value (supplycost in integer CENTS)
+# is exact-integer math until the final display division.
+
+
+def _partsupp(spark, sf_dir):
+    """Derived partsupp as a pure Spark plan: part scan (one narrow
+    column) x broadcast 1-row supplier count x explode(0..3) — no
+    shuffle, no data written, size 4x|part| at any scale."""
+    part = _t(spark, sf_dir, "part").df.select("p_partkey")
+    scnt = _t(spark, sf_dir, "supplier").df.agg(
+        F.count(F.lit(1)).cast("long").alias("__s")
+    )
+    return (
+        part.crossJoin(F.broadcast(scnt))
+        .select(
+            F.col("p_partkey").cast("long").alias("ps_partkey"),
+            F.col("__s"),
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("__i"),
+        )
+        .select(
+            "ps_partkey",
+            F.expr(
+                "(ps_partkey + CAST(__i AS BIGINT)"
+                " * ((__s div 4) + (ps_partkey div __s))) % __s"
+            ).alias("ps_suppkey"),
+        )
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            ((F.col("ps_partkey") * 47 + F.col("ps_suppkey") * 31) % 9999 + 1
+             ).alias("ps_availqty"),
+            ((F.col("ps_partkey") * 13 + F.col("ps_suppkey") * 7) % 99900 + 100
+             ).alias("ps_supplycost_cents"),
+        )
+        .withColumn(
+            "ps_supplycost", F.col("ps_supplycost_cents") / F.lit(100.0)
+        )
+    )
+
+
+# shared oracle prelude: WITH <PS_CTE> SELECT ...
+PS_CTE = """
+  scnt AS (SELECT COUNT(*) AS s FROM supplier),
+  ps0 AS (
+    SELECT CAST(p_partkey AS BIGINT) AS ps_partkey,
+           (CAST(p_partkey AS BIGINT) + i.i
+             * ((scnt.s // 4) + (CAST(p_partkey AS BIGINT) // scnt.s)))
+             % scnt.s AS ps_suppkey
+    FROM part, scnt, (VALUES (CAST(0 AS BIGINT)), (1), (2), (3)) AS i(i)),
+  partsupp AS (
+    SELECT ps_partkey, ps_suppkey,
+           (ps_partkey * 47 + ps_suppkey * 31) % 9999 + 1 AS ps_availqty,
+           (ps_partkey * 13 + ps_suppkey * 7) % 99900 + 100
+             AS ps_supplycost_cents,
+           ((ps_partkey * 13 + ps_suppkey * 7) % 99900 + 100) / 100.0
+             AS ps_supplycost
+    FROM ps0)
+"""
+
+
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: minimum-cost EUROPE supplier for mid-size
+    ECONOMY parts. The spec's correlated scalar subquery (min
+    supplycost per part over the region) decorrelates into a
+    per-part min aggregate of the SAME candidate set joined back —
+    one shuffle on ps_partkey; all dimension joins broadcast. Exact:
+    the min/equality runs on integer cents."""
+    ps = _partsupp(spark, sf_dir)
+    region = _t(spark, sf_dir, "region").df.where(F.col("r_name") == "EUROPE")
+    nation = _t(spark, sf_dir, "nation").df
+    sup = _t(spark, sf_dir, "supplier").df
+    part = (
+        _t(spark, sf_dir, "part").df
+        .where((F.col("p_type") == "ECONOMY") & F.col("p_size").between(10, 20))
+        .select("p_partkey", "p_brand")
+    )
+    eu_sup = (
+        sup.join(F.broadcast(nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey,
+        )), sup.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = ps.join(
+        F.broadcast(eu_sup), ps.ps_suppkey == eu_sup.s_suppkey
+    ).join(
+        F.broadcast(part),
+        F.col("ps_partkey") == F.col("p_partkey").cast("long"),
+    )
+    minc = cand.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost_cents").alias("__minc")
+    )
+    return (
+        # minc is bounded by the FILTERED part count (one row per
+        # qualifying part), broadcastable at any corpus scale
+        cand.join(F.broadcast(minc), "ps_partkey")
+        .where(F.col("ps_supplycost_cents") == F.col("__minc"))
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            "p_brand", "ps_supplycost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+Q2_SQL = f"""
+WITH {PS_CTE}
+SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey, p_brand,
+       ps_supplycost
+FROM partsupp
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+JOIN part ON ps_partkey = p_partkey
+WHERE p_type = 'ECONOMY' AND p_size BETWEEN 10 AND 20
+  AND ps_supplycost_cents = (
+    SELECT MIN(p2.ps_supplycost_cents)
+    FROM partsupp p2
+    JOIN supplier s2 ON p2.ps_suppkey = s2.s_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE r2.r_name = 'EUROPE' AND p2.ps_partkey = partsupp.ps_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: per-part inventory value held by EUROPE
+    suppliers, keeping parts above 1.2x the MEAN per-part value (the spec's\n    0.0001/SF fraction is scale-dependent; the mean keeps a stable\n    selectivity at every corpus size) —
+    the scalar-aggregate subquery rides back as a broadcast one-row
+    cross join (the q15 pattern), so the plan is two aggregations
+    over one shuffled candidate set, no driver collect. Exact: sums
+    run on integer cents x quantity, divided only for display."""
+    ps = _partsupp(spark, sf_dir)
+    region = _t(spark, sf_dir, "region").df.where(F.col("r_name") == "EUROPE")
+    nation = _t(spark, sf_dir, "nation").df
+    sup = _t(spark, sf_dir, "supplier").df
+    eu_keys = sup.join(
+        F.broadcast(nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey,
+        )), sup.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey")
+    cand = ps.join(
+        F.broadcast(eu_keys), ps.ps_suppkey == eu_keys.s_suppkey
+    ).withColumn(
+        "__v", F.col("ps_supplycost_cents") * F.col("ps_availqty")
+    )
+    per_part = cand.groupBy("ps_partkey").agg(F.sum("__v").alias("__pv"))
+    # spec's fixed fraction (0.0001/SF) is scale-dependent; 1.2x the
+    # MEAN per-part value keeps the scalar-aggregate-subquery shape
+    # while selecting a stable share of parts at every corpus size
+    total = per_part.agg(
+        (1.2 * F.sum("__pv") / F.count(F.lit(1))).alias("__cut")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("__pv") > F.col("__cut"))
+        .select(
+            "ps_partkey",
+            F.round(F.col("__pv") / F.lit(100.0), 2).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+Q11_SQL = f"""
+WITH {PS_CTE},
+eu AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+pv AS (
+  SELECT ps_partkey,
+         CAST(SUM(ps_supplycost_cents * ps_availqty) AS BIGINT) AS v
+  FROM partsupp JOIN eu ON ps_suppkey = s_suppkey
+  GROUP BY ps_partkey)
+SELECT ps_partkey, ROUND(v / 100.0, 2) AS value
+FROM pv
+WHERE v > (SELECT 1.2 * CAST(SUM(v) AS BIGINT) / COUNT(*) FROM pv)
+ORDER BY value DESC, ps_partkey
+"""
+
+
+def q16_supplier_relation(spark, sf_dir):
+    """TPC-H Q16 shape: distinct supplier count per (brand, type,
+    size) for a filtered part set, excluding flagged suppliers (the
+    spec's complaints NOT IN; this schema has no s_comment, so the
+    flag is s_acctbal < 0). NOT IN is a broadcast ANTI join —
+    null-safe here because s_suppkey is a key; the distinct count is
+    one shuffle keyed on the group columns."""
+    ps = _partsupp(spark, sf_dir)
+    part = (
+        _t(spark, sf_dir, "part").df
+        .where(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "MEDIUM")
+            & F.col("p_size").isin([1, 4, 7, 10, 15, 23, 45, 50])
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    flagged = (
+        _t(spark, sf_dir, "supplier").df
+        .where(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("ps_suppkey"))
+    )
+    return (
+        ps.join(
+            F.broadcast(part),
+            F.col("ps_partkey") == F.col("p_partkey").cast("long"),
+        )
+        .join(F.broadcast(flagged), ["ps_suppkey"], "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+Q16_SQL = f"""
+WITH {PS_CTE}
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 4, 7, 10, 15, 23, 45, 50)
+  AND ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_excess_stock(spark, sf_dir):
+    """TPC-H Q20 shape: EUROPE suppliers holding stock of 'small'
+    parts in excess of half what they shipped in 1996. The spec's
+    doubly-correlated subquery (sum of lineitem quantity per
+    (part, supplier)) decorrelates into ONE aggregation of the
+    date-filtered lineitem keyed on (l_partkey, l_suppkey), joined
+    to partsupp — empty shipped-sets drop out of the inner join
+    exactly as the spec's NULL comparison does. The part-name and
+    supplier-region filters broadcast."""
+    ps = _partsupp(spark, sf_dir)
+    small = (
+        _t(spark, sf_dir, "part").df
+        .where(F.col("p_name").like("small%"))
+        .select(F.col("p_partkey").cast("long").alias("ps_partkey"))
+    )
+    shipped = (
+        _t(spark, sf_dir, "lineitem").df
+        .where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy(
+            F.col("l_partkey").cast("long").alias("ps_partkey"),
+            F.col("l_suppkey").cast("long").alias("ps_suppkey"),
+        )
+        .agg(F.sum("l_quantity").alias("__shipped"))
+    )
+    region = _t(spark, sf_dir, "region").df.where(F.col("r_name") == "EUROPE")
+    nation = _t(spark, sf_dir, "nation").df
+    sup = _t(spark, sf_dir, "supplier").df
+    eu_sup = sup.join(
+        F.broadcast(nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey,
+        )), sup.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey", "s_name", "s_acctbal")
+    qualifying = (
+        ps.join(F.broadcast(small), ["ps_partkey"])
+        .join(shipped, ["ps_partkey", "ps_suppkey"])
+        .where(F.col("ps_availqty") > 0.5 * F.col("__shipped"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        eu_sup.join(
+            qualifying, eu_sup.s_suppkey == qualifying.ps_suppkey
+        )
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = f"""
+WITH {PS_CTE}
+SELECT s_name, ROUND(s_acctbal, 2) AS s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (
+    SELECT ps_suppkey FROM partsupp
+    WHERE ps_partkey IN (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    AND ps_availqty > (
+      SELECT 0.5 * SUM(l.l_quantity) FROM lineitem l
+      WHERE l.l_partkey = partsupp.ps_partkey
+        AND l.l_suppkey = partsupp.ps_suppkey
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01'))
+ORDER BY s_name
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q8_market_share": q8_market_share,
@@ -852,9 +1175,18 @@ QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "q18_large_orders": q18_large_orders,
     "q19_basket_revenue": q19_basket_revenue,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_stock": q11_important_stock,
+    "q16_supplier_relation": q16_supplier_relation,
+    "q20_excess_stock": q20_excess_stock,
 }
 
 ORACLES = {
+    "q2_min_cost_supplier": Q2_SQL,
+    "q11_important_stock": Q11_SQL,
+    "q16_supplier_relation": Q16_SQL,
+    "q20_excess_stock": Q20_SQL,
+
     "q_skew_join": """
         WITH lt AS (
           SELECT CASE WHEN CAST('0x' || SUBSTR(MD5(

@@ -98,6 +98,10 @@ RISKY = [
     "q_cusum",                  # r6 standardized recurrence divisions
     "q_mad_outliers",           # r6 MAD-scaled threshold compares
     "q_holt",                   # r6 coupled smoothing recurrences
+    "q2_min_cost_supplier",     # r9 derived-partsupp div/mod key math
+    "q11_important_stock",      # r9 cents*qty sums + fraction threshold
+    "q16_supplier_relation",    # r9 derived-partsupp + distinct count
+    "q20_excess_stock",         # r9 0.5*shipped comparison + key casts
 ]
 
 
