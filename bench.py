@@ -52,7 +52,36 @@ HEADLINE = [
     # r8: the Poisson bootstrap joins after its no-explode rework —
     # track the chunked-digest weight path's cost per round
     "q_bootstrap",
+    # r9: the derived-partsupp TPC-H completions (the suite's only
+    # correlated-subquery-over-join-table shapes)
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_relation",
+    "q20_excess_stock",
 ]
+
+
+def _noise_marker(samples: int = 5) -> dict:
+    """Fixed-work CPU spin calibration + loadavg snapshot. The box
+    shares CPU with other tenants and steal arrives in multi-minute
+    bursts (q_fingerprint's r7->r8 ratio tripled with zero code
+    change); recording how long a CONSTANT pure-Python loop takes at
+    bench time lets cross-round ratio moves be attributed to box
+    noise instead of plan changes (VERDICT r8 ask #8)."""
+    spins = []
+    for _ in range(samples):
+        t0 = time.monotonic()
+        x = 0
+        for i in range(2_000_000):
+            x += i
+        spins.append(round((time.monotonic() - t0) * 1000, 1))
+    out = {"spin_ms": spins}
+    try:
+        with open("/proc/loadavg") as f:
+            out["loadavg"] = float(f.read().split()[0])
+    except OSError:
+        pass
+    return out
 
 
 def main():
@@ -130,6 +159,7 @@ def main():
     # 3.3s -> 11s back-to-back); four passes spread over ~3-4 min
     # give each query a shot at a quiet window, and the min reflects
     # the plan's actual cost
+    noise_start = _noise_marker()
     times: dict[str, float] = {}
     for _pass in range(4):
         for name in HEADLINE:
@@ -154,6 +184,7 @@ def main():
         ).save()
         cold_total += time.monotonic() - t0
 
+    noise_end = _noise_marker()
     scaling = _scaling_check(spark, qs, sf_dir, times)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -169,6 +200,7 @@ def main():
         "sf": sf,
         "fixed_overhead_sec": round(floor, 3),
         "cold_build_headline_sec": round(cold_total, 3),
+        "noise_marker": {"start": noise_start, "end": noise_end},
     }
     if scaling:
         out["scaling_10x"] = scaling
@@ -199,6 +231,9 @@ def main():
     }
     if "vs_baseline_total" in out:
         summary["vs_baseline_total"] = out["vs_baseline_total"]
+    summary["noise_spin_ms"] = [
+        min(noise_start["spin_ms"]), min(noise_end["spin_ms"])
+    ]
     sq = scaling.get("queries", {}) if scaling else {}
     if sq:
         worst = max(sq.items(), key=lambda kv: kv[1]["wall_factor"])
