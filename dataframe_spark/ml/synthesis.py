@@ -435,23 +435,32 @@ def beam_search(
         *[F.col(c).cast("double").alias(c) for c in feature_cols],
         F.col(target).cast("double").alias("__target"),
     ).where(F.col("__target").isNotNull())
-    # Balance BEFORE persisting: the working set is re-scanned once
-    # per scoring chunk (~1 + candidates/100 passes per round), so
-    # every pass inherits the persisted layout. A raw file scan can
-    # be few-partition and SKEWED (the 10x corpus: 12 files, one
-    # straggler task held every scoring stage at (11+1)/12 — 255 s
-    # uncached vs 40 s from the repartitioned table cache); one
-    # 200 MB-scale shuffle here buys core-count balance on all ~90
-    # downstream passes (measured 255 s → ~45 s protocol-
-    # independent). Skipped when the source is already wide enough
-    # (e.g. fed from the repartitioned table cache).
+    # Balance BEFORE persisting — UNCONDITIONALLY: the working set is
+    # re-scanned once per scoring chunk (~1 + candidates/100 passes
+    # per round), so every pass inherits the persisted layout. A raw
+    # file scan can be few-partition and SKEWED (the 10x corpus: 12
+    # files, one straggler held every scoring stage at (11+1)/12 —
+    # 255 s uncached vs 40 s balanced). The r8 version gated this on
+    # ``rdd.getNumPartitions()``, which counts PLANNED byte-range
+    # splits, not non-empty ones: the 100x corpus is one single-task-
+    # written 350 MB file with 3 ROW GROUPS, so the planner's ~32
+    # splits put all 60 M rows in 3 tasks, the gate skipped the
+    # repartition, and every scoring pass ran on 3 of 32 cores —
+    # the "super-linear" 23.7x decade factor (1233 s) was 90 passes
+    # at 1/10th the cores, not memory or codegen. One bounded
+    # shuffle of the projected working set (4 doubles/row) amortizes
+    # over all ~90 downstream passes: measured clean 10x 56 s,
+    # 100x 1233 s → 335 s, per-decade factor 6.0 (sub-linear).
     try:
         parallelism = df.sparkSession.sparkContext.defaultParallelism
-        if work.rdd.getNumPartitions() < max(2, parallelism // 2):
-            work = work.repartition(parallelism)
-    except AttributeError:  # Spark Connect: no sparkContext/rdd
-        pass
-    work = work.persist()
+    except AttributeError:  # Spark Connect: no sparkContext handle
+        try:
+            parallelism = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except Exception:
+            parallelism = 64
+    work = work.repartition(parallelism).persist()
     try:
         variables = [var_prog(c) for c in feature_cols]
         constants = percentile_constants(work, feature_cols) + list(

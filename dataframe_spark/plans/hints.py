@@ -19,6 +19,49 @@ def broadcast_small(df: DataFrame) -> DataFrame:
     return DataFrame(F.broadcast(df.df))
 
 
+def effective_scan_partitions(sdf, planned: int, needed: int) -> int:
+    """Planned file-split count capped by the total parquet ROW-GROUP
+    count. A byte-range split only yields rows if a row-group START
+    falls inside it, so one 350 MB file written as 3 row groups scans
+    as 3 non-empty tasks however many splits the planner cuts — and a
+    gate reading ``rdd.getNumPartitions()`` (the PLANNED count) is
+    fooled into skipping its repartition. This was the r9 q_synthesis
+    100x find: the scaled corpus is one single-task-written file with
+    3 row groups, the planned count (~32) sailed past the balance
+    gate, and every beam-scoring pass ran on 3 of 32 cores (23.7x
+    per-decade factor; 8.3x after the fix).
+
+    Footer reads are driver-side metadata only (no job) and are
+    skipped as soon as enough granularity is proven: when the file
+    count alone reaches ``needed``, or the running row-group total
+    does. Non-local / non-parquet sources fall back to the planned
+    count (multi-task writers produce many files there anyway)."""
+    if planned < needed:
+        return planned
+    try:
+        files = sdf.inputFiles()
+    except Exception:
+        return planned
+    if not files or len(files) >= needed:
+        return planned
+    try:
+        from urllib.parse import urlparse
+
+        import pyarrow.parquet as pq
+
+        groups = 0
+        for f in files:
+            parsed = urlparse(f)
+            if parsed.scheme not in ("", "file") or not f.endswith(".parquet"):
+                return planned
+            groups += pq.ParquetFile(parsed.path).metadata.num_row_groups
+            if groups >= needed:
+                return planned
+        return min(planned, groups)
+    except Exception:
+        return planned
+
+
 def ensure_scan_parallelism(sdf, min_fill: float = 0.5, max_bytes: int = 1 << 30):
     """Repartition a SMALL scan whose file-split count underuses the
     cores (a 5 MB single-row-group parquet file scans as ONE task, so
@@ -41,7 +84,8 @@ def ensure_scan_parallelism(sdf, min_fill: float = 0.5, max_bytes: int = 1 << 30
         # loses this hint, and guessing a repartition without the
         # split count would shuffle blindly.
         return sdf
-    if n_parts >= max(2, int(target * min_fill)):
+    needed = max(2, int(target * min_fill))
+    if effective_scan_partitions(sdf, n_parts, needed) >= needed:
         return sdf
     from .stats import plan_size_bytes
 

@@ -74,7 +74,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> SparkDF:
                 _CACHE.pop(k, None)
             df = _load_raw(spark, sf_dir, name)
             target = spark.sparkContext.defaultParallelism
-            if df.rdd.getNumPartitions() < max(2, target // 2):
+            from .plans.hints import effective_scan_partitions
+
+            needed = max(2, target // 2)
+            planned = df.rdd.getNumPartitions()
+            # effective: the planned count lies for single-file few-
+            # row-group sources (the r9 q_synthesis 100x find)
+            if effective_scan_partitions(df, planned, needed) < needed:
                 df = df.repartition(target)
             _CACHE[key] = df.cache()
         return _CACHE[key]

@@ -85,3 +85,42 @@ def test_bloom_semi_join_exact_equivalence(spark):
     assert "shiftright" in plan
     with _pytest.raises(ValueError):
         bloom_semi_join(probe, build, ["k"], ["bk", "bk2"])
+
+
+def test_effective_scan_partitions_caps_by_row_groups(spark, tmp_path):
+    """A single-file parquet with ONE row group can only scan as one
+    non-empty task no matter how many byte-range splits the planner
+    cuts — the gate must see the row-group reality, not the planned
+    count (the r9 q_synthesis 100x find)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataframe_spark.plans.hints import (
+        effective_scan_partitions,
+        ensure_scan_parallelism,
+    )
+
+    p = str(tmp_path / "one_group.parquet")
+    n = 200_000
+    pq.write_table(
+        pa.table({"x": list(range(n)), "y": [1.0] * n}), p,
+        row_group_size=n,  # ONE row group
+    )
+    df = spark.read.parquet(p)
+    planned = df.rdd.getNumPartitions()
+    eff = effective_scan_partitions(df, planned, needed=2)
+    assert eff <= 1 or planned < 2
+    # and ensure_scan_parallelism actually widens such a scan
+    fixed = ensure_scan_parallelism(df)
+    assert (
+        fixed.rdd.getNumPartitions()
+        >= spark.sparkContext.defaultParallelism
+    )
+    # multi-row-group source: the helper defers to the planned count
+    p2 = str(tmp_path / "many_groups.parquet")
+    pq.write_table(
+        pa.table({"x": list(range(n))}), p2, row_group_size=n // 64
+    )
+    df2 = spark.read.parquet(p2)
+    planned2 = df2.rdd.getNumPartitions()
+    assert effective_scan_partitions(df2, planned2, needed=2) == planned2

@@ -52,6 +52,12 @@ FLAGSHIPS = [
     "q1_pricing_summary", "q_stats_agg", "q_sessionize", "q_summarize",
     "q_dedup_ngram_jaccard", "q_dedup_minhash", "q_skew_join", "q_holt",
     "q_asof_join", "q_token_count",
+    # r9 (VERDICT r8 ask #5): the 100 TB pitch rests on the text-dedup
+    # stack — give banding/span/paragraph/bloom 100x evidence too
+    "q_remove_spans", "q_dedup_paragraphs", "q_bloom_check",
+    # r9 (VERDICT r8 ask #1): pin the beam-search scale story in the
+    # committed artifact (memoization cleared per rep — see below)
+    "q_synthesis",
 ]
 
 
@@ -256,9 +262,18 @@ def sweep_decades(argv):
     _ensure_100x(spark)
     qs = entry.queries()
     out = {}
+    from dataframe_spark.queries import ml_q
+
     for tag, d in (("10x", DIR_10X), ("100x", DIR_100X)):
         for name in FLAGSHIPS:
-            t = _time_best(lambda: qs[name](spark, d), reps=2)
+            def build(name=name, d=d):
+                if name == "q_synthesis":
+                    # the search result is memoized per (app, sf_dir);
+                    # certification must time the SEARCH, not the cache
+                    ml_q._BEAM_CACHE.clear()
+                return qs[name](spark, d)
+
+            t = _time_best(build, reps=2)
             out.setdefault(name, {})[tag] = t
             print(tag, name, t)
     factors = {
