@@ -77,12 +77,12 @@ def generate(spark: SparkSession, src_dir: str, out_dir: str) -> None:
     li_big = _copies(li).withColumn(
         "l_orderkey", F.col("l_orderkey") + F.col("__c") * F.lit(max_ok)
     ).drop("__c")
-    li_big.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+    li_big.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
 
     o_big = _copies(orders).withColumn(
         "o_orderkey", F.col("o_orderkey") + F.col("__c") * F.lit(max_ok)
     ).drop("__c")
-    o_big.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+    o_big.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
 
     # events.parquet carries TIMESTAMP(NANOS) — a raw read fails on
     # a fresh session; _load_raw sets the legacy conf and rebuilds ts
@@ -97,7 +97,7 @@ def generate(spark: SparkSession, src_dir: str, out_dir: str) -> None:
         .withColumn("user_id", F.col("user_id") + F.col("__c") * F.lit(max_user))
         .drop("__c")
     )
-    ev_big.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    ev_big.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
     docs = spark.read.parquet(f"{src_dir}/documents.parquet")
     max_id = docs.agg(F.max("doc_id")).first()[0] + 1
@@ -122,7 +122,7 @@ def generate(spark: SparkSession, src_dir: str, out_dir: str) -> None:
         .withColumn("text", tagged)
         .drop("__c")
     )
-    docs_big.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    docs_big.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
     _synth_embeddings(spark, src_dir, out_dir)
 
@@ -189,9 +189,14 @@ def ensure(spark: SparkSession, src_dir: str, out_dir: str) -> bool:
 
     The marker is versioned: v2 added scaled orders/events and the
     linked dim tables; v3 (r8) replaced the unscaled-embeddings
-    symlink with the synthetic clustered corpus — older dirs
-    regenerate in place."""
-    marker = os.path.join(out_dir, "_DONE_v3")
+    symlink with the synthetic clustered corpus; v4 (r9) repartitions
+    every fact table before writing — the v3 writer inherited the
+    source's partitioning, so the 100x lineitem came out as ONE
+    single-task 350 MB file with 3 row groups, a layout no
+    multi-executor writer produces (it also hid 90% of the cores
+    from every scan until the effective_scan_partitions fix). Older
+    dirs regenerate in place."""
+    marker = os.path.join(out_dir, "_DONE_v4")
     if os.path.exists(marker):
         return True
     try:
