@@ -9,6 +9,8 @@ so the candidate set per query is a bucket, not the corpus.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column
@@ -332,6 +334,123 @@ def kmeans_fit(
     return centroids
 
 
+HIER_KMEANS_MIN_K = 64
+
+
+def kmeans_fit_hierarchical(
+    df: SparkDF,
+    id_col: str,
+    vec_col: str,
+    k: int = 256,
+    max_iter: int = 3,
+    seed: int = 42,
+):
+    """Two-level Lloyd k-means for LARGE k: fit k1 = ceil(sqrt(k))
+    coarse centroids with the flat fitter, assign once, then fit
+    k2 = ceil(k/k1) sub-centroids INSIDE each coarse cluster in one
+    grouped Arrow pass. Returns ``(C1_unit, S_unit)`` where C1_unit
+    is (k1, dim) and S_unit is (k1, k2, dim); a row's cluster id is
+    ``coarse * k2 + sub``.
+
+    Why: flat Lloyd assignment is n·k·d work per pass. SemDeDup's
+    contract sets k ∝ n (mean cluster size fixed), so the flat fit
+    is O(n²·d) — invisible at 200k vectors (8 s of an 82 s wall,
+    r9 phase profile) but the dominant term by ~5M. Two levels cut
+    fit AND assignment to n·2·sqrt(k)·d = O(n^1.5·d); the edge join
+    (sum of squared cluster sizes) stays the linear term it was.
+
+    Determinism: the coarse fit is the seeded flat fitter; each
+    sub-fit sorts its group by a Spark-computed xxhash64(id, seed)
+    column and seeds from the first k2 rows, then runs a fixed
+    iteration count; assignment breaks argmax ties at the first
+    (lowest) index. Short groups fit fewer sub-centroids and PAD
+    the codebook by repeating their first row — a padded duplicate
+    can never win an argmax tie against its earlier original, so
+    padded ids are unreachable."""
+    k1 = max(2, math.isqrt(max(1, k - 1)) + 1)  # ceil(sqrt(k))
+    k2 = max(1, -(-k // k1))  # ceil(k / k1)
+    C1 = kmeans_fit(df, id_col, vec_col, k=k1, max_iter=max_iter, seed=seed)
+    C1u = _unit_rows(C1)
+    dim = C1.shape[1]
+    vecs = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), _dvec(vec_col).alias("vec"))
+        .withColumn("__h", F.xxhash64(F.col("id"), F.lit(seed)))
+        .withColumn("__coarse", _assign_udf(C1u)(F.col("vec")))
+    )
+
+    def _fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        A = np.stack(pdf["vec"].to_numpy()).astype("float64")
+        order = np.lexsort((pdf["id"].to_numpy(), pdf["__h"].to_numpy()))
+        kk = min(k2, A.shape[0])
+        C = A[order[:kk]].copy()
+        for _ in range(max_iter):
+            Cu = _unit_rows(C)
+            An = np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+            cid = np.argmax((A / An) @ Cu.T, axis=1)
+            for j in range(kk):
+                m = cid == j
+                if m.any():
+                    C[j] = A[m].mean(axis=0)
+        coarse = int(pdf["__coarse"].iloc[0])
+        return pd.DataFrame(
+            {
+                "coarse": [coarse] * kk,
+                "sub": list(range(kk)),
+                "centroid": [C[j].tolist() for j in range(kk)],
+            }
+        )
+
+    rows = (
+        vecs.groupBy("__coarse")
+        .applyInPandas(
+            _fit_group,
+            "coarse int, sub int, centroid array<double>",
+        )
+        .collect()
+    )
+    S = np.zeros((k1, k2, dim), dtype="float64")
+    filled = np.zeros(k1, dtype=bool)
+    by_coarse: dict[int, list] = {}
+    for r in rows:
+        by_coarse.setdefault(r["coarse"], []).append(r)
+    for c, rs in by_coarse.items():
+        for r in rs:
+            S[c][r["sub"]] = np.asarray(r["centroid"])
+        first = min(rs, key=lambda r: r["sub"])
+        for j in range(len(rs), k2):  # pad short groups (see docstring)
+            S[c][j] = np.asarray(first["centroid"])
+        filled[c] = True
+    # empty coarse clusters keep zero rows: no vector is assigned
+    # to them, so their sub-codebook is never consulted
+    Su = S / np.maximum(
+        np.linalg.norm(S, axis=2, keepdims=True), 1e-12
+    )
+    return C1u, Su
+
+
+def _assign_hier_udf(C1_unit, S_unit):
+    """Arrow-batched two-stage assignment: coarse argmax against the
+    (k1, dim) codebook, then sub argmax against that coarse bucket's
+    (k2, dim) block — n·(k1 + k2)·d instead of n·k·d. Returns the
+    flat cluster id coarse·k2 + sub."""
+    k2 = S_unit.shape[1]
+
+    @pandas_udf("int")
+    def assign(s: pd.Series) -> pd.Series:
+        A = np.stack(s.to_numpy()).astype("float64")
+        An = np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+        U = A / An
+        coarse = np.argmax(U @ C1_unit.T, axis=1)
+        sub = np.zeros(len(coarse), dtype="int64")
+        for c in np.unique(coarse):
+            m = coarse == c
+            sub[m] = np.argmax(U[m] @ S_unit[c].T, axis=1)
+        return pd.Series((coarse * k2 + sub).astype("int32"))
+
+    return assign
+
+
 def knn_ivf(
     df: SparkDF,
     id_col: str,
@@ -523,15 +642,26 @@ def semdedup(
     from .dedup import _reusable
     from .graph import connected_components
 
-    if centroids is None:
-        centroids = kmeans_fit(
+    if centroids is None and k > HIER_KMEANS_MIN_K:
+        # k ∝ corpus (the paper's setting) makes the flat fit and
+        # assignment O(n²·d); the two-level codebook is O(n^1.5·d)
+        # with the same output contract (the check invariants hold
+        # for ANY clustering). Driver SFs sit at k=8 and keep the
+        # flat path, so small-scale outputs are unchanged.
+        C1u, Su = kmeans_fit_hierarchical(
             df, id_col, vec_col, k=k, max_iter=max_iter, seed=seed
         )
-    C = _unit_rows(centroids)
+        assign = _assign_hier_udf(C1u, Su)
+    else:
+        if centroids is None:
+            centroids = kmeans_fit(
+                df, id_col, vec_col, k=k, max_iter=max_iter, seed=seed
+            )
+        assign = _assign_udf(_unit_rows(centroids))
     sides = _reusable(
         df.where(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("id"), _dvec(vec_col).alias("__v"))
-        .withColumn("__cid", _assign_udf(C)(F.col("__v")))
+        .withColumn("__cid", assign(F.col("__v")))
         .withColumn("__nrm", norm(F.col("__v")))
     )
     a = sides.select(

@@ -368,3 +368,58 @@ def test_hyperplane_sketch_degenerate_vectors_null_bucket(spark):
         similarity.hyperplane_sketch(F.col("embedding"), planes=4, dim=3).alias("b")
     ).collect()[0]["b"]
     assert by_id[0] == ref
+
+
+def test_hierarchical_kmeans_semdedup_contract(spark):
+    """Two-level codebook (k > HIER_KMEANS_MIN_K): valid partition —
+    every non-null row appears exactly once; every drop is justified
+    by a same-cluster neighbor at cosine >= tau; kept rows in one
+    cluster are pairwise below tau (the q_semdedup_check invariants,
+    which hold for ANY clustering); and the fit is deterministic."""
+    import numpy as np
+
+    rows = []
+    rng = np.random.RandomState(7)
+    for i in range(600):
+        center = rng.RandomState if False else None
+        base = np.zeros(16)
+        base[i % 8] = 1.0
+        noise = rng.rand(16) * 0.05
+        rows.append((i, (base + noise).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.semdedup(
+        df, "vec_id", "embedding", k=100, tau=0.95, max_iter=2
+    ).collect()
+    assert len(out) == 600
+    assert len({r["id"] for r in out}) == 600
+    dropped = [r for r in out if not r["keep"]]
+    assert dropped  # near-identical basis groups must dedup
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    vecs = {i: np.asarray(v) for i, v in rows}
+
+    def cos(a, b):
+        return float(
+            vecs[a] @ vecs[b]
+            / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+        )
+
+    for cl, members in by_cluster.items():
+        kept = [r["id"] for r in members if r["keep"]]
+        ids = [r["id"] for r in members]
+        for r in members:
+            if not r["keep"]:
+                assert any(
+                    cos(r["id"], o) >= 0.95 - 1e-9 for o in ids if o != r["id"]
+                ), (cl, r["id"])
+        for i, a in enumerate(kept):
+            for b in kept[i + 1:]:
+                assert cos(a, b) < 0.95 + 1e-9, (cl, a, b)
+    # determinism: the same call returns the same clusters
+    out2 = similarity.semdedup(
+        df, "vec_id", "embedding", k=100, tau=0.95, max_iter=2
+    ).collect()
+    assert sorted((r["id"], r["cluster"], r["keep"]) for r in out) == sorted(
+        (r["id"], r["cluster"], r["keep"]) for r in out2
+    )
