@@ -825,7 +825,12 @@ def q22_global_sales(spark, sf_dir):
 # gap note; VERDICT r8 ask #2). partsupp is DERIVED deterministically
 # from part x supplier with the TPC-H dbgen supplier-assignment
 # formula (4 suppliers per part, 0-based keys here):
-#   ps_suppkey = (p_partkey + i*(S div 4 + p_partkey div S)) mod S
+#   ps_suppkey = (p_partkey + p_partkey div S + i*max(1, S div 4)) mod S
+# (dbgen's own stride S/4 + p/S collapses duplicates when S is small
+# enough that p/S reaches S/4 — at sf0.001 S=10 gives stride 5, and
+# i*5 mod 10 yields only 2 distinct suppliers; max(1, S div 4) keeps
+# 3*stride < S, so the 4 assignments are provably distinct for any
+# S >= 4 — invariant-pinned in tests/test_joins.py)
 # and hash-free arithmetic surrogates for availqty/supplycost, so the
 # SAME rows are constructible in any engine — the DuckDB oracles
 # rebuild it as a CTE and every value (supplycost in integer CENTS)
@@ -850,8 +855,8 @@ def _partsupp(spark, sf_dir):
         .select(
             "ps_partkey",
             F.expr(
-                "(ps_partkey + CAST(__i AS BIGINT)"
-                " * ((__s div 4) + (ps_partkey div __s))) % __s"
+                "(ps_partkey + (ps_partkey div __s) + CAST(__i AS BIGINT)"
+                " * greatest(CAST(1 AS BIGINT), __s div 4)) % __s"
             ).alias("ps_suppkey"),
         )
         .select(
@@ -873,8 +878,9 @@ PS_CTE = """
   scnt AS (SELECT COUNT(*) AS s FROM supplier),
   ps0 AS (
     SELECT CAST(p_partkey AS BIGINT) AS ps_partkey,
-           (CAST(p_partkey AS BIGINT) + i.i
-             * ((scnt.s // 4) + (CAST(p_partkey AS BIGINT) // scnt.s)))
+           (CAST(p_partkey AS BIGINT)
+             + (CAST(p_partkey AS BIGINT) // scnt.s)
+             + i.i * GREATEST(CAST(1 AS BIGINT), scnt.s // 4))
              % scnt.s AS ps_suppkey
     FROM part, scnt, (VALUES (CAST(0 AS BIGINT)), (1), (2), (3)) AS i(i)),
   partsupp AS (

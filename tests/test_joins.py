@@ -84,3 +84,36 @@ def test_intersect_and_except(spark):
     b = _mk(spark, [(2,), (4,)], "k int")
     assert sorted(r["k"] for r in a.intersect(b).collect()) == [2]
     assert sorted(r["k"] for r in a.except_rows(b).collect()) == [1, 3]
+
+
+def test_derived_partsupp_invariants(spark):
+    """The dbgen-style derived partsupp must give every part exactly
+    4 DISTINCT suppliers with keys in [0, S) — the analytic argument
+    (i·(S div 4 + p div S) distinct mod S while p div S < S div 4)
+    pinned against the data at two SFs."""
+    from pyspark.sql import functions as F
+
+    from dataframe_spark.queries.relational import _partsupp
+    from dataframe_spark.tables import load_table
+
+    for sf_dir in ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]:
+        ps = _partsupp(spark, sf_dir)
+        s_cnt = load_table(spark, sf_dir, "supplier").count()
+        n_parts = load_table(spark, sf_dir, "part").count()
+        row = ps.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("ps_partkey", "ps_suppkey").alias("nd"),
+            F.countDistinct("ps_partkey").alias("np"),
+            F.min("ps_suppkey").alias("lo"),
+            F.max("ps_suppkey").alias("hi"),
+            F.min("ps_availqty").alias("q_lo"),
+            F.max("ps_availqty").alias("q_hi"),
+            F.min("ps_supplycost_cents").alias("c_lo"),
+            F.max("ps_supplycost_cents").alias("c_hi"),
+        ).collect()[0]
+        assert row["n"] == 4 * n_parts
+        assert row["nd"] == row["n"]  # (part, supplier) pairs distinct
+        assert row["np"] == n_parts
+        assert 0 <= row["lo"] and row["hi"] < s_cnt
+        assert 1 <= row["q_lo"] and row["q_hi"] <= 9999
+        assert 100 <= row["c_lo"] and row["c_hi"] < 100000
