@@ -58,6 +58,10 @@ HEADLINE = [
     "q11_important_stock",
     "q16_supplier_relation",
     "q20_excess_stock",
+    # late-r9: the tokenizer-training + CCNet-bucketing additions
+    "q_bpe",
+    "q_bpe_encode",
+    "q_ppl_buckets",
 ]
 
 

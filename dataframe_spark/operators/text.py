@@ -647,6 +647,78 @@ def perplexity_score(df, id_col: str, text_col: str, lm, totals):
     )
 
 
+def ppl_buckets(
+    df,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    top_v: int | None = 1000,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+):
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020 §4.4): train one corpus LM, score every document, and split
+    each ``group_col`` slice (CCNet: language) into equal thirds by
+    perplexity — ``head`` (most fluent) / ``middle`` / ``tail``. The
+    bucket column is the standard curriculum/selection knob for
+    training-data pipelines (e.g. keep head+middle, drop tail).
+
+    Plan shape (the 100 TB design): scoring is perplexity_score's
+    bounded-broadcast plan; the per-group cutoffs are len(labels)-1
+    quantiles per group (gated buffered/sharded-radix strategy —
+    winsorize's pattern) that ride back as a BROADCAST side, so
+    bucket assignment is a map-side comparison. The tempting
+    NTILE-over-(language) window is NOT used: it pins each
+    language's whole corpus slice to one reducer's sort, which at
+    corpus scale makes the largest language the job.
+
+    Engine-portability: bucketing compares the 4dp-ROUNDED
+    cross-entropy against 6dp-rounded cutoffs, so the comparison is
+    reproducible across engines (raw float sums differ in the last
+    bits with aggregation order); ties at a cutoff land in the LOWER
+    bucket (quantile_bucket's convention). Zero-token docs are
+    absent (nothing to score), matching perplexity_score."""
+    from ..plans.stats import plan_size_bytes
+    from .quantiles import exact_quantiles_grouped, grouped_quantiles_buffered
+
+    lm, totals = unigram_lm(df, text_col, top_v=top_v)
+    scored = (
+        perplexity_score(df, id_col, text_col, lm, totals)
+        .join(
+            df.select(F.col(id_col).alias("id"), F.col(group_col).alias("__grp")),
+            "id",
+        )
+        .withColumn("__ce4", F.round("cross_entropy", 4))
+    )
+    probs = [i / len(labels) for i in range(1, len(labels))]
+    fn = (
+        exact_quantiles_grouped
+        if plan_size_bytes(df) > 256 * 1024 * 1024
+        else grouped_quantiles_buffered
+    )
+    cuts = (
+        fn(scored, ["__grp"], "__ce4", probs)
+        .groupBy("__grp")
+        .agg(F.array_sort(F.collect_list(F.round("value", 6))).alias("__cuts"))
+    )
+    idx = F.aggregate(
+        F.col("__cuts"),
+        F.lit(0),
+        lambda acc, cut: acc + F.when(F.col("__ce4") > cut, 1).otherwise(0),
+    )
+    label_arr = F.array(*[F.lit(x) for x in labels])
+    return (
+        scored.join(F.broadcast(cuts), "__grp")
+        .select(
+            "id",
+            F.col("__grp").alias(group_col),
+            "n_tokens",
+            F.col("__ce4").alias("cross_entropy"),
+            F.round("ppl", 2).alias("ppl"),
+            F.get(label_arr, idx).alias("bucket"),
+        )
+    )
+
+
 def js_divergence(df, text_col: str, group_col: str, a, b):
     """Jensen–Shannon divergence (bits) between the unigram token
     distributions of two corpus slices — the bounded symmetric

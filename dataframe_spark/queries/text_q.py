@@ -370,6 +370,65 @@ def q_bigram_ppl(spark, sf_dir):
     )
 
 
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet-style per-language perplexity bucketing (head/middle/
+    tail thirds per lang) — the corpus-curation selection knob. The
+    cutoffs are per-group quantiles broadcast back (never an NTILE
+    window, which would pin each language to one reducer's sort)."""
+    docs = _t(spark, sf_dir, "documents").df
+    out = T.ppl_buckets(docs, "doc_id", "text", "lang", top_v=1000)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "lang",
+        "n_tokens",
+        "cross_entropy",
+        "ppl",
+        "bucket",
+    )
+
+
+# BPE training is driver-coordinated (one bounded argmax collect per
+# merge round); q_bpe and q_bpe_encode share one fit per sf_dir —
+# the q_synthesis memoization precedent.
+_BPE_CACHE: dict = {}
+_BPE_MERGES = 8
+
+
+def _bpe_model(spark, sf_dir):
+    from ..operators import bpe as B
+
+    key = (spark.sparkContext.applicationId, sf_dir, _BPE_MERGES)
+    if key not in _BPE_CACHE:
+        docs = _t(spark, sf_dir, "documents").df
+        _BPE_CACHE[key] = B.bpe_train(docs, "text", n_merges=_BPE_MERGES)
+    return _BPE_CACHE[key]
+
+
+def q_bpe(spark, sf_dir):
+    """Distributed BPE tokenizer training: the 8-round merge table
+    (rank, lhs, rhs, n). The DuckDB oracle replays the ENTIRE
+    training loop (8 chained argmax+greedy-replace CTE stages over
+    the same sentinel-char word encoding), so the learned merges are
+    value-verified end-to-end, not spot-checked."""
+    from ..operators import bpe as B
+
+    return B.bpe_merge_table(spark, _bpe_model(spark, sf_dir))
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Apply the trained BPE model to the corpus: per-document token
+    and subtoken counts (the tokenizer's emitted sequence length) —
+    in-row JVM replace chain, zero shuffle. Shares q_bpe's fit."""
+    from ..operators import bpe as B
+
+    model = _bpe_model(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").df
+    out = B.bpe_subtoken_counts(docs, "doc_id", "text", model)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tokens", "n_subtokens"
+    )
+
+
 QUERIES = {
     "q_bigram_ppl": q_bigram_ppl,
     "q_c4_filter": q_c4_filter,
@@ -395,6 +454,9 @@ QUERIES = {
     "q_js_divergence": q_js_divergence,
     "q_doc_chunks": q_doc_chunks,
     "q_token_budget": q_token_budget,
+    "q_ppl_buckets": q_ppl_buckets,
+    "q_bpe": q_bpe,
+    "q_bpe_encode": q_bpe_encode,
 }
 
 
@@ -981,3 +1043,144 @@ ORACLES = {
         FROM documents
     """,
 }
+
+
+# --- BPE + CCNet-bucketing oracles (generated SQL) --------------------
+#
+# The BPE oracle replays training EXACTLY: words are encoded as
+# strings whose every symbol is one character (round t's merged
+# symbol = the private-use sentinel chr(0xE001+t), end-of-word =
+# chr(0xE000)), so per-round pair counting is a substring unnest and
+# merge application is SQL REPLACE — which, like the trainer, is
+# greedy, left-to-right, and non-overlapping. Chained CTE stages
+# b0..b{k-1} ARE the training loop; the final projection expands
+# sentinels back to readable symbols by replaying the replaces in
+# reverse rank order.
+
+_BPE_EOW_CP = 0xE000
+_BPE_SENT0_CP = 0xE001
+
+
+def _bpe_stages(k: int) -> str:
+    stages = [
+        f"""tok AS (SELECT UNNEST({_TOKS}) AS tok FROM documents),
+  w0 AS (
+    SELECT tok || chr({_BPE_EOW_CP}) AS w, COUNT(*) AS n FROM tok
+    WHERE NOT regexp_matches(tok, '[-]')
+    GROUP BY 1)"""
+    ]
+    for t in range(k):
+        stages.append(
+            f"""p{t} AS (
+    SELECT substring(w, CAST(i AS INT), 1) AS l,
+           substring(w, CAST(i AS INT) + 1, 1) AS r,
+           SUM(n) AS cnt
+    FROM (SELECT w, n, UNNEST(range(1, length(w))) AS i FROM w{t})
+    GROUP BY 1, 2)"""
+        )
+        stages.append(
+            f"""b{t} AS (
+    SELECT l, r, cnt FROM p{t} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"""
+        )
+        stages.append(
+            f"""w{t + 1} AS (
+    SELECT REPLACE(w, (SELECT l || r FROM b{t}), chr({_BPE_SENT0_CP + t}))
+             AS w, n
+    FROM w{t})"""
+        )
+    return ",\n  ".join(stages)
+
+
+def _bpe_expand(x: str, k: int) -> str:
+    # sentinel u expands to its raw (sentinel-level) pair, which may
+    # contain sentinels < u — so replay DESCENDING and let the lower
+    # rounds resolve what the higher ones introduce
+    e = x
+    for u in range(k - 1, -1, -1):
+        e = f"REPLACE({e}, chr({_BPE_SENT0_CP + u}), (SELECT l || r FROM b{u}))"
+    return f"REPLACE({e}, chr({_BPE_EOW_CP}), '</w>')"
+
+
+def _bpe_oracle(k: int) -> str:
+    union = " UNION ALL ".join(
+        f"SELECT {t + 1} AS rank, l, r, cnt FROM b{t}" for t in range(k)
+    )
+    return f"""
+        WITH {_bpe_stages(k)}
+        SELECT CAST(rank AS INT) AS rank,
+               {_bpe_expand('l', k)} AS lhs,
+               {_bpe_expand('r', k)} AS rhs,
+               CAST(cnt AS BIGINT) AS n
+        FROM ({union})
+        ORDER BY rank
+    """
+
+
+def _bpe_encode_oracle(k: int) -> str:
+    chain = f"tok || chr({_BPE_EOW_CP})"
+    for t in range(k):
+        chain = (
+            f"REPLACE({chain}, (SELECT l || r FROM b{t}),"
+            f" chr({_BPE_SENT0_CP + t}))"
+        )
+    return f"""
+        WITH {_bpe_stages(k)},
+        dtok AS (SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n_tok, SUM(LENGTH({chain})) AS n_sub
+          FROM dtok GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_tok, 0) AS INT) AS n_tokens,
+               CAST(COALESCE(a.n_sub, 0) AS INT) AS n_subtokens
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """
+
+
+ORACLES["q_bpe"] = _bpe_oracle(_BPE_MERGES)
+ORACLES["q_bpe_encode"] = _bpe_encode_oracle(_BPE_MERGES)
+
+# CCNet bucketing: q_perplexity's LM/scoring CTEs + per-language
+# QUANTILE_CONT tertile cutoffs over the 4dp-rounded cross-entropy,
+# cutoffs rounded to 6dp on both sides so the boundary comparison is
+# engine-reproducible (raw float sums differ in the last bits).
+ORACLES["q_ppl_buckets"] = f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST({_TOKS}) AS token FROM documents
+    ), counts AS (
+      SELECT token, COUNT(*) AS n FROM tok GROUP BY 1
+    ), n_tot AS (
+      SELECT SUM(n) AS n_total FROM counts
+    ), vocab AS (
+      SELECT token, n FROM counts ORDER BY n DESC, token ASC LIMIT 1000
+    ), vsize AS (
+      SELECT COUNT(*) AS v FROM vocab
+    ), lm AS (
+      SELECT token, LN(n + 1) - LN(n_total + v + 1) AS logp
+      FROM vocab CROSS JOIN n_tot CROSS JOIN vsize
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), ce AS (
+      SELECT doc_id,
+        CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        -SUM(tf * COALESCE(logp, -LN(n_total + v + 1))) / SUM(tf) AS ce_raw
+      FROM tf LEFT JOIN lm USING (token)
+      CROSS JOIN n_tot CROSS JOIN vsize
+      GROUP BY doc_id
+    ), scored AS (
+      SELECT ce.doc_id, d.lang, ce.n_tokens,
+             ROUND(ce.ce_raw, 4) AS ce4, ce.ce_raw
+      FROM ce JOIN documents d ON ce.doc_id = d.doc_id
+    ), cuts AS (
+      SELECT lang,
+        ROUND(QUANTILE_CONT(ce4, 1.0/3), 6) AS c1,
+        ROUND(QUANTILE_CONT(ce4, 2.0/3), 6) AS c2
+      FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.n_tokens,
+           s.ce4 AS cross_entropy,
+           ROUND(EXP(s.ce_raw), 2) AS ppl,
+           CASE WHEN s.ce4 <= c.c1 THEN 'head'
+                WHEN s.ce4 <= c.c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s JOIN cuts c ON s.lang = c.lang
+"""

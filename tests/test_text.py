@@ -592,3 +592,45 @@ def test_fingerprint_matches_jvm_fold_and_edge_cases(spark):
     by_id = {r["id"]: r["fp"] for r in out}
     assert by_id[3] == 0
     assert by_id[4] is None
+
+
+def test_ppl_buckets_thirds_and_ordering(docs):
+    out = T.ppl_buckets(docs, "doc_id", "text", "lang", top_v=200)
+    rows = out.collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(by_lang) >= 2
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        sizes = {"head": 0, "middle": 0, "tail": 0}
+        for r in rs:
+            sizes[r["bucket"]] += 1
+        # thirds up to tie granularity: no bucket may be empty and
+        # none may exceed half the group (the corpus has enough
+        # distinct CE values per lang for that to hold)
+        assert all(v > 0 for v in sizes.values()), (lang, sizes)
+        assert max(sizes.values()) <= n / 2 + 1, (lang, sizes)
+        # bucket boundaries respect the CE ordering
+        ce = {
+            b: [r["cross_entropy"] for r in rs if r["bucket"] == b]
+            for b in sizes
+        }
+        assert max(ce["head"]) <= min(ce["middle"])
+        assert max(ce["middle"]) <= min(ce["tail"])
+
+
+def test_ppl_buckets_deterministic(docs):
+    a = T.ppl_buckets(docs, "doc_id", "text", "lang", top_v=200)
+    b = T.ppl_buckets(docs, "doc_id", "text", "lang", top_v=200)
+    ra = {r["id"]: r["bucket"] for r in a.collect()}
+    rb = {r["id"]: r["bucket"] for r in b.collect()}
+    assert ra == rb
+
+
+def test_ppl_buckets_two_labels(docs):
+    out = T.ppl_buckets(
+        docs, "doc_id", "text", "lang", top_v=200, labels=("keep", "drop")
+    )
+    rows = out.collect()
+    assert set(r["bucket"] for r in rows) == {"keep", "drop"}

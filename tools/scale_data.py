@@ -16,7 +16,15 @@ FACT tables are replicated 10x with structure preserved:
   within-copy near-dup structure is preserved verbatim — a corpus
   10x the size whose true duplicate-pair count is exactly 10x,
   which is what makes wall-clock scaling interpretable for the
-  dedup pipeline.
+  dedup pipeline. When the SOURCE is itself a scaled dir (chaining
+  10x -> 100x -> 1000x), the existing tag is FOLDED into one
+  (``c9_tok`` + copy 7 -> ``c97_tok``) instead of stacked
+  (``c7_c9_tok``): v4's stacked tags grew text bytes ~40% per decade
+  on a 4.5-char mean token, which inflated every per-byte operator's
+  measured decade factor (q_token_count read 14.5x for genuinely
+  linear work). Folding keeps bytes-per-token near-constant (one
+  digit added per decade, ~12%) so wall factors reflect the
+  operators, not the generator.
 
 DIMENSION tables (region/nation/customer/supplier/part) are linked
 unscaled.
@@ -45,6 +53,7 @@ target dir, written once and reused across runs.
 
 from __future__ import annotations
 
+import glob
 import os
 import sys
 
@@ -108,14 +117,30 @@ def generate(spark: SparkSession, src_dir: str, out_dir: str) -> None:
     toks = F.filter(
         F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")
     )
-    tagged = F.array_join(
-        F.transform(
-            toks,
-            lambda t: F.concat(F.lit("c"), F.col("__c").cast("string"),
-                               F.lit("_"), t),
-        ),
-        " ",
-    )
+    # fold an existing copy tag when chaining from a scaled dir (see
+    # module docstring); gated on the src marker, NOT the token shape,
+    # so an original-corpus token that happens to look like a tag can
+    # never be folded (uniqueness would break). folded id old*10+c is
+    # injective over (old, copy), so cross-copy shingle overlap stays
+    # exactly zero at every decade.
+    fold = bool(glob.glob(os.path.join(src_dir, "_DONE_*")))
+
+    def _tag(t):
+        fresh = F.concat(
+            F.lit("c"), F.col("__c").cast("string"), F.lit("_"), t
+        )
+        if not fold:
+            return fresh
+        old = F.regexp_extract(t, r"^c([0-9]+)_(.*)$", 1)
+        rest = F.regexp_extract(t, r"^c([0-9]+)_(.*)$", 2)
+        folded = F.concat(
+            F.lit("c"),
+            (old.cast("long") * F.lit(COPIES) + F.col("__c")).cast("string"),
+            F.lit("_"), rest,
+        )
+        return F.when(old != F.lit(""), folded).otherwise(fresh)
+
+    tagged = F.array_join(F.transform(toks, _tag), " ")
     docs_big = (
         _copies(docs)
         .withColumn("doc_id", F.col("doc_id") + F.col("__c") * F.lit(max_id))
@@ -195,8 +220,9 @@ def ensure(spark: SparkSession, src_dir: str, out_dir: str) -> bool:
     single-task 350 MB file with 3 row groups, a layout no
     multi-executor writer produces (it also hid 90% of the cores
     from every scan until the effective_scan_partitions fix). Older
-    dirs regenerate in place."""
-    marker = os.path.join(out_dir, "_DONE_v4")
+    dirs regenerate in place. v5 (r9) folds chained copy tags so
+    text bytes stay near-constant per decade (module docstring)."""
+    marker = os.path.join(out_dir, "_DONE_v5")
     if os.path.exists(marker):
         return True
     try:
