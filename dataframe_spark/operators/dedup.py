@@ -122,7 +122,7 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    broadcast_df_table: bool = True,
+    broadcast_df_table: bool | None = None,
 ) -> SparkDF:
     """All pairs (a < b) with word-n-gram Jaccard >= threshold —
     EXACT result via prefix filtering (PPJoin-style).
@@ -183,8 +183,19 @@ def jaccard_pairs(
     # Shuffles left: dfreq groupBy, the repeated-occurrence groupBy,
     # the candidate join, and verification — each bounded by data or
     # candidate size, nothing quadratic.
-    # broadcast_df_table=False shuffle-joins instead, for corpora
-    # whose repeated-shingle vocabulary outgrows a broadcast
+    # broadcast_df_table: None (default) auto-gates on the INPUT plan
+    # size — the repeated-shingle vocabulary grows with the corpus
+    # (27M rows on the 1000x cert corpus), and a forced broadcast of
+    # a vocabulary that big builds a GB-scale single-threaded hash
+    # relation (measured at 100x: 29.8 s forced vs 16.2 s shuffled,
+    # cold). Small corpora keep the broadcast (the dfreq side is a
+    # few MB and the map-side join skips a shuffle of the exploded
+    # table). Explicit True/False still forces either plan; the
+    # RESULT is identical either way — only the join strategy moves.
+    if broadcast_df_table is None:
+        from ..plans.stats import plan_size_bytes
+
+        broadcast_df_table = plan_size_bytes(df) <= 128 * 1024 * 1024
     rep = exploded.join(
         F.broadcast(dfreq) if broadcast_df_table else dfreq, "shingle"
     )  # inner: df >= 2 only
@@ -794,7 +805,17 @@ def edit_distance_pairs(
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= 2)
     )
-    rep = exploded.join(F.broadcast(dfreq), "g")
+    # same auto-gate as jaccard_pairs: the repeated-gram vocabulary
+    # grows with the corpus, so only force the broadcast below a
+    # small-input plan-size bound
+    from ..plans.stats import plan_size_bytes
+
+    dfreq_side = (
+        F.broadcast(dfreq)
+        if plan_size_bytes(df) <= 128 * 1024 * 1024
+        else dfreq
+    )
+    rep = exploded.join(dfreq_side, "g")
     per_str = rep.groupBy("id", "len", "n_g").agg(
         F.sort_array(F.collect_list(F.struct("df", "g"))).alias("__reps")
     )

@@ -22,14 +22,15 @@ MODULES = [stats_q, relational, extras_q, windows_q, text_q, exprs_q, ml_q, dedu
 # Registry order is a verification surface: the driver snapshots the
 # FIRST 50 entries each round.
 #
-# The r9 window. Slots 1-3: the three queries ADDED late in r9
+# The r9 window. Slots 1-4: the four queries ADDED late in r9
 # (never driver-checked — highest priority class): q_bpe /
 # q_bpe_encode (distributed BPE tokenizer training; the oracle
-# replays the full 8-round training loop in chained CTEs) and
-# q_ppl_buckets (CCNet per-language perplexity head/middle/tail).
-# Slots 4-7: the four NEW derived-partsupp TPC-H
+# replays the full 8-round training loop in chained CTEs),
+# q_ppl_buckets (CCNet per-language perplexity head/middle/tail),
+# and q_heavy_hitters (space-saving top-k batch twin, exact-regime
+# oracle). Slots 5-8: the four NEW derived-partsupp TPC-H
 # composites (never driver-checked before this round).
-# Slots 8-15: every plan CHANGED in r9 — q_fingerprint +
+# Slots 9-16: every plan CHANGED in r9 — q_fingerprint +
 # q_corpus_filter (the polynomial fingerprint moved from a per-
 # character JVM fold to an Arrow numpy kernel, values bit-identical,
 # regression-pinned); q_semdedup + q_semdedup_check (k now derives
@@ -39,31 +40,32 @@ MODULES = [stats_q, relational, extras_q, windows_q, text_q, exprs_q, ml_q, dedu
 # ALSO covers ADVICE r8 #3: these two changed plans in r8 (dim
 # default 64 -> None) and missed that window; they re-enter now);
 # q_synthesis + q_synthesis_check (r9 beam-search scale work).
-# Slots 16-17: sentinels. Slots 18-25: the documented r8 overflow
+# Slots 17-18: sentinels. Slots 19-26: the documented r8 overflow
 # cohort (q_union, q_set_ops late-r8 evictions, then the
 # provenance-annotated q_dates/q7/q9/q13/q_filter_nulls/
-# q_frequencies). Slots 26-50: the r5-green cohort by the r8 queue
-# order (25 of its 30 remaining members; q_corpus_filter already
-# re-enters in slot 9).
+# q_frequencies). Slots 27-50: the r5-green cohort by the r8 queue
+# order (24 of its 30 remaining members; q_corpus_filter already
+# re-enters in slot 10).
 #
-# Re-enter OVERFLOW, documented: five r5-green cohort members
-# (q_welch_t, q_window_cumsum, q_window_rank — displaced by the
-# three new-query slots — plus q_window_rolling,
-# q_approx_distinct_check) miss this window; all five plans are
+# Re-enter OVERFLOW, documented: six r5-green cohort members
+# (q_welch_t, q_window_cumsum, q_window_rank, q_vocabulary —
+# displaced by the four new-query slots — plus q_window_rolling,
+# q_approx_distinct_check) miss this window; all six plans are
 # UNCHANGED since their r5 green and all carry this round's
 # committed full-registry sf0.01/sf0.1/ANSI parity artifacts — they
 # queue first for r10 alongside the r6-green cohort.
 WINDOW_PRIORITY = [
-    # 1-3: queries added late in r9 (never checked)
+    # 1-4: queries added late in r9 (never checked)
     "q_bpe",
     "q_bpe_encode",
     "q_ppl_buckets",
-    # 4-7: new derived-partsupp TPC-H composites (never checked)
+    "q_heavy_hitters",
+    # 5-8: new derived-partsupp TPC-H composites (never checked)
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q16_supplier_relation",
     "q20_excess_stock",
-    # 8-15: r9 plan changes (must re-enter)
+    # 9-16: r9 plan changes (must re-enter)
     "q_fingerprint",
     "q_corpus_filter",
     "q_semdedup_check",
@@ -72,10 +74,10 @@ WINDOW_PRIORITY = [
     "q_knn_lsh",
     "q_synthesis_check",
     "q_synthesis",
-    # 16-17: sentinels
+    # 17-18: sentinels
     "q1_pricing_summary",
     "q_sessionize",           # failed r1+r2 — keep hard signal
-    # 18-25: r8 documented overflow cohort
+    # 19-26: r8 documented overflow cohort
     "q_union",
     "q_set_ops",
     "q_dates",
@@ -84,7 +86,7 @@ WINDOW_PRIORITY = [
     "q13_order_counts",
     "q_filter_nulls",
     "q_frequencies",
-    # 26-50: r5-green cohort (r8 queue order; 25 of 30)
+    # 27-50: r5-green cohort (r8 queue order; 24 of 30)
     "q_boilerplate",
     "q_corr_matrix",
     "q_dedup_embedding",
@@ -109,12 +111,12 @@ WINDOW_PRIORITY = [
     "q_select",
     "q_stream_psi",
     "q_tfidf",
-    "q_vocabulary",
 ]
 
 # R10 ROTATION QUEUE (stale-first): q_welch_t, q_window_cumsum,
-# q_window_rank, q_window_rolling, q_approx_distinct_check (the five
-# r5-green overflow members above), then the r6-green cohort by age.
+# q_window_rank, q_vocabulary, q_window_rolling,
+# q_approx_distinct_check (the six r5-green overflow members above),
+# then the r6-green cohort by age.
 # All remain under continuous full-registry pytest parity at sf0.001.
 #
 # (Previous rounds' windows live in git history for the rotation

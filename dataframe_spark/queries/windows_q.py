@@ -472,7 +472,42 @@ def q_retention(spark, sf_dir):
     return retention_cohorts(ev, "user_id", "ts", unit="week")
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Space-saving top-5 per 1-hour window (batch twin of
+    streaming/heavy.py heavy_hitters_stream, shared fold kernel).
+    capacity 64 >= the true distinct key count here, so the sketch
+    is provably exact (max_error 0) and a plain SQL count recounts
+    it; the bounded-capacity approximation guarantees are pinned by
+    unit tests."""
+    from pyspark.sql import Window as W
+
+    from ..streaming.heavy import heavy_hitters_batch
+
+    ev = _t(spark, sf_dir, "events").df
+    out = heavy_hitters_batch(
+        ev, "event_type", "ts", F.date_trunc("hour", F.col("ts")),
+        capacity=64,
+    )
+    w = W.partitionBy("window_start").orderBy(
+        F.desc("est_count"), F.asc("key")
+    )
+    return (
+        out.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            F.col("key").alias("event_type"),
+            "est_count",
+            "max_error",
+            "rk",
+        )
+    )
+
+
 QUERIES = {
+    "q_heavy_hitters": q_heavy_hitters,
     "q_funnel": q_funnel,
     "q_retention": q_retention,
     "q_window_rank": q_window_rank,
@@ -497,6 +532,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_heavy_hitters": """
+        WITH c AS (
+          SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+                 CAST(event_type AS VARCHAR) AS event_type,
+                 COUNT(*) AS est_count
+          FROM events WHERE event_type IS NOT NULL
+          GROUP BY 1, 2
+        ), r AS (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY window_start
+                   ORDER BY est_count DESC, event_type ASC) AS rk
+          FROM c)
+        SELECT window_start, event_type, est_count,
+               CAST(0 AS BIGINT) AS max_error, CAST(rk AS INT) AS rk
+        FROM r WHERE rk <= 5
+    """,
     "q_retention": """
         WITH act AS (
           SELECT user_id, DATE_TRUNC('week', ts) AS period

@@ -1,0 +1,150 @@
+"""Streaming heavy hitters: space-saving top-k per time window
+(Metwally et al. 2005) — the bounded-state answer to "what are the
+hot keys right now" over a stream whose key cardinality is unbounded.
+
+A windowed groupBy-count keeps state per DISTINCT KEY per window —
+at web scale (urls, user ids, query strings) that is the stream
+itself. Space-saving keeps exactly ``capacity`` counters per window
+with the classic guarantees, regardless of how many distinct keys
+flow through:
+
+- every estimate over-counts: ``true <= est <= true + max_error``
+- any key with true frequency > N/capacity is guaranteed tracked
+
+The same fold kernel backs both the streaming operator
+(applyInPandasWithState; state per window is three length-capacity
+arrays) and the batch twin (applyInPandas per window) — twin
+equivalence is by construction, and the batch twin doubles as the
+driver-verifiable surface: with ``capacity`` >= the true distinct
+count the sketch degrades to EXACT counts (max_error 0), which a
+plain SQL count reproduces. The approximation regime is pinned by
+unit tests against the guarantees above.
+
+Estimates are replay-order dependent (inherent to the sketch); the
+kernel folds each Arrow batch in (ts, key) order so a single-batch
+replay — the batch twin, or an availableNow catch-up run — is fully
+deterministic.
+
+Batch-twin scale note: the twin shuffles each window's rows to one
+task (that is what "replay the stream through the kernel" means) —
+it exists for verification and window-bounded reprocessing. The
+scalable BATCH hot-key path is operators/sketch.py (Count-Min +
+hot_keys); the scalable STREAM path is this module.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import functions as F
+
+
+def _fold(counters: dict, errors: dict, keys, capacity: int) -> None:
+    """One space-saving pass. Eviction picks the (count, key)-minimal
+    counter — a deterministic total order, so equal-count ties can
+    never make two engines (or two runs) disagree."""
+    for k in keys:
+        if k in counters:
+            counters[k] += 1
+        elif len(counters) < capacity:
+            counters[k] = 1
+            errors[k] = 0
+        else:
+            mk = min(counters.items(), key=lambda kv: (kv[1], kv[0]))[0]
+            mc = counters.pop(mk)
+            errors.pop(mk)
+            counters[k] = mc + 1
+            errors[k] = mc
+
+
+def _emit(window_start, counters, errors) -> pd.DataFrame:
+    keys = sorted(counters, key=lambda k: (-counters[k], k))
+    return pd.DataFrame(
+        {
+            "window_start": [window_start] * len(keys),
+            "key": keys,
+            "est_count": [counters[k] for k in keys],
+            "max_error": [errors[k] for k in keys],
+        }
+    )
+
+
+def heavy_hitters_batch(
+    df: SparkDF,
+    key_col: str,
+    ts_col: str,
+    window_col,
+    capacity: int = 64,
+) -> SparkDF:
+    """Batch twin: replay each window's rows through the kernel in
+    (ts, key) order. ``window_col`` is any Column expression that
+    buckets rows into windows (e.g. ``F.date_trunc('hour', ts)``)."""
+    # null keys dropped (nothing to count; they would also poison the
+    # kernel's total orders)
+    src = df.where(F.col(key_col).isNotNull()).select(
+        window_col.alias("window_start"),
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).alias("__ts"),
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__ts", "key"], kind="mergesort")
+        counters: dict = {}
+        errors: dict = {}
+        _fold(counters, errors, pdf["key"].tolist(), capacity)
+        return _emit(pdf["window_start"].iloc[0], counters, errors)
+
+    out_schema = (
+        f"window_start {src.schema['window_start'].dataType.simpleString()},"
+        " key string, est_count long, max_error long"
+    )
+    return src.groupBy("window_start").applyInPandas(run, out_schema)
+
+
+def heavy_hitters_stream(
+    events: SparkDF,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    capacity: int = 64,
+    watermark: str = "2 hours",
+) -> SparkDF:
+    """Streaming space-saving per tumbling window. State per window
+    is three length-``capacity`` arrays (keys, counts, errors) —
+    bounded however many distinct keys arrive. Each update emits the
+    window's full tracked list (top-first); downstream takes the
+    latest emission per window."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            ks, cs, es = state.get
+            counters = dict(zip(ks, cs))
+            errors = dict(zip(ks, es))
+        else:
+            counters, errors = {}, {}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["__ts", "key"], kind="mergesort")
+            _fold(counters, errors, pdf["key"].tolist(), capacity)
+        ks = list(counters)
+        state.update(
+            (ks, [counters[k] for k in ks], [errors[k] for k in ks])
+        )
+        yield _emit(key[0], counters, errors)
+
+    src = events.where(F.col(key_col).isNotNull()).withWatermark(
+        ts_col, watermark
+    ).select(
+        F.window(F.col(ts_col), window).getField("start").alias(
+            "window_start"
+        ),
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).alias("__ts"),
+    )
+    return src.groupBy("window_start").applyInPandasWithState(
+        update,
+        "window_start timestamp, key string, est_count long, max_error long",
+        "ks array<string>, cs array<long>, es array<long>",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -300,3 +300,95 @@ def test_streaming_bloom_screen_matches_batch(spark, sf_dir, stream):
         {r["event_id"] for r in seen.select("event_id").collect()}
     )
     assert got  # odd-id events survive
+
+
+def test_heavy_hitters_batch_exact_when_capacity_suffices(spark, sf_dir):
+    from dataframe_spark.streaming import heavy_hitters_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    out = heavy_hitters_batch(
+        ev, "event_type", "ts", F.date_trunc("hour", F.col("ts")),
+        capacity=64,
+    ).collect()
+    want = {
+        (r["w"], r["event_type"]): r["n"]
+        for r in ev.where(F.col("event_type").isNotNull())
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {(r["window_start"], r["key"]): r["est_count"] for r in out}
+    assert got == want
+    assert all(r["max_error"] == 0 for r in out)
+
+
+def test_heavy_hitters_guarantees_under_tight_capacity(spark):
+    # 100 'hot' + a long tail of uniques; capacity 4 << 21 distinct.
+    import datetime as dt
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for i in range(100):
+        rows.append((t0 + dt.timedelta(seconds=i), "hot"))
+    for i in range(20):
+        rows.append((t0 + dt.timedelta(seconds=200 + i), f"u{i:02d}"))
+    df = spark.createDataFrame(rows, "ts timestamp, k string")
+    from dataframe_spark.streaming import heavy_hitters_batch
+
+    out = heavy_hitters_batch(
+        df, "k", "ts", F.date_trunc("day", F.col("ts")), capacity=4
+    ).collect()
+    n = len(rows)
+    by_key = {r["key"]: r for r in out}
+    # bounded state
+    assert len(out) <= 4
+    # any key with true > N/capacity is tracked; 'hot' has 100 > 30
+    assert "hot" in by_key
+    for r in out:
+        true = 100 if r["key"] == "hot" else 1
+        # over-estimate, never under; error bound N/capacity
+        assert r["est_count"] >= true
+        assert r["est_count"] - r["max_error"] <= true
+        assert r["max_error"] <= n / 4
+
+
+def test_heavy_hitters_stream_matches_batch_twin(spark, sf_dir, stream):
+    from dataframe_spark.streaming import (
+        heavy_hitters_batch,
+        heavy_hitters_stream,
+    )
+
+    q = (
+        heavy_hitters_stream(
+            stream, "event_type", "ts", "1 hour", capacity=64
+        )
+        .writeStream.format("memory")
+        .queryName("hh")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # latest emission per (window, key) = the highest estimate
+    got = {
+        (r["window_start"], r["key"]): r["est_count"]
+        for r in spark.sql(
+            """select window_start, key, est_count from (
+                 select *, row_number() over (
+                   partition by window_start, key
+                   order by est_count desc) rn
+                 from hh) where rn = 1"""
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r["window_start"], r["key"]): r["est_count"]
+        for r in heavy_hitters_batch(
+            ev, "event_type", "ts",
+            F.window(F.col("ts"), "1 hour").getField("start"),
+            capacity=64,
+        ).collect()
+    }
+    assert got == want
