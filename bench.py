@@ -182,6 +182,10 @@ def main():
     raw = all_queries()
     cold_total = 0.0
     for name in HEADLINE:
+        if name in NEVER_PREPARE:
+            from dataframe_spark.queries import text_q
+
+            text_q._BPE_CACHE.clear()
         t0 = time.monotonic()
         raw[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
@@ -329,6 +333,17 @@ def _scaling_check(spark, qs, sf_dir, times) -> dict:
     return {"queries": out, "unscaled_tables": list(LINKED_TABLES)}
 
 
+# Queries whose "build" IS the measured work: q_bpe's result is the
+# trained merge table, so a memoized handle would time a 10 ms local-
+# relation write while the DuckDB baseline replays the full 8-round
+# training — these rebuild EVERY call with the model cache cleared,
+# so both engines pay training per pass. (q_bpe_encode stays
+# prepared: a deployed engine holds the trained tokenizer and the
+# apply plan re-executes fully each run; its baseline ratio is noted
+# as train-inclusive on the DuckDB side, which cannot hold state.)
+NEVER_PREPARE = {"q_bpe"}
+
+
 def _prepared(qs):
     """Memoize each registry callable's built DataFrame per
     (query, sf_dir): build + analysis happen once (the prepared
@@ -337,6 +352,11 @@ def _prepared(qs):
 
     def make(name, fn):
         def wrapped(spark, sf_dir):
+            if name in NEVER_PREPARE:
+                from dataframe_spark.queries import text_q
+
+                text_q._BPE_CACHE.clear()
+                return fn(spark, sf_dir)
             key = (name, sf_dir)
             if key not in cache:
                 cache[key] = fn(spark, sf_dir)

@@ -120,6 +120,13 @@ def main():
         "",
         f"Skipped (engine-specific, no comparable SQL): {', '.join(skipped) or 'none'}.",
         "",
+        "Model-holding asymmetry: q_bpe is measured TRAIN-INCLUSIVE on",
+        "both engines (bench clears the Spark model cache per pass; the",
+        "SQL replays the full merge loop). q_bpe_encode's Spark side",
+        "applies a held trained model (deployed-tokenizer posture)",
+        "while its SQL must retrain first — SQL cannot hold state — so",
+        "that one ratio overstates Spark by the training cost.",
+        "",
         "Interpretation: at sf0.1 (~100 MB) every Spark query carries",
         "a fixed ~0.2-0.5 s of planning/scheduling/task-launch that",
         "DuckDB does not, so ratios here are an upper bound dominated",
