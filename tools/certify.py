@@ -353,11 +353,12 @@ def sweep_thousandx(argv):
                     text_q._BPE_CACHE.clear()
                 return qs[name](spark, d)
 
-            # one rep at 1000x (a single cold submit-to-done wall is
-            # the honest number and the corpus is big enough that a
-            # steal burst is amortized); best-of-2 below
-            reps = 1 if tag == "1000x" else 2
-            t = _time_best(build, reps=reps, spark=spark)
+            # best-of-2 at every decade — the first committed run
+            # used one rep at 1000x and its ngram-jaccard wall read
+            # 231 s where an isolated cold re-measure gave 129.6 s:
+            # even multi-minute walls need a second shot at a quiet
+            # window on this shared box
+            t = _time_best(build, reps=2, spark=spark)
             out.setdefault(name, {})[tag] = t
             print(tag, name, t, flush=True)
     factors = {
