@@ -537,3 +537,25 @@ def test_pagerank_closed_form_and_guards(spark):
         pagerank(edges, damping=1.0)
     with _pytest.raises(ValueError):
         pagerank(edges, iters=0)
+
+
+def test_jaccard_broadcast_gate_strategies_agree(spark, sf_dir):
+    """The dfreq broadcast knob moves ONLY the join strategy: forced
+    broadcast, forced shuffle, and the auto gate must all produce
+    the identical pair set (the r9 1000x find auto-gated it)."""
+    from dataframe_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def pairs(flag):
+        return {
+            (r["a_id"], r["b_id"], round(r["jaccard"], 6))
+            for r in dedup.jaccard_pairs(
+                docs, "doc_id", "text", n=3, threshold=0.8,
+                broadcast_df_table=flag,
+            ).collect()
+        }
+
+    p_auto, p_bc, p_sh = pairs(None), pairs(True), pairs(False)
+    assert p_auto == p_bc == p_sh
+    assert len(p_auto) > 0
