@@ -74,6 +74,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
         & (F.col("n_tokens") >= 5)
     )
 
+    # 2a. CCNet perplexity bucketing: per-language head/middle/tail
+    #     thirds under a corpus-trained unigram LM; drop the tail
+    #     (the classic fluency gate). Cutoffs broadcast back — no
+    #     per-language sort.
+    buckets = text.ppl_buckets(docs, "doc_id", "text", "lang", top_v=500)
+    kept = kept.join(
+        buckets.select(F.col("id").alias("doc_id"), "bucket"), "doc_id"
+    ).where(F.col("bucket") != "tail")
+
     # 2a. C4-style rule gate (word-count band, mean-word-length
     #     sanity band, bad-phrase list) — audit-mode flags, in-row
     kept = text.c4_flags(
@@ -212,6 +221,23 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
     print(to_markdown(D.DataFrame(per_split), n=5))
     n_packs = packed.select("source", "pack_id").distinct().count()
     print(f"packed sequences: {n_packs}")
+
+    # 7. Train the tokenizer ON the curated corpus (the pipeline's
+    #    final artifact next to the data): distributed BPE — corpus-
+    #    sized work is one word-type count, merge rounds run at
+    #    vocabulary scale — then report the corpus size in model
+    #    subtokens (the number that actually prices a training run).
+    from dataframe_spark.operators import bpe
+
+    model = bpe.bpe_train(mixed, "redacted", n_merges=16)
+    n_subtokens = (
+        bpe.bpe_subtoken_counts(mixed, "doc_id", "redacted", model)
+        .agg(F.sum("n_subtokens"))
+        .first()[0]
+    )
+    print(f"BPE merges learned: {len(model.merges)}; "
+          f"curated corpus = {n_subtokens} subtokens")
+    print(to_markdown(D.DataFrame(bpe.bpe_merge_table(spark, model)), n=8))
 
 
 if __name__ == "__main__":
