@@ -69,5 +69,12 @@ def get_spark(
         # entries keeps the working set of a realistic query mix
         # compiled once per deployment.
         .config("spark.sql.codegen.cache.maxEntries", "10000")
+        # Deeply composed pipelines (the corpus example chains ~7
+        # stages into one lazy plan) produce plan strings big enough
+        # that AQE's plan-change logging OOMs the driver BUILDING THE
+        # STRING (StringConcat.toString inside explainString). Cap it:
+        # explain output truncates with a marker instead of allocating
+        # gigabytes. Default is effectively unbounded (2^31).
+        .config("spark.sql.maxPlanStringLength", "100000")
     )
     return builder.getOrCreate()

@@ -192,6 +192,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
     mixed = text.hash_split(
         mixed, ["source"], {"train": 0.9, "valid": 0.05, "test": 0.05}
     )
+    # Stage boundary: everything below here (chunk/pack, the report
+    # counts, and the stage-7 tokenizer fit + subtoken agg) is a
+    # separate action over this frame. localCheckpoint BOTH
+    # materializes it once (persist semantics) and TRUNCATES the
+    # lineage — after ~7 chained stages the logical plan itself is
+    # the cost (analysis + AQE plan-string logging per action), which
+    # a plain persist does not remove. This is the move a production
+    # pipeline makes at every stage boundary.
+    mixed = mixed.localCheckpoint(eager=True)
 
     # 6. Chunk into training sequences and pack greedily per source
     chunks = text.chunk_tokens(mixed, "doc_id", "redacted", chunk_size=64)
