@@ -594,7 +594,7 @@ def unigram_lm(df, text_col: str, top_v: int | None = None, counts=None):
     return lm, totals
 
 
-def perplexity_score(df, id_col: str, text_col: str, lm, totals):
+def perplexity_score(df, id_col: str, text_col: str, lm, totals, carry=()):
     """Per-document cross-entropy and perplexity under a unigram LM
     from ``unigram_lm`` — the standard LM-based quality filter for
     training corpora (low ppl ≈ fluent text, high ppl ≈ noise).
@@ -605,16 +605,24 @@ def perplexity_score(df, id_col: str, text_col: str, lm, totals):
     only shuffle is the per-doc aggregation of distinct-token rows.
     The full token stream is never shuffled.
 
-    Returns (id, n_tokens, cross_entropy, ppl); docs with zero
-    tokens are absent (no distribution to score)."""
+    ``carry`` names extra ``df`` columns to ride through scoring
+    onto the output (they key the same per-doc aggregation, so a
+    caller needing doc attributes — ppl_buckets needs the language —
+    skips a join back against the corpus).
+
+    Returns (id, *carry, n_tokens, cross_entropy, ppl); docs with
+    zero tokens are absent (no distribution to score)."""
     from ..plans.hints import ensure_scan_parallelism
 
     df = ensure_scan_parallelism(df)
+    carry = list(carry)
     pairs = df.select(
         F.col(id_col).alias("id"),
+        *carry,
         F.explode(term_freq_pairs(text_col)).alias("__p"),
     ).select(
         "id",
+        *carry,
         F.col("__p.token").alias("token"),
         F.col("__p.tf").cast("long").alias("tf"),
     )
@@ -632,13 +640,14 @@ def perplexity_score(df, id_col: str, text_col: str, lm, totals):
         .crossJoin(F.broadcast(totals))
         .select(
             "id",
+            *carry,
             "tf",
             F.coalesce("logp", F.col("__oov_logp")).alias("logp"),
         )
     )
     ce = -F.sum(F.col("tf") * F.col("logp")) / F.sum("tf")
     return (
-        scored.groupBy("id")
+        scored.groupBy("id", *carry)
         .agg(
             F.sum("tf").alias("n_tokens"),
             ce.alias("cross_entropy"),
@@ -680,14 +689,19 @@ def ppl_buckets(
     from ..plans.stats import plan_size_bytes
     from .quantiles import exact_quantiles_grouped, grouped_quantiles_buffered
 
+    from ..operators.dedup import _reusable
+
     lm, totals = unigram_lm(df, text_col, top_v=top_v)
-    scored = (
-        perplexity_score(df, id_col, text_col, lm, totals)
-        .join(
-            df.select(F.col(id_col).alias("id"), F.col(group_col).alias("__grp")),
-            "id",
-        )
-        .withColumn("__ce4", F.round("cross_entropy", 4))
+    # group_col rides through scoring (no join back against the
+    # corpus), and the scored frame is PERSISTED: both the cutoff
+    # aggregation and the final bucket assignment consume it, and
+    # without the persist the whole LM + scoring lineage runs twice
+    # (measured 3.0 s -> 0.93 s steady at sf0.1, late r9)
+    scored = _reusable(
+        perplexity_score(
+            df.withColumn("__grp", F.col(group_col)),
+            id_col, text_col, lm, totals, carry=["__grp"],
+        ).withColumn("__ce4", F.round("cross_entropy", 4))
     )
     probs = [i / len(labels) for i in range(1, len(labels))]
     fn = (
