@@ -58,10 +58,13 @@ HEADLINE = [
     "q11_important_stock",
     "q16_supplier_relation",
     "q20_excess_stock",
-    # late-r9: the tokenizer-training + CCNet-bucketing additions
+    # late-r9: the tokenizer-training + CCNet-bucketing additions,
+    # and the space-saving heavy-hitters batch twin (the headline's
+    # one applyInPandas kernel)
     "q_bpe",
     "q_bpe_encode",
     "q_ppl_buckets",
+    "q_heavy_hitters",
 ]
 
 
