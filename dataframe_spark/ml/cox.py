@@ -189,12 +189,9 @@ def fit_cox(
     for c in ["__t", "__e"] + xs:
         proj = proj.where(~F.isnan(F.col(c)))
     proj = proj.where(F.col("__e").isin(0.0, 1.0))
-    from pyspark import StorageLevel
+    from ..plans.cache import try_persist, try_unpersist
 
-    try:
-        proj = proj.persist(StorageLevel.MEMORY_AND_DISK)
-    except Exception:  # Spark Connect persist differences
-        pass
+    proj = try_persist(proj)
 
     stats = proj.agg(
         F.count(F.lit(1)).alias("n"),
@@ -242,10 +239,7 @@ def fit_cox(
         # extra evaluation keeps final_logpl aligned with the
         # returned coefficients on a max_iter exit
         logpl = float(_pass_frame(src, xs, pairs, beta).first()["logpl"])
-    try:
-        proj.unpersist()
-    except Exception:
-        pass
+    try_unpersist(proj)
     coefs = [float(b / s) for b, s in zip(beta, stds)]
     return CoxModel(
         feature_cols=list(feature_cols),

@@ -107,12 +107,9 @@ def fit_logistic_regression(
     # greater than any threshold). Exclude NaN rows like nulls.
     for c in ["__y"] + [f"__x{i}" for i in range(k)]:
         proj = proj.where(~F.isnan(F.col(c)))
-    from pyspark import StorageLevel
+    from ..plans.cache import try_persist, try_unpersist
 
-    try:
-        proj = proj.persist(StorageLevel.MEMORY_AND_DISK)
-    except Exception:  # Spark Connect persist differences
-        pass
+    proj = try_persist(proj)
 
     # one pass: n, mean_i, std_i (population; zero-variance guarded)
     stat_aggs = [F.count(F.lit(1)).alias("n")]
@@ -180,10 +177,7 @@ def fit_logistic_regression(
         / n
     )
 
-    try:
-        proj.unpersist()
-    except Exception:
-        pass
+    try_unpersist(proj)
     # fold standardization into raw-scale weights:
     # w.z + b  =  sum w_i*(x_i-m_i)/s_i + b
     raw_w = [w[i] / std[i] for i in range(k)]

@@ -115,7 +115,13 @@ def bpe_train(df, text_col: str, n_merges: int = 8, min_count: int = 1) -> BPEMo
             nxt = words.select(
                 F.replace(F.col("w"), F.lit(l + r), F.lit(s)).alias("w"), "n"
             ).persist()
-            nxt.count()
+            try:
+                nxt.count()
+            except Exception:
+                # materialization failed: release nxt here — the
+                # finally below only knows the old `words` binding
+                nxt.unpersist()
+                raise
             words.unpersist()
             words = nxt
     finally:
@@ -162,19 +168,21 @@ def bpe_subtoken_counts(df, id_col: str, text_col: str, model: BPEModel):
     ``n_merges`` JVM replaces per token inside one higher-order
     transform, zero shuffles, zero Python — so it composes with the
     scan at any scale (the token-budget / packing operators take
-    this count as input)."""
+    this count as input). NULL text counts as an empty document —
+    (0, 0), matching a LEFT JOIN + COALESCE oracle — not null/-1."""
     from .text import tokens
 
+    toks = F.coalesce(tokens(text_col), F.array().cast("array<string>"))
     n_sub = F.aggregate(
         F.transform(
-            tokens(text_col), lambda tok: F.length(_apply_ops(tok, model.ops))
+            toks, lambda tok: F.length(_apply_ops(tok, model.ops))
         ),
         F.lit(0),
         lambda acc, x: acc + x,
     )
     return df.select(
         F.col(id_col).alias("id"),
-        F.size(tokens(text_col)).alias("n_tokens"),
+        F.size(toks).alias("n_tokens"),
         n_sub.alias("n_subtokens"),
     )
 

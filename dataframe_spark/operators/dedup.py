@@ -275,12 +275,9 @@ def _reusable(df: SparkDF) -> SparkDF:
     disk when it doesn't fit) is the cheaper side of the trade. The
     cache is left to LRU eviction: the operator returns a LAZY
     result, so there is no safe point to unpersist inside it."""
-    from pyspark import StorageLevel
+    from ..plans.cache import try_persist
 
-    try:
-        return df.persist(StorageLevel.MEMORY_AND_DISK)
-    except Exception:
-        return df  # Spark Connect: persist API differences — plan still correct
+    return try_persist(df)
 
 
 def _hash_arrays(arrs: SparkDF) -> SparkDF:

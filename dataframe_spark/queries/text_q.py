@@ -400,7 +400,12 @@ def _bpe_model(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir, _BPE_MERGES)
     if key not in _BPE_CACHE:
         docs = _t(spark, sf_dir, "documents").df
-        _BPE_CACHE[key] = B.bpe_train(docs, "text", n_merges=_BPE_MERGES)
+        model = B.bpe_train(docs, "text", n_merges=_BPE_MERGES)
+        # one live fit: bench/certify iterate sf_dirs, and stale
+        # (applicationId, sf_dir) keys would otherwise accumulate
+        # for the life of the process
+        _BPE_CACHE.clear()
+        _BPE_CACHE[key] = model
     return _BPE_CACHE[key]
 
 

@@ -161,9 +161,17 @@ def heavy_hitters_stream(
             errors = dict(zip(ks, es))
         else:
             counters, errors = {}, {}
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["__ts", "key"], kind="mergesort")
-            _fold(counters, errors, pdf["key"].tolist(), capacity)
+        # one concat + one sort over the WHOLE micro-batch delivery:
+        # per-chunk sorting would fold chunks in arrival order, so a
+        # group spanning several Arrow chunks would not replay in
+        # global (ts, key) order and the batch-twin determinism
+        # claim would only hold single-chunk
+        chunks = list(pdfs)
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                ["__ts", "key"], kind="mergesort"
+            )
+            _fold(counters, errors, batch["key"].tolist(), capacity)
         ks = list(counters)
         state.update(
             (ks, [counters[k] for k in ks], [errors[k] for k in ks])

@@ -83,7 +83,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
         buckets.select(F.col("id").alias("doc_id"), "bucket"), "doc_id"
     ).where(F.col("bucket") != "tail")
 
-    # 2a. C4-style rule gate (word-count band, mean-word-length
+    # 2b. C4-style rule gate (word-count band, mean-word-length
     #     sanity band, bad-phrase list) — audit-mode flags, in-row
     kept = text.c4_flags(
         kept, "text", min_words=5, mean_wl_range=(2.0, 10.0)
@@ -91,7 +91,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
         "n_words", "mean_word_len", "has_bad_phrase", "keep"
     )
 
-    # 2b. LM-perplexity gate (CCNet-style): train a unigram LM on the
+    # 2c. LM-perplexity gate (CCNet-style): train a unigram LM on the
     #     corpus, drop the highest-perplexity tail (noise/gibberish).
     #     In-row tf + broadcast LM — the token stream never shuffles.
     lm, totals = text.unigram_lm(docs, "text", top_v=2000)
