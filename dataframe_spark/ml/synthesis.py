@@ -218,6 +218,7 @@ def generate_conditions(
     ps: list[Prog],
     loss: str,
     disallowed: tuple = (),
+    memo: dict | None = None,
 ) -> list[Prog]:
     """Synthesis.hs:45 generateConditions — boolean predicates built
     from <=-comparisons of programs, negations, and and/or
@@ -250,7 +251,7 @@ def generate_conditions(
     as_num = [
         replace(c, col=c.col.cast("double")) for c in _nub_by_key(expanded)
     ]
-    scored = _score(work, target, as_num, loss)
+    scored = _score(work, target, as_num, loss, memo=memo)
     top = sorted(scored, key=lambda t: -t[1])[:10]
     # restore boolean columns (the cast was only for scoring)
     by_key = {c.key: c for c in expanded}
@@ -267,21 +268,43 @@ def _nub_by_key(ps: list[Prog]) -> list[Prog]:
 
 
 def _score(
-    work: SparkDF, target: str, progs: list[Prog], loss: str
+    work: SparkDF,
+    target: str,
+    progs: list[Prog],
+    loss: str,
+    memo: dict | None = None,
 ) -> list[tuple[Prog, float]]:
     """Score candidates against the target in chunked single-pass
     aggregations; drop invalid (null/NaN/Inf-producing) candidates
     and result-duplicates (keep the smallest expression per identical
-    result signature — Synthesis.hs:163 deduplicate semantics)."""
-    t = F.col(target)
+    result signature — Synthesis.hs:163 deduplicate semantics).
+
+    ``memo`` (r10): a per-search cache of raw (score, sig) results
+    keyed by program key. Beam rounds regenerate a large fraction of
+    the previous round's candidates, and the working set is
+    identical across rounds, so a cache hit is EXACT — only genuinely
+    new programs pay an aggregation pass. The signature dedup still
+    runs over the full candidate list, so cross-round duplicate
+    results resolve the same way the uncached loop did."""
+    t = F.col("__t")
     results: list[tuple[Prog, float, int]] = []
     progs = _nub_by_key(progs)
     cfg_chunk = 100
 
     def _score_chunk(chunk):
+        # candidate programs are PROJECTED once per row before the
+        # aggregate (r10): bad/sig/score reference the program tree
+        # up to 5 times each, and aggregate inputs are not CSE'd
+        # across functions — evaluating a depth-2 program 5x per row
+        # dominated the 100x scoring wall. The projection fuses into
+        # the same whole-stage-codegen pass (no extra scan).
+        proj = work.select(
+            F.col(target).alias("__t"),
+            *[p.col.alias(f"c{i}") for i, p in enumerate(chunk)],
+        )
         aggs = []
-        for i, p in enumerate(chunk):
-            c = p.col
+        for i in range(len(chunk)):
+            c = F.col(f"c{i}")
             bad = F.max(
                 F.when(c.isNull(), 1)
                 .when(F.isnan(c) | (F.abs(c) == _INF), 1)
@@ -291,17 +314,14 @@ def _score(
             # (raw xxhash64 sums overflow -> hard error in ANSI mode)
             sig = F.sum(F.pmod(F.xxhash64(c), F.lit(1 << 30))).alias(f"g{i}")
             if loss == "pearson":
-                # explicit covar/stddev form, not F.corr: a CONSTANT
-                # candidate column makes corr's internal division 0/0
-                # (null normally, hard DIVIDE_BY_ZERO under ANSI);
-                # nullif makes the degenerate case null in both modes
+                # covar + per-side stddevs collected RAW; the ratio
+                # (with its 0-denominator -> null guard, matching the
+                # old nullif under both ANSI modes) happens driver-
+                # side, so stddev(target) aggregates ONCE per pass
+                # instead of once per candidate
                 score_exprs = [
-                    (
-                        F.covar_samp(t, c)
-                        / F.nullif(
-                            F.stddev_samp(t) * F.stddev_samp(c), F.lit(0.0)
-                        )
-                    ).alias(f"s{i}")
+                    F.covar_samp(t, c).alias(f"s{i}"),
+                    F.stddev_samp(c).alias(f"sd{i}"),
                 ]
             elif loss == "mse":
                 score_exprs = [F.avg((t - c) * (t - c)).alias(f"s{i}")]
@@ -316,20 +336,28 @@ def _score(
             else:
                 raise ValueError(f"unknown loss {loss!r}")
             aggs.extend([bad, sig, *score_exprs])
-        row = work.agg(*aggs).first()
-        chunk_results: list[tuple[Prog, float, int]] = []
+        if loss == "pearson":
+            aggs.append(F.stddev_samp(t).alias("__sdt"))
+        row = proj.agg(*aggs).first()
+        chunk_results: list[tuple[Prog, float | None, int | None]] = []
         for i, p in enumerate(chunk):
             if row[f"b{i}"]:
+                chunk_results.append((p, None, None))
                 continue
             if loss == "pearson":
-                r = row[f"s{i}"]
-                score = None if r is None else r * r
+                cov, sdc, sdt = row[f"s{i}"], row[f"sd{i}"], row["__sdt"]
+                if cov is None or sdc is None or sdt is None:
+                    score = None
+                else:
+                    denom = sdt * sdc
+                    score = None if denom == 0.0 else (cov / denom) ** 2
             elif loss == "mse":
                 m = row[f"s{i}"]
                 score = None if m is None else -m
             else:
                 tp, fp, fn = row[f"tp{i}"], row[f"fp{i}"], row[f"fn{i}"]
                 if tp is None:  # empty working set: sums come back null
+                    chunk_results.append((p, None, None))
                     continue
                 prec = 0.0 if tp + fp == 0 else tp / (tp + fp)
                 rec = 0.0 if tp + fn == 0 else tp / (tp + fn)
@@ -339,6 +367,7 @@ def _score(
                     else 2 * prec * rec / (prec + rec)
                 )
             if score is None or math.isnan(score) or math.isinf(score):
+                chunk_results.append((p, None, None))
                 continue
             chunk_results.append((p, score, row[f"g{i}"]))
         return chunk_results
@@ -347,21 +376,34 @@ def _score(
     # working set — submit them as CONCURRENT Spark jobs (py4j job
     # submission is thread-safe; the scheduler interleaves their
     # stages across the executor cores) instead of serially paying
-    # ~n_chunks x per-job latency. Results are reassembled in chunk
+    # ~n_chunks x per-job latency. Results are reassembled in progs
     # order so the stable size-sort's tie-breaks — and therefore the
     # returned beam — are byte-identical to the serial loop.
+    fresh = (
+        progs if memo is None else [p for p in progs if p.key not in memo]
+    )
     chunks = [
-        progs[lo : lo + cfg_chunk] for lo in range(0, len(progs), cfg_chunk)
+        fresh[lo : lo + cfg_chunk] for lo in range(0, len(fresh), cfg_chunk)
     ]
+    scored: dict = {}
     if len(chunks) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=min(4, len(chunks))) as ex:
             for part in ex.map(_score_chunk, chunks):
-                results.extend(part)
+                for p, score, sig in part:
+                    scored[p.key] = (score, sig)
     else:
         for chunk in chunks:
-            results.extend(_score_chunk(chunk))
+            for p, score, sig in _score_chunk(chunk):
+                scored[p.key] = (score, sig)
+    if memo is not None:
+        memo.update(scored)
+        scored = memo
+    for p in progs:
+        score, sig = scored[p.key]
+        if score is not None:
+            results.append((p, score, sig))
     # result-equivalence dedup: smallest expression wins per signature
     results.sort(key=lambda r: r[0].size)
     seen_sigs, out = set(), []
@@ -468,19 +510,23 @@ def beam_search(
         )
         beam: list[tuple[Prog, float]] = []
         conds: list[Prog] = []
+        # per-search score memo: rounds regenerate most of the prior
+        # round's candidates over the SAME persisted working set, so
+        # only new programs pay an aggregation pass (r10; exact)
+        memo: dict = {}
         for _ in range(cfg.search_depth):
             ps = [p for p, _ in beam]
             if cfg.include_conditionals:
                 conds = generate_conditions(
                     work, "__target", conds, variables + constants, cfg.loss,
-                    disallowed=cfg.disallowed_combinations,
+                    disallowed=cfg.disallowed_combinations, memo=memo,
                 )
             cands = generate_programs(
                 cfg.include_conditionals, conds, variables, constants, ps,
                 disallowed=cfg.disallowed_combinations,
             )
             cands = _nub_by_key(cands)[: cfg.max_candidates]
-            scored = _score(work, "__target", cands, cfg.loss)
+            scored = _score(work, "__target", cands, cfg.loss, memo=memo)
             beam = sorted(scored, key=lambda t: -t[1])[: cfg.beam_length]
             if not beam:
                 return None

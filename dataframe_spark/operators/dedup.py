@@ -123,41 +123,76 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     broadcast_df_table: bool | None = None,
+    order: str = "hash",
+    demote_hot: bool | None = None,
 ) -> SparkDF:
     """All pairs (a < b) with word-n-gram Jaccard >= threshold —
     EXACT result via prefix filtering (PPJoin-style).
 
     A naive self-join on shingles fans out quadratically on hot
     shingles (stopword-only grams). Prefix filtering is lossless for
-    threshold queries: for Jaccard >= t two sets must share at least
-    one of each other's (n - ceil(t·n) + 1) rarest shingles, so the
-    candidate join runs only on those prefixes — ordered by global
-    document frequency ascending, exactly the shingles with the
-    smallest buckets. Two further PPJoin filters run INSIDE the
-    candidate join, before the distinct and the expensive verify:
-    the length filter (J >= t forces min(na,nb) >= t·max(na,nb)) and
-    the positional filter (overlap is upper-bounded by
-    min(na-pa, nb-pb)+1, which must reach the overlap threshold
-    α = ceil(t/(1+t)·(na+nb))) — together they cut surviving
-    candidates ~3x (409k -> 125k at sf0.1) for two comparisons per
-    joined row. Candidates are then verified per-pair with
-    array_intersect against per-doc arrays of xxhash64(shingle)
-    longs (one row per doc; fixed-width comparisons, not re-hashing
-    full shingle strings per pair), NOT by re-joining the exploded
+    threshold queries UNDER ANY consistent global total order of
+    shingles: for Jaccard >= t two sets must share at least one of
+    each other's first (n - ceil(t·n) + 1) shingles in that order.
+    Two further PPJoin filters run INSIDE the candidate join, before
+    the distinct and the expensive verify: the length filter (J >= t
+    forces min(na,nb) >= t·max(na,nb)) and the positional filter
+    (overlap is upper-bounded by min(na-pa, nb-pb)+1, which must
+    reach the overlap threshold α = ceil(t/(1+t)·(na+nb))).
+    Candidates are then verified per-pair with array_intersect
+    against per-doc arrays of xxhash64(shingle) longs (one row per
+    doc; fixed-width comparisons), NOT by re-joining the exploded
     shingle table — verification shuffle is O(candidates + docs),
-    not O(total shingles). At 100 TB this is the difference between
-    a size-of-data shuffle and a quadratic one."""
+    not O(total shingles).
+
+    ``order`` picks the global order, i.e. the candidate strategy —
+    the OUTPUT is identical (r10 test pins it):
+
+    - ``"hash"`` (default): order by (demoted?, shingle hash). The
+      order is a pure per-element function, so every doc's prefix is
+      computed IN-ROW (array_sort + slice) and the plan has ZERO
+      corpus-scale shuffles — the only shuffled stream is the prefix
+      entries themselves (~the prefix fraction of shingle
+      occurrences) into the candidate join. The df-ordered plan, by
+      contrast, paid a corpus-wide document-frequency groupBy AND a
+      corpus-wide join-back; at the 1000x cert those two shuffles
+      (~1.1 B rows each way) were exactly the spill-bound stages
+      that made it super-linear on a fixed box. A uniform hash
+      order costs more candidates than rarest-first — hot
+      (stopword-heavy) shingles may land in prefixes and fan out
+      quadratically — so hot shingles are DEMOTED to sort last: a
+      1% seeded sample estimates high-df shingles (absolute
+      detection floor ~hot_min/fraction docs, corpus-size
+      independent), and membership ships as a bitmap LITERAL probed
+      in-row (O(1) array index, no broadcast, no join). Demotion
+      changes only the order — any set demoted by any sample is
+      still a consistent order — so sampling affects performance,
+      never the result. ``demote_hot`` None auto-enables it when
+      the input plan is large (small corpora can't have buckets big
+      enough to matter and skip the sample job entirely).
+    - ``"df"``: the legacy rarest-first (global document frequency
+      ascending) order — minimal candidates, but pays the two
+      corpus-wide shuffles; ``broadcast_df_table`` gates its df
+      join strategy as before. Kept for cross-validation and for
+      corpora so adversarially templated that candidate count
+      dominates shuffle volume."""
     # The ENTIRE pipeline runs on xxhash64(shingle) longs, never the
-    # shingle strings: document frequency, the rarest-first order
-    # (df asc, hash asc — any consistent total order is lossless for
-    # prefix filtering), the candidate join key, and verification all
-    # only need a stable shingle identity, so every shuffle moves
-    # 8-byte fixed-width keys instead of n-gram strings and every
-    # sort compares longs. A 64-bit cross-doc collision (~pairs/2^64)
-    # could only ADD a candidate, which exact verification rejects —
-    # except for in-verify collisions, the same vanishing risk
-    # _hash_arrays already documents.
+    # shingle strings: the global order, the candidate join key, and
+    # verification all only need a stable shingle identity, so every
+    # shuffle moves 8-byte fixed-width keys instead of n-gram strings
+    # and every sort compares longs. A 64-bit cross-doc collision
+    # (~pairs/2^64) could only ADD a candidate, which exact
+    # verification rejects — except for in-verify collisions, the
+    # same vanishing risk _hash_arrays already documents.
+    if order not in ("hash", "df"):
+        raise ValueError(f"order must be 'hash' or 'df', got {order!r}")
     arrs = hashed_shingle_arrays(df, id_col, text_col, n)
+    if order == "hash":
+        prefix = _hash_order_prefix(
+            arrs, df, id_col, text_col, n, threshold, demote_hot
+        )
+        cands = _prefix_candidates(prefix, threshold)
+        return _verify_jaccard(cands, arrs, threshold)
     exploded = arrs.select("id", "n_sh", F.explode("sh_arr").alias("shingle"))
     # Global document frequency, but only for REPEATED shingles: a
     # shingle with df == 1 can never produce a candidate pair, and in
@@ -228,6 +263,19 @@ def jaccard_pairs(
             (F.col("__n1") + F.col("pos") + 1).alias("pos"),
         )
     )
+    cands = _prefix_candidates(prefix, threshold)
+    return _verify_jaccard(cands, arrs, threshold)
+
+
+def _prefix_candidates(prefix: SparkDF, threshold: float) -> SparkDF:
+    """Candidate pairs from a (id, shingle, n_sh, pos) prefix frame:
+    self-join on the shingle with the PPJoin length filter
+    (J >= t forces min(na,nb) >= t·max(na,nb)) and positional filter
+    (overlap <= min(na-pa, nb-pb)+1 must reach
+    α = ceil(t/(1+t)·(na+nb)); ``pos`` is the 1-based position of
+    the entry in its doc's globally-ordered shingle list) applied
+    INSIDE the join, before the distinct. Shared by both global
+    orders — the filters are order-agnostic."""
     a = prefix.select(
         F.col("id").alias("a_id"),
         "shingle",
@@ -249,7 +297,7 @@ def jaccard_pairs(
         )
         + 1
     )
-    cands = (
+    return (
         a.join(b, "shingle")
         .where(
             (F.col("a_id") < F.col("b_id"))
@@ -262,7 +310,131 @@ def jaccard_pairs(
         .select("a_id", "b_id")
         .distinct()
     )
-    return _verify_jaccard(cands, arrs, threshold)
+
+
+def _hash_order_prefix(
+    arrs: SparkDF,
+    src: SparkDF,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+    demote_hot: bool | None,
+) -> SparkDF:
+    """(id, shingle, n_sh, pos) prefix entries under the
+    (demoted?, hash) global order — computed IN-ROW: sort the per-doc
+    hashed shingle array, slice the first n_sh - ceil(t·n_sh) + 1
+    entries, posexplode. No corpus-scale shuffle anywhere; the frame
+    is persisted because the candidate self-join consumes it twice
+    (AQE does not reuse the exchange across the two aliased sides).
+
+    ``demote_hot`` None auto-enables hot-shingle demotion when the
+    source plan exceeds the broadcast-gate size (the same 128 MB
+    knee jaccard's legacy path uses): below it, bucket sizes are too
+    small for fan-out to matter and the sample job is pure
+    overhead."""
+    if demote_hot is None:
+        from ..plans.stats import plan_size_bytes
+
+        demote_hot = plan_size_bytes(src) > 128 * 1024 * 1024
+    probe = (
+        _sampled_hot_probe(src, id_col, text_col, n) if demote_hot else None
+    )
+    plen = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).cast("int")
+    if probe is None:
+        ordered = F.array_sort("sh_arr")
+        pref = F.posexplode(
+            F.slice(ordered, 1, F.greatest(plen, F.lit(0)))
+        )
+        shingle = F.col("col")
+    else:
+        # struct sort: lexicographic on (demote flag, hash) — a
+        # total, per-element-computable order, identical in every doc
+        ordered = F.array_sort(
+            F.transform(
+                "sh_arr",
+                lambda h: F.struct(probe(h).alias("d"), h.alias("h")),
+            )
+        )
+        pref = F.posexplode(
+            F.slice(ordered, 1, F.greatest(plen, F.lit(0)))
+        )
+        shingle = F.col("col.h")
+    return _reusable(
+        arrs.select("id", "n_sh", pref).select(
+            "id",
+            shingle.alias("shingle"),
+            "n_sh",
+            (F.col("pos") + 1).alias("pos"),
+        )
+    )
+
+
+def _sampled_hot_probe(
+    src: SparkDF,
+    id_col: str,
+    text_col: str,
+    n: int,
+    fraction: float = 0.01,
+    hot_min: int = 8,
+    cap: int = 1 << 16,
+    seed: int = 97,
+):
+    """Demotion predicate for hot shingles, or None if the sample
+    finds none: a seeded ``fraction`` sample of SOURCE docs —
+    sampled BEFORE shingling, so the job tokenizes only the slice
+    and never touches (or forces) the corpus-sized arrs cache —
+    estimates per-shingle document frequency; shingles seen >=
+    ``hot_min`` times (detection floor ~hot_min/fraction docs
+    ABSOLUTE — the bound is corpus-size independent, so undetected
+    shingles fan out O(1) candidates each and total candidate
+    growth stays linear) are packed into a bitmap shipped as a plan
+    LITERAL (array<bigint> words; ~512 KB at the cap) and probed
+    in-row: one O(1) array index + bit test per element, no
+    broadcast, no join. Bit position is the hash value mod m
+    directly — the driver sets bits with plain Python arithmetic,
+    no re-hash. False positives (~1-2%) demote a few cold shingles;
+    demotion only permutes the global order, so the pair set is
+    unchanged. ``cap`` keeps the literal bounded: the top-df
+    shingles win, which is exactly the set whose buckets matter."""
+    sample = _hash_arrays(
+        shingle_arrays(
+            src.sample(fraction=fraction, seed=seed), id_col, text_col, n
+        )
+    )
+    rows = (
+        sample.select(F.explode("sh_arr").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= hot_min)
+        .orderBy(F.desc("c"), F.asc("h"))
+        .limit(cap)
+        .select("h")
+        .collect()
+    )
+    if not rows:
+        return None
+    m_bits = 1 << 16
+    while m_bits < 64 * len(rows) and m_bits < 1 << 23:
+        m_bits <<= 1
+    words = [0] * (m_bits >> 6)
+    for r in rows:
+        pos = r["h"] % m_bits  # python % is non-negative, like pmod
+        words[pos >> 6] |= 1 << (pos & 63)
+    # two's-complement to signed for the bigint literal
+    words = [w - (1 << 64) if w >= 1 << 63 else w for w in words]
+    words_lit = F.lit(words).cast("array<bigint>")
+
+    def probe(h):
+        pos = F.pmod(h, F.lit(m_bits))
+        word = F.element_at(
+            words_lit, F.shiftright(pos, 6).cast("int") + F.lit(1)
+        )
+        return (word.bitwiseAND(_bit_at(pos)) != F.lit(0)).cast("int")
+
+    return probe
 
 
 def _reusable(df: SparkDF) -> SparkDF:

@@ -13,23 +13,25 @@ flow through:
 
 The same fold kernel backs both the streaming operator
 (applyInPandasWithState; state per window is three length-capacity
-arrays) and the batch twin (applyInPandas per window) — twin
-equivalence is by construction, and the batch twin doubles as the
-driver-verifiable surface: with ``capacity`` >= the true distinct
-count the sketch degrades to EXACT counts (max_error 0), which a
-plain SQL count reproduces. The approximation regime is pinned by
-unit tests against the guarantees above.
+arrays) and the batch twin (mapInPandas over key-disjoint slices +
+a bounded merge — see heavy_hitters_batch). In the EXACT regime
+(``capacity`` >= the window's true distinct count) both degrade to
+exact counts (max_error 0), which a plain SQL count reproduces —
+that regime is the oracle surface AND where stream and batch are
+byte-identical. Under tight capacity the two are independently
+valid space-saving summaries (the merged batch path and the
+sequential stream replay may track different tail keys); each
+side's guarantees are pinned by unit tests.
 
-Estimates are replay-order dependent (inherent to the sketch); the
-kernel folds each Arrow batch in (ts, key) order so a single-batch
-replay — the batch twin, or an availableNow catch-up run — is fully
-deterministic.
+Estimates are replay-order dependent (inherent to the sketch); both
+kernels fold in (ts, key) order within their slice/window so every
+run is deterministic.
 
-Batch-twin scale note: the twin shuffles each window's rows to one
-task (that is what "replay the stream through the kernel" means) —
-it exists for verification and window-bounded reprocessing. The
-scalable BATCH hot-key path is operators/sketch.py (Count-Min +
-hot_keys); the scalable STREAM path is this module.
+Batch scale note (r10): the twin no longer routes a window's raw
+rows through one task — slices shuffle by (window, key-hash bucket)
+and only the bounded sketch rows (≤ buckets × capacity per window)
+meet at the merge. operators/sketch.py (Count-Min + hot_keys)
+remains the alternative batch hot-key path.
 """
 
 from __future__ import annotations
@@ -75,10 +77,31 @@ def heavy_hitters_batch(
     ts_col: str,
     window_col,
     capacity: int = 64,
+    merge_buckets: int = 32,
 ) -> SparkDF:
-    """Batch twin: replay each window's rows through the kernel in
-    (ts, key) order. ``window_col`` is any Column expression that
-    buckets rows into windows (e.g. ``F.date_trunc('hour', ts)``)."""
+    """Batch twin — MERGEABLE (r10): each window's keys are hashed
+    into ``merge_buckets`` KEY-DISJOINT slices, a space-saving
+    sketch (full ``capacity``) folds each slice's rows in (ts, key)
+    order, and the per-slice sketches merge with a JVM window
+    top-``capacity`` over the sketch rows (≤ buckets × capacity per
+    window — bounded, so the one-reducer-per-window stage of the old
+    plan is gone; no window ever routes its RAW rows through a
+    single task). Disjointness makes the merge a plain union: every
+    key lives in exactly one slice, so per-key estimates and error
+    bounds carry over unchanged.
+
+    Guarantees: est >= true and est - max_error <= true per emitted
+    key (per-slice space-saving bounds, preserved by the union);
+    in the EXACT regime (capacity >= the window's true distinct key
+    count) every slice degrades to exact counts and the union is ≤
+    capacity rows, so the output is byte-identical to a sequential
+    replay — the regime the oracle and the stream-twin check use.
+    Under tight capacity the tracked-key floor relaxes from
+    N/capacity to ~2N/capacity (a dropped key's estimate is bounded
+    by the kept minimum; total estimate mass ≤ 2N).
+
+    ``window_col`` is any Column expression that buckets rows into
+    windows (e.g. ``F.date_trunc('hour', ts)``)."""
     # null keys dropped (nothing to count; they would also poison the
     # kernel's total orders)
     src = df.where(F.col(key_col).isNotNull()).select(
@@ -86,56 +109,71 @@ def heavy_hitters_batch(
         F.col(key_col).cast("string").alias("key"),
         F.col(ts_col).alias("__ts"),
     )
+    src = src.withColumn(
+        "__b", F.pmod(F.xxhash64("key"), F.lit(merge_buckets)).cast("int")
+    )
     out_schema = (
         f"window_start {src.schema['window_start'].dataType.simpleString()},"
         " key string, est_count long, max_error long"
     )
 
-    # ONE Python roundtrip per PARTITION, not per window: a corpus
-    # has many small windows, and applyInPandas pays the Arrow +
-    # pandas overhead once per group (~700 hour-windows at sf0.1
-    # measured 3.1 s; this mapInPandas form runs the identical fold
-    # at 0.4 s). Windows are made contiguous per partition by the
-    # repartition + sortWithinPartitions pair, and the (ts, key)
-    # sort keeps the replay order — and therefore every estimate —
-    # byte-identical to the per-group form. Groups spanning Arrow
+    # ONE Python roundtrip per PARTITION, not per (window, bucket):
+    # applyInPandas pays the Arrow + pandas overhead once per group
+    # (~700 hour-windows at sf0.1 measured 3.1 s; this mapInPandas
+    # form runs the identical fold at 0.4 s). Slices are made
+    # contiguous per partition by the repartition +
+    # sortWithinPartitions pair, and the (ts, key) sort keeps each
+    # slice's replay order deterministic. Slices spanning Arrow
     # batch boundaries carry their counters across the loop.
     def run(batches):
-        cur_w, started = None, False
+        cur, started = None, False
         counters: dict = {}
         errors: dict = {}
         acc = {"window_start": [], "key": [], "est_count": [], "max_error": []}
 
-        def flush_window():
+        def flush_slice():
             # append-into-columns, ONE DataFrame per partition: a
-            # per-window pd.DataFrame costs ~1 ms of construction
+            # per-group pd.DataFrame costs ~1 ms of construction
             # and dominated the wall at ~700 windows (1.5 s -> 0.4 s)
             keys = sorted(counters, key=lambda k: (-counters[k], k))
-            acc["window_start"].extend([cur_w] * len(keys))
+            acc["window_start"].extend([cur[0]] * len(keys))
             acc["key"].extend(keys)
             acc["est_count"].extend(counters[k] for k in keys)
             acc["max_error"].extend(errors[k] for k in keys)
 
+        def same(g):
+            return cur is not None and g[1] == cur[1] and (
+                g[0] == cur[0] or (pd.isna(g[0]) and pd.isna(cur[0]))
+            )
+
         for pdf in batches:
-            for w, sub in pdf.groupby(
-                "window_start", sort=False, dropna=False
+            for g, sub in pdf.groupby(
+                ["window_start", "__b"], sort=False, dropna=False
             ):
-                if started and not (
-                    w == cur_w or (pd.isna(w) and pd.isna(cur_w))
-                ):
-                    flush_window()
+                if started and not same(g):
+                    flush_slice()
                     counters, errors = {}, {}
-                cur_w, started = w, True
+                cur, started = g, True
                 _fold(counters, errors, sub["key"].tolist(), capacity)
         if started:
-            flush_window()
+            flush_slice()
         if acc["key"]:
             yield pd.DataFrame(acc)
 
-    return (
-        src.repartition("window_start")
-        .sortWithinPartitions("window_start", "__ts", "key")
+    from pyspark.sql.window import Window
+
+    sketches = (
+        src.repartition("window_start", "__b")
+        .sortWithinPartitions("window_start", "__b", "__ts", "key")
         .mapInPandas(run, out_schema)
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("est_count"), F.asc("key")
+    )
+    return (
+        sketches.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= capacity)
+        .drop("__rn")
     )
 
 

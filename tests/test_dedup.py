@@ -540,22 +540,67 @@ def test_pagerank_closed_form_and_guards(spark):
 
 
 def test_jaccard_broadcast_gate_strategies_agree(spark, sf_dir):
-    """The dfreq broadcast knob moves ONLY the join strategy: forced
-    broadcast, forced shuffle, and the auto gate must all produce
-    the identical pair set (the r9 1000x find auto-gated it)."""
+    """Every candidate strategy must produce the identical pair set:
+    the legacy df-order under forced broadcast, forced shuffle, and
+    the auto gate (the r9 1000x find auto-gated it), AND the r10
+    hash-order plan with demotion off and forced on. The global
+    order / join strategy move only performance, never the result."""
     from dataframe_spark.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
 
-    def pairs(flag):
+    def pairs(**kw):
         return {
             (r["a_id"], r["b_id"], round(r["jaccard"], 6))
             for r in dedup.jaccard_pairs(
-                docs, "doc_id", "text", n=3, threshold=0.8,
-                broadcast_df_table=flag,
+                docs, "doc_id", "text", n=3, threshold=0.8, **kw
             ).collect()
         }
 
-    p_auto, p_bc, p_sh = pairs(None), pairs(True), pairs(False)
-    assert p_auto == p_bc == p_sh
+    p_auto = pairs(order="df", broadcast_df_table=None)
+    p_bc = pairs(order="df", broadcast_df_table=True)
+    p_sh = pairs(order="df", broadcast_df_table=False)
+    p_hash = pairs(order="hash", demote_hot=False)
+    p_hot = pairs(order="hash", demote_hot=True)
+    assert p_auto == p_bc == p_sh == p_hash == p_hot
     assert len(p_auto) > 0
+
+
+def test_jaccard_hot_demotion_bitmap_is_order_only(spark):
+    """A corpus with a genuinely hot shingle (a shared template
+    sentence in every doc): force the sampled hot bitmap to be
+    non-empty (fraction 1.0, hot_min 2) and pin that demotion
+    changes candidates, never the verified pair set."""
+    import dataframe_spark.operators.dedup as dd
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"unique text {i} a b c d e {base}") for i in range(30)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta eta theta"),
+             (101, "alpha beta gamma delta epsilon zeta eta iota")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    probe = dd._sampled_hot_probe(
+        docs, "doc_id", "text", 3, fraction=1.0, hot_min=2
+    )
+    assert probe is not None  # the template grams really are hot
+    orig = dd._sampled_hot_probe
+    dd._sampled_hot_probe = lambda *a, **kw: orig(
+        *a, fraction=1.0, hot_min=2
+    )
+    try:
+        p_hot = {
+            (r["a_id"], r["b_id"], round(r["jaccard"], 6))
+            for r in dd.jaccard_pairs(
+                docs, "doc_id", "text", 3, 0.5,
+                order="hash", demote_hot=True,
+            ).collect()
+        }
+    finally:
+        dd._sampled_hot_probe = orig
+    p_df = {
+        (r["a_id"], r["b_id"], round(r["jaccard"], 6))
+        for r in dd.jaccard_pairs(
+            docs, "doc_id", "text", 3, 0.5, order="df"
+        ).collect()
+    }
+    assert p_hot == p_df
+    assert len(p_df) > 0

@@ -376,3 +376,26 @@ def test_grouped_kernel_width_single_exchange(spark, sf_dir):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "REPARTITION_BY_NUM" in plan  # width pinned, AQE can't shrink it
+
+
+def test_heavy_hitters_batch_has_no_single_window_funnel(spark, sf_dir):
+    """The mergeable batch twin (r10) must shuffle raw rows by
+    (window, key-hash bucket) — never by the window alone, which
+    routed each window's whole stream through one task."""
+    from dataframe_spark.streaming.heavy import heavy_hitters_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    out = heavy_hitters_batch(
+        ev, "event_type", "ts", F.date_trunc("hour", F.col("ts")),
+        capacity=8,
+    )
+    plan = _plan(out)
+    # the plan prints top-down: everything BELOW the MapInPandas node
+    # is the raw-row side (the exchange above it shuffles only the
+    # bounded sketch rows into the merge window)
+    assert "MapInPandas" in plan
+    raw_side = plan.split("MapInPandas", 1)[1]
+    exchanges = [
+        ln for ln in raw_side.splitlines() if "hashpartitioning" in ln
+    ]
+    assert exchanges and all("__b" in ln for ln in exchanges), exchanges
