@@ -64,15 +64,59 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return (64 + n % 64, 64 + n % 48, sum(payload[:32]) % 256)
 
 
-def extract_image_features(media: SparkDF, batch_size: int = 1024) -> SparkDF:
+def _require_pil():
+    """Import-gate for the optional real decoder (the torch pattern
+    from interop.py): checked DRIVER-side at operator build so a
+    missing codec fails with one clear error, not a py4j stack from
+    every executor."""
+    try:
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except ImportError as exc:  # pragma: no cover - env without PIL
+        raise ImportError(
+            "decoder='pil' needs Pillow installed on driver and "
+            "executors; the 'stub' decoder (deterministic fake) "
+            "needs nothing"
+        ) from exc
+
+
+def _pil_decode(payload: bytes) -> tuple[int, int, int]:
+    """Real decode: width, height, and mean 8-bit luma via Pillow.
+    Executor-side only; import cost is per-interpreter, not per-row."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as img:
+        gray = img.convert("L")
+        w, h = gray.size
+        hist = gray.histogram()
+        total = sum(hist)
+        mean = int(sum(i * c for i, c in enumerate(hist)) / total) if total else 0
+        return (w, h, mean)
+
+
+def extract_image_features(
+    media: SparkDF, batch_size: int = 1024, decoder: str = "stub"
+) -> SparkDF:
     """mapInPandas feature extraction: Arrow-batched, executor-side.
 
-    The iterator-of-batches shape is the scale contract: payload
-    bytes stream through each task without accumulating."""
+    ``decoder='stub'`` (default, the oracle path) keeps the
+    deterministic fake; ``decoder='pil'`` decodes real image bytes
+    with Pillow (import-gated — a clear driver-side error when the
+    codec is absent). The Spark-side contract is identical either
+    way: the iterator-of-batches shape streams payload bytes through
+    each task without accumulating."""
+    if decoder not in ("stub", "pil"):
+        raise ValueError(f"decoder must be 'stub' or 'pil', got {decoder!r}")
+    if decoder == "pil":
+        _require_pil()
+    decode = _pil_decode if decoder == "pil" else _fake_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_decode(p) for p in pdf["payload"]]
+            feats = [decode(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -90,21 +134,35 @@ def image_ahash(
     id_col: str = "media_id",
     payload_col: str = "payload",
     cells: int = 48,
+    decoder: str = "stub",
 ) -> SparkDF:
     """Perceptual average-hash (aHash) per payload: (id, ahash).
 
-    The STUB boundary is the decode only: the ``cells``-cell luma
-    grid is the strided byte-sum of the payload (cell i sums bytes at
-    offsets ≡ i mod cells) — a real build would decode pixels and
-    box-downsample to the same grid shape. Everything downstream is
-    the real aHash algorithm: bit i set iff grid_i > mean(grid),
-    assembled into one BIGINT. Arrow-batched pandas_udf (numpy
-    bincount per payload, no per-byte Python), map-only — fuses into
-    the scan, zero shuffle at any scale. Null/empty payloads hash to
-    null. ``cells`` must fit signed-64 minus the sign bit."""
+    The decode boundary is pluggable; everything downstream is the
+    real aHash algorithm — bit i set iff grid_i > mean(grid),
+    assembled into one BIGINT:
+
+    - ``decoder='stub'`` (default, the oracle path): the
+      ``cells``-cell luma grid is the strided byte-sum of the
+      payload (cell i sums bytes at offsets ≡ i mod cells) — a
+      deterministic fake of box-downsampled pixels.
+    - ``decoder='pil'`` (import-gated): real pixels, converted to
+      8-bit luma and BOX-downsampled to the same ``cells``-length
+      grid shape with Pillow.
+
+    Arrow-batched pandas_udf (numpy per payload, no per-byte
+    Python), map-only — fuses into the scan, zero shuffle at any
+    scale. Null/empty (or, under 'pil', undecodable) payloads hash
+    to null. ``cells`` must fit signed-64 minus the sign bit."""
     if not 1 <= cells <= 62:
         raise ValueError(f"image_ahash: cells must be in [1, 62], got {cells}")
+    if decoder not in ("stub", "pil"):
+        raise ValueError(f"decoder must be 'stub' or 'pil', got {decoder!r}")
+    if decoder == "pil":
+        _require_pil()
     import numpy as np
+
+    use_pil = decoder == "pil"
 
     @F.pandas_udf("long")
     def _ahash(payloads: pd.Series) -> pd.Series:
@@ -114,16 +172,39 @@ def image_ahash(
             if p is None or len(p) == 0:
                 out.append(None)
                 continue
-            b = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
-            grid = np.bincount(
-                np.arange(len(b)) % cells, weights=b, minlength=cells
-            )
+            if use_pil:
+                grid = _pil_luma_grid(p, cells)
+                if grid is None:
+                    out.append(None)
+                    continue
+            else:
+                b = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+                grid = np.bincount(
+                    np.arange(len(b)) % cells, weights=b, minlength=cells
+                )
             out.append(int(w[grid > grid.mean()].sum()))
         return pd.Series(out, dtype="Int64")
 
     return media.select(
         F.col(id_col).alias("id"), _ahash(F.col(payload_col)).alias("ahash")
     )
+
+
+def _pil_luma_grid(payload: bytes, cells: int):
+    """Real-decode grid for image_ahash: luma pixels BOX-downsampled
+    to ``cells`` values (numpy float array), or None when the bytes
+    do not decode as an image."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    try:
+        with Image.open(io.BytesIO(payload)) as img:
+            small = img.convert("L").resize((cells, 1), Image.Resampling.BOX)
+            return np.asarray(small, dtype=np.float64).reshape(-1)
+    except Exception:
+        return None
 
 
 def phash_pairs(

@@ -22,7 +22,27 @@ MODULES = [stats_q, relational, extras_q, windows_q, text_q, exprs_q, ml_q, dedu
 # Registry order is a verification surface: the driver snapshots the
 # FIRST 50 entries each round.
 #
-# The r9 window. Slots 1-4: the four queries ADDED late in r9
+# The r10 window. Slots 1-6: every plan CHANGED in r10 —
+# q_dedup_ngram_jaccard + q_dedup_cluster (jaccard_pairs moved to
+# the hash-ordered zero-corpus-shuffle prefix plan; cluster composes
+# it), q_heavy_hitters (mergeable bucketed batch twin),
+# q_synthesis + q_synthesis_check (pre-projected/memoized scoring),
+# q_bpe_encode (null-text coalesce). Slot 7: the q1 sentinel.
+# Slots 8-50: the stale cohort, oldest-first — every query whose
+# last driver check predates r7: the r3 trio (q_dedup_simhash,
+# q_knn_ivf, q_sample), r4's q_approx_distinct, the six r5-green
+# overflow members documented in the r9 queue (q_approx_distinct_
+# check, q_approx_quantiles, q_vocabulary, q_welch_t,
+# q_window_cumsum, q_window_rank, q_window_rolling — 7 with
+# q_approx_quantiles joining from the same vintage), then the
+# r6-green cohort alphabetically. Four r6-green members with
+# UNCHANGED one-pass conditional-agg plans overflow to r11
+# (documented below).
+#
+# (The r9 window text lives in git history: slots 1-4 were the four
+# late-r9 queries, 5-8 the derived-partsupp TPC-H composites, 9-16
+# the r9 plan changes, 17-18 sentinels, 19-50 the r8 overflow +
+# r5-green cohorts.)
 # (never driver-checked — highest priority class): q_bpe /
 # q_bpe_encode (distributed BPE tokenizer training; the oracle
 # replays the full 8-round training loop in chained CTEs),
@@ -55,68 +75,70 @@ MODULES = [stats_q, relational, extras_q, windows_q, text_q, exprs_q, ml_q, dedu
 # committed full-registry sf0.01/sf0.1/ANSI parity artifacts — they
 # queue first for r10 alongside the r6-green cohort.
 WINDOW_PRIORITY = [
-    # 1-4: queries added late in r9 (never checked)
-    "q_bpe",
-    "q_bpe_encode",
-    "q_ppl_buckets",
+    # 1-6: plans changed in r10 (must re-enter)
+    "q_dedup_ngram_jaccard",
+    "q_dedup_cluster",
     "q_heavy_hitters",
-    # 5-8: new derived-partsupp TPC-H composites (never checked)
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q16_supplier_relation",
-    "q20_excess_stock",
-    # 9-16: r9 plan changes (must re-enter)
-    "q_fingerprint",
-    "q_corpus_filter",
-    "q_semdedup_check",
-    "q_semdedup",
-    "q_knn_lsh_recall",
-    "q_knn_lsh",
     "q_synthesis_check",
     "q_synthesis",
-    # 17-18: sentinels
+    "q_bpe_encode",
+    # 7: sentinel
     "q1_pricing_summary",
-    "q_sessionize",           # failed r1+r2 — keep hard signal
-    # 19-26: r8 documented overflow cohort
-    "q_union",
-    "q_set_ops",
-    "q_dates",
-    "q7_nation_volume",
-    "q9_product_profit",
-    "q13_order_counts",
-    "q_filter_nulls",
-    "q_frequencies",
-    # 27-50: r5-green cohort (r8 queue order; 24 of 30)
-    "q_boilerplate",
-    "q_corr_matrix",
-    "q_dedup_embedding",
-    "q_dedup_exact",
-    "q_distinct",
-    "q_exclude",
-    "q_group_agg",
-    "q_group_quantiles",
-    "q_join_full",
-    "q_js_divergence",
-    "q_knn_brute",
-    "q_ks_test",
-    "q_mann_whitney",
-    "q_melt",
-    "q_pivot",
-    "q_psi",
-    "q_quantiles",
-    "q_recode",
-    "q_resample",
-    "q_sample_weighted",
-    "q_sample_weighted_group",
-    "q_select",
-    "q_stream_psi",
-    "q_tfidf",
+    # 8-10: last checked r3
+    "q_dedup_simhash",
+    "q_knn_ivf",
+    "q_sample",
+    # 11: last checked r4
+    "q_approx_distinct",
+    # 12-18: last checked r5
+    "q_approx_distinct_check",
+    "q_approx_quantiles",
+    "q_vocabulary",
+    "q_welch_t",
+    "q_window_cumsum",
+    "q_window_rank",
+    "q_window_rolling",
+    # 19-50: r6-green cohort (34 of 38; 4 overflow to r11, below)
+    "q_approx_quantiles_check",
+    "q_asof_join",
+    "q_bloom_check",
+    "q_bm25",
+    "q_chi_square",
+    "q_cms_check",
+    "q_decision_tree",
+    "q_decontaminate",
+    "q_dedup_minhash",
+    "q_dedup_paragraphs",
+    "q_dedup_simhash_check",
+    "q_doc_chunks",
+    "q_dsir",
+    "q_funnel",
+    "q_fuzzy_pairs",
+    "q_hash_split",
+    "q_histogram",
+    "q_lang_id",
+    "q_lead_lag",
+    "q_logreg_classifier",
+    "q_ols",
+    "q_onehot_hash",
+    "q_pagerank",
+    "q_parse_defaults",
+    "q_pca_check",
+    "q_perplexity",
+    "q_pmi",
+    "q_remove_spans",
+    "q_retention",
+    "q_sample_check",
+    "q_scale",
+    "q_temperature_mix",
 ]
 
-# R10 ROTATION QUEUE (stale-first): q_welch_t, q_window_cumsum,
-# q_window_rank, q_vocabulary, q_window_rolling,
-# q_approx_distinct_check (the six r5-green overflow members above),
-# then the r6-green cohort by age.
+# R11 ROTATION QUEUE (stale-first): q_token_budget, q_token_entropy,
+# q_validate, q_winsorize — the four r6-green members displaced by
+# this round's six plan-change slots; all four are single-pass
+# conditional-agg plans UNCHANGED since their r6 green and carry the
+# r9 full-registry sf0.01/sf0.1/ANSI parity artifacts. Then the
+# r7-green cohort by age.
 # All remain under continuous full-registry pytest parity at sf0.001.
 #
 # (Previous rounds' windows live in git history for the rotation

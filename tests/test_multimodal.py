@@ -107,3 +107,75 @@ def test_frame_sample(docs):
         by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
     for idxs in by_media.values():
         assert sorted(idxs) == list(range(len(idxs)))
+
+
+def _have_pil():
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_pil_decoder_gate_is_clean_without_pil(spark, docs):
+    """decoder='pil' must fail driver-side with one clear ImportError
+    when Pillow is absent (never a py4j executor stack); the stub
+    path needs nothing."""
+    import pytest
+
+    if _have_pil():
+        pytest.skip("PIL installed: gate cannot fire")
+    media = M.attach_payload(docs, "doc_id", "text").limit(2)
+    with pytest.raises(ImportError, match="Pillow"):
+        M.extract_image_features(media, decoder="pil")
+    with pytest.raises(ImportError, match="Pillow"):
+        M.image_ahash(media, decoder="pil")
+
+
+def test_pil_decoder_real_jpeg(spark):
+    """Real JPEG bytes through the import-gated decoder: dimensions
+    and mean luma come from actual pixels, and near-identical images
+    hash within a small hamming distance while the stub path still
+    works on the same frame. Skipped when Pillow is absent."""
+    import pytest
+
+    if not _have_pil():
+        pytest.skip("Pillow not installed in this container")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    def jpeg(arr):
+        buf = io.BytesIO()
+        Image.fromarray(arr.astype(np.uint8), "L").save(buf, format="JPEG")
+        return buf.getvalue()
+
+    base = np.tile(np.arange(64, dtype=np.uint8), (32, 1)) * 4
+    rows = [
+        (1, jpeg(base)),
+        (2, jpeg(np.clip(base + 2, 0, 255))),   # near-duplicate
+        (3, jpeg(255 - base)),                   # inverted: far
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    media = df.selectExpr(
+        "media_id", "payload", "'image/jpeg' AS mime",
+        "cast(length(payload) as bigint) AS byte_length",
+    )
+    feats = {
+        r["media_id"]: r
+        for r in M.extract_image_features(media, decoder="pil").collect()
+    }
+    assert feats[1]["width"] == 64 and feats[1]["height"] == 32
+    assert 0 <= feats[1]["mean_luma"] <= 255
+    hashes = {
+        r["id"]: r["ahash"]
+        for r in M.image_ahash(media, cells=48, decoder="pil").collect()
+    }
+    near = bin(hashes[1] ^ hashes[2]).count("1")
+    far = bin(hashes[1] ^ hashes[3]).count("1")
+    assert near <= 4 < far
+    # the stub path keeps working on the same payloads (oracle path)
+    stub = M.image_ahash(media, cells=48).collect()
+    assert len(stub) == 3
