@@ -162,6 +162,18 @@ def q_dedup_embedding(spark, sf_dir):
     return similarity.cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
 
 
+def q_bucket_cosine(spark, sf_dir):
+    """Within-bucket exact cosine pairs (cluster-then-pair): one
+    BLAS GEMM per planted label bucket via applyInPandas — the
+    sum-of-squared-bucket-sizes candidate contract that feeds the
+    pagerank edge build at scale (similarity.bucketed_cosine_pairs,
+    r10). Oracle: the same label-equijoin + rounded cosine filter."""
+    emb = _t(spark, sf_dir, "embeddings").df
+    return similarity.bucketed_cosine_pairs(
+        emb, "vec_id", "embedding", "label", threshold=0.4
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """PageRank centrality over the symmetrized cosine-similarity
     graph (operators/graph.py pagerank, 10 power iterations at
@@ -578,6 +590,7 @@ QUERIES = {
     "q_dedup_simhash_check": q_dedup_simhash_check,
     "q_knn_lsh_recall": q_knn_lsh_recall,
     "q_dedup_embedding": q_dedup_embedding,
+    "q_bucket_cosine": q_bucket_cosine,
     "q_pagerank": q_pagerank,
     "q_semdedup": q_semdedup,
     "q_semdedup_check": q_semdedup_check,
@@ -801,6 +814,15 @@ ORACLES = {
           GROUP BY p.iter, e.v, nn.n
         )
         SELECT node, ROUND(r, 6) AS pr_rank FROM pr WHERE iter = 10
+    """,
+    "q_bucket_cosine": """
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
     """,
     "q_dedup_embedding": """
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -423,3 +423,43 @@ def test_hierarchical_kmeans_semdedup_contract(spark):
     assert sorted((r["id"], r["cluster"], r["keep"]) for r in out) == sorted(
         (r["id"], r["cluster"], r["keep"]) for r in out2
     )
+
+
+def test_bucketed_cosine_pairs_matches_global_within_buckets(spark):
+    """Per-bucket GEMM pairs == the bucket-filtered subset of the
+    global exact pairs, including across GEMM row-block boundaries
+    (block_rows=3 forces multi-tile buckets)."""
+    import random
+
+    from dataframe_spark.operators import similarity as S
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 3)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {
+        (r["a_id"], r["b_id"], r["cosine"])
+        for r in S.bucketed_cosine_pairs(
+            df, "vec_id", "embedding", "label", threshold=0.2, block_rows=3
+        ).collect()
+    }
+    label = {i: i % 3 for i in range(40)}
+    want = {
+        (r["a_id"], r["b_id"], r["cosine"])
+        for r in S.cosine_pairs(
+            df, "vec_id", "embedding", threshold=0.2
+        ).collect()
+        if label[r["a_id"]] == label[r["b_id"]]
+    }
+    assert got == want and len(want) > 10
+    import pytest
+
+    with pytest.raises(TypeError):
+        S.bucketed_cosine_pairs(
+            df.withColumn("sid", df.vec_id.cast("string")),
+            "sid", "embedding", "label",
+        )

@@ -378,11 +378,113 @@ def sweep_thousandx(argv):
     })
 
 
+def sweep_vectors1000x(argv):
+    """THREE-decade similarity/graph evidence (VERDICT r9 ask #5):
+    semdedup / knn_ivf / pagerank at 10x, 100x AND 1000x (2 M x 256
+    vectors at the top), knobs scaled exactly like sweep_vectors
+    (semdedup k ∝ corpus, IVF nlist fixed, cluster size fixed so
+    edges grow linearly). Differences from the 2-decade sweep:
+
+    - pagerank is PHASE-SPLIT: the cosine edge build (the r10
+      bucketed-GEMM operator over the planted label buckets,
+      materialized to parquet) is timed separately from the 10
+      power iterations over the materialized edge set, so a factor
+      >10 is attributable to a phase instead of a blended wall.
+    - one rep at 1000x (walls are minutes; reps stay 2 below),
+      caches cleared per rep like every decade sweep.
+    -> CERT_vectors_1000x.json
+    """
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    os.environ["SPARK_GRAFT_CACHE_TABLES"] = "0"
+    from pyspark.sql import functions as F
+
+    from dataframe_spark.operators import similarity
+    from dataframe_spark.operators.graph import pagerank
+    from tools.scale_data import EMB_CLUSTER_SIZE, ensure
+
+    spark = _spark("certify_vectors1000x")
+    _ensure_100x(spark)
+    if not ensure(spark, DIR_100X, DIR_1000X):
+        print("1000x generation failed", file=sys.stderr)
+        sys.exit(1)
+    decades = (("10x", DIR_10X, 2), ("100x", DIR_100X, 2),
+               ("1000x", DIR_1000X, 1))
+    out = {}
+    for tag, d, reps in decades:
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        n = emb.count()
+        k = max(8, n // EMB_CLUSTER_SIZE)
+        row = {"rows": n, "dim": 256, "semdedup_k": k}
+
+        row["semdedup_sec"] = _time_best(
+            lambda: similarity.semdedup(
+                emb, "vec_id", "embedding", k=k, tau=0.4, max_iter=3
+            ),
+            reps=reps, spark=spark,
+        )
+        print(tag, "semdedup", row["semdedup_sec"], flush=True)
+        row["knn_ivf_sec"] = _time_best(
+            lambda: similarity.knn_ivf(
+                emb, "vec_id", "embedding", query_id=0, k=10,
+                nlist=64, nprobe=8, max_iter=3,
+            ),
+            reps=reps, spark=spark,
+        )
+        print(tag, "knn_ivf", row["knn_ivf_sec"], flush=True)
+
+        edges_path = f"/tmp/spark_graft_vec_edges_{tag}"
+        best = float("inf")
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            t0 = time.monotonic()
+            similarity.bucketed_cosine_pairs(
+                emb, "vec_id", "embedding", "label", threshold=0.4
+            ).select("a_id", "b_id").write.mode("overwrite").parquet(
+                edges_path
+            )
+            best = min(best, time.monotonic() - t0)
+        row["edge_build_sec"] = round(best, 3)
+        edges = spark.read.parquet(edges_path)
+        row["n_edges"] = edges.count()
+        print(tag, "edge_build", row["edge_build_sec"], "edges",
+              row["n_edges"], flush=True)
+        row["pagerank_sec"] = _time_best(
+            lambda: pagerank(
+                edges, "a_id", "b_id", damping=0.85, iters=10,
+                symmetrize=True,
+            ),
+            reps=reps, spark=spark,
+        )
+        print(tag, "pagerank", row["pagerank_sec"], flush=True)
+        out[tag] = row
+    factors = {}
+    for op in ("semdedup", "knn_ivf", "edge_build", "pagerank"):
+        factors[op] = {
+            "100x_over_10x": round(
+                out["100x"][f"{op}_sec"] / max(out["10x"][f"{op}_sec"], 1e-9), 2
+            ),
+            "1000x_over_100x": round(
+                out["1000x"][f"{op}_sec"] / max(out["100x"][f"{op}_sec"], 1e-9),
+                2,
+            ),
+        }
+    print("per-decade factors (10 = linear):", factors)
+    _write("CERT_vectors_1000x.json", {
+        "sweep": "vectors1000x", "decades": out,
+        "per_decade_factors": factors,
+        "note": "factor 10 = linear in rows; pagerank phase-split: "
+                "edge_build = bucketed GEMM cosine pairs to parquet, "
+                "pagerank = 10 power iterations over the materialized "
+                "edges (edge count grows linearly, fixed cluster size)",
+    })
+
+
 def main():
     sweeps = {
         "parity": sweep_parity,
         "tenx": sweep_tenx,
         "vectors": sweep_vectors,
+        "vectors1000x": sweep_vectors1000x,
         "decades": sweep_decades,
         "thousandx": sweep_thousandx,
     }

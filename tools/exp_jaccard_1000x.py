@@ -42,10 +42,11 @@ def arrs_build():
 
 
 # A: one cold pass of the scan+shingle+hash chain, NO persist
-t("A_chain_nopersist", arrs_build)
+if not os.environ.get("SKIP_AB"):
+    t("A_chain_nopersist", arrs_build)
 
 # B: persist cost + one read (build cache then count-materialize)
-for lvl_name, lvl in (
+for lvl_name, lvl in () if os.environ.get("SKIP_AB") else (
     ("MEMORY_AND_DISK", StorageLevel.MEMORY_AND_DISK),
     ("MEMORY_AND_DISK_SER", StorageLevel(True, True, False, False, 1)),
     ("DISK_ONLY", StorageLevel.DISK_ONLY),
@@ -74,7 +75,7 @@ arrs.write.format("noop").mode("overwrite").save()
 print(f"C1_arrs_persisted: {time.monotonic()-t0:.1f}", flush=True)
 
 t0 = time.monotonic()
-prefix = dd._hash_order_prefix(arrs, docs, 0.8, None)
+prefix = dd._hash_order_prefix(arrs, docs, "doc_id", "text", 3, 0.8, None)
 prefix.write.format("noop").mode("overwrite").save()
 print(f"C2_prefix (warm arrs): {time.monotonic()-t0:.1f}", flush=True)
 
