@@ -188,11 +188,26 @@ def jaccard_pairs(
         raise ValueError(f"order must be 'hash' or 'df', got {order!r}")
     arrs = hashed_shingle_arrays(df, id_col, text_col, n)
     if order == "hash":
+        from ..plans.stats import plan_size_bytes
+
+        # one knee for every scale-only mechanism: hot-shingle
+        # demotion, the truncated-bound pre-verify, and the counted
+        # broadcast-verify all pay fixed stages (a sample job, three
+        # slim joins, an eager count) that only amortize when the
+        # corpus is big enough for candidate volume to matter; below
+        # the knee the simple shapes win (measured 2.0 s vs 10.0 s
+        # at sf0.1) and the RESULT is identical either way
+        big = plan_size_bytes(df) > 128 * 1024 * 1024
+        if demote_hot is None:
+            demote_hot = big
         prefix = _hash_order_prefix(
             arrs, df, id_col, text_col, n, threshold, demote_hot
         )
         cands = _prefix_candidates(prefix, threshold)
-        return _verify_jaccard(cands, arrs, threshold)
+        if big:
+            cands = _truncated_bound_filter(cands, arrs, threshold)
+            return _verify_jaccard(cands, arrs, threshold)
+        return _verify_jaccard(cands, arrs, threshold, broadcast_pairs=False)
     exploded = arrs.select("id", "n_sh", F.explode("sh_arr").alias("shingle"))
     # Global document frequency, but only for REPEATED shingles: a
     # shingle with df == 1 can never produce a candidate pair, and in
@@ -264,7 +279,8 @@ def jaccard_pairs(
         )
     )
     cands = _prefix_candidates(prefix, threshold)
-    return _verify_jaccard(cands, arrs, threshold)
+    # legacy path keeps the legacy verify shape (no eager count)
+    return _verify_jaccard(cands, arrs, threshold, broadcast_pairs=False)
 
 
 def _prefix_candidates(prefix: SparkDF, threshold: float) -> SparkDF:
@@ -309,6 +325,71 @@ def _prefix_candidates(prefix: SparkDF, threshold: float) -> SparkDF:
         )
         .select("a_id", "b_id")
         .distinct()
+    )
+
+
+def _truncated_bound_filter(
+    cands: SparkDF, arrs: SparkDF, threshold: float, k: int = 32
+) -> SparkDF:
+    """LOSSLESS candidate pruning between the prefix join and the
+    full-array verify, using per-doc truncated sorted arrays: tK =
+    the K smallest shingle hashes. For any pair,
+
+        |A∩B| <= |tA∩tB| + (n_x - |tX|)
+
+    where X is the side whose tK has the SMALLER maximum — a common
+    element outside tA∩tB cannot live in tX (it would exceed tX's
+    max yet be <= the other side's, contradiction), so all such
+    elements come from X's untruncated tail. Requiring the bound to
+    reach α = ceil(t/(1+t)·(na+nb)) can therefore never drop a true
+    pair (exact upper bound, any K), while false candidates — pairs
+    sharing a handful of low-df grams that no corpus-size-bounded
+    sample can band (the 1000x cert measured 29.7 M candidates, ~10³
+    × the true pairs) — need |tA∩tB| >= K - (na+nb - α - ...) ≈ a
+    double-digit t-overlap and die here against 256-byte arrays
+    instead of reaching the full-array verify, whose fat
+    intermediate (pairs × ~1.6 KB arrays) was the top-decade wall.
+    Docs shorter than K are exactly represented and pass purely on
+    the true bound."""
+    slim = arrs.select(
+        "id",
+        F.slice(F.array_sort("sh_arr"), 1, k).alias("__t"),
+        "n_sh",
+    ).select(
+        "id",
+        "__t",
+        "n_sh",
+        F.size("__t").alias("__tn"),
+        # ascending sort ⇒ the truncation's max is its last element
+        F.element_at(F.col("__t"), F.size("__t")).alias("__tm"),
+    )
+    a = slim.select(
+        F.col("id").alias("a_id"),
+        F.col("__t").alias("__ta"),
+        F.col("n_sh").alias("__tna"),
+        F.col("__tn").alias("__ka"),
+        F.col("__tm").alias("__tma"),
+    )
+    b = slim.select(
+        F.col("id").alias("b_id"),
+        F.col("__t").alias("__tb"),
+        F.col("n_sh").alias("__tnb"),
+        F.col("__tn").alias("__kb"),
+        F.col("__tm").alias("__tmb"),
+    )
+    t_common = F.size(F.array_intersect("__ta", "__tb"))
+    tail = F.when(
+        F.col("__tma") <= F.col("__tmb"), F.col("__tna") - F.col("__ka")
+    ).otherwise(F.col("__tnb") - F.col("__kb"))
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("__tna") + F.col("__tnb"))
+    )
+    return (
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .where((t_common + tail) >= alpha)
+        .select("a_id", "b_id")
     )
 
 
@@ -379,26 +460,42 @@ def _sampled_hot_probe(
     n: int,
     fraction: float = 0.01,
     hot_min: int = 8,
+    warm_min: int = 2,
     cap: int = 1 << 16,
+    warm_cap: int = 1 << 18,
     seed: int = 97,
 ):
-    """Demotion predicate for hot shingles, or None if the sample
-    finds none: a seeded ``fraction`` sample of SOURCE docs —
-    sampled BEFORE shingling, so the job tokenizes only the slice
-    and never touches (or forces) the corpus-sized arrs cache —
-    estimates per-shingle document frequency; shingles seen >=
-    ``hot_min`` times (detection floor ~hot_min/fraction docs
-    ABSOLUTE — the bound is corpus-size independent, so undetected
-    shingles fan out O(1) candidates each and total candidate
-    growth stays linear) are packed into a bitmap shipped as a plan
-    LITERAL (array<bigint> words; ~512 KB at the cap) and probed
-    in-row: one O(1) array index + bit test per element, no
-    broadcast, no join. Bit position is the hash value mod m
-    directly — the driver sets bits with plain Python arithmetic,
-    no re-hash. False positives (~1-2%) demote a few cold shingles;
-    demotion only permutes the global order, so the pair set is
-    unchanged. ``cap`` keeps the literal bounded: the top-df
-    shingles win, which is exactly the set whose buckets matter."""
+    """Demotion BAND predicate approximating rarest-first in-row, or
+    None if the sample finds nothing repeated: a seeded ``fraction``
+    sample of SOURCE docs — sampled BEFORE shingling, so the job
+    tokenizes only the slice and never touches (or forces) the
+    corpus-sized arrs cache — estimates per-shingle document
+    frequency, and each shingle gets a band:
+
+      0 unseen-in-sample (df below ~warm_min/fraction — includes
+        every true near-dup gram, whose df is the copy-group size)
+      1 warm (sample count >= warm_min): the mid-frequency grams
+        that are the false-candidate factories — shared by hundreds
+        of docs, so leaving them in prefixes inflates the verify
+        join quadratically in their df (measured 29.7 M candidates
+        at the 1000x cert with hot-only demotion; two bands cut the
+        mid-df mass out of prefixes the way global rarest-first
+        ordering does)
+      2 hot (sample count >= hot_min)
+
+    Detection floors are ~min/fraction docs ABSOLUTE — corpus-size
+    independent, so undetected shingles fan out O(1) candidates each
+    and total candidate growth stays linear. Band membership ships
+    as two bitmap plan LITERALS (array<bigint> words; ~0.5 MB hot /
+    ~2 MB warm at the caps — task binaries are torrent-broadcast
+    once per stage) probed in-row: O(1) array index + bit test per
+    element, no broadcast variable, no join. Bit position is the
+    hash value mod m directly — the driver sets bits with plain
+    Python arithmetic, no re-hash. False positives (~1-2%) shift a
+    few cold shingles up a band; banding only permutes the global
+    order, so the pair set is unchanged. Caps keep the literals
+    bounded: the top-count shingles win, exactly the set whose
+    buckets matter."""
     sample = _hash_arrays(
         shingle_arrays(
             src.sample(fraction=fraction, seed=seed), id_col, text_col, n
@@ -408,33 +505,48 @@ def _sampled_hot_probe(
         sample.select(F.explode("sh_arr").alias("h"))
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= hot_min)
+        .where(F.col("c") >= warm_min)
         .orderBy(F.desc("c"), F.asc("h"))
-        .limit(cap)
-        .select("h")
+        .limit(warm_cap)
         .collect()
     )
     if not rows:
         return None
-    m_bits = 1 << 16
-    while m_bits < 64 * len(rows) and m_bits < 1 << 23:
-        m_bits <<= 1
-    words = [0] * (m_bits >> 6)
-    for r in rows:
-        pos = r["h"] % m_bits  # python % is non-negative, like pmod
-        words[pos >> 6] |= 1 << (pos & 63)
-    # two's-complement to signed for the bigint literal
-    words = [w - (1 << 64) if w >= 1 << 63 else w for w in words]
-    words_lit = F.lit(words).cast("array<bigint>")
+    hot = [r["h"] for r in rows[:cap] if r["c"] >= hot_min]
+    warm = [r["h"] for r in rows]
 
-    def probe(h):
-        pos = F.pmod(h, F.lit(m_bits))
-        word = F.element_at(
-            words_lit, F.shiftright(pos, 6).cast("int") + F.lit(1)
-        )
-        return (word.bitwiseAND(_bit_at(pos)) != F.lit(0)).cast("int")
+    def bitmap_probe(hashes):
+        m_bits = 1 << 16
+        while m_bits < 64 * len(hashes) and m_bits < 1 << 25:
+            m_bits <<= 1
+        words = [0] * (m_bits >> 6)
+        for h in hashes:
+            pos = h % m_bits  # python % is non-negative, like pmod
+            words[pos >> 6] |= 1 << (pos & 63)
+        # two's-complement to signed for the bigint literal
+        words = [w - (1 << 64) if w >= 1 << 63 else w for w in words]
+        words_lit = F.lit(words).cast("array<bigint>")
 
-    return probe
+        def probe(h):
+            pos = F.pmod(h, F.lit(m_bits))
+            word = F.element_at(
+                words_lit, F.shiftright(pos, 6).cast("int") + F.lit(1)
+            )
+            return (word.bitwiseAND(_bit_at(pos)) != F.lit(0)).cast("int")
+
+        return probe
+
+    warm_probe = bitmap_probe(warm)
+    hot_probe = bitmap_probe(hot) if hot else None
+
+    if hot_probe is None:
+        return warm_probe
+
+    def band(h):
+        # warm ⊇ hot, so the sum is 0 / 1 / 2
+        return warm_probe(h) + hot_probe(h)
+
+    return band
 
 
 def _reusable(df: SparkDF) -> SparkDF:
@@ -466,15 +578,40 @@ def _hash_arrays(arrs: SparkDF) -> SparkDF:
 
 
 def _verify_jaccard(
-    cands: SparkDF, arrs: SparkDF, threshold: float
+    cands: SparkDF,
+    arrs: SparkDF,
+    threshold: float,
+    broadcast_pairs: bool | None = None,
+    broadcast_limit: int = 8_000_000,
 ) -> SparkDF:
     """Exact-Jaccard verification of candidate pairs: join each pair
-    to its two per-doc shingle arrays and intersect in-row. The doc
-    side is one row per document (narrowly produced), so with AQE a
-    small candidate set broadcasts and the arrays never shuffle.
+    to its two per-doc shingle arrays and intersect in-row.
     Passenger columns on ``cands`` beyond (a_id, b_id) ride through
-    to the output (r6)."""
+    to the output (r6).
+
+    Join shape (r10): the naive ``cands ⋈ arrs ⋈ arrs`` shuffles the
+    FULL per-doc array table twice — at the 1000x cert those two
+    ~10 GB exchanges were 140 s of a 167 s wall, and static planning
+    can never broadcast ``cands`` (a distinct over a self-join has a
+    garbage size estimate). So the pair set is persisted and COUNTED
+    — it is candidate-sized, the one cardinality worth an eager job —
+    and when it is small (<= ``broadcast_limit`` pairs) verification
+    goes map-side: broadcast the pairs against the cached array
+    table for the a-side (zero shuffle), broadcast-semi-filter the
+    b-side array rows to candidate docs only (zero shuffle), and
+    shuffle just the two candidate-sized frames into the final
+    equi-join. Beyond the limit (pair sets at the scale where a
+    broadcast would not fit) the classic shuffle join stands — the
+    arrs exchanges are then amortized over proportionally more
+    verification work. ``broadcast_pairs`` forces either shape; the
+    result is identical."""
     extra = [c for c in cands.columns if c not in ("a_id", "b_id")]
+    if broadcast_pairs is None:
+        cands = _reusable(cands)
+        try:
+            broadcast_pairs = cands.count() <= broadcast_limit
+        except Exception:  # Spark Connect count quirks: stay lazy
+            broadcast_pairs = False
     a = arrs.select(
         F.col("id").alias("a_id"),
         F.col("sh_arr").alias("__a_arr"),
@@ -485,11 +622,19 @@ def _verify_jaccard(
         F.col("sh_arr").alias("__b_arr"),
         F.col("n_sh").alias("__nb"),
     )
+    if broadcast_pairs:
+        fat_a = F.broadcast(cands).join(a, "a_id")
+        b_needed = b.join(
+            F.broadcast(cands.select("b_id").distinct()),
+            "b_id",
+            "left_semi",
+        )
+        joined = fat_a.join(b_needed, "b_id")
+    else:
+        joined = cands.join(a, "a_id").join(b, "b_id")
     common = F.size(F.array_intersect(F.col("__a_arr"), F.col("__b_arr")))
     return (
-        cands.join(a, "a_id")
-        .join(b, "b_id")
-        .withColumn("__common", common)
+        joined.withColumn("__common", common)
         .withColumn(
             "jaccard",
             F.round(
@@ -1253,8 +1398,16 @@ def minhash_dedup_pairs(
     )
     # candidate ids are representatives, so verifying against the
     # FULL cached array table picks exactly the rep rows — no
-    # separate rep frame to scan three times
-    rep_pairs = _verify_jaccard(cands, arrs_h, threshold)
+    # separate rep frame to scan three times. The counted
+    # broadcast-verify (r10) only pays its eager count when the
+    # corpus is big enough for the full-array shuffles to matter
+    # (the jaccard_pairs knee)
+    from ..plans.stats import plan_size_bytes
+
+    big = plan_size_bytes(df) > 128 * 1024 * 1024
+    rep_pairs = _verify_jaccard(
+        cands, arrs_h, threshold, broadcast_pairs=None if big else False
+    )
 
     # in-group pairs (identical sets ⇒ Jaccard exactly 1.0) enter as
     # SELF pair rows of each multi-member group — a narrow filter of
