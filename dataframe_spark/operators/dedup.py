@@ -191,8 +191,9 @@ def jaccard_pairs(
         from ..plans.stats import plan_size_bytes
 
         # one knee for every scale-only mechanism: hot-shingle
-        # demotion and the counted broadcast-verify pay fixed stages
-        # (a sample job, an eager count) that only amortize when the
+        # demotion, the truncated-bound pre-verify, and the counted
+        # broadcast-verify all pay fixed stages (a sample job, three
+        # slim joins, an eager count) that only amortize when the
         # corpus is big enough for candidate volume to matter; below
         # the knee the simple shapes win (measured 2.0 s vs 10.0 s
         # at sf0.1) and the RESULT is identical either way
@@ -202,11 +203,11 @@ def jaccard_pairs(
         prefix = _hash_order_prefix(
             arrs, df, id_col, text_col, n, threshold, demote_hot
         )
-        cands = _prefix_candidates(prefix, threshold, bounded=True)
-        return _verify_jaccard(
-            cands, arrs, threshold,
-            broadcast_pairs=None if big else False,
-        )
+        cands = _prefix_candidates(prefix, threshold)
+        if big:
+            cands = _truncated_bound_filter(cands, arrs, threshold)
+            return _verify_jaccard(cands, arrs, threshold)
+        return _verify_jaccard(cands, arrs, threshold, broadcast_pairs=False)
     exploded = arrs.select("id", "n_sh", F.explode("sh_arr").alias("shingle"))
     # Global document frequency, but only for REPEATED shingles: a
     # shingle with df == 1 can never produce a candidate pair, and in
@@ -282,106 +283,113 @@ def jaccard_pairs(
     return _verify_jaccard(cands, arrs, threshold, broadcast_pairs=False)
 
 
-def _prefix_candidates(
-    prefix: SparkDF, threshold: float, bounded: bool = False
-) -> SparkDF:
+def _prefix_candidates(prefix: SparkDF, threshold: float) -> SparkDF:
     """Candidate pairs from a (id, shingle, n_sh, pos) prefix frame:
     self-join on the shingle with the PPJoin length filter
-    (J >= t forces min(na,nb) >= t·max(na,nb)).
-
-    ``bounded=False`` (the legacy df-order shape): the per-entry
-    positional filter (overlap <= min(na-pa, nb-pb)+1 must reach
-    α = ceil(t/(1+t)·(na+nb))) prunes inside the join, then
-    distinct.
-
-    ``bounded=True`` (hash-order, r10): the prefix IS a truncation —
-    each doc's first p_len shingles in the global order — so the
-    exact truncation bound applies with ZERO extra joins:
-
-        |A∩B| <= k + (n_x - p_len_x)
-
-    where k = number of shared prefix entries (free: the join
-    already emits one row per shared entry, so distinct() becomes
-    groupBy().count()) and x is the side whose LAST prefix entry is
-    smaller in the global order (a common element outside the
-    shared-prefix set cannot live in that side's prefix — it would
-    exceed that prefix's max yet be <= the other's). Requiring the
-    bound to reach α can never drop a true pair (exact upper bound);
-    false candidates — pairs sharing a handful of low-df grams that
-    no corpus-size-bounded sample can band — need a double-digit k
-    and die HERE, in the candidate shuffle itself: at the 1000x cert
-    this prunes 29.6 M candidate pairs to exactly the 256 K true
-    pairs before any array is touched. (The per-entry positional
-    filter is dropped in this mode: k must count ALL shared prefix
-    entries for the bound to be exact, and the k-bound strictly
-    dominates it in practice.) The prefix frame must carry __pb/__pm
-    (the last prefix entry's demotion band + hash — the global-order
-    comparison key)."""
-    extra_a = [F.col("__pb").alias("__ba"), F.col("__pm").alias("__ma")] \
-        if bounded else [F.col("pos").alias("__pa")]
-    extra_b = [F.col("__pb").alias("__bb"), F.col("__pm").alias("__mb")] \
-        if bounded else [F.col("pos").alias("__pb")]
+    (J >= t forces min(na,nb) >= t·max(na,nb)) and positional filter
+    (overlap <= min(na-pa, nb-pb)+1 must reach
+    α = ceil(t/(1+t)·(na+nb)); ``pos`` is the 1-based position of
+    the entry in its doc's globally-ordered shingle list) applied
+    INSIDE the join, before the distinct. Shared by both global
+    orders — the filters are order-agnostic."""
     a = prefix.select(
         F.col("id").alias("a_id"),
         "shingle",
         F.col("n_sh").alias("__na"),
-        *extra_a,
+        F.col("pos").alias("__pa"),
     )
     b = prefix.select(
         F.col("id").alias("b_id"),
         "shingle",
         F.col("n_sh").alias("__nb"),
-        *extra_b,
+        F.col("pos").alias("__pb"),
     )
     alpha = F.ceil(
         F.lit(threshold / (1.0 + threshold)) * (F.col("__na") + F.col("__nb"))
     )
-    length_ok = (
-        F.least("__na", "__nb") >= F.lit(threshold) * F.greatest("__na", "__nb")
+    overlap_ub = (
+        F.least(
+            F.col("__na") - F.col("__pa"), F.col("__nb") - F.col("__pb")
+        )
+        + 1
     )
-    if not bounded:
-        overlap_ub = (
-            F.least(
-                F.col("__na") - F.col("__pa"), F.col("__nb") - F.col("__pb")
-            )
-            + 1
-        )
-        return (
-            a.join(b, "shingle")
-            .where(
-                (F.col("a_id") < F.col("b_id"))
-                & length_ok
-                & (overlap_ub >= alpha)
-            )
-            .select("a_id", "b_id")
-            .distinct()
-        )
-    grouped = (
+    return (
         a.join(b, "shingle")
-        .where((F.col("a_id") < F.col("b_id")) & length_ok)
-        .groupBy("a_id", "b_id")
-        .agg(
-            F.count(F.lit(1)).alias("__k"),
-            F.first("__na").alias("__na"),
-            F.first("__nb").alias("__nb"),
-            F.first("__ba").alias("__ba"),
-            F.first("__ma").alias("__ma"),
-            F.first("__bb").alias("__bb"),
-            F.first("__mb").alias("__mb"),
+        .where(
+            (F.col("a_id") < F.col("b_id"))
+            & (
+                F.least("__na", "__nb")
+                >= F.lit(threshold) * F.greatest("__na", "__nb")
+            )
+            & (overlap_ub >= alpha)
         )
+        .select("a_id", "b_id")
+        .distinct()
     )
 
-    def plen(nc):
-        return nc - F.ceil(F.lit(threshold) * nc) + 1
 
-    a_first = (F.col("__ba") < F.col("__bb")) | (
-        (F.col("__ba") == F.col("__bb")) & (F.col("__ma") <= F.col("__mb"))
+def _truncated_bound_filter(
+    cands: SparkDF, arrs: SparkDF, threshold: float, k: int = 32
+) -> SparkDF:
+    """LOSSLESS candidate pruning between the prefix join and the
+    full-array verify, using per-doc truncated sorted arrays: tK =
+    the K smallest shingle hashes. For any pair,
+
+        |A∩B| <= |tA∩tB| + (n_x - |tX|)
+
+    where X is the side whose tK has the SMALLER maximum — a common
+    element outside tA∩tB cannot live in tX (it would exceed tX's
+    max yet be <= the other side's, contradiction), so all such
+    elements come from X's untruncated tail. Requiring the bound to
+    reach α = ceil(t/(1+t)·(na+nb)) can therefore never drop a true
+    pair (exact upper bound, any K), while false candidates — pairs
+    sharing a handful of low-df grams that no corpus-size-bounded
+    sample can band (the 1000x cert measured 29.7 M candidates, ~10³
+    × the true pairs) — need |tA∩tB| >= K - (na+nb - α - ...) ≈ a
+    double-digit t-overlap and die here against 256-byte arrays
+    instead of reaching the full-array verify, whose fat
+    intermediate (pairs × ~1.6 KB arrays) was the top-decade wall.
+    Docs shorter than K are exactly represented and pass purely on
+    the true bound."""
+    slim = arrs.select(
+        "id",
+        F.slice(F.array_sort("sh_arr"), 1, k).alias("__t"),
+        "n_sh",
+    ).select(
+        "id",
+        "__t",
+        "n_sh",
+        F.size("__t").alias("__tn"),
+        # ascending sort ⇒ the truncation's max is its last element
+        F.element_at(F.col("__t"), F.size("__t")).alias("__tm"),
     )
-    tail = F.when(a_first, F.col("__na") - plen(F.col("__na"))).otherwise(
-        F.col("__nb") - plen(F.col("__nb"))
+    a = slim.select(
+        F.col("id").alias("a_id"),
+        F.col("__t").alias("__ta"),
+        F.col("n_sh").alias("__tna"),
+        F.col("__tn").alias("__ka"),
+        F.col("__tm").alias("__tma"),
     )
-    return grouped.where((F.col("__k") + tail) >= alpha).select(
-        "a_id", "b_id"
+    b = slim.select(
+        F.col("id").alias("b_id"),
+        F.col("__t").alias("__tb"),
+        F.col("n_sh").alias("__tnb"),
+        F.col("__tn").alias("__kb"),
+        F.col("__tm").alias("__tmb"),
+    )
+    t_common = F.size(F.array_intersect("__ta", "__tb"))
+    tail = F.when(
+        F.col("__tma") <= F.col("__tmb"), F.col("__tna") - F.col("__ka")
+    ).otherwise(F.col("__tnb") - F.col("__kb"))
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("__tna") + F.col("__tnb"))
+    )
+    return (
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .where((t_common + tail) >= alpha)
+        .select("a_id", "b_id")
     )
 
 
@@ -394,15 +402,12 @@ def _hash_order_prefix(
     threshold: float,
     demote_hot: bool | None,
 ) -> SparkDF:
-    """(id, shingle, n_sh, pos, __pb, __pm) prefix entries under the
-    (demotion band, hash) global order — computed IN-ROW: sort the
-    per-doc hashed shingle array, slice the first
-    n_sh - ceil(t·n_sh) + 1 entries, posexplode. ``__pb``/``__pm``
-    are the doc's LAST prefix entry (band + hash) — the truncation
-    maximum the bounded candidate filter compares in global-order
-    space. No corpus-scale shuffle anywhere; the frame is persisted
-    because the candidate self-join consumes it twice (AQE does not
-    reuse the exchange across the two aliased sides).
+    """(id, shingle, n_sh, pos) prefix entries under the
+    (demoted?, hash) global order — computed IN-ROW: sort the per-doc
+    hashed shingle array, slice the first n_sh - ceil(t·n_sh) + 1
+    entries, posexplode. No corpus-scale shuffle anywhere; the frame
+    is persisted because the candidate self-join consumes it twice
+    (AQE does not reuse the exchange across the two aliased sides).
 
     ``demote_hot`` None auto-enables hot-shingle demotion when the
     source plan exceeds the broadcast-gate size (the same 128 MB
@@ -421,15 +426,12 @@ def _hash_order_prefix(
     ).cast("int")
     if probe is None:
         ordered = F.array_sort("sh_arr")
-        last = F.element_at(ordered, plen)
-        pmax_band = F.lit(0)
-        pmax_hash = last
         pref = F.posexplode(
             F.slice(ordered, 1, F.greatest(plen, F.lit(0)))
         )
         shingle = F.col("col")
     else:
-        # struct sort: lexicographic on (demote band, hash) — a
+        # struct sort: lexicographic on (demote flag, hash) — a
         # total, per-element-computable order, identical in every doc
         ordered = F.array_sort(
             F.transform(
@@ -437,27 +439,16 @@ def _hash_order_prefix(
                 lambda h: F.struct(probe(h).alias("d"), h.alias("h")),
             )
         )
-        last = F.element_at(ordered, plen)
-        pmax_band = last.getField("d")
-        pmax_hash = last.getField("h")
         pref = F.posexplode(
             F.slice(ordered, 1, F.greatest(plen, F.lit(0)))
         )
         shingle = F.col("col.h")
     return _reusable(
-        arrs.select(
-            "id",
-            "n_sh",
-            pmax_band.alias("__pb"),
-            pmax_hash.alias("__pm"),
-            pref,
-        ).select(
+        arrs.select("id", "n_sh", pref).select(
             "id",
             shingle.alias("shingle"),
             "n_sh",
             (F.col("pos") + 1).alias("pos"),
-            "__pb",
-            "__pm",
         )
     )
 
