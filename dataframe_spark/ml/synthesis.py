@@ -286,25 +286,22 @@ def _score(
     new programs pay an aggregation pass. The signature dedup still
     runs over the full candidate list, so cross-round duplicate
     results resolve the same way the uncached loop did."""
-    t = F.col("__t")
+    t = F.col(target)
     results: list[tuple[Prog, float, int]] = []
     progs = _nub_by_key(progs)
     cfg_chunk = 100
 
     def _score_chunk(chunk):
-        # candidate programs are PROJECTED once per row before the
-        # aggregate (r10): bad/sig/score reference the program tree
-        # up to 5 times each, and aggregate inputs are not CSE'd
-        # across functions — evaluating a depth-2 program 5x per row
-        # dominated the 100x scoring wall. The projection fuses into
-        # the same whole-stage-codegen pass (no extra scan).
-        proj = work.select(
-            F.col(target).alias("__t"),
-            *[p.col.alias(f"c{i}") for i, p in enumerate(chunk)],
-        )
+        # Aggregates reference the program expressions INLINE — an
+        # r10 variant pre-projected the 100 candidate columns before
+        # the aggregate and measured 110 s vs 12.9 s per pass at 60 M
+        # rows (tools/..: the projection materializes an 800-byte row
+        # per input row, while re-evaluating a depth-2 arithmetic
+        # program inside each aggregate is near-free and Catalyst
+        # already de-duplicates IDENTICAL aggregate functions).
         aggs = []
-        for i in range(len(chunk)):
-            c = F.col(f"c{i}")
+        for i, p in enumerate(chunk):
+            c = p.col
             bad = F.max(
                 F.when(c.isNull(), 1)
                 .when(F.isnan(c) | (F.abs(c) == _INF), 1)
@@ -314,11 +311,12 @@ def _score(
             # (raw xxhash64 sums overflow -> hard error in ANSI mode)
             sig = F.sum(F.pmod(F.xxhash64(c), F.lit(1 << 30))).alias(f"g{i}")
             if loss == "pearson":
-                # covar + per-side stddevs collected RAW; the ratio
-                # (with its 0-denominator -> null guard, matching the
-                # old nullif under both ANSI modes) happens driver-
-                # side, so stddev(target) aggregates ONCE per pass
-                # instead of once per candidate
+                # covar + per-candidate stddev collected RAW; the
+                # ratio (with its 0-denominator -> null guard,
+                # matching the old nullif under both ANSI modes)
+                # happens driver-side. stddev(target) appears once —
+                # though Catalyst de-duplicates identical aggregate
+                # functions, so this is clarity, not a buffer saving.
                 score_exprs = [
                     F.covar_samp(t, c).alias(f"s{i}"),
                     F.stddev_samp(c).alias(f"sd{i}"),
@@ -338,7 +336,7 @@ def _score(
             aggs.extend([bad, sig, *score_exprs])
         if loss == "pearson":
             aggs.append(F.stddev_samp(t).alias("__sdt"))
-        row = proj.agg(*aggs).first()
+        row = work.agg(*aggs).first()
         chunk_results: list[tuple[Prog, float | None, int | None]] = []
         for i, p in enumerate(chunk):
             if row[f"b{i}"]:
