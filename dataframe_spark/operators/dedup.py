@@ -350,18 +350,28 @@ def _truncated_bound_filter(
     instead of reaching the full-array verify, whose fat
     intermediate (pairs × ~1.6 KB arrays) was the top-decade wall.
     Docs shorter than K are exactly represented and pass purely on
-    the true bound."""
-    slim = arrs.select(
-        "id",
-        F.slice(F.array_sort("sh_arr"), 1, k).alias("__t"),
-        "n_sh",
-    ).select(
-        "id",
-        "__t",
-        "n_sh",
-        F.size("__t").alias("__tn"),
-        # ascending sort ⇒ the truncation's max is its last element
-        F.element_at(F.col("__t"), F.size("__t")).alias("__tm"),
+    the true bound.
+
+    The slim frame is PERSISTED (r11): both sides of the candidate
+    join consume it, and without the persist each side re-read the
+    full ~1.6 KB/doc array cache to slice out 256 bytes — two
+    corpus-cache scans where one builds a 5-6x smaller frame that
+    both joins then read (the r10 stage profile put the combined
+    truncate+verify cache traffic at ~140 s of the 229 s top-decade
+    wall)."""
+    slim = _reusable(
+        arrs.select(
+            "id",
+            F.slice(F.array_sort("sh_arr"), 1, k).alias("__t"),
+            "n_sh",
+        ).select(
+            "id",
+            "__t",
+            "n_sh",
+            F.size("__t").alias("__tn"),
+            # ascending sort ⇒ the truncation's max is its last element
+            F.element_at(F.col("__t"), F.size("__t")).alias("__tm"),
+        )
     )
     a = slim.select(
         F.col("id").alias("a_id"),
@@ -589,51 +599,85 @@ def _verify_jaccard(
     Passenger columns on ``cands`` beyond (a_id, b_id) ride through
     to the output (r6).
 
-    Join shape (r10): the naive ``cands ⋈ arrs ⋈ arrs`` shuffles the
-    FULL per-doc array table twice — at the 1000x cert those two
-    ~10 GB exchanges were 140 s of a 167 s wall, and static planning
-    can never broadcast ``cands`` (a distinct over a self-join has a
-    garbage size estimate). So the pair set is persisted and COUNTED
-    — it is candidate-sized, the one cardinality worth an eager job —
-    and when it is small (<= ``broadcast_limit`` pairs) verification
-    goes map-side: broadcast the pairs against the cached array
-    table for the a-side (zero shuffle), broadcast-semi-filter the
-    b-side array rows to candidate docs only (zero shuffle), and
-    shuffle just the two candidate-sized frames into the final
-    equi-join. Beyond the limit (pair sets at the scale where a
-    broadcast would not fit) the classic shuffle join stands — the
-    arrs exchanges are then amortized over proportionally more
+    Join shape (r10, reworked r11): the naive ``cands ⋈ arrs ⋈
+    arrs`` shuffles the FULL per-doc array table twice — at the
+    1000x cert those two ~10 GB exchanges were 140 s of a 167 s
+    wall, and static planning can never broadcast ``cands`` (a
+    distinct over a self-join has a garbage size estimate). So the
+    pair set is persisted and COUNTED — it is candidate-sized, the
+    one cardinality worth an eager job — and when it is small
+    (<= ``broadcast_limit`` pairs) verification goes map-side:
+
+    - only the bare (a_id, b_id) pairs broadcast — 16-byte
+      fixed-width rows, so the row limit IS a byte bound (8 M pairs
+      = ~128 MB); passenger columns (minhash member-list arrays)
+      never enter a broadcast and re-join on the SURVIVORS, which
+      are orders of magnitude fewer than candidates (ADVICE r10 #3,
+      which also flagged the r10 shape's two broadcasts of cands)
+    - the array table is pruned ONCE to candidate docs (broadcast
+      semi join on the pairs' distinct ids — at most 2x the pair
+      limit of longs) and the pruned frame persists; both verify
+      sides read it. The r10 shape scanned the corpus-sized array
+      cache twice (a-side join + b-side semi); this shape scans it
+      once and every later stage touches candidate-doc-sized data.
+
+    Beyond the limit (pair sets at the scale where a broadcast
+    would not fit) the classic shuffle join stands — the arrs
+    exchanges are then amortized over proportionally more
     verification work. ``broadcast_pairs`` forces either shape; the
     result is identical."""
     extra = [c for c in cands.columns if c not in ("a_id", "b_id")]
+    persisted = False
     if broadcast_pairs is None:
         cands = _reusable(cands)
+        persisted = True
         try:
             broadcast_pairs = cands.count() <= broadcast_limit
         except Exception:  # Spark Connect count quirks: stay lazy
             broadcast_pairs = False
-    a = arrs.select(
-        F.col("id").alias("a_id"),
-        F.col("sh_arr").alias("__a_arr"),
-        F.col("n_sh").alias("__na"),
-    )
-    b = arrs.select(
-        F.col("id").alias("b_id"),
-        F.col("sh_arr").alias("__b_arr"),
-        F.col("n_sh").alias("__nb"),
-    )
     if broadcast_pairs:
-        fat_a = F.broadcast(cands).join(a, "a_id")
-        b_needed = b.join(
-            F.broadcast(cands.select("b_id").distinct()),
-            "b_id",
-            "left_semi",
+        if extra and not persisted:
+            # two lazy consumers below (slim build + survivor join)
+            cands = _reusable(cands)
+        slim = cands.select("a_id", "b_id")
+        if extra:
+            # verify each unordered pair once; extras fan back out on
+            # the survivor join below
+            slim = slim.distinct()
+        slim = _reusable(slim)
+        need_ids = (
+            slim.select(F.col("a_id").alias("id"))
+            .union(slim.select(F.col("b_id").alias("id")))
+            .distinct()
         )
-        joined = fat_a.join(b_needed, "b_id")
+        needed = _reusable(
+            arrs.join(F.broadcast(need_ids), "id", "left_semi")
+        )
+        a = needed.select(
+            F.col("id").alias("a_id"),
+            F.col("sh_arr").alias("__a_arr"),
+            F.col("n_sh").alias("__na"),
+        )
+        b = needed.select(
+            F.col("id").alias("b_id"),
+            F.col("sh_arr").alias("__b_arr"),
+            F.col("n_sh").alias("__nb"),
+        )
+        joined = F.broadcast(slim).join(a, "a_id").join(b, "b_id")
     else:
+        a = arrs.select(
+            F.col("id").alias("a_id"),
+            F.col("sh_arr").alias("__a_arr"),
+            F.col("n_sh").alias("__na"),
+        )
+        b = arrs.select(
+            F.col("id").alias("b_id"),
+            F.col("sh_arr").alias("__b_arr"),
+            F.col("n_sh").alias("__nb"),
+        )
         joined = cands.join(a, "a_id").join(b, "b_id")
     common = F.size(F.array_intersect(F.col("__a_arr"), F.col("__b_arr")))
-    return (
+    verified = (
         joined.withColumn("__common", common)
         .withColumn(
             "jaccard",
@@ -644,8 +688,12 @@ def _verify_jaccard(
             ),
         )
         .where(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", *extra, "jaccard")
     )
+    if broadcast_pairs and extra:
+        return cands.join(
+            verified.select("a_id", "b_id", "jaccard"), ["a_id", "b_id"]
+        ).select("a_id", "b_id", *extra, "jaccard")
+    return verified.select("a_id", "b_id", *extra, "jaccard")
 
 
 def duplicated_spans(

@@ -166,11 +166,12 @@ def bucketed_cosine_pairs(
     vec_col: str,
     bucket_col: str,
     threshold: float = 0.9,
-    block_rows: int = 4096,
+    block_rows: int = 2048,
+    max_bucket_rows: int = 32768,
 ) -> SparkDF:
     """Exact all-pairs cosine WITHIN each bucket: (a_id, b_id,
-    cosine) for a < b and cosine >= threshold, computed with one
-    BLAS GEMM per bucket (applyInPandas) — the cluster-then-pair
+    cosine) for a < b and cosine >= threshold, computed with BLAS
+    GEMM tiles per bucket (applyInPandas) — the cluster-then-pair
     contract: after any coarse grouping (k-means cell, LSH bucket,
     planted label), candidate work is the sum of squared BUCKET
     sizes, never corpus², and each bucket's math is a dense matmul
@@ -178,51 +179,128 @@ def bucketed_cosine_pairs(
     256-dim floats). Rounded to 4dp like cosine_pairs, so the two
     paths agree bit-for-bit on shared pairs.
 
-    Buckets stream through the kernel in ``block_rows`` row blocks
-    (block × bucket GEMM tiles), so per-task memory is
-    O(block_rows × bucket_size) — a degenerate mega-bucket degrades
-    to more tiles, not an allocation cliff. ``id_col`` must be
-    integral (the cosine_pairs rule: ids ride int64 numpy)."""
+    NULL buckets are dropped before grouping (r11, ADVICE r10 #1):
+    the contract is an equijoin on the bucket key, and SQL equijoins
+    never match NULL = NULL — without the filter Spark's groupBy
+    would pool every unassigned row into one giant phantom bucket
+    and pair them all.
+
+    Per-task memory is BOUNDED (r11, ADVICE r10 #2 — the r10 kernel
+    tiled only the sims matrix; the full bucket still materialized
+    per task, an OOM cliff for a degenerate mega-bucket): buckets
+    larger than ``max_bucket_rows`` are split into s =
+    ceil(n / max_bucket_rows) id-hash sub-blocks and every sub-block
+    PAIR (i <= j) becomes its own task, cosine_pairs-tile style —
+    the a-side row replicates to tiles (blk..s-1), the b-side to
+    (0..blk-1), so each unordered pair lands in exactly one tile.
+    A task therefore holds at most two sub-blocks
+    (2 × max_bucket_rows × dim doubles) plus one
+    block_rows × max_bucket_rows sims tile, whatever the bucket
+    size; oversize detection is one bucket-keyed count agg whose
+    over-limit survivors (≤ corpus/max_bucket_rows rows) broadcast.
+    Small buckets keep the r10 single-task shape: blk = 0, s = 1,
+    one a-role copy per row — no duplication, same shuffle volume.
+    ``id_col`` must be integral (the cosine_pairs rule: ids ride
+    int64 numpy)."""
     id_type = dict(df.dtypes)[id_col]
     if id_type not in ("int", "bigint", "smallint", "tinyint"):
         raise TypeError(
             f"bucketed_cosine_pairs needs an integral id column, got "
             f"{id_col}: {id_type}; hash string ids to longs first"
         )
-    src = df.select(
+    src = df.where(F.col(bucket_col).isNotNull()).select(
         F.col(bucket_col).alias("__bkt"),
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     )
+    oversized = (
+        src.groupBy("__bkt")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > max_bucket_rows)
+        .select(
+            "__bkt",
+            F.ceil(F.col("__n") / F.lit(max_bucket_rows))
+            .cast("int")
+            .alias("__s"),
+        )
+    )
+    sized = src.join(F.broadcast(oversized), "__bkt", "left").select(
+        "__bkt",
+        "id",
+        "vec",
+        F.coalesce("__s", F.lit(1)).alias("__s"),
+        # hash-split, not pmod(id): structured ids (all-even, strided)
+        # would skew raw residues; the split is perf-only either way
+        F.pmod(F.xxhash64("id"), F.coalesce("__s", F.lit(1)))
+        .cast("int")
+        .alias("__blk"),
+    )
+    a_side = sized.select(
+        "__bkt",
+        F.col("__blk").alias("bi"),
+        F.explode(
+            F.sequence(F.col("__blk"), F.col("__s") - F.lit(1))
+        ).alias("bj"),
+        F.lit("a").alias("role"),
+        "id",
+        "vec",
+    )
+    b_side = sized.where(F.col("__blk") > 0).select(
+        "__bkt",
+        F.explode(
+            F.sequence(F.lit(0), F.col("__blk") - F.lit(1))
+        ).alias("bi"),
+        F.col("__blk").alias("bj"),
+        F.lit("b").alias("role"),
+        "id",
+        "vec",
+    )
+    tagged = a_side.unionByName(b_side)
 
-    def grp(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
+    def tile(key, pdf):
+        # diagonal is decided by the KEY, never by which roles showed
+        # up: a cross tile whose b-block hashed empty must yield
+        # nothing, not replay the a-block's diagonal
+        same = key[1] == key[2]
+        asub = pdf[pdf.role == "a"]
+        bsub = asub if same else pdf[pdf.role == "b"]
+        if asub.empty or bsub.empty or (same and len(asub) < 2):
             return pd.DataFrame({"a_id": [], "b_id": [], "cosine": []})
-        ids = pdf["id"].to_numpy(dtype="int64")
-        M = np.stack(pdf["vec"].to_numpy()).astype("float64")
-        Mn = np.linalg.norm(M, axis=1)
+        a_ids = asub["id"].to_numpy(dtype="int64")
+        b_ids = bsub["id"].to_numpy(dtype="int64")
+        B = np.stack(bsub["vec"].to_numpy()).astype("float64")
+        Bn = np.linalg.norm(B, axis=1)
+        A_all = np.stack(asub["vec"].to_numpy()).astype("float64")
+        An_all = np.linalg.norm(A_all, axis=1)
         outs = []
-        for lo in range(0, len(M), block_rows):
-            A = M[lo : lo + block_rows]
+        for lo in range(0, len(A_all), block_rows):
+            A = A_all[lo : lo + block_rows]
             sims = np.round(
-                (A @ M.T) / np.outer(Mn[lo : lo + block_rows], Mn), 4
+                (A @ B.T) / np.outer(An_all[lo : lo + block_rows], Bn), 4
             )
-            a_ids = ids[lo : lo + block_rows]
-            mask = (sims >= threshold) & (a_ids[:, None] < ids[None, :])
-            ai, bi = np.nonzero(mask)
+            blk_ids = a_ids[lo : lo + block_rows]
+            # cross tiles carry each unordered pair once but in
+            # arbitrary id order — normalize to (lo, hi); diagonal
+            # tiles emit the upper triangle only
+            mask = sims >= threshold
+            if same:
+                mask &= blk_ids[:, None] < b_ids[None, :]
+            ai, bi_ = np.nonzero(mask)
+            pa, pb = blk_ids[ai], b_ids[bi_]
+            keep = pa != pb
             outs.append(
                 pd.DataFrame(
                     {
-                        "a_id": a_ids[ai],
-                        "b_id": ids[bi],
-                        "cosine": sims[ai, bi],
+                        "a_id": np.minimum(pa, pb)[keep],
+                        "b_id": np.maximum(pa, pb)[keep],
+                        "cosine": sims[ai, bi_][keep],
                     }
                 )
             )
         return pd.concat(outs, ignore_index=True)
 
-    return src.groupBy("__bkt").applyInPandas(
-        grp, "a_id long, b_id long, cosine double"
+    return tagged.groupBy("__bkt", "bi", "bj").applyInPandas(
+        tile, "a_id long, b_id long, cosine double"
     )
 
 

@@ -185,11 +185,23 @@ def heavy_hitters_stream(
     capacity: int = 64,
     watermark: str = "2 hours",
 ) -> SparkDF:
-    """Streaming space-saving per tumbling window. State per window
-    is three length-``capacity`` arrays (keys, counts, errors) —
-    bounded however many distinct keys arrive. Each update emits the
-    window's full tracked list (top-first); downstream takes the
-    latest emission per window."""
+    """Streaming space-saving per tumbling window. PERSISTED state
+    per window is three length-``capacity`` arrays (keys, counts,
+    errors) — bounded however many distinct keys arrive. Each update
+    emits the window's full tracked list (top-first); downstream
+    takes the latest emission per window.
+
+    Memory honesty (ADVICE r10 #4): the per-micro-batch WORKING set
+    is NOT capacity-bounded — one update call materializes the
+    group's whole micro-batch delivery (pd.concat of its Arrow
+    chunks) to replay it in global (ts, key) order, which the
+    deterministic batch-twin contract requires (per-chunk folding
+    would depend on arrival order). A k-way merge of per-chunk sorts
+    would not change the bound: every chunk must be resident before
+    the first fold either way. So a hot window's memory is one
+    micro-batch of its events — sized by trigger interval, which is
+    the knob to shorten under burst load — while the state store
+    stays at 3 x capacity per window."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):

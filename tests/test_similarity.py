@@ -463,3 +463,56 @@ def test_bucketed_cosine_pairs_matches_global_within_buckets(spark):
             df.withColumn("sid", df.vec_id.cast("string")),
             "sid", "embedding", "label",
         )
+
+
+def test_bucketed_cosine_pairs_null_buckets_dropped(spark):
+    """NULL bucket values must not pool into a phantom bucket
+    (ADVICE r10 #1): the contract is a bucket-key equijoin, and
+    equijoins never match NULL = NULL."""
+    from dataframe_spark.operators import similarity as S
+
+    rows = [
+        (1, [1.0, 0.0], "x"),
+        (2, [1.0, 0.0], "x"),
+        (3, [1.0, 0.0], None),
+        (4, [1.0, 0.0], None),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    got = sorted(
+        (r["a_id"], r["b_id"])
+        for r in S.bucketed_cosine_pairs(
+            df, "vec_id", "embedding", "label", threshold=0.5
+        ).collect()
+    )
+    assert got == [(1, 2)]  # the two null-label rows never pair
+
+
+def test_bucketed_cosine_pairs_mega_bucket_split(spark):
+    """A bucket past max_bucket_rows splits into sub-block tile
+    pairs (ADVICE r10 #2); result identical to the single-task
+    shape, each unordered pair exactly once."""
+    import random
+
+    from dataframe_spark.operators import similarity as S
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 2)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    whole = S.bucketed_cosine_pairs(
+        df, "vec_id", "embedding", "label", threshold=0.2
+    ).collect()
+    split = S.bucketed_cosine_pairs(
+        df, "vec_id", "embedding", "label", threshold=0.2,
+        block_rows=3, max_bucket_rows=7,
+    ).collect()
+    key = lambda r: (r["a_id"], r["b_id"], r["cosine"])
+    ws, ss = sorted(map(key, whole)), sorted(map(key, split))
+    assert ws == ss and len(ws) > 20
+    assert len(set(ws)) == len(ws)  # no pair emitted twice

@@ -369,13 +369,65 @@ def sweep_thousandx(argv):
         for n, v in out.items()
     }
     print("per-decade factors (10 = linear):", factors)
+    print("jaccard stage profile at 1000x:", flush=True)
+    stage_profile = {
+        "q_dedup_ngram_jaccard@1000x": _jaccard_stage_profile(
+            spark, DIR_1000X
+        )
+    }
     _write("CERT_thousandx.json", {
         "sweep": "thousandx", "flagships": out,
         "per_decade_factors": factors,
+        "stage_profile": stage_profile,
         "note": "factor 10 = linear in rows per decade; a growing "
                 "factor across the two decades flags super-linear "
-                "work that a single 10x->100x pair cannot see",
+                "work that a single 10x->100x pair cannot see; "
+                "stage_profile stages are cumulatively warm (each "
+                "reuses upstream persisted frames), so they sum to "
+                "~one end-to-end run",
     })
+
+
+def _jaccard_stage_profile(spark, d, threshold=0.8):
+    """Stage decomposition of the hash-order jaccard_pairs plan at
+    one sf_dir (VERDICT r10 ask #7 — the r10 session-only
+    chain/prefix/candidates/verify split was the round's best
+    diagnostic; committing it makes future walls attributable
+    without re-deriving). Stages time CUMULATIVELY WARM — each stage
+    reuses its predecessors' persisted frames, so the walls are the
+    decomposition of one end-to-end run, and their sum approximates
+    the query wall (plus scheduling)."""
+    import dataframe_spark.operators.dedup as dd
+    from dataframe_spark.tables import load_table
+
+    docs = load_table(spark, d, "documents")
+    spark.catalog.clearCache()
+    prof = {}
+
+    def stage(name, df):
+        t0 = time.monotonic()
+        _noop(df)
+        prof[name] = round(time.monotonic() - t0, 3)
+        print(f"  stage {name}: {prof[name]}", flush=True)
+        return df
+
+    arrs = stage(
+        "chain_persist", dd.hashed_shingle_arrays(docs, "doc_id", "text", 3)
+    )
+    prefix = stage(
+        "prefix",
+        dd._hash_order_prefix(arrs, docs, "doc_id", "text", 3, threshold,
+                              None),
+    )
+    cands = stage("candidates", dd._prefix_candidates(prefix, threshold))
+    pruned = stage(
+        "truncated_bound", dd._truncated_bound_filter(cands, arrs, threshold)
+    )
+    out = stage("verify", dd._verify_jaccard(pruned, arrs, threshold))
+    prof["n_candidates"] = cands.count()
+    prof["n_after_truncated_bound"] = pruned.count()
+    prof["n_pairs"] = out.count()
+    return prof
 
 
 def sweep_vectors1000x(argv):
