@@ -358,7 +358,18 @@ def _truncated_bound_filter(
     corpus-cache scans where one builds a 5-6x smaller frame that
     both joins then read (the r10 stage profile put the combined
     truncate+verify cache traffic at ~140 s of the 229 s top-decade
-    wall)."""
+    wall).
+
+    A candidate-id pruning of the slim frame was tried and REVERTED
+    (late r11, measured): semi-joining slim to the candidate pairs'
+    distinct ids before the sort sounds like it should skip the
+    array_sort for non-candidate docs, but at the 1000x cert corpus
+    85% of docs participate in some candidate (4.27 M of 5 M), so
+    the multi-million-row id broadcast + the distinct + count jobs
+    cost far more than the skipped sorts — same-session warm A/B:
+    pruned 347 s vs unpruned 72.6 s for truncate+verify. Candidate
+    sets that sparse-corpus intuition expects are not what PPJoin
+    prefixes produce on templated corpora."""
     slim = _reusable(
         arrs.select(
             "id",

@@ -604,3 +604,36 @@ def test_jaccard_hot_demotion_bitmap_is_order_only(spark):
     }
     assert p_hot == p_df
     assert len(p_df) > 0
+
+
+def test_truncated_bound_and_counted_verify_paths(spark):
+    """The big-corpus machinery (truncated-bound pre-verify +
+    counted broadcast verify) must be EXACT on any corpus — pin
+    both verify shapes against the plain small-path result (r11:
+    these paths only auto-engage past the 128 MB knee, so tests
+    drive them explicitly)."""
+    import dataframe_spark.operators.dedup as dd
+
+    rows = [(i, f"common words here {i % 7} plus tail {i}") for i in range(40)]
+    rows += [(100 + i, "a near duplicate body of text shared by the group "
+              + ("x" if i else "y")) for i in range(3)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    want = {
+        (r["a_id"], r["b_id"], round(r["jaccard"], 6))
+        for r in dd.jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    arrs = dd.hashed_shingle_arrays(docs, "doc_id", "text", 3)
+    prefix = dd._hash_order_prefix(arrs, docs, "doc_id", "text", 3, 0.5, False)
+    cands = dd._prefix_candidates(prefix, 0.5)
+    pruned = dd._truncated_bound_filter(cands, arrs, 0.5)
+    for bc in (True, False):
+        got = {
+            (r["a_id"], r["b_id"], round(r["jaccard"], 6))
+            for r in dd._verify_jaccard(
+                pruned, arrs, 0.5, broadcast_pairs=bc
+            ).collect()
+        }
+        assert got == want, bc
+    assert len(want) > 0

@@ -329,14 +329,79 @@ def sweep_thousandx(argv):
     corpus materializes ~18 GB of parquet; the JVM gets a larger
     heap than the 8g default so shuffle-heavy stages at 600 M rows
     spill to disk instead of dying — on a real cluster the aggregate
-    executor memory at this scale dwarfs the input."""
+    executor memory at this scale dwarfs the input.
+
+    PROCESS ISOLATION PER DECADE (r11): without ``--decade``, this
+    sweep re-execs itself once per decade in a FRESH process and
+    merges the partials. Motivation, measured: a single long-lived
+    local JVM accumulates heap/GC/block-manager state across the
+    ~60 query executions of the full sweep, and the top decade —
+    measured last — paid for it erratically (same plan, same box,
+    minutes apart: an untouched scan-agg canary read 68.1 s inside
+    the accumulated session vs 24.8-34.7 s in a fresh one; jaccard
+    stage walls swung 2-9x). A fresh engine per decade is also the
+    honest model of production: each scale runs as its own cluster
+    submit. Reps per decade: SPARK_GRAFT_CERT_REPS (default 2),
+    best-of-N cold (storage cache cleared per rep)."""
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     os.environ["SPARK_GRAFT_CACHE_TABLES"] = "0"
+
+    decades = {"10x": DIR_10X, "100x": DIR_100X, "1000x": DIR_1000X}
+    if not argv or not argv[0].startswith("--decade"):
+        import subprocess
+
+        for tag in decades:
+            rc = subprocess.call(
+                [sys.executable, os.path.abspath(__file__), "thousandx",
+                 f"--decade={tag}"],
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            )
+            if rc:
+                print(f"decade {tag} failed (rc {rc})", file=sys.stderr)
+                sys.exit(rc)
+        out = {}
+        stage_profile = {}
+        for tag in decades:
+            with open(f"/tmp/cert_thousandx_{tag}.part.json") as f:
+                part = json.load(f)
+            for name, sec in part["walls"].items():
+                out.setdefault(name, {})[tag] = sec
+            stage_profile.update(part.get("stage_profile", {}))
+        factors = {
+            n: {
+                "100x_over_10x": round(v["100x"] / max(v["10x"], 1e-9), 2),
+                "1000x_over_100x": round(
+                    v["1000x"] / max(v["100x"], 1e-9), 2
+                ),
+            }
+            for n, v in out.items()
+        }
+        print("per-decade factors (10 = linear):", factors)
+        _write("CERT_thousandx.json", {
+            "sweep": "thousandx", "flagships": out,
+            "per_decade_factors": factors,
+            "stage_profile": stage_profile,
+            "reps": int(os.environ.get("SPARK_GRAFT_CERT_REPS", "2")),
+            "process_per_decade": True,
+            "note": "factor 10 = linear in rows per decade; a growing "
+                    "factor across the two decades flags super-linear "
+                    "work that a single 10x->100x pair cannot see; "
+                    "each decade runs in a fresh process (see "
+                    "sweep_thousandx docstring); stage_profile stages "
+                    "are cumulatively warm (each reuses upstream "
+                    "persisted frames), so they sum to ~one "
+                    "end-to-end run",
+        })
+        return
+
+    tag = argv[0].split("=", 1)[1]
+    d = decades[tag]
+    reps = int(os.environ.get("SPARK_GRAFT_CERT_REPS", "2"))
     import __spark_entry__ as entry
 
     from tools.scale_data import ensure
 
-    spark = _spark("certify_thousandx")
+    spark = _spark(f"certify_thousandx_{tag}")
     _ensure_100x(spark)
     if not ensure(spark, DIR_100X, DIR_1000X):
         print("1000x generation failed", file=sys.stderr)
@@ -345,47 +410,27 @@ def sweep_thousandx(argv):
     from dataframe_spark.queries import text_q
 
     qs = entry.queries()
-    out = {}
-    for tag, d in (("10x", DIR_10X), ("100x", DIR_100X), ("1000x", DIR_1000X)):
-        for name in TX_FLAGSHIPS:
-            def build(name=name, d=d):
-                if name == "q_bpe":
-                    text_q._BPE_CACHE.clear()
-                return qs[name](spark, d)
+    walls = {}
+    for name in TX_FLAGSHIPS:
+        def build(name=name, d=d):
+            if name == "q_bpe":
+                text_q._BPE_CACHE.clear()
+            return qs[name](spark, d)
 
-            # best-of-2 at every decade — the first committed run
-            # used one rep at 1000x and its ngram-jaccard wall read
-            # 231 s where an isolated cold re-measure gave 129.6 s:
-            # even multi-minute walls need a second shot at a quiet
-            # window on this shared box
-            t = _time_best(build, reps=2, spark=spark)
-            out.setdefault(name, {})[tag] = t
-            print(tag, name, t, flush=True)
-    factors = {
-        n: {
-            "100x_over_10x": round(v["100x"] / max(v["10x"], 1e-9), 2),
-            "1000x_over_100x": round(v["1000x"] / max(v["100x"], 1e-9), 2),
+        t = _time_best(build, reps=reps, spark=spark)
+        walls[name] = t
+        print(tag, name, t, flush=True)
+    part = {"walls": walls}
+    if tag == "1000x":
+        print("jaccard stage profile at 1000x:", flush=True)
+        part["stage_profile"] = {
+            "q_dedup_ngram_jaccard@1000x": _jaccard_stage_profile(
+                spark, DIR_1000X
+            )
         }
-        for n, v in out.items()
-    }
-    print("per-decade factors (10 = linear):", factors)
-    print("jaccard stage profile at 1000x:", flush=True)
-    stage_profile = {
-        "q_dedup_ngram_jaccard@1000x": _jaccard_stage_profile(
-            spark, DIR_1000X
-        )
-    }
-    _write("CERT_thousandx.json", {
-        "sweep": "thousandx", "flagships": out,
-        "per_decade_factors": factors,
-        "stage_profile": stage_profile,
-        "note": "factor 10 = linear in rows per decade; a growing "
-                "factor across the two decades flags super-linear "
-                "work that a single 10x->100x pair cannot see; "
-                "stage_profile stages are cumulatively warm (each "
-                "reuses upstream persisted frames), so they sum to "
-                "~one end-to-end run",
-    })
+    with open(f"/tmp/cert_thousandx_{tag}.part.json", "w") as f:
+        json.dump(part, f)
+    print(f"wrote /tmp/cert_thousandx_{tag}.part.json")
 
 
 def _jaccard_stage_profile(spark, d, threshold=0.8):
