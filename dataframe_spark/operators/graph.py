@@ -160,11 +160,24 @@ def pagerank(
     leaking rank mass.
 
     Plan: each of the ``iters`` rounds is ONE contribution join
-    (edges × ranks, shuffling on node id, AQE-skew-safe for hub
-    nodes) + ONE dst-keyed sum with map-side partials; rank state
-    stays executor-side (node-sized), lineage truncated per round
-    with localCheckpoint exactly like connected_components. The only
-    driver scalars are the node count and the dangling check."""
+    (edges × ranks) + ONE dst-keyed sum with map-side partials; rank
+    state stays executor-side (node-sized), lineage truncated per
+    round with localCheckpoint exactly like connected_components.
+    The only driver scalars are the node count and the dangling
+    check.
+
+    The ranks side of the contribution join BROADCASTS when the
+    node count fits the engine's 128 MB knee (r11): n is already a
+    driver scalar, so the gate costs nothing, and a broadcast turns
+    every iteration into map-side join → partial agg → one
+    partials-sized exchange — the edge table never shuffles after
+    its initial checkpoint. At the 1000x vectors cert (512 M
+    symmetrized edges, 2 M nodes) the ungated shuffle-hash join's
+    per-iteration build maps plus 32 concurrent partial-agg maps
+    exhausted the unified pool (AGGREGATE_OUT_OF_MEMORY mid-sweep);
+    the broadcast shape removes the join buildup entirely. Beyond
+    the knee (>~5 M nodes) the shuffle join stands — on a real
+    cluster that regime has aggregate memory to match."""
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     if iters < 1:
@@ -194,9 +207,12 @@ def pagerank(
     contrib_src = e.join(outdeg, "u")
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
+    # ~24 B per (node, rank) row in a broadcast hash relation
+    bcast_ranks = n * 24 <= 128 * 1024 * 1024
     for _ in range(iters):
+        rside = F.broadcast(ranks) if bcast_ranks else ranks
         sums = (
-            contrib_src.join(ranks, contrib_src["u"] == ranks["node"])
+            contrib_src.join(rside, contrib_src["u"] == rside["node"])
             .select("v", (F.col("rank") / F.col("__od")).alias("__c"))
             .groupBy("v")
             .agg(F.sum("__c").alias("__m"))

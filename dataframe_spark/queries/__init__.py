@@ -40,8 +40,10 @@ MODULES = [stats_q, relational, extras_q, windows_q, text_q, exprs_q, ml_q, dedu
 # q_validate, q_winsorize; single-pass conditional-agg plans
 # unchanged since r6). Slots 14-49: the ENTIRE r7-green cohort (36
 # members, CORRECTNESS_r07 order) — after this window no query's
-# last driver check predates r8. Slot 50: q_bootstrap, the first
-# r8-green cohort member, seeding the r12 queue.
+# last driver check predates r8. Slot 50: q_pagerank — its plan
+# changed late in r11 (the contribution join's rank side now
+# broadcasts under the node-count gate), so it re-enters despite
+# its r10 green.
 WINDOW_PRIORITY = [
     # 1: never driver-checked + r11 plan change
     "q_bucket_cosine",
@@ -98,15 +100,15 @@ WINDOW_PRIORITY = [
     "q_target_encode",
     "q_embed_norm",
     "q_embed_centroid",
-    # 50: first r8-green member — seeds the r12 queue
-    "q_bootstrap",
+    # 50: r11 plan change (pagerank broadcast-ranks gate)
+    "q_pagerank",
 ]
 
-# R12 ROTATION QUEUE (stale-first): the r8-green cohort
-# (CORRECTNESS_r08 order, 43 remaining after q_bootstrap enters this
-# window), then the r9-green cohort. All remain under continuous
-# full-registry pytest parity at sf0.001 and the HEAD CERT_parity
-# sweeps at sf0.01/sf0.1/ANSI.
+# R12 ROTATION QUEUE (stale-first): the full r8-green cohort
+# (CORRECTNESS_r08 order, 44 members starting q_bootstrap), then
+# the r9-green cohort. All remain under continuous full-registry
+# pytest parity at sf0.001 and the HEAD CERT_parity sweeps at
+# sf0.01/sf0.1/ANSI.
 #
 # (Previous rounds' windows live in git history for the rotation
 # audit trail.)
