@@ -187,7 +187,24 @@ def pagerank(
     )
     if symmetrize:
         e = _symmetrize(e)
-    e = e.distinct().localCheckpoint(eager=True)
+    # The edge distinct is the one aggregation here whose key count
+    # equals its ROW count (nothing collapses), so per-task hash maps
+    # scale with rows/partitions — at the 1000x vectors cert (512 M
+    # symmetrized edges) the session's 32 shuffle partitions meant
+    # 16 M-key maps x 32 concurrent tasks, which exhausted the
+    # unified pool (AGGREGATE_OUT_OF_MEMORY) before the sort
+    # fallback could even allocate. Size the exchange by plan bytes
+    # (~64 MB of edge pairs per partition) and hash-partition on the
+    # distinct key itself, so the aggregate runs as one complete
+    # per-partition pass with a bounded map and no second exchange.
+    from ..plans.stats import plan_size_bytes
+
+    sc = edges.sparkSession.sparkContext
+    npart = max(
+        sc.defaultParallelism,
+        min(4096, int(plan_size_bytes(e) // (64 << 20)) + 1),
+    )
+    e = e.repartition(npart, "u", "v").distinct().localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
