@@ -197,6 +197,7 @@ def pagerank(
     # (~64 MB of edge pairs per partition) and hash-partition on the
     # distinct key itself, so the aggregate runs as one complete
     # per-partition pass with a bounded map and no second exchange.
+    from ..plans.cache import try_persist
     from ..plans.stats import plan_size_bytes
 
     sc = edges.sparkSession.sparkContext
@@ -204,14 +205,32 @@ def pagerank(
         sc.defaultParallelism,
         min(4096, int(plan_size_bytes(e) // (64 << 20)) + 1),
     )
-    e = e.repartition(npart, "u", "v").distinct().localCheckpoint(eager=True)
+    # The STATIC edge table is SQL-cached, not localCheckpoint'ed
+    # (r11): checkpoint blocks hold deserialized row objects, and at
+    # 512 M edges the block manager's re-promotion of spilled blocks
+    # back into memory as values (maybeCacheDiskValuesInMemory) blew
+    # the heap outright. The SQL cache stores compressed columnar
+    # batches — ~16 B/edge instead of object rows — and evicts to
+    # disk cleanly. e's lineage is short and static, so plan
+    # truncation (localCheckpoint's actual job) buys nothing here;
+    # the iterating RANK state below keeps localCheckpoint, where
+    # unbounded lineage growth is the real risk and the frame is
+    # node-sized. One eager count materializes the cache before two
+    # consumers (the nodes union) race to build it.
+    e = try_persist(e.repartition(npart, "u", "v").distinct())
+    e.count()
     nodes = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("__od"))
+    # outdeg is node-sized and consumed by the dangling check plus
+    # every iteration (each would otherwise re-aggregate the full
+    # edge cache) — persist it up front
+    outdeg = try_persist(
+        e.groupBy("u").agg(F.count(F.lit(1)).alias("__od"))
+    )
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
@@ -221,11 +240,17 @@ def pagerank(
             f"pagerank: {n_dangling} nodes have no out-edges; pass "
             "symmetrize=True or complete the graph first"
         )
-    contrib_src = e.join(outdeg, "u")
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    # broadcast outdeg under the same node gate as the ranks — with
+    # both sides broadcast, an iteration is one columnar scan of the
+    # cached edges + two map-side joins + partial agg + one
+    # partials-sized exchange: no edge-sized shuffle anywhere
     base = (1.0 - damping) / n
     # ~24 B per (node, rank) row in a broadcast hash relation
     bcast_ranks = n * 24 <= 128 * 1024 * 1024
+    contrib_src = e.join(
+        F.broadcast(outdeg) if bcast_ranks else outdeg, "u"
+    )
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
         rside = F.broadcast(ranks) if bcast_ranks else ranks
         sums = (
@@ -245,4 +270,10 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+    # ranks is EAGERLY checkpointed, so the working caches have no
+    # remaining consumer — release them instead of leaking to LRU
+    from ..plans.cache import try_unpersist
+
+    try_unpersist(e)
+    try_unpersist(outdeg)
     return ranks
