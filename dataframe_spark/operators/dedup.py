@@ -203,6 +203,18 @@ def jaccard_pairs(
         prefix = _hash_order_prefix(
             arrs, df, id_col, text_col, n, threshold, demote_hot
         )
+        if big:
+            # BARRIER (r11, measured): materialize the persisted
+            # prefix (and, en route, the arrs cache under it) BEFORE
+            # the self-join consumes it from two sides. Without it
+            # the two join-side stages launch concurrently against
+            # the cold cache and every second task blocks on the
+            # per-block compute lock while holding a core — the
+            # whole cold chain runs at a fraction of the box: the
+            # 1000x e2e wall read 246-273 s where the staged
+            # decomposition of the same pipeline sums to ~99 s. One
+            # cheap count turns the racing stages into warm scans.
+            _materialize(prefix)
         cands = _prefix_candidates(prefix, threshold)
         if big:
             cands = _truncated_bound_filter(cands, arrs, threshold)
@@ -384,6 +396,9 @@ def _truncated_bound_filter(
             F.element_at(F.col("__t"), F.size("__t")).alias("__tm"),
         )
     )
+    # barrier before the two join sides race the cold slim cache
+    # (this filter only runs on the big path — see _materialize)
+    _materialize(slim)
     a = slim.select(
         F.col("id").alias("a_id"),
         F.col("__t").alias("__ta"),
@@ -570,6 +585,22 @@ def _sampled_hot_probe(
     return band
 
 
+def _materialize(df: SparkDF) -> None:
+    """Eagerly fill a persisted frame's cache with ONE dedicated job
+    before multiple sibling stages consume it. Sibling stages of a
+    single job launch concurrently; against a cold cache each block
+    is computed by whichever task arrives first while its twin
+    BLOCKS on the storage lock holding a scheduler slot — measured
+    2.5-2.8x wall inflation on the jaccard big path (see
+    jaccard_pairs). Connect sessions without count support just skip
+    the barrier: the plan stays correct, only the scheduling
+    optimization is lost."""
+    try:
+        df.count()
+    except Exception:  # pragma: no cover - Connect count quirks
+        pass
+
+
 def _reusable(df: SparkDF) -> SparkDF:
     """Disk-spillable persist for a plan with MULTIPLE downstream
     consumers (jaccard reads the hashed shingle arrays three times:
@@ -664,6 +695,9 @@ def _verify_jaccard(
         needed = _reusable(
             arrs.join(F.broadcast(need_ids), "id", "left_semi")
         )
+        # barrier: both verify sides scan `needed`; a cold cache
+        # would be raced (see _materialize)
+        _materialize(needed)
         a = needed.select(
             F.col("id").alias("a_id"),
             F.col("sh_arr").alias("__a_arr"),
@@ -1464,6 +1498,12 @@ def minhash_dedup_pairs(
     from ..plans.stats import plan_size_bytes
 
     big = plan_size_bytes(df) > 128 * 1024 * 1024
+    if big:
+        # barrier: the band self-join consumes the persisted sigs
+        # from two sides; a cold cache would be raced at a fraction
+        # of the box (see _materialize — the num_perm x |sh_arr|
+        # signature hashing is the most expensive map work here)
+        _materialize(sigs)
     rep_pairs = _verify_jaccard(
         cands, arrs_h, threshold, broadcast_pairs=None if big else False
     )
