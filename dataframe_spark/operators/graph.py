@@ -143,6 +143,7 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 10,
     symmetrize: bool = False,
+    profile: dict | None = None,
 ) -> SparkDF:
     """Fixed-iteration PageRank (Page et al. 1999 power iteration)
     over an edge list — centrality scoring for graph-shaped corpus
@@ -177,11 +178,22 @@ def pagerank(
     exhausted the unified pool (AGGREGATE_OUT_OF_MEMORY mid-sweep);
     the broadcast shape removes the join buildup entirely. Beyond
     the knee (>~5 M nodes) the shuffle join stands — on a real
-    cluster that regime has aggregate memory to match."""
+    cluster that regime has aggregate memory to match.
+
+    ``profile`` (r12, VERDICT r11 ask #3): pass a dict and the
+    function records ``setup_sec`` (edge distinct + cache fill +
+    node/outdeg/dangling jobs) and ``iter_sec`` (one wall per power
+    iteration — each iteration ends in an EAGER localCheckpoint, so
+    the walls are real, not lazy stubs). Certification uses this to
+    attribute a super-linear end-to-end wall to iteration drift
+    (cache eviction grows later iterations) vs one-time setup."""
+    import time as _time
+
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    t_setup = _time.monotonic()
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
         F.col("u") != F.col("v")
     )
@@ -201,10 +213,24 @@ def pagerank(
     from ..plans.stats import plan_size_bytes
 
     sc = edges.sparkSession.sparkContext
-    npart = max(
-        sc.defaultParallelism,
-        min(4096, int(plan_size_bytes(e) // (64 << 20)) + 1),
-    )
+    # Trust the byte estimate only when it is scan-backed and
+    # plausible (r12, ADVICE r11 #2): under Spark Connect
+    # plan_size_bytes returns its LARGE fallback, and Catalyst's
+    # estimate for applyInPandas-derived edge plans (e.g. a
+    # bucketed_cosine_pairs output fed straight in) is garbage-huge —
+    # either would pin npart at the 4096 cap, and an explicit
+    # repartition count disables AQE coalescing, so every iteration
+    # of a SMALL graph would pay ~4096 tasks of pure scheduling. One
+    # TiB of edge pairs is far beyond anything a single plan here
+    # ships; past that bound the estimate is noise, not a size.
+    est = plan_size_bytes(e)
+    if est >= (1 << 40):
+        npart = sc.defaultParallelism
+    else:
+        npart = max(
+            sc.defaultParallelism,
+            min(4096, int(est // (64 << 20)) + 1),
+        )
     # The STATIC edge table is SQL-cached, not localCheckpoint'ed
     # (r11): checkpoint blocks hold deserialized row objects, and at
     # 512 M edges the block manager's re-promotion of spilled blocks
@@ -251,7 +277,13 @@ def pagerank(
         F.broadcast(outdeg) if bcast_ranks else outdeg, "u"
     )
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    if profile is not None:
+        profile["setup_sec"] = round(_time.monotonic() - t_setup, 3)
+        profile["n_nodes"] = n
+        profile["broadcast_ranks"] = bcast_ranks
+        profile["iter_sec"] = []
     for _ in range(iters):
+        t_it = _time.monotonic()
         rside = F.broadcast(ranks) if bcast_ranks else ranks
         sums = (
             contrib_src.join(rside, contrib_src["u"] == rside["node"])
@@ -270,6 +302,8 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        if profile is not None:
+            profile["iter_sec"].append(round(_time.monotonic() - t_it, 3))
     # ranks is EAGERLY checkpointed, so the working caches have no
     # remaining consumer — release them instead of leaking to LRU
     from ..plans.cache import try_unpersist

@@ -268,16 +268,27 @@ def bucketed_cosine_pairs(
             return pd.DataFrame({"a_id": [], "b_id": [], "cosine": []})
         a_ids = asub["id"].to_numpy(dtype="int64")
         b_ids = bsub["id"].to_numpy(dtype="int64")
-        B = np.stack(bsub["vec"].to_numpy()).astype("float64")
-        Bn = np.linalg.norm(B, axis=1)
+        # rows are pre-normalized ONCE per tile (r12, ADVICE r11 #1):
+        # the previous per-block (A @ B.T) / np.outer(An, Bn) shape
+        # allocated four transient block_rows x |B| float64 arrays
+        # per GEMM step (~0.5 GB each at the 2048 x 32768 defaults) —
+        # normalizing in place and rounding in place leaves the
+        # matmul output as the only per-step allocation, so a task's
+        # peak really is two sub-blocks plus one sims tile.
+        # Zero-norm rows become nan either way (0/0), so the >=
+        # threshold mask is unchanged.
         A_all = np.stack(asub["vec"].to_numpy()).astype("float64")
-        An_all = np.linalg.norm(A_all, axis=1)
+        A_all /= np.linalg.norm(A_all, axis=1)[:, None]
+        if same:
+            B = A_all
+        else:
+            B = np.stack(bsub["vec"].to_numpy()).astype("float64")
+            B /= np.linalg.norm(B, axis=1)[:, None]
         outs = []
         for lo in range(0, len(A_all), block_rows):
             A = A_all[lo : lo + block_rows]
-            sims = np.round(
-                (A @ B.T) / np.outer(An_all[lo : lo + block_rows], Bn), 4
-            )
+            sims = A @ B.T
+            np.round(sims, 4, out=sims)
             blk_ids = a_ids[lo : lo + block_rows]
             # cross tiles carry each unordered pair once but in
             # arbitrary id order — normalize to (lo, hi); diagonal

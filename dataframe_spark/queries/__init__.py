@@ -22,91 +22,78 @@ MODULES = [stats_q, relational, extras_q, windows_q, text_q, exprs_q, ml_q, dedu
 # Registry order is a verification surface: the driver snapshots the
 # FIRST 50 entries each round.
 #
-# The r11 window. Slot 1: q_bucket_cosine — the ONE registry entry
-# never driver-checked (landed late r10; VERDICT r10 ask #3), and
-# its plan changed again in r11 (null-bucket filter + mega-bucket
-# sub-split tiles, ADVICE r10 #1/#2). Slots 2-4: plans changed in
-# r11 — q_dedup_ngram_jaccard (_verify_jaccard rework: slim pair
-# broadcast, candidate-doc pruning of the array table, persisted
-# truncated-filter slim; VERDICT r10 ask #1 + ADVICE r10 #3),
-# q_dedup_cluster (composes jaccard_pairs), q_dedup_minhash (calls
-# _verify_jaccard; its sf0.01 plan takes the unchanged non-broadcast
-# shape, windowed anyway because the function changed). Slots 5-8:
-# the remaining r10 plan-change dependents re-enter per VERDICT r10
-# ask #8 (q_heavy_hitters, q_synthesis_check, q_synthesis,
-# q_bpe_encode). Slot 9: the q1 sentinel. Slots 10-13: the
-# documented r10 overflow — the four r6-green members displaced by
-# r10's plan-change slots (q_token_budget, q_token_entropy,
-# q_validate, q_winsorize; single-pass conditional-agg plans
-# unchanged since r6). Slots 14-49: the ENTIRE r7-green cohort (36
-# members, CORRECTNESS_r07 order) — after this window no query's
-# last driver check predates r8. Slot 50: q_pagerank — its plan
-# changed late in r11 (the contribution join's rank side now
-# broadcasts under the node-count gate), so it re-enters despite
-# its r10 green.
+# The r12 window (VERDICT r11 ask #5: retire the r8 cohort — after
+# r11 the 44 queries below were the only ones whose last driver
+# check predated r9). Slots 1-5: r12 plan changes —
+# q_bucket_cosine (bucketed-GEMM tile rows now pre-normalized in
+# place, ADVICE r11 #1: same cosine to 4dp, but the kernel math
+# changed so it re-verifies), q_pagerank (npart clamp for
+# implausible plan-size estimates, ADVICE r11 #2, + the profile
+# hook), q_dedup_ngram_jaccard / q_dedup_minhash / q_dedup_cluster
+# (the _materialize barrier gained the SPARK_GRAFT_NO_CACHE_BARRIER
+# cert toggle — default path identical, windowed because the
+# function changed). Slot 6: the q1 sentinel. Slots 7-50: the
+# ENTIRE r8-stale cohort (44 members, CORRECTNESS_r08 order) —
+# after this window no query's last driver check predates r9.
 WINDOW_PRIORITY = [
-    # 1: never driver-checked + r11 plan change
+    # 1-5: r12 plan changes
     "q_bucket_cosine",
-    # 2-4: r11 plan changes (jaccard verify rework)
-    "q_dedup_ngram_jaccard",
-    "q_dedup_cluster",
-    "q_dedup_minhash",
-    # 5-8: r10 plan-change dependents (VERDICT r10 ask #8)
-    "q_heavy_hitters",
-    "q_synthesis_check",
-    "q_synthesis",
-    "q_bpe_encode",
-    # 9: sentinel
-    "q1_pricing_summary",
-    # 10-13: r10 overflow, last checked r6
-    "q_token_budget",
-    "q_token_entropy",
-    "q_validate",
-    "q_winsorize",
-    # 14-49: the full r7-green cohort (36), CORRECTNESS_r07 order
-    "q_spearman",
-    "q_kaplan_meier",
-    "q_logrank",
-    "q_cox_check",
-    "q_rmst",
-    "q_stats_agg",
-    "q17_small_quantity",
-    "q_bloom_semi",
-    "q_skew_join",
-    "q_source_overlap",
-    "q_scd2",
-    "q_ewma",
-    "q_cdc",
-    "q_top_paths",
-    "q_cusum",
-    "q_holt",
-    "q_stream_window",
-    "q_stream_dedup",
-    "q_c4_filter",
-    "q_token_count",
-    "q_repetition",
-    "q_redact",
-    "q_pack",
-    "q_mixture",
-    "q_text_quality",
-    "q_text_split",
-    "q_numeric_fns",
-    "q_cube",
-    "q_mutual_info",
-    "q_mad_outliers",
-    "q_binary_metrics",
-    "q_multiclass_metrics",
-    "q_lift",
-    "q_target_encode",
-    "q_embed_norm",
-    "q_embed_centroid",
-    # 50: r11 plan change (pagerank broadcast-ranks gate)
     "q_pagerank",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_minhash",
+    "q_dedup_cluster",
+    # 6: sentinel
+    "q1_pricing_summary",
+    # 7-50: the full r8-stale cohort (44), CORRECTNESS_r08 order
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q10_returned_items",
+    "q12_priority_lines",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q18_large_orders",
+    "q19_basket_revenue",
+    "q21_waiting_supplier",
+    "q22_global_sales",
+    "q_collect_list",
+    "q_correlation",
+    "q_describe",
+    "q_duplicated_spans",
+    "q_grouping_sets",
+    "q_hcat",
+    "q_interval_join",
+    "q_join_inner",
+    "q_json_extract",
+    "q_mode",
+    "q_ntile",
+    "q_ohlc",
+    "q_quantile_bucket",
+    "q_rollup",
+    "q_sample_group",
+    "q_skewness",
+    "q_value_counts",
+    "q_multimodal_meta",
+    "q_summarize",
+    "q_bootstrap",
+    "q_naive_bayes",
+    "q_bigram_ppl",
+    "q_image_phash_dedup",
+    "q_image_quality",
+    "q_knn_ivf_recall",
+    "q_derive",
+    "q_apply_where",
+    "q_filter",
+    "q_take_sorted",
+    "q_impute",
+    "q_join_left",
+    "q_join_semi_anti",
 ]
 
-# R12 ROTATION QUEUE (stale-first): the full r8-green cohort
-# (CORRECTNESS_r08 order, 44 members starting q_bootstrap), then
-# the r9-green cohort. All remain under continuous full-registry
+# R13 ROTATION QUEUE (stale-first): the r9-green cohort
+# (CORRECTNESS_r09 order, 45 members starting q_bpe), then the
+# r10-green cohort. All remain under continuous full-registry
 # pytest parity at sf0.001 and the HEAD CERT_parity sweeps at
 # sf0.01/sf0.1/ANSI.
 #

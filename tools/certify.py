@@ -39,6 +39,26 @@ Usage: python tools/certify.py <sweep> [options]
       GROWING factor across decades, which two points cannot see.
       -> CERT_thousandx.json
 
+  barrier_ab
+      The r11 cache-racing diagnosis as a committed artifact
+      (VERDICT r11 ask #6): jaccard end-to-end at 1000x with the
+      _materialize barriers ON vs OFF, interleaved ABBA in one
+      session, identical plan and data. -> CERT_barrier_ab.json
+
+NOISE REGIME (r12, VERDICT r11 ask #1). The box swings same-code
+walls 2-9x (documented r11: virtio disk, long-lived JVM state, one
+wedged 48 GB JVM that poisoned a round of measurements), so raw
+single-rep walls are not evidence. Every decade-factor sweep now:
+  (a) REFUSES to start while any java process is resident
+      (_guard_stray_jvm; override SPARK_GRAFT_ALLOW_STRAY_JVM=1),
+  (b) runs a FIXED-WORK canary (q_stats_agg on the 10x corpus)
+      before and after each fresh decade process and commits
+      canary-NORMALIZED factors next to the raw ones — the canary
+      ratio measures how fast the box actually was while that
+      decade ran,
+  (c) commits EVERY rep wall (best + spread), best-of-3 at the top
+      decade.
+
 Artifacts carry the sweep parameters so a diff between rounds is
 meaningful. All sweeps run on the session defaults (local[32],
 shuffle.partitions 32) unless noted.
@@ -106,6 +126,66 @@ def _write(path, payload):
 
 def _noop(df):
     df.write.format("noop").mode("overwrite").save()
+
+
+def _guard_stray_jvm():
+    """Refuse to certify while a Spark JVM is already resident
+    (VERDICT r11 ask #1c, automated): r11 found a wedged 48 GB
+    certification JVM from an OOM'd sweep still alive during later
+    measurements — pytest wall 98.7 s -> 569 s for the same
+    selection until it was killed. Any java process at sweep start
+    is by definition not ours (each sweep creates its own session
+    after this check), so its presence means the walls about to be
+    measured would be box-contention artifacts."""
+    import subprocess
+
+    if os.environ.get("SPARK_GRAFT_ALLOW_STRAY_JVM") == "1":
+        return
+    try:
+        out = subprocess.run(
+            ["ps", "-eo", "pid=,rss=,comm="], capture_output=True, text=True
+        ).stdout
+    except OSError:  # no ps: cannot check, proceed
+        return
+    stray = []
+    for line in out.splitlines():
+        parts = line.split(None, 2)
+        if len(parts) == 3 and parts[2].strip() == "java":
+            stray.append(f"pid {parts[0]} rss {int(parts[1]) // 1024} MB")
+    if stray:
+        print(
+            "REFUSING to certify: resident java process(es): "
+            + "; ".join(stray)
+            + "\n(a stray Spark JVM poisons every wall measured next to "
+            "it — kill it, or set SPARK_GRAFT_ALLOW_STRAY_JVM=1 to "
+            "measure anyway)",
+            file=sys.stderr,
+        )
+        sys.exit(3)
+
+
+def _time_reps(build, reps=2, spark=None):
+    """All rep walls (cold per rep — storage cache cleared like
+    _time_best) so the artifact commits the SPREAD next to the
+    point estimate (VERDICT r11 ask #1b): on a box whose
+    same-code walls swing 2-9x, a best-of without its reps is not
+    auditable."""
+    walls = []
+    for _ in range(reps):
+        if spark is not None:
+            spark.catalog.clearCache()
+        t0 = time.monotonic()
+        _noop(build())
+        walls.append(round(time.monotonic() - t0, 3))
+    return walls
+
+
+def _rep_stats(walls):
+    return {
+        "sec": min(walls),
+        "reps": walls,
+        "spread": round(max(walls) / max(min(walls), 1e-9), 2),
+    }
 
 
 def _time_best(build, reps=3, spark=None):
@@ -341,62 +421,112 @@ def sweep_thousandx(argv):
     the accumulated session vs 24.8-34.7 s in a fresh one; jaccard
     stage walls swung 2-9x). A fresh engine per decade is also the
     honest model of production: each scale runs as its own cluster
-    submit. Reps per decade: SPARK_GRAFT_CERT_REPS (default 2),
-    best-of-N cold (storage cache cleared per rep)."""
+    submit.
+
+    Noise regime (r12, VERDICT r11 ask #1): stray-JVM guard before
+    anything runs; each decade child measures a FIXED-WORK canary
+    (q_stats_agg on the 10x corpus) before and after its flagship
+    walls, and the merged artifact carries canary-normalized
+    factors (raw_factor / canary_ratio) next to the raw ones; reps
+    are best-of-3 at the top decade (best-of-SPARK_GRAFT_CERT_REPS,
+    default 2, below), with every rep wall and the max/min spread
+    committed. Partials exchange through a private mkdtemp dir
+    passed to each child (ADVICE r11 #4 — the old fixed /tmp paths
+    let concurrent sweeps clobber each other silently)."""
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     os.environ["SPARK_GRAFT_CACHE_TABLES"] = "0"
 
     decades = {"10x": DIR_10X, "100x": DIR_100X, "1000x": DIR_1000X}
-    if not argv or not argv[0].startswith("--decade"):
+    opts = dict(
+        a.split("=", 1) for a in argv if a.startswith("--") and "=" in a
+    )
+    if "--decade" not in opts:
+        import shutil
         import subprocess
+        import tempfile
 
-        for tag in decades:
-            rc = subprocess.call(
-                [sys.executable, os.path.abspath(__file__), "thousandx",
-                 f"--decade={tag}"],
-                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        _guard_stray_jvm()
+        partdir = tempfile.mkdtemp(prefix="cert_thousandx_")
+        try:
+            for tag in decades:
+                rc = subprocess.call(
+                    [sys.executable, os.path.abspath(__file__), "thousandx",
+                     f"--decade={tag}", f"--partdir={partdir}"],
+                    cwd=os.path.dirname(
+                        os.path.dirname(os.path.abspath(__file__))
+                    ),
+                )
+                if rc:
+                    print(f"decade {tag} failed (rc {rc})", file=sys.stderr)
+                    sys.exit(rc)
+            out = {}
+            stage_profile = {}
+            canary = {}
+            for tag in decades:
+                with open(f"{partdir}/{tag}.part.json") as f:
+                    part = json.load(f)
+                for name, w in part["walls"].items():
+                    out.setdefault(name, {})[tag] = w
+                stage_profile.update(part.get("stage_profile", {}))
+                canary[tag] = part["canary"]
+        finally:
+            shutil.rmtree(partdir, ignore_errors=True)
+        # canary ratio between two decade PROCESSES = how much slower
+        # the box ran while the bigger decade measured (the canary's
+        # work is identical in every process); dividing it out of the
+        # raw factor removes box drift, not plan cost
+        c_ratio = {
+            pair: canary[hi]["mean_sec"] / max(canary[lo]["mean_sec"], 1e-9)
+            for pair, lo, hi in (
+                ("100x_over_10x", "10x", "100x"),
+                ("1000x_over_100x", "100x", "1000x"),
             )
-            if rc:
-                print(f"decade {tag} failed (rc {rc})", file=sys.stderr)
-                sys.exit(rc)
-        out = {}
-        stage_profile = {}
-        for tag in decades:
-            with open(f"/tmp/cert_thousandx_{tag}.part.json") as f:
-                part = json.load(f)
-            for name, sec in part["walls"].items():
-                out.setdefault(name, {})[tag] = sec
-            stage_profile.update(part.get("stage_profile", {}))
-        factors = {
-            n: {
-                "100x_over_10x": round(v["100x"] / max(v["10x"], 1e-9), 2),
+        }
+        factors = {}
+        for n, v in out.items():
+            raw = {
+                "100x_over_10x": round(
+                    v["100x"]["sec"] / max(v["10x"]["sec"], 1e-9), 2
+                ),
                 "1000x_over_100x": round(
-                    v["1000x"] / max(v["100x"], 1e-9), 2
+                    v["1000x"]["sec"] / max(v["100x"]["sec"], 1e-9), 2
                 ),
             }
-            for n, v in out.items()
-        }
+            raw["canary_normalized"] = {
+                pair: round(raw[pair] / c_ratio[pair], 2)
+                for pair in c_ratio
+            }
+            factors[n] = raw
         print("per-decade factors (10 = linear):", factors)
+        print("canary:", canary, "ratios:", c_ratio)
         _write("CERT_thousandx.json", {
             "sweep": "thousandx", "flagships": out,
             "per_decade_factors": factors,
+            "canary": canary,
+            "canary_ratio": {k: round(v, 3) for k, v in c_ratio.items()},
             "stage_profile": stage_profile,
             "reps": int(os.environ.get("SPARK_GRAFT_CERT_REPS", "2")),
+            "reps_top_decade": 3,
             "process_per_decade": True,
-            "note": "factor 10 = linear in rows per decade; a growing "
-                    "factor across the two decades flags super-linear "
-                    "work that a single 10x->100x pair cannot see; "
-                    "each decade runs in a fresh process (see "
-                    "sweep_thousandx docstring); stage_profile stages "
-                    "are cumulatively warm (each reuses upstream "
-                    "persisted frames), so they sum to ~one "
-                    "end-to-end run",
+            "note": "factor 10 = linear in rows per decade; "
+                    "canary_normalized divides out the fixed-work "
+                    "canary's drift between decade processes "
+                    "(q_stats_agg on the 10x corpus, measured before "
+                    "and after each decade's flagships); every rep "
+                    "wall is committed with its max/min spread; "
+                    "stage_profile stages are cumulatively warm "
+                    "(each reuses upstream persisted frames), so "
+                    "they sum to ~one end-to-end run",
         })
         return
 
-    tag = argv[0].split("=", 1)[1]
+    tag = opts["--decade"]
+    partdir = opts["--partdir"]
     d = decades[tag]
     reps = int(os.environ.get("SPARK_GRAFT_CERT_REPS", "2"))
+    if tag == "1000x":
+        reps = max(reps, 3)
+    _guard_stray_jvm()
     import __spark_entry__ as entry
 
     from tools.scale_data import ensure
@@ -410,6 +540,14 @@ def sweep_thousandx(argv):
     from dataframe_spark.queries import text_q
 
     qs = entry.queries()
+
+    def canary_reps():
+        return _time_reps(
+            lambda: qs["q_stats_agg"](spark, DIR_10X), reps=2, spark=spark
+        )
+
+    canary_pre = canary_reps()
+    print(tag, "canary_pre", canary_pre, flush=True)
     walls = {}
     for name in TX_FLAGSHIPS:
         def build(name=name, d=d):
@@ -417,10 +555,19 @@ def sweep_thousandx(argv):
                 text_q._BPE_CACHE.clear()
             return qs[name](spark, d)
 
-        t = _time_best(build, reps=reps, spark=spark)
-        walls[name] = t
-        print(tag, name, t, flush=True)
-    part = {"walls": walls}
+        w = _rep_stats(_time_reps(build, reps=reps, spark=spark))
+        walls[name] = w
+        print(tag, name, w, flush=True)
+    canary_post = canary_reps()
+    print(tag, "canary_post", canary_post, flush=True)
+    part = {
+        "walls": walls,
+        "canary": {
+            "pre": canary_pre,
+            "post": canary_post,
+            "mean_sec": round((min(canary_pre) + min(canary_post)) / 2, 3),
+        },
+    }
     if tag == "1000x":
         print("jaccard stage profile at 1000x:", flush=True)
         part["stage_profile"] = {
@@ -428,9 +575,13 @@ def sweep_thousandx(argv):
                 spark, DIR_1000X
             )
         }
-    with open(f"/tmp/cert_thousandx_{tag}.part.json", "w") as f:
+        print("minhash stage profile at 1000x:", flush=True)
+        part["stage_profile"]["q_dedup_minhash@1000x"] = (
+            _minhash_stage_profile(spark, DIR_1000X)
+        )
+    with open(f"{partdir}/{tag}.part.json", "w") as f:
         json.dump(part, f)
-    print(f"wrote /tmp/cert_thousandx_{tag}.part.json")
+    print(f"wrote {partdir}/{tag}.part.json")
 
 
 def _jaccard_stage_profile(spark, d, threshold=0.8):
@@ -475,6 +626,73 @@ def _jaccard_stage_profile(spark, d, threshold=0.8):
     return prof
 
 
+def _minhash_stage_profile(
+    spark, d, n=3, num_perm=64, bands=16, threshold=0.8
+):
+    """Stage decomposition of minhash_dedup_pairs at one sf_dir
+    (VERDICT r11 ask #2 — jaccard's committed profile is why its
+    e2e overhang is arguable; minhash's 11.93x/decade had no such
+    attribution). Mirrors the operator's internal pipeline with the
+    q_dedup_minhash defaults; stages time CUMULATIVELY WARM like
+    _jaccard_stage_profile, so their sum approximates one
+    end-to-end run (the final member-list expansion is a narrow
+    projection of the verify output — sub-second, not staged)."""
+    from pyspark.sql import functions as F
+
+    import dataframe_spark.operators.dedup as dd
+    from dataframe_spark.tables import load_table
+
+    docs = load_table(spark, d, "documents")
+    spark.catalog.clearCache()
+    prof = {}
+
+    def stage(name, df):
+        t0 = time.monotonic()
+        _noop(df)
+        prof[name] = round(time.monotonic() - t0, 3)
+        print(f"  stage {name}: {prof[name]}", flush=True)
+        return df
+
+    arrs_h = stage(
+        "chain_persist",
+        dd.hashed_shingle_arrays(docs, "doc_id", "text", n),
+    )
+    gstats = stage(
+        "group_collapse",
+        dd._reusable(
+            arrs_h.select(
+                "id", F.xxhash64(F.array_sort("sh_arr")).alias("__g")
+            )
+            .groupBy("__g")
+            .agg(
+                F.min("id").alias("id"),
+                F.sort_array(F.collect_list("id")).alias("__mids"),
+            )
+        ),
+    )
+    sigs = stage(
+        "signatures",
+        dd._reusable(
+            arrs_h.join(gstats.select("id", "__mids"), "id").select(
+                "id", "__mids", dd._minhash_sig_expr(num_perm).alias("sig")
+            )
+        ),
+    )
+    cands = stage(
+        "band_candidates",
+        dd.lsh_candidate_pairs(
+            sigs, bands, num_perm // bands, None, carry=["__mids"]
+        ),
+    )
+    out = stage(
+        "verify",
+        dd._verify_jaccard(cands, arrs_h, threshold, broadcast_pairs=None),
+    )
+    prof["n_candidates"] = cands.count()
+    prof["n_pairs"] = out.count()
+    return prof
+
+
 def sweep_vectors1000x(argv):
     """THREE-decade similarity/graph evidence (VERDICT r9 ask #5):
     semdedup / knn_ivf / pagerank at 10x, 100x AND 1000x (2 M x 256
@@ -487,92 +705,275 @@ def sweep_vectors1000x(argv):
       materialized to parquet) is timed separately from the 10
       power iterations over the materialized edge set, so a factor
       >10 is attributable to a phase instead of a blended wall.
-    - one rep at 1000x (walls are minutes; reps stay 2 below),
-      caches cleared per rep like every decade sweep.
+
+    r12 (VERDICT r11 asks #1/#3/#7): the sweep joins the thousandx
+    noise regime — stray-JVM guard, one fresh PROCESS per decade
+    with a fixed-work canary (q_stats_agg on the 10x corpus) and
+    canary-normalized factors, best-of-2 at EVERY decade (the r11
+    single-rep 1000x pagerank wall was the repo's weakest committed
+    number) with all rep walls committed, pagerank setup +
+    per-iteration walls recorded per rep (graph.pagerank profile
+    hook), and a MEGABUCKET stanza at the top decade: 100k rows
+    forced into ONE bucket (~3x max_bucket_rows) so the
+    bucketed-GEMM sub-block split path runs at certification scale
+    instead of only in its toy-sized unit test.
     -> CERT_vectors_1000x.json
     """
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     os.environ["SPARK_GRAFT_CACHE_TABLES"] = "0"
+
+    decades = {"10x": DIR_10X, "100x": DIR_100X, "1000x": DIR_1000X}
+    opts = dict(
+        a.split("=", 1) for a in argv if a.startswith("--") and "=" in a
+    )
+    if "--decade" not in opts:
+        import shutil
+        import subprocess
+        import tempfile
+
+        _guard_stray_jvm()
+        partdir = tempfile.mkdtemp(prefix="cert_vectors1000x_")
+        try:
+            for tag in decades:
+                rc = subprocess.call(
+                    [sys.executable, os.path.abspath(__file__),
+                     "vectors1000x", f"--decade={tag}",
+                     f"--partdir={partdir}"],
+                    cwd=os.path.dirname(
+                        os.path.dirname(os.path.abspath(__file__))
+                    ),
+                )
+                if rc:
+                    print(f"decade {tag} failed (rc {rc})", file=sys.stderr)
+                    sys.exit(rc)
+            out, canary, megabucket = {}, {}, None
+            for tag in decades:
+                with open(f"{partdir}/{tag}.part.json") as f:
+                    part = json.load(f)
+                out[tag] = part["row"]
+                canary[tag] = part["canary"]
+                megabucket = part.get("megabucket", megabucket)
+        finally:
+            shutil.rmtree(partdir, ignore_errors=True)
+        c_ratio = {
+            pair: canary[hi]["mean_sec"] / max(canary[lo]["mean_sec"], 1e-9)
+            for pair, lo, hi in (
+                ("100x_over_10x", "10x", "100x"),
+                ("1000x_over_100x", "100x", "1000x"),
+            )
+        }
+        factors = {}
+        for op in ("semdedup", "knn_ivf", "edge_build", "pagerank"):
+            raw = {
+                "100x_over_10x": round(
+                    out["100x"][op]["sec"] / max(out["10x"][op]["sec"], 1e-9),
+                    2,
+                ),
+                "1000x_over_100x": round(
+                    out["1000x"][op]["sec"]
+                    / max(out["100x"][op]["sec"], 1e-9),
+                    2,
+                ),
+            }
+            raw["canary_normalized"] = {
+                pair: round(raw[pair] / c_ratio[pair], 2)
+                for pair in c_ratio
+            }
+            factors[op] = raw
+        print("per-decade factors (10 = linear):", factors)
+        print("canary:", canary, "ratios:", c_ratio)
+        _write("CERT_vectors_1000x.json", {
+            "sweep": "vectors1000x", "decades": out,
+            "per_decade_factors": factors,
+            "canary": canary,
+            "canary_ratio": {k: round(v, 3) for k, v in c_ratio.items()},
+            "megabucket": megabucket,
+            "process_per_decade": True,
+            "note": "factor 10 = linear in rows; canary_normalized "
+                    "divides out the fixed-work canary's drift "
+                    "between decade processes; pagerank phase-split: "
+                    "edge_build = bucketed GEMM cosine pairs to "
+                    "parquet, pagerank = 10 power iterations over "
+                    "the materialized edges (edge count grows "
+                    "linearly, fixed cluster size) with setup + "
+                    "per-iteration walls per rep; megabucket = the "
+                    "oversized-bucket sub-block split path exercised "
+                    "at 100k rows in one bucket",
+        })
+        return
+
+    tag = opts["--decade"]
+    partdir = opts["--partdir"]
+    d = decades[tag]
+    reps = 2
+    _guard_stray_jvm()
     from pyspark.sql import functions as F
 
+    import __spark_entry__ as entry
     from dataframe_spark.operators import similarity
     from dataframe_spark.operators.graph import pagerank
     from tools.scale_data import EMB_CLUSTER_SIZE, ensure
 
-    spark = _spark("certify_vectors1000x")
+    spark = _spark(f"certify_vectors1000x_{tag}")
+    _ensure_10x(spark)
+    if tag != "10x":
+        _ensure_100x(spark)
+    if tag == "1000x" and not ensure(spark, DIR_100X, DIR_1000X):
+        print("1000x generation failed", file=sys.stderr)
+        sys.exit(1)
+    qs = entry.queries()
+
+    def canary_reps():
+        return _time_reps(
+            lambda: qs["q_stats_agg"](spark, DIR_10X), reps=2, spark=spark
+        )
+
+    canary_pre = canary_reps()
+    print(tag, "canary_pre", canary_pre, flush=True)
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    n = emb.count()
+    k = max(8, n // EMB_CLUSTER_SIZE)
+    row = {"rows": n, "dim": 256, "semdedup_k": k}
+
+    row["semdedup"] = _rep_stats(_time_reps(
+        lambda: similarity.semdedup(
+            emb, "vec_id", "embedding", k=k, tau=0.4, max_iter=3
+        ),
+        reps=reps, spark=spark,
+    ))
+    print(tag, "semdedup", row["semdedup"], flush=True)
+    row["knn_ivf"] = _rep_stats(_time_reps(
+        lambda: similarity.knn_ivf(
+            emb, "vec_id", "embedding", query_id=0, k=10,
+            nlist=64, nprobe=8, max_iter=3,
+        ),
+        reps=reps, spark=spark,
+    ))
+    print(tag, "knn_ivf", row["knn_ivf"], flush=True)
+
+    edges_path = f"/tmp/spark_graft_vec_edges_{tag}"
+    eb_walls = []
+    for _ in range(reps):
+        spark.catalog.clearCache()
+        t0 = time.monotonic()
+        similarity.bucketed_cosine_pairs(
+            emb, "vec_id", "embedding", "label", threshold=0.4
+        ).select("a_id", "b_id").write.mode("overwrite").parquet(edges_path)
+        eb_walls.append(round(time.monotonic() - t0, 3))
+    row["edge_build"] = _rep_stats(eb_walls)
+    edges = spark.read.parquet(edges_path)
+    row["n_edges"] = edges.count()
+    print(tag, "edge_build", row["edge_build"], "edges", row["n_edges"],
+          flush=True)
+
+    pr_walls, pr_profiles = [], []
+    for _ in range(reps):
+        spark.catalog.clearCache()
+        prof = {}
+        t0 = time.monotonic()
+        _noop(pagerank(
+            edges, "a_id", "b_id", damping=0.85, iters=10,
+            symmetrize=True, profile=prof,
+        ))
+        pr_walls.append(round(time.monotonic() - t0, 3))
+        pr_profiles.append(prof)
+    row["pagerank"] = _rep_stats(pr_walls)
+    row["pagerank"]["profiles"] = pr_profiles
+    print(tag, "pagerank", row["pagerank"], flush=True)
+
+    part = {"row": row}
+    if tag == "1000x":
+        # MEGABUCKET: ~100k of the 2 M vectors forced into one
+        # bucket — ceil(100k/32768) = 4 sub-blocks, 10 tile tasks;
+        # per-task peak is two 32k x 256 sub-blocks + one
+        # 2048 x 32768 sims tile regardless of the bucket size
+        mb_rows = 100_000
+        degenerate = emb.where(F.col("vec_id") < mb_rows).select(
+            "vec_id", "embedding", F.lit(0).alias("label")
+        )
+        spark.catalog.clearCache()
+        t0 = time.monotonic()
+        mb_pairs = similarity.bucketed_cosine_pairs(
+            degenerate, "vec_id", "embedding", "label", threshold=0.4
+        ).count()
+        mb_wall = round(time.monotonic() - t0, 3)
+        n_deg = degenerate.count()
+        import math as _math
+
+        s = _math.ceil(n_deg / 32768)
+        part["megabucket"] = {
+            "bucket_rows": n_deg, "max_bucket_rows": 32768,
+            "split_sub_blocks": s, "n_tiles": s * (s + 1) // 2,
+            "wall_sec": mb_wall, "n_pairs": mb_pairs,
+            "note": "split path exercised at cert scale (VERDICT "
+                    "r11 ask #7); task peak = 2 sub-blocks + 1 "
+                    "sims tile (rows pre-normalized in place, r12)",
+        }
+        print(tag, "megabucket", part["megabucket"], flush=True)
+
+    canary_post = canary_reps()
+    print(tag, "canary_post", canary_post, flush=True)
+    part["canary"] = {
+        "pre": canary_pre, "post": canary_post,
+        "mean_sec": round((min(canary_pre) + min(canary_post)) / 2, 3),
+    }
+    with open(f"{partdir}/{tag}.part.json", "w") as f:
+        json.dump(part, f)
+    print(f"wrote {partdir}/{tag}.part.json")
+
+
+def sweep_barrier_ab(argv):
+    """Commit the r11 sibling-stage cache-racing diagnosis as an
+    artifact (VERDICT r11 ask #6): the _materialize barriers in the
+    dedup big path exist because two sibling stages racing one COLD
+    persisted frame measured 2.5-2.8x wall inflation — but that
+    number lived only in the survey prose. This sweep times the
+    jaccard flagship end-to-end at 1000x with barriers ON vs OFF
+    (SPARK_GRAFT_NO_CACHE_BARRIER, read at plan-build time),
+    INTERLEAVED A-B-B-A in one session so both modes sample the
+    same box state, identical plan and data, storage cache cleared
+    per rep. -> CERT_barrier_ab.json"""
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    os.environ["SPARK_GRAFT_CACHE_TABLES"] = "0"
+    _guard_stray_jvm()
+    import __spark_entry__ as entry
+
+    from tools.scale_data import ensure
+
+    spark = _spark("certify_barrier_ab")
     _ensure_100x(spark)
     if not ensure(spark, DIR_100X, DIR_1000X):
         print("1000x generation failed", file=sys.stderr)
         sys.exit(1)
-    decades = (("10x", DIR_10X, 2), ("100x", DIR_100X, 2),
-               ("1000x", DIR_1000X, 1))
-    out = {}
-    for tag, d, reps in decades:
-        emb = spark.read.parquet(f"{d}/embeddings.parquet")
-        n = emb.count()
-        k = max(8, n // EMB_CLUSTER_SIZE)
-        row = {"rows": n, "dim": 256, "semdedup_k": k}
-
-        row["semdedup_sec"] = _time_best(
-            lambda: similarity.semdedup(
-                emb, "vec_id", "embedding", k=k, tau=0.4, max_iter=3
-            ),
-            reps=reps, spark=spark,
+    qs = entry.queries()
+    walls = {"on": [], "off": []}
+    for mode in ("on", "off", "off", "on"):
+        os.environ["SPARK_GRAFT_NO_CACHE_BARRIER"] = (
+            "0" if mode == "on" else "1"
         )
-        print(tag, "semdedup", row["semdedup_sec"], flush=True)
-        row["knn_ivf_sec"] = _time_best(
-            lambda: similarity.knn_ivf(
-                emb, "vec_id", "embedding", query_id=0, k=10,
-                nlist=64, nprobe=8, max_iter=3,
-            ),
-            reps=reps, spark=spark,
-        )
-        print(tag, "knn_ivf", row["knn_ivf_sec"], flush=True)
-
-        edges_path = f"/tmp/spark_graft_vec_edges_{tag}"
-        best = float("inf")
-        for _ in range(reps):
-            spark.catalog.clearCache()
-            t0 = time.monotonic()
-            similarity.bucketed_cosine_pairs(
-                emb, "vec_id", "embedding", "label", threshold=0.4
-            ).select("a_id", "b_id").write.mode("overwrite").parquet(
-                edges_path
-            )
-            best = min(best, time.monotonic() - t0)
-        row["edge_build_sec"] = round(best, 3)
-        edges = spark.read.parquet(edges_path)
-        row["n_edges"] = edges.count()
-        print(tag, "edge_build", row["edge_build_sec"], "edges",
-              row["n_edges"], flush=True)
-        row["pagerank_sec"] = _time_best(
-            lambda: pagerank(
-                edges, "a_id", "b_id", damping=0.85, iters=10,
-                symmetrize=True,
-            ),
-            reps=reps, spark=spark,
-        )
-        print(tag, "pagerank", row["pagerank_sec"], flush=True)
-        out[tag] = row
-    factors = {}
-    for op in ("semdedup", "knn_ivf", "edge_build", "pagerank"):
-        factors[op] = {
-            "100x_over_10x": round(
-                out["100x"][f"{op}_sec"] / max(out["10x"][f"{op}_sec"], 1e-9), 2
-            ),
-            "1000x_over_100x": round(
-                out["1000x"][f"{op}_sec"] / max(out["100x"][f"{op}_sec"], 1e-9),
-                2,
-            ),
-        }
-    print("per-decade factors (10 = linear):", factors)
-    _write("CERT_vectors_1000x.json", {
-        "sweep": "vectors1000x", "decades": out,
-        "per_decade_factors": factors,
-        "note": "factor 10 = linear in rows; pagerank phase-split: "
-                "edge_build = bucketed GEMM cosine pairs to parquet, "
-                "pagerank = 10 power iterations over the materialized "
-                "edges (edge count grows linearly, fixed cluster size)",
+        spark.catalog.clearCache()
+        t0 = time.monotonic()
+        _noop(qs["q_dedup_ngram_jaccard"](spark, DIR_1000X))
+        w = round(time.monotonic() - t0, 3)
+        walls[mode].append(w)
+        print(f"barrier {mode}: {w}", flush=True)
+    os.environ.pop("SPARK_GRAFT_NO_CACHE_BARRIER", None)
+    stats = {m: _rep_stats(w) for m, w in walls.items()}
+    _write("CERT_barrier_ab.json", {
+        "sweep": "barrier_ab", "query": "q_dedup_ngram_jaccard",
+        "decade": "1000x", "order": ["on", "off", "off", "on"],
+        "walls": stats,
+        "on_over_off_best": round(
+            stats["on"]["sec"] / max(stats["off"]["sec"], 1e-9), 3
+        ),
+        "note": "identical plan/data; barriers are one cache-fill "
+                "count per shared persisted frame before its "
+                "two-sided consumer (dedup._materialize), a pure "
+                "scheduling optimization — on <= off within the "
+                "committed spread confirms the r11 diagnosis; "
+                "ABBA interleave samples both modes across the "
+                "session's drift",
     })
 
 
@@ -584,10 +985,15 @@ def main():
         "vectors1000x": sweep_vectors1000x,
         "decades": sweep_decades,
         "thousandx": sweep_thousandx,
+        "barrier_ab": sweep_barrier_ab,
     }
     if len(sys.argv) < 2 or sys.argv[1] not in sweeps:
         print(__doc__)
         sys.exit(2)
+    # every sweep measures walls; none is valid next to a resident
+    # JVM (the r11 wedged-JVM hazard) — children re-check too, which
+    # catches a sibling decade's JVM that failed to exit
+    _guard_stray_jvm()
     sweeps[sys.argv[1]](sys.argv[2:])
 
 
