@@ -136,26 +136,44 @@ def _guard_stray_jvm():
     selection until it was killed. Any java process at sweep start
     is by definition not ours (each sweep creates its own session
     after this check), so its presence means the walls about to be
-    measured would be box-contention artifacts."""
+    measured would be box-contention artifacts.
+
+    A JUST-EXITED sweep's JVM takes a few seconds to die after its
+    python parent (py4j shutdown is asynchronous), so back-to-back
+    sweeps are legitimate: the guard polls for up to 45 s and only
+    refuses a JVM that OUTLIVES the grace period — a wedged JVM
+    never exits, a healthy teardown clears in seconds."""
     import subprocess
 
     if os.environ.get("SPARK_GRAFT_ALLOW_STRAY_JVM") == "1":
         return
-    try:
-        out = subprocess.run(
-            ["ps", "-eo", "pid=,rss=,comm="], capture_output=True, text=True
-        ).stdout
-    except OSError:  # no ps: cannot check, proceed
-        return
-    stray = []
-    for line in out.splitlines():
-        parts = line.split(None, 2)
-        if len(parts) == 3 and parts[2].strip() == "java":
-            stray.append(f"pid {parts[0]} rss {int(parts[1]) // 1024} MB")
+
+    def resident():
+        try:
+            out = subprocess.run(
+                ["ps", "-eo", "pid=,rss=,comm="],
+                capture_output=True, text=True,
+            ).stdout
+        except OSError:  # no ps: cannot check, proceed
+            return []
+        stray = []
+        for line in out.splitlines():
+            parts = line.split(None, 2)
+            if len(parts) == 3 and parts[2].strip() == "java":
+                stray.append(
+                    f"pid {parts[0]} rss {int(parts[1]) // 1024} MB"
+                )
+        return stray
+
+    deadline = time.monotonic() + 45
+    stray = resident()
+    while stray and time.monotonic() < deadline:
+        time.sleep(3)
+        stray = resident()
     if stray:
         print(
-            "REFUSING to certify: resident java process(es): "
-            + "; ".join(stray)
+            "REFUSING to certify: java process(es) still resident "
+            "after a 45 s grace period: " + "; ".join(stray)
             + "\n(a stray Spark JVM poisons every wall measured next to "
             "it — kill it, or set SPARK_GRAFT_ALLOW_STRAY_JVM=1 to "
             "measure anyway)",
@@ -246,6 +264,9 @@ def sweep_parity(argv):
         "n_pass": n_pass, "n_fail": n_fail, "n_rows_only": n_rowsonly,
         "results": results,
     })
+    # prompt JVM teardown so a back-to-back sweep's stray-JVM guard
+    # sees a clean box without burning its grace period
+    spark.stop()
     sys.exit(1 if n_fail else 0)
 
 
