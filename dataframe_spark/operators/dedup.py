@@ -1496,24 +1496,27 @@ def minhash_dedup_pairs(
             F.sort_array(F.collect_list("id")).alias("__mids"),
         )
     )
-    # member lists ride along from here (nearly always 1-element
-    # arrays — the collapse only aggregates exact-duplicate sets), so
-    # the post-verify expansion needs NO joins back onto gstats: the
-    # r5 plan re-broadcast gstats twice for the cross expansion and
-    # once more for the intra self-join — three serial broadcast
-    # builds of pure scheduling cost on a warm engine (r6).
+    # the band join ships SLIM rows only (r12): the r6-r11 plan
+    # carried the __mids member arrays through banding so the
+    # expansion needed no joins back onto gstats — cheap at sf0.1,
+    # but the r12 1000x stage profile put the band self-join at
+    # 145.5 s of a 265.8 s staged wall: each of its two exchanges
+    # moved bands x n_docs rows DRAGGING an array cell, and array
+    # serialization dominated the shuffle. Passengers now re-join at
+    # CANDIDATE scale below (two joins against the persisted gstats,
+    # survivor-sized stream side that AQE broadcasts at runtime) —
+    # the banding exchanges carry 24-byte (id, band_idx, band_hash)
+    # rows, nothing else. Same output, candidate set unchanged.
     # persisted (r6): the band self-join consumes sigs on both sides
     # and AQE does not reuse the exchange across the two aliased
     # projections — without the persist the num_perm×|sh_arr|
     # signature hashing ran once per side
     sigs = _reusable(
-        arrs_h.join(gstats.select("id", "__mids"), "id").select(
-            "id", "__mids", _minhash_sig_expr(num_perm).alias("sig")
+        arrs_h.join(gstats.select("id"), "id").select(
+            "id", _minhash_sig_expr(num_perm).alias("sig")
         )
     )
-    cands = lsh_candidate_pairs(
-        sigs, bands, num_perm // bands, max_bucket, carry=["__mids"]
-    )
+    cands = lsh_candidate_pairs(sigs, bands, num_perm // bands, max_bucket)
     # candidate ids are representatives, so verifying against the
     # FULL cached array table picks exactly the rep rows — no
     # separate rep frame to scan three times. The counted
@@ -1531,6 +1534,22 @@ def minhash_dedup_pairs(
         _materialize(sigs)
     rep_pairs = _verify_jaccard(
         cands, arrs_h, threshold, broadcast_pairs=None if big else False
+    )
+    # member lists re-attach on the VERIFIED survivors — orders of
+    # magnitude fewer rows than the banding exchanges the arrays no
+    # longer ride (the slim-band trade above); gstats is persisted,
+    # so each join is a cache scan with the survivor side as the
+    # runtime-small build AQE broadcasts
+    rep_pairs = rep_pairs.join(
+        gstats.select(
+            F.col("id").alias("a_id"), F.col("__mids").alias("__a___mids")
+        ),
+        "a_id",
+    ).join(
+        gstats.select(
+            F.col("id").alias("b_id"), F.col("__mids").alias("__b___mids")
+        ),
+        "b_id",
     )
 
     # in-group pairs (identical sets ⇒ Jaccard exactly 1.0) enter as

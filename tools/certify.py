@@ -694,16 +694,14 @@ def _minhash_stage_profile(
     sigs = stage(
         "signatures",
         dd._reusable(
-            arrs_h.join(gstats.select("id", "__mids"), "id").select(
-                "id", "__mids", dd._minhash_sig_expr(num_perm).alias("sig")
+            arrs_h.join(gstats.select("id"), "id").select(
+                "id", dd._minhash_sig_expr(num_perm).alias("sig")
             )
         ),
     )
     cands = stage(
         "band_candidates",
-        dd.lsh_candidate_pairs(
-            sigs, bands, num_perm // bands, None, carry=["__mids"]
-        ),
+        dd.lsh_candidate_pairs(sigs, bands, num_perm // bands, None),
     )
     out = stage(
         "verify",
