@@ -245,27 +245,44 @@ def pagerank(
     # consumers (the nodes union) race to build it.
     e = try_persist(e.repartition(npart, "u", "v").distinct())
     e.count()
-    nodes = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
     # outdeg is node-sized and consumed by the dangling check plus
     # every iteration (each would otherwise re-aggregate the full
     # edge cache) — persist it up front
     outdeg = try_persist(
         e.groupBy("u").agg(F.count(F.lit(1)).alias("__od"))
     )
-    n = nodes.count()
-    if n == 0:
-        return nodes.select("node", F.lit(0.0).alias("rank"))
-    n_dangling = nodes.join(outdeg, nodes["node"] == outdeg["u"], "left_anti").count()
-    if n_dangling:
-        raise ValueError(
-            f"pagerank: {n_dangling} nodes have no out-edges; pass "
-            "symmetrize=True or complete the graph first"
+    if symmetrize:
+        # after symmetrization every node appears as a SOURCE, so
+        # the node set IS outdeg's key column and dangling nodes are
+        # impossible by construction (r12): deriving nodes here
+        # skips a union-distinct over 2x|edges| rows plus the
+        # anti-join dangling count — the r12 1000x profile put
+        # pagerank setup at 130-146 s of a ~300 s wall, and these
+        # two jobs were the post-distinct share of it
+        nodes = outdeg.select(F.col("u").alias("node")).localCheckpoint(
+            eager=True
         )
+        n = nodes.count()
+        if n == 0:
+            return nodes.select("node", F.lit(0.0).alias("rank"))
+    else:
+        nodes = (
+            e.select(F.col("u").alias("node"))
+            .union(e.select(F.col("v").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n = nodes.count()
+        if n == 0:
+            return nodes.select("node", F.lit(0.0).alias("rank"))
+        n_dangling = nodes.join(
+            outdeg, nodes["node"] == outdeg["u"], "left_anti"
+        ).count()
+        if n_dangling:
+            raise ValueError(
+                f"pagerank: {n_dangling} nodes have no out-edges; pass "
+                "symmetrize=True or complete the graph first"
+            )
     # broadcast outdeg under the same node gate as the ranks — with
     # both sides broadcast, an iteration is one columnar scan of the
     # cached edges + two map-side joins + partial agg + one
