@@ -109,6 +109,19 @@ def fit_ols(df: SparkDF, y_col: str, x_cols: list[str]) -> OLSModel:
     g = np.sum([np.asarray(r["g"]).reshape(k, k) for r in rows], axis=0)
     xtx = g[: d + 1, : d + 1]
     xty = g[: d + 1, d + 1]
+    # Exactly collinear features reach numpy as singular-up-to-
+    # rounding: the float Gram partials sum in partition order, so
+    # LAPACK's zero-pivot test fires or not depending on how the
+    # partials happened to round — np.linalg.solve alone raised on
+    # some runs and returned a garbage pseudo-fit on others. Gate on
+    # the condition number instead: 1/cond below ~100 ULPs means no
+    # pivot ordering can distinguish the design from singular, so
+    # fail fast deterministically (well-conditioned fits are many
+    # orders of magnitude away from the threshold).
+    if not np.isfinite(xtx).all() or np.linalg.cond(xtx) > 1e13:
+        raise ValueError(
+            "fit_ols: singular design matrix (collinear features)"
+        )
     try:
         beta = np.linalg.solve(xtx, xty)
     except np.linalg.LinAlgError as e:
