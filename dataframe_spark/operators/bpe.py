@@ -82,20 +82,44 @@ def _pair_positions(words):
     )
 
 
+# merge rounds between re-materializations of the word-type table:
+# each argmax job re-applies at most this many chained in-row
+# replaces over the persisted base vocabulary — cheap next to the
+# pair explode in the same job — so a round costs ONE Spark job
+# (the argmax collect) instead of two (argmax + persist count).
+# Unbounded chaining would make round t recompute t replaces, so
+# long trainings re-base periodically to keep it O(RECHAIN_EVERY).
+BPE_RECHAIN_EVERY = 8
+
+
 def bpe_train(df, text_col: str, n_merges: int = 8, min_count: int = 1) -> BPEModel:
     """Learn ``n_merges`` BPE merges over the whitespace tokens of
     ``text_col``. Stops early when no pair reaches ``min_count``.
     Pair counts follow the classic trainer: occurrences are counted
     at every position (overlaps included), application is greedy
     non-overlapping left-to-right."""
-    words = _word_types(df, text_col).persist()
-    words.count()
+    base = _word_types(df, text_col).persist()
+    base.count()
     model = BPEModel()
     expanded: dict[str, str] = {EOW: EOW_DISPLAY}
+
+    def _chained(src, ops):
+        out = src
+        for pat, s in ops:
+            out = out.select(
+                F.replace(F.col("w"), F.lit(pat), F.lit(s)).alias("w"), "n"
+            )
+        return out
+
+    # replaces applied since `base` was materialized, in rank order —
+    # composing them as lineage is string-identical to materializing
+    # after every round (replace is applied per row; rows are never
+    # re-grouped between rounds on either shape)
+    pending: list[tuple[str, str]] = []
     try:
         for t in range(n_merges):
             best = (
-                _pair_positions(words)
+                _pair_positions(_chained(base, pending))
                 .groupBy("l", "r")
                 .agg(F.sum("n").alias("cnt"))
                 .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
@@ -112,20 +136,21 @@ def bpe_train(df, text_col: str, n_merges: int = 8, min_count: int = 1) -> BPEMo
             model.merges.append(
                 {"rank": t + 1, "lhs": lhs, "rhs": rhs, "n": cnt}
             )
-            nxt = words.select(
-                F.replace(F.col("w"), F.lit(l + r), F.lit(s)).alias("w"), "n"
-            ).persist()
-            try:
-                nxt.count()
-            except Exception:
-                # materialization failed: release nxt here — the
-                # finally below only knows the old `words` binding
-                nxt.unpersist()
-                raise
-            words.unpersist()
-            words = nxt
+            pending.append((l + r, s))
+            if len(pending) >= BPE_RECHAIN_EVERY and t + 1 < n_merges:
+                nxt = _chained(base, pending).persist()
+                try:
+                    nxt.count()
+                except Exception:
+                    # materialization failed: release nxt here — the
+                    # finally below only knows the `base` binding
+                    nxt.unpersist()
+                    raise
+                base.unpersist()
+                base = nxt
+                pending = []
     finally:
-        words.unpersist()
+        base.unpersist()
     return model
 
 
