@@ -244,30 +244,47 @@ def q_semdedup_check(spark, sf_dir):
     sf0.001, 31 at sf0.01). (b)+(c) hold for ANY clustering, so the
     check is robust to float-ulp drift in the k-means model."""
     emb = _t(spark, sf_dir, "embeddings").df
-    res = similarity.semdedup(
-        emb, "vec_id", "embedding", k=_semdedup_k(sf_dir), tau=0.4, max_iter=3
+    # persisted: consumed three times below (withv, orphans' drop
+    # scan, the stats agg) — without it the sides-join-components
+    # tail of the semdedup lineage re-executes per consumer (r12)
+    res = dedup._reusable(
+        similarity.semdedup(
+            emb, "vec_id", "embedding", k=_semdedup_k(sf_dir), tau=0.4,
+            max_iter=3,
+        )
     )
+    # norm computed ONCE PER ROW here (the semdedup-internal shape):
+    # the within-cluster pair join previously evaluated cosine() per
+    # pair, re-deriving both endpoint norms for every pair — ~3x the
+    # array arithmetic of the check's dominant join. dot/(na*nb) is
+    # the identical expression tree per value, so the edge set (and
+    # the query's output) is bit-identical (r12).
     withv = dedup._reusable(
         res.join(
             emb.select(F.col("vec_id").alias("id"), "embedding"), "id"
-        )
+        ).withColumn("__nrm", similarity.norm("embedding"))
     )
     a = withv.select(
         F.col("id").alias("a_id"),
         F.col("cluster"),
         F.col("keep").alias("__ka"),
         F.col("embedding").alias("__ea"),
+        F.col("__nrm").alias("__na"),
     )
     b = withv.select(
         F.col("id").alias("b_id"),
         F.col("cluster"),
         F.col("keep").alias("__kb"),
         F.col("embedding").alias("__eb"),
+        F.col("__nrm").alias("__nb"),
+    )
+    sim = similarity.dot(F.col("__ea"), F.col("__eb")) / F.nullif(
+        F.col("__na") * F.col("__nb"), F.lit(0.0)
     )
     edges = dedup._reusable(
         a.join(b, "cluster")
         .where(F.col("a_id") < F.col("b_id"))
-        .where(similarity.cosine(F.col("__ea"), F.col("__eb")) >= 0.4)
+        .where(sim >= 0.4)
         .select("a_id", "b_id", "__ka", "__kb")
     )
     kept_adjacent = edges.where(F.col("__ka") & F.col("__kb")).agg(
