@@ -143,6 +143,7 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 10,
     symmetrize: bool = False,
+    assume_unique: bool = False,
     profile: dict | None = None,
 ) -> SparkDF:
     """Fixed-iteration PageRank (Page et al. 1999 power iteration)
@@ -186,7 +187,23 @@ def pagerank(
     iteration — each iteration ends in an EAGER localCheckpoint, so
     the walls are real, not lazy stubs). Certification uses this to
     attribute a super-linear end-to-end wall to iteration drift
-    (cache eviction grows later iterations) vs one-time setup."""
+    (cache eviction grows later iterations) vs one-time setup.
+
+    ``assume_unique`` (r12): the caller attests the edge list holds
+    each (src, dst) row AT MOST ONCE — and, with ``symmetrize=True``,
+    at most ONE ORIENTATION per undirected pair (both (a,b) and
+    (b,a) present would collide after the swap-union; the default
+    path's distinct absorbs that, this flag does not).
+    The setup's edge ``distinct`` then collapses nothing, so it is
+    skipped together with its byte-sized repartition — removing the
+    one edge-scale exchange in the whole operator (the r12 1000x
+    profile put setup at 130-146 s of a ~300 s wall at 512 M edges,
+    dominated by that distinct's 8+ GB shuffle). Both in-repo edge
+    producers qualify by construction: cosine_pairs and
+    bucketed_cosine_pairs emit every unordered pair from exactly one
+    tile/batch. Duplicate edges under this flag double-count
+    contributions — that is the attestation, not a checked
+    precondition (checking would cost the very shuffle this skips)."""
     import time as _time
 
     if not 0.0 < damping < 1.0:
@@ -223,14 +240,15 @@ def pagerank(
     # of a SMALL graph would pay ~4096 tasks of pure scheduling. One
     # TiB of edge pairs is far beyond anything a single plan here
     # ships; past that bound the estimate is noise, not a size.
-    est = plan_size_bytes(e)
-    if est >= (1 << 40):
-        npart = sc.defaultParallelism
-    else:
-        npart = max(
-            sc.defaultParallelism,
-            min(4096, int(est // (64 << 20)) + 1),
-        )
+    if not assume_unique:
+        est = plan_size_bytes(e)
+        if est >= (1 << 40):
+            npart = sc.defaultParallelism
+        else:
+            npart = max(
+                sc.defaultParallelism,
+                min(4096, int(est // (64 << 20)) + 1),
+            )
     # The STATIC edge table is SQL-cached, not localCheckpoint'ed
     # (r11): checkpoint blocks hold deserialized row objects, and at
     # 512 M edges the block manager's re-promotion of spilled blocks
@@ -243,7 +261,19 @@ def pagerank(
     # unbounded lineage growth is the real risk and the frame is
     # node-sized. One eager count materializes the cache before two
     # consumers (the nodes union) race to build it.
-    e = try_persist(e.repartition(npart, "u", "v").distinct())
+    if assume_unique:
+        # no distinct, no exchange: cache the (symmetrized) scan
+        # as-is; only guard against a degenerate few-split source
+        # starving the per-iteration scans of parallelism
+        try:
+            planned = e.rdd.getNumPartitions()
+        except Exception:  # Spark Connect: no rdd accessor
+            planned = None
+        if planned is not None and planned < sc.defaultParallelism // 2:
+            e = e.repartition(sc.defaultParallelism)
+        e = try_persist(e)
+    else:
+        e = try_persist(e.repartition(npart, "u", "v").distinct())
     e.count()
     # outdeg is node-sized and consumed by the dangling check plus
     # every iteration (each would otherwise re-aggregate the full

@@ -185,8 +185,13 @@ def q_pagerank(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings").df
     edges = similarity.cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    # assume_unique (r12): cosine_pairs emits every unordered pair
+    # from exactly one batch, so the setup distinct collapses
+    # nothing — skipping it removes the only edge-scale exchange;
+    # ranks are identical on a duplicate-free input
     pr = pagerank(
-        edges, "a_id", "b_id", damping=0.85, iters=10, symmetrize=True
+        edges, "a_id", "b_id", damping=0.85, iters=10, symmetrize=True,
+        assume_unique=True,
     )
     return pr.select("node", F.round("rank", 6).alias("pr_rank"))
 

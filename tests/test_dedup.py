@@ -539,6 +539,50 @@ def test_pagerank_closed_form_and_guards(spark):
         pagerank(edges, iters=0)
 
 
+def test_pagerank_assume_unique_matches_default(spark):
+    """assume_unique skips the setup distinct (r12). On inputs that
+    satisfy the attestation — duplicate-free rows for the directed
+    case, ONE orientation per undirected pair for the symmetrized
+    case (what cosine_pairs/bucketed_cosine_pairs emit) — ranks must
+    be IDENTICAL to the default path."""
+    from dataframe_spark.operators.graph import pagerank
+
+    directed = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 1), (1, 2), (4, 1), (1, 4)],
+        "src long, dst long",
+    )
+    want = {r["node"]: r["rank"]
+            for r in pagerank(directed, iters=7).collect()}
+    got = {r["node"]: r["rank"]
+           for r in pagerank(directed, iters=7, assume_unique=True).collect()}
+    assert got == want
+
+    undirected = spark.createDataFrame(
+        [(1, 3), (2, 3), (1, 2), (1, 4)], "src long, dst long"
+    )
+    want = {r["node"]: r["rank"]
+            for r in pagerank(undirected, iters=5, symmetrize=True).collect()}
+    got = {r["node"]: r["rank"]
+           for r in pagerank(
+               undirected, iters=5, symmetrize=True, assume_unique=True
+           ).collect()}
+    assert got == want
+
+    # the attestation is real: both orientations of one undirected
+    # pair DO break the flag under symmetrize (they collide after
+    # the swap-union) — the default path dedups them instead
+    both = spark.createDataFrame(
+        [(1, 3), (3, 1), (2, 3), (1, 2), (1, 4)], "src long, dst long"
+    )
+    want = {r["node"]: r["rank"]
+            for r in pagerank(both, iters=5, symmetrize=True).collect()}
+    got = {r["node"]: r["rank"]
+           for r in pagerank(
+               both, iters=5, symmetrize=True, assume_unique=True
+           ).collect()}
+    assert got != want
+
+
 def test_jaccard_broadcast_gate_strategies_agree(spark, sf_dir):
     """Every candidate strategy must produce the identical pair set:
     the legacy df-order under forced broadcast, forced shuffle, and
