@@ -1247,8 +1247,16 @@ def bigram_lm(df, text_col: str, top_v: int = 1000, top_b: int = 20_000):
     from ..plans.hints import ensure_scan_parallelism
 
     from .dedup import window_array_expr
+    from ..plans.cache import try_persist, try_unpersist
 
-    counts = vocabulary(df, text_col)
+    # persisted for the FIT's lifetime only (r12): the (token, n)
+    # lineage — a full corpus tokenize + count shuffle — is consumed
+    # by unigram_lm's n_total/vocab aggs, the bilm's two vocab
+    # sides, and again by each of the three collect() jobs below;
+    # unpersisted before return because the fit materializes into
+    # local literal frames, so nothing references it afterwards
+    # (cold fit at sf0.1: ~5 corpus token-count executions -> 1)
+    counts = try_persist(vocabulary(df, text_col))
     unilm, totals = unigram_lm(df, text_col, top_v=top_v, counts=counts)
     vocab = _top_vocab(counts, top_v)
     src = ensure_scan_parallelism(df)
@@ -1279,10 +1287,13 @@ def bigram_lm(df, text_col: str, top_v: int = 1000, top_b: int = 20_000):
     # a pandas round-trip would coerce any nullable long column to
     # float64/NaN and then fail or silently quantize against the
     # long schema — Row lists re-create losslessly.
-    return tuple(
-        spark.createDataFrame(m.collect(), m.schema)
-        for m in (bilm, unilm, totals)
-    )
+    try:
+        return tuple(
+            spark.createDataFrame(m.collect(), m.schema)
+            for m in (bilm, unilm, totals)
+        )
+    finally:
+        try_unpersist(counts)
 
 
 def bigram_perplexity_score(
