@@ -174,12 +174,147 @@ def poisson1_from_uniform(u):
     return expr
 
 
+def _bootstrap_arrow_kernel(group_names: Sequence[str], B: int):
+    """mapInArrow partial-aggregation kernel for bootstrap_mean_se's
+    arrow engine. Input batches: (group_cols..., __x double, __kb
+    string = the \\x1f-joined key prefix of row_digest). Emits, per
+    group value seen by the task, B rows (__b, partial sum(w_b*x),
+    partial sum(w_b)) plus one __b = -1 row carrying the plain-mean
+    partials (sum(x), count) — one corpus pass covers both the
+    replicate sums and the plain mean.
+
+    Bit-equivalence with the JVM expression path (pinned by
+    tests/test_ml.py::test_bootstrap_engines_agree and the weight
+    unit test): md5 digest bytes read as big-endian uint32 words ==
+    conv(substring(hex, 1+8j, 8), 16, 10); u = word / 2**32 is an
+    exact float64 (division by a power of two); and
+    np.searchsorted(CDF, u, side='right') == the poisson1 CASE
+    ladder (smallest k with u < CDF[k], else 8). Per-term products
+    w*x are IEEE-identical; only summation order differs from the
+    JVM hash-agg, which the caller's rounding absorbs exactly as it
+    already does between Spark partition layouts and the DuckDB
+    oracle."""
+    n_chunks = (B + 3) // 4
+    cdf_vals = tuple(POISSON1_CDF)
+    group_names = list(group_names)
+    n_groups = len(group_names)
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        md5 = hashlib.md5
+        cdf = np.asarray(cdf_vals)
+        salts = [("\x1f%d" % c).encode() for c in range(n_chunks)]
+        acc: dict = {}
+        gtypes = None
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            if gtypes is None:
+                gtypes = [batch.schema.field(i).type for i in range(n_groups)]
+            x = batch.column(n_groups).to_numpy(zero_copy_only=False)
+            kb = pc.cast(batch.column(n_groups + 1), pa.binary()).to_pylist()
+            # ceil(B/4) digests per row; the md5 loop IS the task's
+            # cost — everything after is vectorized numpy. One list
+            # comprehension per chunk measured ~25% faster than the
+            # row-major nested loop (fewer generator frames)
+            u = np.hstack(
+                [
+                    np.frombuffer(
+                        b"".join([md5(k + s).digest() for k in kb]),
+                        dtype=">u4",
+                    ).reshape(n, 4)
+                    for s in salts
+                ]
+            )[:, :B].astype(np.float64)
+            u /= 4294967296.0
+            w = np.searchsorted(cdf, u, side="right").astype(np.float64)
+            if n_groups == 0:
+                codes = np.zeros(n, dtype=np.intp)
+                uniq = [()]
+            elif n_groups == 1 and batch.column(0).null_count == 0:
+                # C-level factorize; null group values take the
+                # generic path below (numpy would coerce a nullable
+                # int column to float NaN and corrupt the value)
+                import pandas as pd
+
+                codes, uq = pd.factorize(
+                    batch.column(0).to_numpy(zero_copy_only=False),
+                    use_na_sentinel=False,
+                )
+                uniq = [(u,) for u in uq]
+            else:
+                cols = [
+                    batch.column(i).to_pylist() for i in range(n_groups)
+                ]
+                idx: dict = {}
+                codes = np.empty(n, dtype=np.intp)
+                for i, kv in enumerate(zip(*cols)):
+                    code = idx.get(kv)
+                    if code is None:
+                        code = len(idx)
+                        idx[kv] = code
+                    codes[i] = code
+                uniq = list(idx)
+            G = len(uniq)
+            wx = w * x[:, None]
+            swx = np.empty((G, B))
+            sw = np.empty((G, B))
+            for b in range(B):
+                swx[:, b] = np.bincount(codes, weights=wx[:, b], minlength=G)
+                sw[:, b] = np.bincount(codes, weights=w[:, b], minlength=G)
+            sx = np.bincount(codes, weights=x, minlength=G)
+            cnt = np.bincount(codes, minlength=G)
+            for g, kv in enumerate(uniq):
+                st = acc.get(kv)
+                if st is None:
+                    acc[kv] = [swx[g].copy(), sw[g].copy(), sx[g], cnt[g]]
+                else:
+                    st[0] += swx[g]
+                    st[1] += sw[g]
+                    st[2] += sx[g]
+                    st[3] += cnt[g]
+        if not acc:
+            return
+        out_g: list[list] = [[] for _ in range(n_groups)]
+        bs: list[int] = []
+        swxs: list[float] = []
+        sws: list[float] = []
+        for kv, (a_swx, a_sw, a_sx, a_n) in acc.items():
+            for i in range(n_groups):
+                out_g[i].extend([kv[i]] * (B + 1))
+            bs.extend(range(B))
+            bs.append(-1)
+            swxs.extend(a_swx.tolist())
+            swxs.append(float(a_sx))
+            sws.extend(a_sw.tolist())
+            sws.append(float(a_n))
+        arrays = [
+            pa.array(out_g[i], type=gtypes[i]) for i in range(n_groups)
+        ]
+        arrays += [
+            pa.array(bs, type=pa.int32()),
+            pa.array(swxs, type=pa.float64()),
+            pa.array(sws, type=pa.float64()),
+        ]
+        names = group_names + ["__b", "__swx", "__sw"]
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return kernel
+
+
 def bootstrap_mean_se(
     df: SparkDF,
     value_col: str,
     key_cols: Sequence[str],
     group_cols: Sequence[str] | None = None,
     n_replicates: int = 50,
+    engine: str = "arrow",
 ) -> SparkDF:
     """Deterministic Poisson bootstrap of the mean (Chamandy et al.,
     "Estimating Uncertainty for Massive Data Streams", Google 2012;
@@ -200,21 +335,77 @@ def bootstrap_mean_se(
     projection boundary, not codegen-CSE luck) and all B weights
     derive in-row.
 
-    Plan (B ≤ 128, the wide path): NO explode — one hash-agg pass
-    computes all B replicate partial sums as 2B agg expressions per
-    group; the replicate melt happens on #groups × B rows after.
-    Measured at 10x sf0.1 (6M rows, B=50): 26.5 s → 4.7 s. Larger
-    B keeps the explode shape (2B agg columns would stress codegen)
-    but still draws weights from the chunked digests — map-side
-    combine keeps the exchange at #groups × B rows either way.
-    Null values are excluded like avg does."""
+    Engines (r12): ``engine="arrow"`` (default) runs the whole
+    per-row derivation — digests, uniforms, Poisson ladder, partial
+    sums — as ONE mapInArrow kernel (guide §4.2: hand whole batches
+    to vectorized native code): hashlib computes the identical md5
+    digests, the uniform is the digest's big-endian uint32 word
+    (== conv(substring(hex),16,10), exact), the ladder is one
+    np.searchsorted, and each task emits only #groups × (B+1)
+    partial-sum rows, so the exchange is tiny and the plain mean
+    rides the same single corpus pass. Motivation (measured r12,
+    guide §1): the JVM expression path's 100-expression hash-agg
+    fails whole-stage codegen ("Code grows beyond 64 KB") and
+    evaluates ~30M interpreted conv+CASE trees at sf0.1 — its
+    measured floor (~2.8-3.3 s) is 50-100x numpy's cost for the
+    same arithmetic. ``engine="jvm"`` keeps the pure-expression
+    plan (B ≤ 128 wide path: NO explode — one hash-agg computes all
+    B replicate partial sums as 2B agg expressions per group, the
+    melt happens on #groups × B rows after, measured at 10x sf0.1
+    26.5 s → 4.7 s vs the r7 explode; larger B keeps the explode
+    shape). Both engines draw the SAME weights from the SAME
+    chunked digests; equality is test-pinned
+    (test_bootstrap_engines_agree). Null values are excluded like
+    avg does on either engine."""
     from ..operators.text import row_digest, row_uniform_slice
 
     if n_replicates < 2:
         raise ValueError(f"need >= 2 replicates, got {n_replicates}")
+    if engine not in ("arrow", "jvm"):
+        raise ValueError(f"engine must be 'arrow' or 'jvm', got {engine!r}")
     B = int(n_replicates)
     keys = list(group_cols or [])
     v = F.col(value_col).cast("double")
+    if engine == "arrow":
+        keyed = [
+            F.coalesce(F.col(k).cast("string"), F.lit("\x00"))
+            for k in key_cols
+        ]
+        src = df.where(v.isNotNull() & ~F.isnan(v)).select(
+            *keys,
+            v.alias("__x"),
+            F.concat_ws("\x1f", *keyed).alias("__kb"),
+        )
+        gtypes = ", ".join(
+            f"`{k}` {src.schema[k].dataType.simpleString()}" for k in keys
+        )
+        schema = (gtypes + ", " if gtypes else "") + (
+            "__b int, __swx double, __sw double"
+        )
+        part = src.mapInArrow(_bootstrap_arrow_kernel(keys, B), schema)
+        # Single lineage: one global merge of the per-task partials
+        # (exchange keyed (keys, __b)), then ONE conditional agg per
+        # key folds the replicate rows into se_boot and the __b = -1
+        # row into mean/n — no self-join, so the kernel subtree
+        # appears (and executes) exactly once in the plan
+        tot = part.groupBy(*keys, "__b").agg(
+            F.sum("__swx").alias("__swx"), F.sum("__sw").alias("__sw")
+        )
+        is_rep = (F.col("__b") >= 0) & (F.col("__sw") > 0)
+        mb = F.when(is_rep, F.col("__swx") / F.col("__sw"))
+        is_plain = F.col("__b") == -1
+        out = tot.groupBy(*keys).agg(
+            (
+                F.max(F.when(is_plain, F.col("__swx")))
+                / F.max(F.when(is_plain, F.col("__sw")))
+            ).alias("mean"),
+            F.max(F.when(is_plain, F.col("__sw")))
+            .cast("long")
+            .alias("n"),
+            F.stddev_samp(mb).alias("se_boot"),
+            F.count(mb).alias("n_replicates"),
+        )
+        return out.select(*keys, "mean", "n", "se_boot", "n_replicates")
     n_chunks = (B + 3) // 4
     src = df.where(v.isNotNull() & ~F.isnan(v)).select(
         *keys,

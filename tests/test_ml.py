@@ -720,11 +720,11 @@ def test_bootstrap_wide_and_explode_paths_agree(spark, monkeypatch):
         (F.col("id") % 3).cast("int").alias("g"),
     )
     wide = scale.bootstrap_mean_se(
-        df, "x", ["id"], ["g"], n_replicates=22
+        df, "x", ["id"], ["g"], n_replicates=22, engine="jvm"
     ).collect()
     monkeypatch.setattr(scale, "BOOTSTRAP_WIDE_MAX_B", 0)
     exploded = scale.bootstrap_mean_se(
-        df, "x", ["id"], ["g"], n_replicates=22
+        df, "x", ["id"], ["g"], n_replicates=22, engine="jvm"
     ).collect()
     a = {r["g"]: (r["mean"], r["se_boot"], r["n"]) for r in wide}
     b = {r["g"]: (r["mean"], r["se_boot"], r["n"]) for r in exploded}
@@ -732,6 +732,95 @@ def test_bootstrap_wide_and_explode_paths_agree(spark, monkeypatch):
     for g in a:
         assert a[g][0] == b[g][0] and a[g][2] == b[g][2]
         assert a[g][1] == _pytest.approx(b[g][1], rel=1e-12)
+
+
+def test_bootstrap_engines_agree(spark):
+    """The r12 arrow engine (mapInArrow partial-sum kernel) and the
+    pure-JVM expression path draw the SAME md5-chunked weights and
+    must produce identical results up to float summation order:
+    counts exactly, means/SEs to ulp-level relative tolerance (far
+    inside the query contract's 2dp/4dp rounding). Covers grouped
+    and keyless calls and a B that does not divide 4 (partial last
+    digest chunk)."""
+    import pytest as _pytest
+
+    from dataframe_spark.operators.scale import bootstrap_mean_se
+    from pyspark.sql import functions as F
+
+    df = spark.range(700).select(
+        F.col("id"),
+        (F.col("id") % 11).cast("int").alias("k2"),
+        ((F.col("id") % 53) * 1.25).alias("x"),
+        (F.col("id") % 3).cast("int").alias("g"),
+    )
+    for kwargs in (
+        {"group_cols": ["g"], "n_replicates": 22},
+        {"group_cols": None, "n_replicates": 10},
+    ):
+        a = bootstrap_mean_se(
+            df, "x", ["id", "k2"], engine="arrow", **kwargs
+        ).collect()
+        j = bootstrap_mean_se(
+            df, "x", ["id", "k2"], engine="jvm", **kwargs
+        ).collect()
+        key = (lambda r: r["g"]) if kwargs["group_cols"] else (lambda r: 0)
+        am = {key(r): r for r in a}
+        jm = {key(r): r for r in j}
+        assert set(am) == set(jm) and len(am) == len(a)
+        for g in jm:
+            assert am[g]["n"] == jm[g]["n"]
+            assert am[g]["n_replicates"] == jm[g]["n_replicates"]
+            assert am[g]["mean"] == _pytest.approx(jm[g]["mean"], rel=1e-12)
+            assert am[g]["se_boot"] == _pytest.approx(
+                jm[g]["se_boot"], rel=1e-12
+            )
+
+
+def test_bootstrap_arrow_weight_derivation_exact(spark):
+    """Pin the arrow kernel's digest->uniform->Poisson arithmetic to
+    the JVM expression semantics EXACTLY (integer equality over
+    200 rows x 12 weights): big-endian uint32 words of the md5
+    digest bytes == conv(substring(hex, 1+8j, 8), 16, 10); word /
+    2**32 is an exact float64 (power-of-two division); and
+    np.searchsorted(CDF, u, side='right') == the poisson1 CASE
+    ladder (smallest k with u < CDF[k], else 8)."""
+    import hashlib
+
+    import numpy as np
+
+    from dataframe_spark.operators.scale import (
+        POISSON1_CDF,
+        poisson1_from_uniform,
+    )
+    from dataframe_spark.operators.text import (
+        row_digest,
+        row_uniform_slice,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(200).select(
+        F.col("id"), ((F.col("id") * 7) % 13).alias("k2")
+    )
+    rows = df.select(
+        "id",
+        "k2",
+        *[
+            poisson1_from_uniform(
+                row_uniform_slice(row_digest(["id", "k2"], str(c)), j)
+            ).alias(f"w_{c}_{j}")
+            for c in range(3)
+            for j in range(4)
+        ],
+    ).collect()
+    cdf = np.asarray(POISSON1_CDF)
+    for r in rows:
+        base = f"{r['id']}\x1f{r['k2']}".encode()
+        for c in range(3):
+            d = hashlib.md5(base + b"\x1f%d" % c).digest()
+            words = np.frombuffer(d, dtype=">u4").astype(np.float64)
+            w = np.searchsorted(cdf, words / 2.0**32, side="right")
+            for j in range(4):
+                assert int(w[j]) == r[f"w_{c}_{j}"]
 
 
 def test_mad_outliers_closed_form(spark):

@@ -327,8 +327,14 @@ def test_spearman_and_bootstrap_no_cartesian_data_paths(spark, sf_dir):
         )
     )
     assert "CartesianProduct" not in p2
-    # replicate explode combines map-side: partial agg before exchange
+    # partials combine map-side: partial agg before exchange
     assert "partial_" in p2 or "HashAggregate" in p2
+    # r12 arrow engine: the kernel subtree appears exactly ONCE in
+    # the tree (the single-lineage conditional-agg finalize — a
+    # self-join would duplicate the corpus pass), and the Python
+    # boundary is the batch kernel, never a row-at-a-time UDF
+    assert p2.count("MapInArrow") == 1
+    assert "BatchEvalPython" not in p2
 
 
 def test_skew_join_salted_plan(spark, sf_dir):
