@@ -1321,7 +1321,12 @@ def edit_distance_pairs(
 
 
 def minhash_signatures(
-    df: SparkDF, id_col: str, text_col: str, n: int = 3, num_perm: int = 64
+    df: SparkDF,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    engine: str = "arrow",
 ) -> SparkDF:
     """(id, sig: array<bigint>) — num_perm min-hashes per document.
 
@@ -1330,12 +1335,15 @@ def minhash_signatures(
     re-hashes of 8 bytes instead of num_perm full string hashes
     (the string hash dominates at realistic shingle lengths). The
     whole signature is computed IN-ROW over the per-doc shingle
-    array (array_min ∘ transform per permutation): a narrow
-    projection fused into the scan, ZERO shuffles — the former
-    explode + 64-way min-agg formulation paid a full shuffle of
-    every (id, hash) row for the same result (2x slower at sf0.1)."""
+    array: a narrow projection fused into the scan, ZERO shuffles —
+    the former explode + 64-way min-agg formulation paid a full
+    shuffle of every (id, hash) row for the same result (2x slower
+    at sf0.1). ``engine`` (r12): ``"arrow"`` (default) runs the
+    num_perm×|sh_arr| hash loop as a vectorized mapInArrow kernel,
+    ``"jvm"`` the original array_min ∘ transform expression —
+    values bit-identical either way (see _minhash_sigs_frame)."""
     arrs_h = _hash_arrays(shingle_arrays(df, id_col, text_col, n))
-    return arrs_h.select("id", _minhash_sig_expr(num_perm).alias("sig"))
+    return _minhash_sigs_frame(arrs_h, num_perm, engine)
 
 
 def _minhash_sig_expr(num_perm: int):
@@ -1357,6 +1365,126 @@ def _minhash_sig_expr(num_perm: int):
         lambda i: F.array_min(
             F.transform("sh_arr", lambda h: F.xxhash64(h, i))
         ),
+    )
+
+
+def _minhash_sig_kernel(num_perm: int):
+    """mapInArrow kernel computing EXACTLY ``_minhash_sig_expr``'s
+    values (guide §4.2: hand whole batches to vectorized native
+    code). Input batches: (id, sh_arr: array<bigint>); output:
+    (id, sig: array<bigint>).
+
+    Bit-equivalence with the JVM expression (pinned by
+    tests/test_dedup.py::test_minhash_sig_kernel_matches_jvm):
+    Spark's ``xxhash64(h, i)`` folds left over its arguments —
+    ``hashInt(i, seed=hashLong(h, 42))`` in Catalyst's XXH64 — so
+    the inner ``hashLong`` is computed ONCE per shingle hash and
+    each permutation pass is ~15 vectorized uint64 ops over the
+    batch's flattened values plus one ``np.minimum.reduceat``
+    segment-min (signed int64 view: ``array_min`` over bigint
+    compares signed). uint64 arithmetic wraps modulo 2⁶⁴ exactly
+    like Java long arithmetic. The JVM higher-order expression
+    evaluates the full two-argument hash per (element, permutation)
+    through interpreted lambda plumbing with a per-permutation
+    array allocation — the kernel replaces num_perm×|sh_arr|
+    interpreted evaluations per row with C-speed passes."""
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        U64 = np.uint64
+        M = 0xFFFFFFFFFFFFFFFF
+        P1 = U64(0x9E3779B185EBCA87)
+        P2 = U64(0xC2B2AE3D27D4EB4F)
+        P3 = U64(0x165667B19E3779F9)
+        P4 = U64(0x85EBCA77C2B2AE63)
+        # hashLong's seed prefix (seed=42) and hashInt's, both
+        # constant-folded: 42 + PRIME64_5 + 8 resp. PRIME64_5 + 4
+        SEED_L = U64((42 + 0x27D4EB2F165667C5 + 8) & M)
+        INT_PFX = U64((0x27D4EB2F165667C5 + 4) & M)
+        # per-permutation constant (i & 0xffffffff) * PRIME64_1
+        IP1 = [U64((i * 0x9E3779B185EBCA87) & M) for i in range(num_perm)]
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            arr = batch.column(1)
+            if arr.null_count:
+                # impossible from shingle_arrays (n_sh > 0 filter);
+                # fail loudly rather than guess a null-list encoding
+                raise ValueError("minhash kernel: null sh_arr row")
+            lens = np.asarray(pc.list_value_length(arr)).astype(np.int64)
+            vals = np.asarray(arr.flatten()).view(U64)
+            with np.errstate(over="ignore"):
+                # hashLong(v, 42), vectorized, then hoist hashInt's
+                # seed prefix (the add precedes the per-perm xor)
+                h = vals * P2
+                h = ((h << U64(31)) | (h >> U64(33))) * P1
+                h = SEED_L ^ h
+                h = ((h << U64(27)) | (h >> U64(37))) * P1 + P4
+                h ^= h >> U64(33)
+                h *= P2
+                h ^= h >> U64(29)
+                h *= P3
+                h ^= h >> U64(32)
+                h += INT_PFX
+                cs = np.zeros(n + 1, dtype=np.int64)
+                np.cumsum(lens, out=cs[1:])
+                nz = lens > 0
+                starts = cs[:-1][nz]
+                out = np.zeros((n, num_perm), dtype=np.int64)
+                for i in range(num_perm):
+                    g = h ^ IP1[i]
+                    g = ((g << U64(23)) | (g >> U64(41))) * P2 + P3
+                    g ^= g >> U64(33)
+                    g *= P2
+                    g ^= g >> U64(29)
+                    g *= P3
+                    g ^= g >> U64(32)
+                    if starts.size:
+                        out[nz, i] = np.minimum.reduceat(
+                            g.view(np.int64), starts
+                        )
+            offsets = pa.array(
+                np.arange(n + 1, dtype=np.int32) * num_perm
+            )
+            if nz.all():
+                values = pa.array(out.ravel(), type=pa.int64())
+            else:
+                # empty sh_arr: array_min(empty) is null per entry
+                values = pa.array(
+                    out.ravel(),
+                    type=pa.int64(),
+                    mask=np.repeat(~nz, num_perm),
+                )
+            sig = pa.ListArray.from_arrays(offsets, values)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), sig], names=["id", "sig"]
+            )
+
+    return kernel
+
+
+def _minhash_sigs_frame(
+    src: SparkDF, num_perm: int, engine: str = "arrow"
+) -> SparkDF:
+    """(id, sig) over a frame carrying (id, sh_arr), on either
+    engine — ``"arrow"`` (default) runs ``_minhash_sig_kernel``,
+    ``"jvm"`` keeps the pure-expression plan. Values are
+    bit-identical (test-pinned), so the banding candidate set and
+    every downstream result are unchanged by the engine choice."""
+    if engine not in ("arrow", "jvm"):
+        raise ValueError(f"engine must be 'arrow' or 'jvm', got {engine!r}")
+    if engine == "jvm":
+        return src.select("id", _minhash_sig_expr(num_perm).alias("sig"))
+    id_type = src.schema["id"].dataType.simpleString()
+    # explicit select: mapInArrow is opaque to column pruning —
+    # without it the kernel would be shipped every source column
+    return src.select("id", "sh_arr").mapInArrow(
+        _minhash_sig_kernel(num_perm), f"id {id_type}, sig array<bigint>"
     )
 
 
@@ -1451,6 +1579,7 @@ def minhash_dedup_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     max_bucket: int | None = None,
+    engine: str = "arrow",
 ) -> SparkDF:
     """Full pipeline: minhash → LSH candidates → exact-Jaccard verify.
 
@@ -1469,7 +1598,9 @@ def minhash_dedup_pairs(
     identical to the uncollapsed plan; only the candidate join is
     spared the quadratic blowup. ``max_bucket`` additionally caps
     surviving band buckets (recall-trading, off by default; see
-    lsh_candidate_pairs)."""
+    lsh_candidate_pairs). ``engine`` picks the signature
+    implementation (``"arrow"`` kernel default / ``"jvm"``
+    expression) — bit-identical values, identical output."""
     if bands < 1 or num_perm % bands != 0:
         # non-divisible num_perm would silently discard trailing
         # signature rows; bands > num_perm would degenerate to one
@@ -1510,10 +1641,12 @@ def minhash_dedup_pairs(
     # persisted (r6): the band self-join consumes sigs on both sides
     # and AQE does not reuse the exchange across the two aliased
     # projections — without the persist the num_perm×|sh_arr|
-    # signature hashing ran once per side
+    # signature hashing ran once per side. The hashing itself runs
+    # on the arrow kernel by default (r12, _minhash_sigs_frame):
+    # same values bit-for-bit, so the candidate set is unchanged
     sigs = _reusable(
-        arrs_h.join(gstats.select("id"), "id").select(
-            "id", _minhash_sig_expr(num_perm).alias("sig")
+        _minhash_sigs_frame(
+            arrs_h.join(gstats.select("id"), "id"), num_perm, engine
         )
     )
     cands = lsh_candidate_pairs(sigs, bands, num_perm // bands, max_bucket)

@@ -292,6 +292,46 @@ def test_minhash_identical_docs_collapse(spark):
     assert sigs_rows.count() == n + 2
 
 
+def test_minhash_sig_kernel_matches_jvm(spark):
+    """The arrow signature kernel must reproduce the JVM expression
+    EXACTLY (integer equality over every doc and permutation): the
+    banding candidate set — and with it q_dedup_minhash's
+    deterministic 100% recall at the driver SFs — depends on the
+    values, so bit-equality is the equivalence proof, not a
+    statistical check."""
+    import random
+
+    rng = random.Random(12)
+    words = ["alpha", "bravo", "pad", "x9", "zulu", "kilo", "mike", "nn"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(3, 40))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = dedup.minhash_signatures(df, "doc_id", "text", 3, 64, engine="arrow")
+    j = dedup.minhash_signatures(df, "doc_id", "text", 3, 64, engine="jvm")
+    av = {r["id"]: r["sig"] for r in a.collect()}
+    jv = {r["id"]: r["sig"] for r in j.collect()}
+    assert len(av) == 200
+    assert av == jv
+
+
+def test_minhash_sig_kernel_empty_array_matches_jvm(spark):
+    """Defensive parity for an input minhash_signatures itself never
+    produces (shingle_arrays filters n_sh > 0): an EMPTY sh_arr row
+    yields num_perm null entries on both engines (array_min over an
+    empty transform is null per permutation)."""
+    from dataframe_spark.operators.dedup import _minhash_sigs_frame
+
+    src = spark.createDataFrame(
+        [(1, [123456789, -42]), (2, [])], "id long, sh_arr array<bigint>"
+    )
+    a = {r["id"]: r["sig"] for r in _minhash_sigs_frame(src, 8, "arrow").collect()}
+    j = {r["id"]: r["sig"] for r in _minhash_sigs_frame(src, 8, "jvm").collect()}
+    assert a == j
+    assert a[2] == [None] * 8
+
+
 def test_lsh_max_bucket_caps_candidates(spark):
     """max_bucket bounds per-bucket pairing deterministically."""
     from dataframe_spark.operators.dedup import lsh_candidate_pairs

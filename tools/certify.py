@@ -696,8 +696,11 @@ def _minhash_stage_profile(
     sigs = stage(
         "signatures",
         dd._reusable(
-            arrs_h.join(gstats.select("id"), "id").select(
-                "id", dd._minhash_sig_expr(num_perm).alias("sig")
+            # the operator's shipped default path (r12: the arrow
+            # signature kernel) so the profile measures the plan
+            # minhash_dedup_pairs actually runs
+            dd._minhash_sigs_frame(
+                arrs_h.join(gstats.select("id"), "id"), num_perm, "arrow"
             )
         ),
     )
