@@ -607,6 +607,123 @@ def sweep_thousandx(argv):
     print(f"wrote {partdir}/{tag}.part.json")
 
 
+def sweep_dedup_stages(argv):
+    """Focused top-decade dedup evidence (r12): the two 1000x stage
+    profiles plus a minhash e2e best-of-2, each section in a FRESH
+    process with its own fixed-work canary bracket — cheap to re-run
+    after a plan change without paying the full three-decade
+    thousandx sweep. Written for the r12 signature-kernel change:
+    CERT_thousandx's committed minhash profile describes the
+    pre-kernel plan, and its signatures stage carried an unexplained
+    278 s reading (vs 57 s in the r11 window) that only a
+    quiet-window re-read can adjudicate.
+
+    PROCESS ISOLATION PER SECTION: the first draft ran all three
+    sections in one 48g JVM and reproduced the accumulated-session
+    pathology the thousandx sweep's per-decade re-exec exists for —
+    the jaccard prefix stage read 187 s in section 2 of the shared
+    process vs 36.3 s in the committed fresh-process profile, while
+    the small fixed-work canary stayed flat (2.5 s): heap/GC/block-
+    manager accumulation hits the big stages, not the canary. Same
+    fix as thousandx: re-exec per section, merge partials."""
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    os.environ["SPARK_GRAFT_CACHE_TABLES"] = "0"
+    sections = ("minhash_profile", "jaccard_profile", "minhash_e2e")
+    opts = dict(
+        a.split("=", 1) for a in argv if a.startswith("--") and "=" in a
+    )
+    if "--section" not in opts:
+        import subprocess
+        import tempfile
+
+        _guard_stray_jvm()
+        partdir = tempfile.mkdtemp(prefix="cert_dedup_stages_")
+        for tag in sections:
+            rc = subprocess.call(
+                [sys.executable, os.path.abspath(__file__), "dedup_stages",
+                 f"--section={tag}", f"--partdir={partdir}"],
+                cwd=os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__))
+                ),
+            )
+            if rc:
+                print(f"section {tag} failed (rc {rc})", file=sys.stderr)
+                sys.exit(rc)
+        merged = {"sweep": "dedup_stages", "dir": DIR_1000X,
+                  "stage_profile": {}, "canary": {}}
+        for tag in sections:
+            with open(f"{partdir}/{tag}.part.json") as f:
+                part = json.load(f)
+            merged["stage_profile"].update(part.get("stage_profile", {}))
+            if "minhash_e2e_1000x" in part:
+                merged["minhash_e2e_1000x"] = part["minhash_e2e_1000x"]
+            merged["canary"][tag] = part["canary"]
+        merged["note"] = (
+            "fresh process per section; stage_profile stages are "
+            "cumulatively warm (each reuses upstream persisted "
+            "frames), so they sum to ~one end-to-end run"
+        )
+        _write("CERT_dedup_stages_r12.json", merged)
+        return
+
+    tag = opts["--section"]
+    partdir = opts["--partdir"]
+    _guard_stray_jvm()
+    import __spark_entry__ as entry
+
+    from tools.scale_data import ensure
+
+    spark = _spark(f"certify_dedup_{tag}")
+    _ensure_100x(spark)
+    if not ensure(spark, DIR_100X, DIR_1000X):
+        print("1000x generation failed", file=sys.stderr)
+        sys.exit(1)
+    qs = entry.queries()
+
+    def canary_reps():
+        return _time_reps(
+            lambda: qs["q_stats_agg"](spark, DIR_10X), reps=2, spark=spark
+        )
+
+    canary_pre = canary_reps()
+    print(tag, "canary_pre", canary_pre, flush=True)
+    part = {}
+    if tag == "minhash_profile":
+        print("minhash stage profile at 1000x:", flush=True)
+        part["stage_profile"] = {
+            "q_dedup_minhash@1000x": _minhash_stage_profile(
+                spark, DIR_1000X
+            )
+        }
+    elif tag == "jaccard_profile":
+        print("jaccard stage profile at 1000x:", flush=True)
+        part["stage_profile"] = {
+            "q_dedup_ngram_jaccard@1000x": _jaccard_stage_profile(
+                spark, DIR_1000X
+            )
+        }
+    else:
+        e2e = _rep_stats(
+            _time_reps(
+                lambda: qs["q_dedup_minhash"](spark, DIR_1000X),
+                reps=2,
+                spark=spark,
+            )
+        )
+        print("minhash e2e", e2e, flush=True)
+        part["minhash_e2e_1000x"] = e2e
+    canary_post = canary_reps()
+    print(tag, "canary_post", canary_post, flush=True)
+    part["canary"] = {
+        "pre": canary_pre, "post": canary_post,
+        "mean_sec": round((min(canary_pre) + min(canary_post)) / 2, 3),
+    }
+    with open(f"{partdir}/{tag}.part.json", "w") as f:
+        json.dump(part, f)
+    print(f"wrote {partdir}/{tag}.part.json")
+    spark.stop()
+
+
 def _jaccard_stage_profile(spark, d, threshold=0.8):
     """Stage decomposition of the hash-order jaccard_pairs plan at
     one sf_dir (VERDICT r10 ask #7 — the r10 session-only
@@ -1012,6 +1129,7 @@ def main():
         "vectors1000x": sweep_vectors1000x,
         "decades": sweep_decades,
         "thousandx": sweep_thousandx,
+        "dedup_stages": sweep_dedup_stages,
         "barrier_ab": sweep_barrier_ab,
     }
     if len(sys.argv) < 2 or sys.argv[1] not in sweeps:
