@@ -381,7 +381,17 @@ def _truncated_bound_filter(
     cost far more than the skipped sorts — same-session warm A/B:
     pruned 347 s vs unpruned 72.6 s for truncate+verify. Candidate
     sets that sparse-corpus intuition expects are not what PPJoin
-    prefixes produce on templated corpora."""
+    prefixes produce on templated corpora.
+
+    K itself is NOT a lever (r12, measured): K is lossless at any
+    value, so K = 16/32/48 were A/B'd at the 1000x cert corpus
+    (interleaved, one session, identical 256 000-pair output each).
+    Warm-cache tail walls 79.7 / 70.4 / 62.8 s — a ~10% spread in
+    the direction of LARGER K, within the session's documented box
+    drift (spin canary 87 → 59 ms start-to-end): the stage is
+    dominated by the candidate join's shuffle, not the 256-byte
+    intersects, and smaller K's weaker bound adds verify volume.
+    K = 32 stays."""
     slim = _reusable(
         arrs.select(
             "id",
@@ -1326,7 +1336,7 @@ def minhash_signatures(
     text_col: str,
     n: int = 3,
     num_perm: int = 64,
-    engine: str = "arrow",
+    engine: str | None = None,
 ) -> SparkDF:
     """(id, sig: array<bigint>) — num_perm min-hashes per document.
 
@@ -1338,10 +1348,20 @@ def minhash_signatures(
     array: a narrow projection fused into the scan, ZERO shuffles —
     the former explode + 64-way min-agg formulation paid a full
     shuffle of every (id, hash) row for the same result (2x slower
-    at sf0.1). ``engine`` (r12): ``"arrow"`` (default) runs the
+    at sf0.1). ``engine`` (r12): ``"arrow"`` runs the
     num_perm×|sh_arr| hash loop as a vectorized mapInArrow kernel,
     ``"jvm"`` the original array_min ∘ transform expression —
-    values bit-identical either way (see _minhash_sigs_frame)."""
+    values bit-identical either way; ``None`` (default) gates on
+    the input plan size like minhash_dedup_pairs (small corpora
+    skip the Python-worker roundtrip)."""
+    if engine is None:
+        from ..plans.stats import plan_size_bytes
+
+        engine = (
+            "arrow"
+            if plan_size_bytes(df) > _SIG_ARROW_KNEE
+            else "jvm"
+        )
     arrs_h = _hash_arrays(shingle_arrays(df, id_col, text_col, n))
     return _minhash_sigs_frame(arrs_h, num_perm, engine)
 
@@ -1366,6 +1386,12 @@ def _minhash_sig_expr(num_perm: int):
             F.transform("sh_arr", lambda h: F.xxhash64(h, i))
         ),
     )
+
+
+# signature-engine knee (r12): above this input plan size the
+# mapInArrow signature kernel amortizes its Python-worker roundtrip
+# (see minhash_dedup_pairs for the measured crossover)
+_SIG_ARROW_KNEE = 32 * 1024 * 1024
 
 
 def _minhash_sig_kernel(num_perm: int):
@@ -1472,10 +1498,10 @@ def _minhash_sigs_frame(
     src: SparkDF, num_perm: int, engine: str = "arrow"
 ) -> SparkDF:
     """(id, sig) over a frame carrying (id, sh_arr), on either
-    engine — ``"arrow"`` (default) runs ``_minhash_sig_kernel``,
-    ``"jvm"`` keeps the pure-expression plan. Values are
-    bit-identical (test-pinned), so the banding candidate set and
-    every downstream result are unchanged by the engine choice."""
+    engine — ``"arrow"`` runs ``_minhash_sig_kernel``, ``"jvm"``
+    the pure-expression plan. Values are bit-identical
+    (test-pinned), so the banding candidate set and every
+    downstream result are unchanged by the engine choice."""
     if engine not in ("arrow", "jvm"):
         raise ValueError(f"engine must be 'arrow' or 'jvm', got {engine!r}")
     if engine == "jvm":
@@ -1579,7 +1605,7 @@ def minhash_dedup_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     max_bucket: int | None = None,
-    engine: str = "arrow",
+    engine: str | None = None,
 ) -> SparkDF:
     """Full pipeline: minhash → LSH candidates → exact-Jaccard verify.
 
@@ -1599,8 +1625,13 @@ def minhash_dedup_pairs(
     spared the quadratic blowup. ``max_bucket`` additionally caps
     surviving band buckets (recall-trading, off by default; see
     lsh_candidate_pairs). ``engine`` picks the signature
-    implementation (``"arrow"`` kernel default / ``"jvm"``
-    expression) — bit-identical values, identical output."""
+    implementation — ``"arrow"`` kernel / ``"jvm"`` expression,
+    bit-identical values, identical output; ``None`` (default)
+    gates on the input plan size at ``_SIG_ARROW_KNEE`` (32 MB —
+    lower than the fixed-stage knee because the kernel's only
+    fixed cost is a ~0.3 s Python-worker roundtrip; measured
+    crossover in the body comment), so small corpora keep the JVM
+    expression and big ones take the kernel."""
     if bands < 1 or num_perm % bands != 0:
         # non-divisible num_perm would silently discard trailing
         # signature rows; bands > num_perm would degenerate to one
@@ -1612,6 +1643,20 @@ def minhash_dedup_pairs(
     # the hashed-arrays plan is IDENTICAL to jaccard_pairs', so both
     # operators share one cache entry; __g goes on top of the cache
     arrs_h = hashed_shingle_arrays(df, id_col, text_col, n)
+    from ..plans.stats import plan_size_bytes
+
+    # the jaccard_pairs knee gates the fixed-stage mechanisms (the
+    # counted broadcast-verify, the sigs cache barrier); the
+    # signature engine has its own MUCH lower knee because its
+    # fixed cost is only the Python-worker roundtrip (~0.3 s),
+    # not extra stages — measured crossover (interleaved A/B,
+    # cold-cache e2e): sf0.1 (0.6 MB plan) jvm wins by 0.35 s,
+    # 10x (7 MB) a wash (4.53 vs 4.54 s), 100x (70 MB) the kernel
+    # wins the signature stage 9.03 -> 2.70 s
+    sz = plan_size_bytes(df)
+    big = sz > 128 * 1024 * 1024
+    if engine is None:
+        engine = "arrow" if sz > _SIG_ARROW_KNEE else "jvm"
     # group stats shuffle ONLY (group-hash, id) pairs — the shingle
     # arrays never move for the collapse; representative rows are
     # then picked by a narrow join (the gstats side is 2 slim
@@ -1642,8 +1687,9 @@ def minhash_dedup_pairs(
     # and AQE does not reuse the exchange across the two aliased
     # projections — without the persist the num_perm×|sh_arr|
     # signature hashing ran once per side. The hashing itself runs
-    # on the arrow kernel by default (r12, _minhash_sigs_frame):
-    # same values bit-for-bit, so the candidate set is unchanged
+    # on the arrow kernel above the size knee (r12,
+    # _minhash_sigs_frame): same values bit-for-bit, so the
+    # candidate set is unchanged either way
     sigs = _reusable(
         _minhash_sigs_frame(
             arrs_h.join(gstats.select("id"), "id"), num_perm, engine
@@ -1656,9 +1702,6 @@ def minhash_dedup_pairs(
     # broadcast-verify (r10) only pays its eager count when the
     # corpus is big enough for the full-array shuffles to matter
     # (the jaccard_pairs knee)
-    from ..plans.stats import plan_size_bytes
-
-    big = plan_size_bytes(df) > 128 * 1024 * 1024
     if big:
         # barrier: the band self-join consumes the persisted sigs
         # from two sides; a cold cache would be raced at a fraction
