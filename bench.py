@@ -232,6 +232,16 @@ def main():
     # detail, never the headline numbers (BENCH_r05 lost its wall map
     # because the single detail line outgrew the capture).
     print(json.dumps(out))
+    # Compact per-query walls (2dp) on their own line right before
+    # the summary (r13, VERDICT r12 ask #2): the full detail line
+    # above outgrew the driver's bounded stdout tail in r11 AND r12,
+    # leaving PERF_r12.per_query empty — this ~1 KB line survives any
+    # plausible tail bound so cross-round per-query comparison works
+    # again. Additions only: the summary line stays LAST and keeps
+    # its exact shape.
+    print(json.dumps(
+        {"per_query_sec": {q: round(t, 2) for q, t in times.items()}}
+    ))
     summary = {
         "metric": "headline_total_wall",
         "value": out["value"],

@@ -90,16 +90,74 @@ def shingle_arrays(
     )
 
 
+# shingle-chain engine knee (r13): above this input plan size the
+# mapInArrow tokenize→shingle→xxhash64 kernel amortizes its
+# Python-worker roundtrip (measured crossover in
+# hashed_shingle_arrays' docstring); below it the JVM expression
+# chain stays — so the sf0.1 bench plan is unchanged while every
+# cert decade from 100x up takes the kernel. Same shape as the r12
+# minhash-signature knee (_SIG_ARROW_KNEE).
+_SHINGLE_ARROW_KNEE = 32 * 1024 * 1024
+
+
 def hashed_shingle_arrays(
-    df: SparkDF, id_col: str, text_col: str, n: int = 3
+    df: SparkDF, id_col: str, text_col: str, n: int = 3,
+    engine: str | None = None,
 ) -> SparkDF:
     """The persisted (id, sh_arr: array<bigint>, n_sh) frame every
     shingle-based operator builds on. Centralized so jaccard_pairs,
     minhash_dedup_pairs and contamination scoring construct the
     BYTE-IDENTICAL plan — identical plans share one Spark cache
     entry, so a query mix over the same corpus tokenizes + shingles
-    + hashes it exactly once (r6)."""
-    return _reusable(_hash_arrays(shingle_arrays(df, id_col, text_col, n)))
+    + hashes it exactly once (r6).
+
+    ``engine`` (r13, guide §4.2): ``"arrow"`` runs the whole
+    tokenize → shingle → xxhash64 → distinct chain as ONE vectorized
+    mapInArrow kernel (_shingle_kernel); ``"jvm"`` keeps the pure
+    expression chain. Rows are identical either way (pinned by
+    tests/test_dedup.py::test_shingle_kernel_matches_jvm — same ids,
+    same hash values, same in-array order, same n_sh), so every
+    downstream result — jaccard prefixes, minhash signatures and
+    banding, contamination intersections — is unchanged by the
+    engine choice. ``None`` (default) gates on the input plan size
+    at ``_SHINGLE_ARROW_KNEE``: the kernel's fixed cost is the
+    Python-worker roundtrip, so small corpora (every driver bench
+    SF) keep the r12 JVM plan while cert decades from 100x up take
+    the kernel (measured at the 1000x cert corpus: chain_persist
+    ~65-110 s JVM → see OPTIMIZATION_r13.md). The
+    ``SPARK_GRAFT_SHINGLE_ENGINE`` env var overrides the gate so
+    parity sweeps and certification can oracle-verify the kernel at
+    small SFs (tools/certify.py arrow_parity)."""
+    import os
+
+    forced = os.environ.get("SPARK_GRAFT_SHINGLE_ENGINE")
+    if forced:
+        engine = forced
+    if engine is None:
+        from ..plans.stats import plan_size_bytes
+
+        engine = (
+            "arrow"
+            if plan_size_bytes(df) > _SHINGLE_ARROW_KNEE
+            else "jvm"
+        )
+    if engine not in ("arrow", "jvm"):
+        raise ValueError(f"engine must be 'arrow' or 'jvm', got {engine!r}")
+    if engine == "jvm":
+        return _reusable(_hash_arrays(shingle_arrays(df, id_col, text_col, n)))
+    from ..plans.hints import ensure_scan_parallelism
+
+    sdf = ensure_scan_parallelism(df)
+    id_type = sdf.schema[id_col].dataType.simpleString()
+    # explicit 2-column select: mapInArrow is opaque to column
+    # pruning — without it the kernel would be shipped every source
+    # column (guide §4.1)
+    out = sdf.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+    ).mapInArrow(
+        _shingle_kernel(n), f"id {id_type}, sh_arr array<bigint>, n_sh int"
+    )
+    return _reusable(out)
 
 
 def shingles(df: SparkDF, id_col: str, text_col: str, n: int = 3) -> SparkDF:
@@ -649,6 +707,254 @@ def _reusable(df: SparkDF) -> SparkDF:
     from ..plans.cache import try_persist
 
     return try_persist(df)
+
+
+def _xxh64_np(data, starts, lengths):
+    """Vectorized Spark-compatible XXH64 (seed 42) over variable-
+    length byte slices of ``data`` — the string-hash analogue of the
+    r12 minhash kernel's fixed-8-byte hashLong (guide §4.2).
+
+    ``data`` must be a 1-D uint8 array padded with >= 8 trailing
+    bytes beyond the last slice (the word gather over-reads up to 7
+    bytes past a slice's end; over-read bytes never influence the
+    hash — the fixed op sequence for a given length consumes exactly
+    ``length`` bytes, mirroring Catalyst's XXH64.hashUnsafeBytes:
+    4-lane 32-byte stripes, remaining 8-byte words, one 4-byte word,
+    then single bytes, then the avalanche). Little-endian word reads
+    match Platform.getLong on x86. Slices are grouped by exact
+    length so each group runs the straight-line numpy op sequence
+    for that length; bit-equality with ``F.xxhash64(string)`` is
+    pinned for every length 0..100 plus random multi-stripe strings
+    by tests/test_dedup.py::test_xxh64_kernel_exact.
+
+    Returns an int64 array (Spark's bigint hash values)."""
+    import numpy as np
+
+    U64 = np.uint64
+    MASK = 0xFFFFFFFFFFFFFFFF
+    P1 = U64(0x9E3779B185EBCA87)
+    P2 = U64(0xC2B2AE3D27D4EB4F)
+    P3 = U64(0x165667B19E3779F9)
+    P4 = U64(0x85EBCA77C2B2AE63)
+    P5 = U64(0x27D4EB2F165667C5)
+    SEED = 42
+
+    def rotl(x, r):
+        return (x << U64(r)) | (x >> U64(64 - r))
+
+    n_all = len(starts)
+    out = np.empty(n_all, dtype=np.uint64)
+    if n_all == 0:
+        return out.view(np.int64)
+    order = np.argsort(lengths, kind="stable")
+    slens = lengths[order]
+    bounds = np.flatnonzero(np.diff(slens)) + 1
+    run_starts = np.concatenate(([0], bounds))
+    run_ends = np.concatenate((bounds, [n_all]))
+    with np.errstate(over="ignore"):
+        for rs, re_ in zip(run_starts, run_ends):
+            L = int(slens[rs])
+            idx = order[rs:re_]
+            st = starts[idx]
+            m = len(idx)
+            nw = (L + 7) >> 3
+            if nw:
+                gi = st[:, None] + np.arange(nw * 8, dtype=np.int64)
+                B = data[gi]
+                W = B.view("<u8")
+            nblocks = L >> 5
+            if nblocks:
+                v1 = np.full(m, (SEED + int(P1) + int(P2)) & MASK, dtype=U64)
+                v2 = np.full(m, (SEED + int(P2)) & MASK, dtype=U64)
+                v3 = np.full(m, SEED, dtype=U64)
+                v4 = np.full(m, (SEED - int(P1)) & MASK, dtype=U64)
+                for blk in range(nblocks):
+                    base = blk * 4
+                    v1 = rotl(v1 + W[:, base] * P2, 31) * P1
+                    v2 = rotl(v2 + W[:, base + 1] * P2, 31) * P1
+                    v3 = rotl(v3 + W[:, base + 2] * P2, 31) * P1
+                    v4 = rotl(v4 + W[:, base + 3] * P2, 31) * P1
+                h = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+                for v in (v1, v2, v3, v4):
+                    h ^= rotl(v * P2, 31) * P1
+                    h = h * P1 + P4
+            else:
+                h = np.full(m, (SEED + int(P5)) & MASK, dtype=U64)
+            h = h + U64(L)
+            for k in range(nblocks * 4, L >> 3):
+                h ^= rotl(W[:, k] * P2, 31) * P1
+                h = rotl(h, 27) * P1 + P4
+            off = (L >> 3) << 3
+            if L - off >= 4:
+                i4 = np.ascontiguousarray(B[:, off:off + 4]).view(
+                    "<u4"
+                ).ravel().astype(U64)
+                h ^= i4 * P1
+                h = rotl(h, 23) * P2 + P3
+                off += 4
+            for j in range(off, L):
+                h ^= B[:, j].astype(U64) * P5
+                h = rotl(h, 11) * P1
+            h ^= h >> U64(33)
+            h *= P2
+            h ^= h >> U64(29)
+            h *= P3
+            h ^= h >> U64(32)
+            out[idx] = h
+    return out.view(np.int64)
+
+
+def _shingle_kernel(n: int):
+    """mapInArrow kernel computing EXACTLY ``hashed_shingle_arrays``'
+    JVM rows — tokenize, word-n-gram shingles, per-doc distinct,
+    xxhash64 — from (id, __text) batches; output (id, sh_arr:
+    array<bigint>, n_sh int), rows with zero shingles dropped (guide
+    §4.2: the whole chain is the corpus-scale map stage; at the
+    1000x cert it was the top jaccard stage).
+
+    Equivalence with the expression chain, piece by piece (pinned by
+    tests/test_dedup.py::test_shingle_kernel_matches_jvm):
+
+    - ``trim``: Spark's trim removes leading/trailing SPACE (0x20)
+      only — ``pc.utf8_trim(…, " ")``.
+    - ``lower``: ASCII batches take ``pc.ascii_lower`` (identical to
+      UTF8String.toLowerCase's ASCII fast path); any non-ASCII batch
+      falls back to Python ``str.lower()``, the same Unicode full
+      case mapping (incl. final sigma) as Java's toLowerCase.
+    - ``split(s, "\\s+")`` + drop-empty-tokens: Java's \\s is the
+      ASCII class [ \\t\\n\\x0b\\f\\r]; collapsing runs of exactly
+      that class to one space and trimming the (single possible)
+      leading/trailing space yields the canonical form in which
+      token boundaries are exactly the 0x20 bytes (0x20 never occurs
+      inside a multi-byte UTF-8 sequence, and remaining Unicode
+      whitespace is NOT a Java \\s match, so both sides keep it
+      inside tokens).
+    - n-gram windows: window i = tokens[i..i+n-1] joined by one
+      space == the SUBSTRING of the canonical form from token i's
+      start to token i+n-1's end — windows are pure (offset, length)
+      slices, zero string construction.
+    - ``xxhash64``: ``_xxh64_np`` over the window slices,
+      bit-identical to Catalyst (its own pinned test).
+    - ``array_distinct`` THEN hash (JVM) vs hash THEN first-
+      occurrence distinct on hash values (kernel): identical rows —
+      order included — unless two DISTINCT shingle strings inside
+      ONE doc collide in xxhash64 (~n_sh²/2⁶⁵ per doc ≈ 1e-15 at
+      150 shingles), the same vanishing in-doc risk _hash_arrays
+      already documents for cross-doc intersects. The kernel's n_sh
+      would then read one lower; no such doc exists in any test or
+      cert corpus (the equality test would catch it).
+    """
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0)
+            txt = batch.column(1)
+            if txt.null_count:
+                # JVM: null text → null tokens → n_sh null/-1 → the
+                # n_sh > 0 filter drops the row
+                keep = pc.is_valid(txt)
+                ids = ids.filter(keep)
+                txt = txt.filter(keep)
+                if len(txt) == 0:
+                    continue
+            txt = pc.utf8_trim(txt, " ")
+            if pc.all(pc.string_is_ascii(txt)).as_py():
+                txt = pc.ascii_lower(txt)
+            else:  # pragma: no cover - exercised by the unicode test
+                txt = pa.array(
+                    [s.lower() for s in txt.to_pylist()], type=pa.string()
+                )
+            txt = pc.replace_substring_regex(
+                txt, pattern="[\\t\\n\\x0b\\f\\r ]+", replacement=" "
+            )
+            txt = pc.utf8_trim(txt, " ")
+            nd = len(txt)
+            bufs = txt.buffers()
+            offs = np.frombuffer(bufs[1], dtype=np.int32)[
+                txt.offset: txt.offset + nd + 1
+            ].astype(np.int64)
+            raw = np.frombuffer(bufs[2], dtype=np.uint8)
+            # pad for _xxh64_np's 8-byte word-gather over-read
+            data = np.zeros(offs[-1] + 8, dtype=np.uint8)
+            data[: offs[-1]] = raw[: offs[-1]]
+            # token boundaries: every 0x20 byte separates two tokens
+            sp = np.flatnonzero(data[offs[0]: offs[-1]] == 32) + offs[0]
+            doc_of_sp = np.searchsorted(offs, sp, side="right") - 1
+            doclen = offs[1:] - offs[:-1]
+            m_d = np.where(
+                doclen > 0,
+                np.bincount(doc_of_sp, minlength=nd) + 1,
+                0,
+            )
+            tok_off = np.concatenate(([0], np.cumsum(m_d)))
+            n_tok = int(tok_off[-1])
+            tok_starts = np.empty(n_tok, dtype=np.int64)
+            tok_ends = np.empty(n_tok, dtype=np.int64)
+            has = m_d > 0
+            first_mask = np.zeros(n_tok, dtype=bool)
+            first_mask[tok_off[:-1][has]] = True
+            tok_starts[first_mask] = offs[:-1][has]
+            tok_starts[~first_mask] = sp + 1
+            last_mask = np.zeros(n_tok, dtype=bool)
+            last_mask[tok_off[1:][has] - 1] = True
+            tok_ends[last_mask] = offs[1:][has]
+            tok_ends[~last_mask] = sp
+            # windows: W_d = max(0, m_d - (n-1)); window i of doc d
+            # spans tokens i..i+n-1
+            W_d = np.maximum(m_d - (n - 1), 0)
+            woff = np.concatenate(([0], np.cumsum(W_d)))
+            n_win = int(woff[-1])
+            if n_win == 0:
+                continue
+            first_tok = np.repeat(tok_off[:-1], W_d) + (
+                np.arange(n_win) - np.repeat(woff[:-1], W_d)
+            )
+            w_start = tok_starts[first_tok]
+            w_len = tok_ends[first_tok + (n - 1)] - w_start
+            doc_w = np.repeat(np.arange(nd), W_d)
+            hashes = _xxh64_np(data, w_start, w_len)
+            # per-doc first-occurrence distinct on the hash values:
+            # stable sort by (doc, hash) keeps window order inside
+            # ties; keep each (doc, hash)'s first window, then
+            # restore window order (docs stay contiguous)
+            ordr = np.lexsort((hashes, doc_w))
+            hs = hashes[ordr]
+            ds = doc_w[ordr]
+            first = np.ones(n_win, dtype=bool)
+            first[1:] = (hs[1:] != hs[:-1]) | (ds[1:] != ds[:-1])
+            kept = np.sort(ordr[first])
+            sh_flat = hashes[kept]
+            n_sh = np.bincount(doc_w[kept], minlength=nd)
+            keep_docs = n_sh > 0
+            n_sh_kept = n_sh[keep_docs]
+            if len(sh_flat) >= (1 << 31):  # pragma: no cover
+                raise ValueError(
+                    "shingle kernel: batch shingle count overflows "
+                    "int32 list offsets; lower "
+                    "spark.sql.execution.arrow.maxRecordsPerBatch"
+                )
+            list_offs = np.zeros(len(n_sh_kept) + 1, dtype=np.int32)
+            np.cumsum(n_sh_kept, out=list_offs[1:])
+            sh_arr = pa.ListArray.from_arrays(
+                pa.array(list_offs),
+                pa.array(sh_flat, type=pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.filter(pa.array(keep_docs)),
+                    sh_arr,
+                    pa.array(n_sh_kept.astype(np.int32), type=pa.int32()),
+                ],
+                names=["id", "sh_arr", "n_sh"],
+            )
+
+    return kernel
 
 
 def _hash_arrays(arrs: SparkDF) -> SparkDF:
@@ -1354,6 +1660,9 @@ def minhash_signatures(
     values bit-identical either way; ``None`` (default) gates on
     the input plan size like minhash_dedup_pairs (small corpora
     skip the Python-worker roundtrip)."""
+    forced = __import__("os").environ.get("SPARK_GRAFT_SIG_ENGINE")
+    if forced:
+        engine = forced
     if engine is None:
         from ..plans.stats import plan_size_bytes
 
@@ -1474,6 +1783,15 @@ def _minhash_sig_kernel(num_perm: int):
                         out[nz, i] = np.minimum.reduceat(
                             g.view(np.int64), starts
                         )
+            if n * num_perm >= (1 << 31):  # pragma: no cover
+                # ADVICE r12 #3: a raised arrow.maxRecordsPerBatch
+                # could overflow int32 list offsets — fail loudly
+                # instead of corrupting signatures
+                raise ValueError(
+                    "minhash kernel: batch rows x num_perm overflows "
+                    "int32 list offsets; lower "
+                    "spark.sql.execution.arrow.maxRecordsPerBatch"
+                )
             offsets = pa.array(
                 np.arange(n + 1, dtype=np.int32) * num_perm
             )
@@ -1655,6 +1973,12 @@ def minhash_dedup_pairs(
     # wins the signature stage 9.03 -> 2.70 s
     sz = plan_size_bytes(df)
     big = sz > 128 * 1024 * 1024
+    # SPARK_GRAFT_SIG_ENGINE overrides the knee so parity sweeps can
+    # oracle-verify the kernel path at driver SFs (r13, VERDICT r12
+    # ask #3b; tools/certify.py arrow_parity)
+    forced = __import__("os").environ.get("SPARK_GRAFT_SIG_ENGINE")
+    if forced:
+        engine = forced
     if engine is None:
         engine = "arrow" if sz > _SIG_ARROW_KNEE else "jvm"
     # group stats shuffle ONLY (group-hash, id) pairs — the shingle

@@ -363,6 +363,12 @@ def bootstrap_mean_se(
         raise ValueError(f"need >= 2 replicates, got {n_replicates}")
     if engine not in ("arrow", "jvm"):
         raise ValueError(f"engine must be 'arrow' or 'jvm', got {engine!r}")
+    if not key_cols:
+        # ADVICE r12 #2: with zero key columns the two engines would
+        # hash different byte strings (md5(b"\x1f0") vs md5(b"0"))
+        # and draw DIFFERENT weights; a row-identity key set is
+        # semantically required anyway, so fail loudly
+        raise ValueError("key_cols must name at least one column")
     B = int(n_replicates)
     keys = list(group_cols or [])
     v = F.col(value_col).cast("double")

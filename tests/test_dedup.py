@@ -332,6 +332,101 @@ def test_minhash_sig_kernel_empty_array_matches_jvm(spark):
     assert a[2] == [None] * 8
 
 
+def test_shingle_kernel_matches_jvm(spark):
+    """The arrow shingle-chain kernel must reproduce the JVM
+    expression chain EXACTLY — same ids kept, same xxhash64 values,
+    same in-array (first-occurrence) order, same n_sh: every
+    shingle-based operator (jaccard prefixes, minhash signatures and
+    banding, contamination intersections) consumes these rows, so
+    row-level bit-equality is the equivalence proof for all of them.
+    The corpus covers every boundary the chain has: Java-\\s-class
+    whitespace runs (tab/newline/vtab/formfeed/cr), leading/trailing
+    whitespace vs Spark's space-only trim, empty and whitespace-only
+    and sub-n-token docs (dropped on both engines), repeated
+    shingles (distinct order), case folding incl. non-ASCII Unicode
+    (Python str.lower fallback vs UTF8String.toLowerCase), non-\\s
+    Unicode whitespace kept inside tokens, >32-byte windows (the
+    XXH64 stripe path), and a null text row."""
+    docs = [
+        "the quick brown fox jumps over the lazy dog",
+        "  LEADING and trailing   spaces  ",
+        "\ttab\nnewline\x0bvtab\ffeed\rcr mix  of\t\twhitespace runs",
+        "", "   ", "\t\n", "one", "one two", "one two three",
+        "dup dup dup dup dup dup",
+        "a b c a b c a b c d",
+        "Uppercase MIXED Case TOKENS here Everywhere",
+        "Éclair naïve ÊTRE Σοφός ΒΑΣΙΛΕΙΑΣ weiß STRASSE tokens",
+        "supercalifragilisticexpialidocious"
+        " antidisestablishmentarianism"
+        " floccinaucinihilipilification extra words",
+        None,
+        "x" * 40 + " " + "y" * 40 + " " + "z" * 40 + " tail words",
+        "a b c d e f",  # non-breaking space is NOT Java \s
+        "ΣΟΦΟΣ word ends sigma ΑΒΓΣ mid",
+    ]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    j = dedup.hashed_shingle_arrays(df, "doc_id", "text", 3, engine="jvm")
+    a = dedup.hashed_shingle_arrays(df, "doc_id", "text", 3, engine="arrow")
+    jr = [(r.id, list(r.sh_arr), r.n_sh) for r in j.orderBy("id").collect()]
+    ar = [(r.id, list(r.sh_arr), r.n_sh) for r in a.orderBy("id").collect()]
+    assert len(jr) > 0 and jr == ar
+
+
+def test_xxh64_kernel_exact(spark):
+    """_xxh64_np vs Catalyst's xxhash64, bit-for-bit, over EVERY
+    byte length 0..100 plus multi-stripe lengths — the tail rounds
+    (remaining 8-byte words, the 4-byte word, single bytes) each get
+    exercised at every possible residue."""
+    import random
+
+    import numpy as np
+
+    from dataframe_spark.operators.dedup import _xxh64_np
+
+    rng = random.Random(11)
+    strs = [
+        "".join(chr(rng.randrange(33, 127)) for _ in range(L))
+        for L in list(range(101)) + [127, 128, 255, 300]
+    ]
+    sdf = spark.createDataFrame([(s,) for s in strs], "s string")
+    expected = [r[0] for r in sdf.select(F.xxhash64("s")).collect()]
+    buf = b"".join(s.encode() for s in strs)
+    data = np.zeros(len(buf) + 8, np.uint8)
+    data[: len(buf)] = np.frombuffer(buf, np.uint8)
+    starts, lens, off = [], [], 0
+    for s in strs:
+        b = s.encode()
+        starts.append(off)
+        lens.append(len(b))
+        off += len(b)
+    got = _xxh64_np(
+        data, np.array(starts, np.int64), np.array(lens, np.int64)
+    )
+    assert list(got) == expected
+
+
+def test_jaccard_pairs_engine_invariant(spark, monkeypatch):
+    """End-to-end: jaccard_pairs output is identical under either
+    shingle engine (the env override is the cert/parity hook)."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),
+        (4, "totally different words in this document here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for eng in ("jvm", "arrow"):
+        monkeypatch.setenv("SPARK_GRAFT_SHINGLE_ENGINE", eng)
+        pairs = dedup.jaccard_pairs(df, "doc_id", "text", 3, 0.5)
+        out[eng] = sorted(
+            (r.a_id, r.b_id, r.jaccard) for r in pairs.collect()
+        )
+    assert out["jvm"] == out["arrow"] and len(out["jvm"]) == 3
+
+
 def test_lsh_max_bucket_caps_candidates(spark):
     """max_bucket bounds per-bucket pairing deterministically."""
     from dataframe_spark.operators.dedup import lsh_candidate_pairs

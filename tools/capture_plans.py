@@ -42,6 +42,14 @@ def main():
 
     spark = get_spark("plans", master="local[4]")
     spark.sparkContext.setLogLevel("ERROR")
+    # r13 (VERDICT r12 ask #7): the session default (100k chars,
+    # session.py — sized to keep per-run plan rendering cheap)
+    # TRUNCATED the big r12 captures mid-tree, cutting off the whole
+    # `(n) NodeName` details section ("... N more characters" at
+    # 99996 bytes), so expression-level claims were not auditable
+    # from the committed files. Captures are offline evidence — raise
+    # the cap here only.
+    spark.conf.set("spark.sql.maxPlanStringLength", str(16 * 1024 * 1024))
     warm_cache(spark, sf_dir)
     qs = all_queries()
 

@@ -270,6 +270,37 @@ def sweep_parity(argv):
     sys.exit(1 if n_fail else 0)
 
 
+def sweep_arrow_parity(argv):
+    """Oracle-backed parity with the ARROW kernels FORCED at a
+    driver SF (r13, VERDICT r12 ask #3b): the engine knees resolve
+    to the JVM expressions at every driver SF, so the kernels that
+    run at 100x+ were otherwise covered only by pinned bit-equality
+    unit tests. Forcing SPARK_GRAFT_SIG_ENGINE=arrow (the r12
+    minhash signature kernel) and SPARK_GRAFT_SHINGLE_ENGINE=arrow
+    (the r13 tokenize→shingle→xxhash64 kernel) routes every
+    shingle-based query through the kernel plans and verifies the
+    FULL registry against the DuckDB oracle on them."""
+    os.environ["SPARK_GRAFT_SIG_ENGINE"] = "arrow"
+    os.environ["SPARK_GRAFT_SHINGLE_ENGINE"] = "arrow"
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    from tools.parity import run_parity
+
+    spark = _spark("certify_arrow_parity")
+    results = {}
+    n_pass, n_fail, n_rowsonly = run_parity(spark, sf_dir, results=results)
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    _write(f"CERT_parity_arrow_{tag}.json", {
+        "sweep": "arrow_parity", "sf_dir": sf_dir,
+        "forced": {"SPARK_GRAFT_SIG_ENGINE": "arrow",
+                   "SPARK_GRAFT_SHINGLE_ENGINE": "arrow"},
+        "n_pass": n_pass, "n_fail": n_fail, "n_rows_only": n_rowsonly,
+        "results": results,
+    })
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
 def _ensure_10x(spark):
     from tools.scale_data import ensure
 
@@ -625,10 +656,19 @@ def sweep_dedup_stages(argv):
     process vs 36.3 s in the committed fresh-process profile, while
     the small fixed-work canary stayed flat (2.5 s): heap/GC/block-
     manager accumulation hits the big stages, not the canary. Same
-    fix as thousandx: re-exec per section, merge partials."""
+    fix as thousandx: re-exec per section, merge partials.
+
+    r13: two jaccard e2e sections (100x and 1000x, each its own
+    fresh process + canary bracket, best-of-2/3) join the sweep so
+    the shingle-kernel change's TOP-DECADE FACTOR is committed with
+    spread, not just the stage delta — the merge computes
+    1000x/100x raw and canary-normalized. Output moves to
+    CERT_dedup_stages_r13.json (the r12 artifact stays as the
+    pre-kernel record)."""
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     os.environ["SPARK_GRAFT_CACHE_TABLES"] = "0"
-    sections = ("minhash_profile", "jaccard_profile", "minhash_e2e")
+    sections = ("minhash_profile", "jaccard_profile", "minhash_e2e",
+                "jaccard_e2e_100x", "jaccard_e2e_1000x")
     opts = dict(
         a.split("=", 1) for a in argv if a.startswith("--") and "=" in a
     )
@@ -655,15 +695,31 @@ def sweep_dedup_stages(argv):
             with open(f"{partdir}/{tag}.part.json") as f:
                 part = json.load(f)
             merged["stage_profile"].update(part.get("stage_profile", {}))
-            if "minhash_e2e_1000x" in part:
-                merged["minhash_e2e_1000x"] = part["minhash_e2e_1000x"]
+            for k in ("minhash_e2e_1000x", "jaccard_e2e_100x",
+                      "jaccard_e2e_1000x"):
+                if k in part:
+                    merged[k] = part[k]
             merged["canary"][tag] = part["canary"]
+        if ("jaccard_e2e_100x" in merged
+                and "jaccard_e2e_1000x" in merged):
+            raw = (merged["jaccard_e2e_1000x"]["sec"]
+                   / max(merged["jaccard_e2e_100x"]["sec"], 1e-9))
+            c_ratio = (merged["canary"]["jaccard_e2e_1000x"]["mean_sec"]
+                       / max(merged["canary"]["jaccard_e2e_100x"]
+                             ["mean_sec"], 1e-9))
+            merged["jaccard_factor_1000x_over_100x"] = {
+                "raw": round(raw, 2),
+                "canary_normalized": round(raw / c_ratio, 2),
+                "canary_ratio": round(c_ratio, 3),
+            }
+            print("jaccard top-decade factor:",
+                  merged["jaccard_factor_1000x_over_100x"])
         merged["note"] = (
             "fresh process per section; stage_profile stages are "
             "cumulatively warm (each reuses upstream persisted "
             "frames), so they sum to ~one end-to-end run"
         )
-        _write("CERT_dedup_stages_r12.json", merged)
+        _write("CERT_dedup_stages_r13.json", merged)
         return
 
     tag = opts["--section"]
@@ -702,6 +758,26 @@ def sweep_dedup_stages(argv):
                 spark, DIR_1000X
             )
         }
+    elif tag == "jaccard_e2e_100x":
+        e2e = _rep_stats(
+            _time_reps(
+                lambda: qs["q_dedup_ngram_jaccard"](spark, DIR_100X),
+                reps=2,
+                spark=spark,
+            )
+        )
+        print("jaccard e2e 100x", e2e, flush=True)
+        part["jaccard_e2e_100x"] = e2e
+    elif tag == "jaccard_e2e_1000x":
+        e2e = _rep_stats(
+            _time_reps(
+                lambda: qs["q_dedup_ngram_jaccard"](spark, DIR_1000X),
+                reps=3,
+                spark=spark,
+            )
+        )
+        print("jaccard e2e 1000x", e2e, flush=True)
+        part["jaccard_e2e_1000x"] = e2e
     else:
         e2e = _rep_stats(
             _time_reps(
@@ -832,6 +908,211 @@ def _minhash_stage_profile(
     prof["n_candidates"] = cands.count()
     prof["n_pairs"] = out.count()
     return prof
+
+
+def _semdedup_stage_profile(spark, d, tau=0.4, max_iter=3, seed=42):
+    """Phase decomposition of semdedup at one sf_dir (r13, VERDICT
+    r12 ask #4: 659 s at 1000x is the largest wall in any cert and
+    nobody knew whether the k-means fit, the within-cluster pair
+    join, or connected components dominates). Mirrors the operator's
+    internals with the vectors-sweep knobs (k ∝ corpus ⇒ the
+    hierarchical fit path at cert scale); stages time CUMULATIVELY
+    WARM like _jaccard_stage_profile, so their sum approximates one
+    end-to-end run."""
+    from pyspark.sql import functions as F
+
+    from dataframe_spark.operators import similarity as sim
+    from dataframe_spark.operators.dedup import _reusable
+    from dataframe_spark.operators.graph import connected_components
+    from tools.scale_data import EMB_CLUSTER_SIZE
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    n = emb.count()
+    k = max(8, n // EMB_CLUSTER_SIZE)
+    spark.catalog.clearCache()
+    prof = {"rows": n, "k": k}
+
+    def stage(name, df):
+        t0 = time.monotonic()
+        _noop(df)
+        prof[name] = round(time.monotonic() - t0, 3)
+        print(f"  stage {name}: {prof[name]}", flush=True)
+        return df
+
+    t0 = time.monotonic()
+    if k > sim.HIER_KMEANS_MIN_K:
+        C1u, Su = sim.kmeans_fit_hierarchical(
+            emb, "vec_id", "embedding", k=k, max_iter=max_iter, seed=seed
+        )
+        assign = sim._assign_hier_udf(C1u, Su)
+    else:
+        centroids = sim.kmeans_fit(
+            emb, "vec_id", "embedding", k=k, max_iter=max_iter, seed=seed
+        )
+        assign = sim._assign_udf(sim._unit_rows(centroids))
+    prof["fit"] = round(time.monotonic() - t0, 3)
+    print(f"  stage fit: {prof['fit']}", flush=True)
+    sides = stage(
+        "assign_persist",
+        _reusable(
+            emb.where(F.col("embedding").isNotNull())
+            .select(F.col("vec_id").alias("id"),
+                    sim._dvec("embedding").alias("__v"))
+            .withColumn("__cid", assign(F.col("__v")))
+            .withColumn("__nrm", sim.norm(F.col("__v")))
+        ),
+    )
+    a = sides.select(F.col("id").alias("a_id"), "__cid",
+                     F.col("__v").alias("__va"), F.col("__nrm").alias("__na"))
+    b = sides.select(F.col("id").alias("b_id"), "__cid",
+                     F.col("__v").alias("__vb"), F.col("__nrm").alias("__nb"))
+    s = sim.dot(F.col("__va"), F.col("__vb")) / F.nullif(
+        F.col("__na") * F.col("__nb"), F.lit(0.0)
+    )
+    edges = stage(
+        "pair_join_persist",
+        _reusable(
+            a.join(b, "__cid")
+            .where(F.col("a_id") < F.col("b_id"))
+            .where(s >= tau)
+            .select("a_id", "b_id")
+        ),
+    )
+    comp = stage("connected_components",
+                 connected_components(edges, "a_id", "b_id"))
+    stage(
+        "final_join",
+        sides.join(comp, sides["id"] == comp["node"], "left").select(
+            F.col("id"), F.col("__cid").alias("cluster"),
+            (F.coalesce(F.col("component"), F.col("id"))
+             == F.col("id")).alias("keep"),
+        ),
+    )
+    prof["n_edges"] = edges.count()
+    return prof
+
+
+def sweep_vectors_stages(argv):
+    """Focused vectors-stack evidence for r13 (VERDICT r12 asks #4
+    and #5), one FRESH PROCESS per section with fixed-work canary
+    brackets (the dedup_stages regime):
+
+    - semdedup_profile: the first per-phase split of semdedup at the
+      top decade (fit / assign / within-cluster pair join / CC /
+      final), so the next optimization target is measured, not
+      guessed.
+    - decade_10x + decade_100x: re-run of the full vectors decade
+      measurement (same code path as sweep_vectors1000x) in a quiet
+      window — the committed CERT_vectors_1000x 100x decade started
+      inside a steal burst (canary pre [38.8, 11.0] s vs post
+      [2.2, 4.8] s), inflating knn_ivf/edge_build's normalized
+      factors to 22.18/16.26 against raw 6.48/4.75. The merge
+      recomputes 100x/10x factors and FLAGS the run as burst-suspect
+      if any section's canary pre/post spread exceeds 2x.
+    -> CERT_vectors_stages_r13.json"""
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    os.environ["SPARK_GRAFT_CACHE_TABLES"] = "0"
+    sections = ("semdedup_profile", "decade_10x", "decade_100x")
+    opts = dict(
+        a.split("=", 1) for a in argv if a.startswith("--") and "=" in a
+    )
+    if "--section" not in opts:
+        import subprocess
+        import tempfile
+
+        _guard_stray_jvm()
+        partdir = tempfile.mkdtemp(prefix="cert_vectors_stages_")
+        for tag in sections:
+            if tag.startswith("decade_"):
+                # reuse sweep_vectors1000x's per-decade measurement
+                # verbatim so the refreshed walls are comparable
+                args = [sys.executable, os.path.abspath(__file__),
+                        "vectors1000x", f"--decade={tag[7:]}",
+                        f"--partdir={partdir}"]
+            else:
+                args = [sys.executable, os.path.abspath(__file__),
+                        "vectors_stages", f"--section={tag}",
+                        f"--partdir={partdir}"]
+            rc = subprocess.call(args, cwd=os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))))
+            if rc:
+                print(f"section {tag} failed (rc {rc})", file=sys.stderr)
+                sys.exit(rc)
+        merged = {"sweep": "vectors_stages", "canary": {}}
+        with open(f"{partdir}/semdedup_profile.part.json") as f:
+            part = json.load(f)
+        merged["stage_profile"] = part["stage_profile"]
+        merged["canary"]["semdedup_profile"] = part["canary"]
+        rows = {}
+        for tag in ("10x", "100x"):
+            with open(f"{partdir}/{tag}.part.json") as f:
+                part = json.load(f)
+            rows[tag] = part["row"]
+            merged["canary"][f"decade_{tag}"] = part["canary"]
+        merged["decades"] = rows
+        c = merged["canary"]
+        spreads = {
+            s: round(max(max(v["pre"]), max(v["post"]))
+                     / max(min(min(v["pre"]), min(v["post"])), 1e-9), 2)
+            for s, v in c.items()
+        }
+        merged["canary_spread"] = spreads
+        merged["burst_suspect"] = any(v > 2.0 for v in spreads.values())
+        c_ratio = (c["decade_100x"]["mean_sec"]
+                   / max(c["decade_10x"]["mean_sec"], 1e-9))
+        factors = {}
+        for op in ("semdedup", "knn_ivf", "edge_build", "pagerank"):
+            raw = round(rows["100x"][op]["sec"]
+                        / max(rows["10x"][op]["sec"], 1e-9), 2)
+            factors[op] = {
+                "100x_over_10x_raw": raw,
+                "100x_over_10x_canary_normalized": round(
+                    raw / c_ratio, 2),
+            }
+        merged["per_decade_factors_100x"] = factors
+        merged["canary_ratio_100x_over_10x"] = round(c_ratio, 3)
+        print("factors:", factors)
+        print("canary spreads:", spreads,
+              "burst_suspect:", merged["burst_suspect"])
+        _write("CERT_vectors_stages_r13.json", merged)
+        return
+
+    tag = opts["--section"]
+    partdir = opts["--partdir"]
+    _guard_stray_jvm()
+    import __spark_entry__ as entry
+
+    from tools.scale_data import ensure
+
+    spark = _spark(f"certify_vstages_{tag}")
+    _ensure_100x(spark)
+    if not ensure(spark, DIR_100X, DIR_1000X):
+        print("1000x generation failed", file=sys.stderr)
+        sys.exit(1)
+    qs = entry.queries()
+
+    def canary_reps():
+        return _time_reps(
+            lambda: qs["q_stats_agg"](spark, DIR_10X), reps=2, spark=spark
+        )
+
+    canary_pre = canary_reps()
+    print(tag, "canary_pre", canary_pre, flush=True)
+    part = {}
+    print("semdedup stage profile at 1000x:", flush=True)
+    part["stage_profile"] = {
+        "semdedup@1000x": _semdedup_stage_profile(spark, DIR_1000X)
+    }
+    canary_post = canary_reps()
+    print(tag, "canary_post", canary_post, flush=True)
+    part["canary"] = {
+        "pre": canary_pre, "post": canary_post,
+        "mean_sec": round((min(canary_pre) + min(canary_post)) / 2, 3),
+    }
+    with open(f"{partdir}/{tag}.part.json", "w") as f:
+        json.dump(part, f)
+    print(f"wrote {partdir}/{tag}.part.json")
+    spark.stop()
 
 
 def sweep_vectors1000x(argv):
@@ -1124,12 +1405,14 @@ def sweep_barrier_ab(argv):
 def main():
     sweeps = {
         "parity": sweep_parity,
+        "arrow_parity": sweep_arrow_parity,
         "tenx": sweep_tenx,
         "vectors": sweep_vectors,
         "vectors1000x": sweep_vectors1000x,
         "decades": sweep_decades,
         "thousandx": sweep_thousandx,
         "dedup_stages": sweep_dedup_stages,
+        "vectors_stages": sweep_vectors_stages,
         "barrier_ab": sweep_barrier_ab,
     }
     if len(sys.argv) < 2 or sys.argv[1] not in sweeps:
