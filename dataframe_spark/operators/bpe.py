@@ -92,12 +92,93 @@ def _pair_positions(words):
 BPE_RECHAIN_EVERY = 8
 
 
-def bpe_train(df, text_col: str, n_merges: int = 8, min_count: int = 1) -> BPEModel:
+def _speculative_prefix(rows, t0, n_merges, min_count, k):
+    """The ACCEPTED prefix of a collected top-``k`` pair table —
+    merges that are provably the next argmaxes without recounting.
+
+    Soundness (each accepted pair j is the true round argmax after
+    applying the accepted pairs before it):
+
+    - A replace "lr" -> s shrinks 2 chars to 1, so two OLD symbols
+      never become newly adjacent: every OLD pair's count can only
+      DECREASE, and the count of a pair sharing NO symbol with the
+      applied pair cannot change at all (its occurrences cannot
+      overlap an "lr" occurrence). Candidate j is accepted only if
+      symbol-disjoint from every earlier accepted pair, so its own
+      count is unchanged, and every old pair ordered after it (by
+      the cnt DESC, l ASC, r ASC total order) stays at-or-below its
+      old count — j still beats them (ties keep their symbol order:
+      both counts unchanged under disjointness).
+    - NEW pairs contain an accepted sentinel s_i and are bounded by
+      the PRE-batch table: count(x, s_i) <= count(x, l_i) and
+      count(s_i, y) <= count(r_i, y) (every occurrence of the new
+      adjacency was an occurrence of the old one). Each such bound
+      is either a collected count or <= the k-th collected count, so
+      accepting j requires cnt_j STRICTLY greater than all of them
+      (strict so a tie can never be decided by the sentinel's
+      position in the symbol order). Second-order creations (x
+      itself a sentinel from this batch) obey the same bound
+      transitively.
+
+    Any candidate failing a condition stops the prefix — the next
+    Spark job recounts and decides it exactly, so worst case the
+    trainer degenerates to the sequential one-argmax-per-job shape
+    with identical output (pinned by
+    tests/test_bpe.py::test_bpe_speculative_matches_sequential)."""
+    accepted = []
+    ck = rows[-1]["cnt"] if len(rows) == k else 0  # bound for pairs
+    # outside the collected table (complete table -> no outside)
+    used: set[str] = set()
+    bound = 0
+    for j, row in enumerate(rows):
+        if t0 + len(accepted) >= n_merges or row["cnt"] < min_count:
+            break
+        l, r, cnt = row["l"], row["r"], int(row["cnt"])
+        if j > 0:
+            if l in used or r in used:
+                break
+            if cnt <= bound:
+                break
+        accepted.append((l, r, cnt))
+        used.update((l, r))
+        # bound for pairs CREATED by this acceptance: collected
+        # counts of (x, l) / (r, y), else <= ck
+        created = [
+            int(p["cnt"])
+            for p in rows
+            if p["r"] == l or p["l"] == r
+        ]
+        bound = max([bound, ck] + created)
+    return accepted
+
+
+def bpe_train(
+    df,
+    text_col: str,
+    n_merges: int = 8,
+    min_count: int = 1,
+    speculative_k: int = 16,
+) -> BPEModel:
     """Learn ``n_merges`` BPE merges over the whitespace tokens of
     ``text_col``. Stops early when no pair reaches ``min_count``.
     Pair counts follow the classic trainer: occurrences are counted
     at every position (overlaps included), application is greedy
-    non-overlapping left-to-right."""
+    non-overlapping left-to-right.
+
+    Merge rounds are inherently sequential (round t+1's counts
+    depend on round t's replace), and on a vocabulary-sized table
+    each round's cost is dominated by the driver-coordinated job
+    floor — r12 halved it to one job per round (the replace chain);
+    the residual n_merges sequential argmax jobs were the #1
+    remaining headline cost (guide §1.2: remove passes). r13: each
+    job now collects the top ``speculative_k`` pairs instead of one
+    and applies the longest PROVABLY-independent prefix
+    (_speculative_prefix — symbol-disjointness plus a strict
+    created-pair bound make each accepted pair the exact argmax of
+    its round), so one job can retire several rounds while the
+    learned merges stay IDENTICAL — the oracle replays all training
+    rounds, and equality with the sequential trainer is test-pinned.
+    ``speculative_k=1`` forces the sequential shape."""
     base = _word_types(df, text_col).persist()
     base.count()
     model = BPEModel()
@@ -116,28 +197,33 @@ def bpe_train(df, text_col: str, n_merges: int = 8, min_count: int = 1) -> BPEMo
     # after every round (replace is applied per row; rows are never
     # re-grouped between rounds on either shape)
     pending: list[tuple[str, str]] = []
+    t = 0
     try:
-        for t in range(n_merges):
-            best = (
+        while t < n_merges:
+            rows = (
                 _pair_positions(_chained(base, pending))
                 .groupBy("l", "r")
                 .agg(F.sum("n").alias("cnt"))
                 .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-                .limit(1)
+                .limit(max(1, speculative_k))
                 .collect()
             )
-            if not best or best[0]["cnt"] < min_count:
+            if not rows or rows[0]["cnt"] < min_count:
                 break
-            l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
-            s = chr(SENT0 + t)
-            lhs, rhs = expanded.get(l, l), expanded.get(r, r)
-            expanded[s] = lhs + rhs
-            model.ops.append((l + r, s))
-            model.merges.append(
-                {"rank": t + 1, "lhs": lhs, "rhs": rhs, "n": cnt}
+            batch = _speculative_prefix(
+                rows, t, n_merges, min_count, max(1, speculative_k)
             )
-            pending.append((l + r, s))
-            if len(pending) >= BPE_RECHAIN_EVERY and t + 1 < n_merges:
+            for l, r, cnt in batch:
+                s = chr(SENT0 + t)
+                lhs, rhs = expanded.get(l, l), expanded.get(r, r)
+                expanded[s] = lhs + rhs
+                model.ops.append((l + r, s))
+                model.merges.append(
+                    {"rank": t + 1, "lhs": lhs, "rhs": rhs, "n": cnt}
+                )
+                pending.append((l + r, s))
+                t += 1
+            if len(pending) >= BPE_RECHAIN_EVERY and t < n_merges:
                 nxt = _chained(base, pending).persist()
                 try:
                     nxt.count()

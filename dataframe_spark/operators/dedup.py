@@ -92,12 +92,18 @@ def shingle_arrays(
 
 # shingle-chain engine knee (r13): above this input plan size the
 # mapInArrow tokenize→shingle→xxhash64 kernel amortizes its
-# Python-worker roundtrip (measured crossover in
-# hashed_shingle_arrays' docstring); below it the JVM expression
-# chain stays — so the sf0.1 bench plan is unchanged while every
-# cert decade from 100x up takes the kernel. Same shape as the r12
-# minhash-signature knee (_SIG_ARROW_KNEE).
-_SHINGLE_ARROW_KNEE = 32 * 1024 * 1024
+# Python-worker roundtrips; below it the JVM expression chain wins
+# on fixed cost. Placed at the MEASURED crossover (interleaved
+# cold-cache jaccard e2e, best-of-3, same session): sf0.001/sf0.01
+# (~64 KB plans) jvm 0.98-1.17 / 1.15-2.47 s vs arrow 1.23-1.94 /
+# 1.66-1.79 s — jvm wins; sf0.1 (580 KB) jvm 2.20-2.41 vs arrow
+# 1.77-1.93 s and 10x (6.9 MB) jvm 3.75-3.92 vs arrow 3.42-3.52 s —
+# arrow wins and keeps widening (chain stage at 100x: 10.2 -> 2.5 s).
+# So the knee sits between the two regimes; unlike the 32 MB sig
+# knee (_SIG_ARROW_KNEE) the chain kernel pays off from bench scale
+# up because it replaces regex-split + zip_with + array_distinct
+# interpreted work, not just hashing.
+_SHINGLE_ARROW_KNEE = 256 * 1024
 
 
 def hashed_shingle_arrays(
@@ -120,14 +126,14 @@ def hashed_shingle_arrays(
     downstream result — jaccard prefixes, minhash signatures and
     banding, contamination intersections — is unchanged by the
     engine choice. ``None`` (default) gates on the input plan size
-    at ``_SHINGLE_ARROW_KNEE``: the kernel's fixed cost is the
-    Python-worker roundtrip, so small corpora (every driver bench
-    SF) keep the r12 JVM plan while cert decades from 100x up take
-    the kernel (measured at the 1000x cert corpus: chain_persist
-    ~65-110 s JVM → see OPTIMIZATION_r13.md). The
+    at ``_SHINGLE_ARROW_KNEE`` (256 KB — the measured crossover, see
+    the knee comment): sub-bench corpora keep the JVM plan, sf0.1
+    and every decade above take the kernel (at the 1000x cert corpus
+    the JVM chain_persist stage was 65-110 s — the top jaccard
+    stage; see OPTIMIZATION_r13.md). The
     ``SPARK_GRAFT_SHINGLE_ENGINE`` env var overrides the gate so
-    parity sweeps and certification can oracle-verify the kernel at
-    small SFs (tools/certify.py arrow_parity)."""
+    parity sweeps and certification can oracle-verify either engine
+    at any SF (tools/certify.py arrow_parity)."""
     import os
 
     forced = os.environ.get("SPARK_GRAFT_SHINGLE_ENGINE")

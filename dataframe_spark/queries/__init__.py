@@ -22,80 +22,86 @@ MODULES = [stats_q, relational, extras_q, windows_q, text_q, exprs_q, ml_q, dedu
 # Registry order is a verification surface: the driver snapshots the
 # FIRST 50 entries each round.
 #
-# The r12 window (VERDICT r11 ask #5: retire the r8 cohort — after
-# r11 the 44 queries below were the only ones whose last driver
-# check predated r9). Slots 1-5: r12 plan changes —
-# q_bucket_cosine (bucketed-GEMM tile rows now pre-normalized in
-# place, ADVICE r11 #1: same cosine to 4dp, but the kernel math
-# changed so it re-verifies), q_pagerank (npart clamp for
-# implausible plan-size estimates, ADVICE r11 #2, + the profile
-# hook), q_dedup_ngram_jaccard / q_dedup_minhash / q_dedup_cluster
-# (the _materialize barrier gained the SPARK_GRAFT_NO_CACHE_BARRIER
-# cert toggle — default path identical, windowed because the
-# function changed). Slot 6: the q1 sentinel. Slots 7-50: the
-# ENTIRE r8-stale cohort (44 members, CORRECTNESS_r08 order) —
-# after this window no query's last driver check predates r9.
+# The r13 window. Slots 1-9: this round's plan-changed / engine-
+# defaulted queries (VERDICT r12 ask #3a) — q_bpe + q_bpe_encode
+# (replace-chain trainer, r12, missed the r12 window; + any r13
+# trainer change), q_semdedup_check (bound norms + persist, r12),
+# q_bigram_ppl (fit persist, r12), q_bootstrap (the arrow kernel is
+# its default at every SF — keep it driver-verified),
+# q_dedup_minhash / q_dedup_ngram_jaccard / q_dedup_cluster /
+# q_decontaminate (the r13 shingle-chain arrow kernel is now the
+# default at sf0.1 — the 256 KB knee puts the BENCH SF on the
+# kernel plan, so the driver re-verifies exactly what it benches).
+# Slot 10: the q1 sentinel. Slots 11-50: the r9-green cohort,
+# stale-first (CORRECTNESS_r09 order — their last driver check is
+# r9), EXCLUDING its three rows-only members (q_semdedup, q_knn_lsh,
+# q_synthesis: generative/sampling outputs the driver hash cannot
+# pin by design — their hard-signal companions q_semdedup_check,
+# q_knn_lsh_recall, q_synthesis_check are windowed instead) and
+# keeping the last three (q_select, q_stream_psi, q_tfidf) for the
+# r14 rotation.
 WINDOW_PRIORITY = [
-    # 1-5: r12 plan changes
-    "q_bucket_cosine",
-    "q_pagerank",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_minhash",
-    "q_dedup_cluster",
-    # 6: sentinel
-    "q1_pricing_summary",
-    # 7-50: the full r8-stale cohort (44), CORRECTNESS_r08 order
-    "q4_order_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q10_returned_items",
-    "q12_priority_lines",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q18_large_orders",
-    "q19_basket_revenue",
-    "q21_waiting_supplier",
-    "q22_global_sales",
-    "q_collect_list",
-    "q_correlation",
-    "q_describe",
-    "q_duplicated_spans",
-    "q_grouping_sets",
-    "q_hcat",
-    "q_interval_join",
-    "q_join_inner",
-    "q_json_extract",
-    "q_mode",
-    "q_ntile",
-    "q_ohlc",
-    "q_quantile_bucket",
-    "q_rollup",
-    "q_sample_group",
-    "q_skewness",
-    "q_value_counts",
-    "q_multimodal_meta",
-    "q_summarize",
-    "q_bootstrap",
-    "q_naive_bayes",
+    # 1-9: r13 plan changes + VERDICT r12 ask #3a
+    "q_bpe",
+    "q_bpe_encode",
+    "q_semdedup_check",
     "q_bigram_ppl",
-    "q_image_phash_dedup",
-    "q_image_quality",
-    "q_knn_ivf_recall",
-    "q_derive",
-    "q_apply_where",
-    "q_filter",
-    "q_take_sorted",
-    "q_impute",
-    "q_join_left",
-    "q_join_semi_anti",
+    "q_bootstrap",
+    "q_dedup_minhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_cluster",
+    "q_decontaminate",
+    # 10: sentinel
+    "q1_pricing_summary",
+    # 11-50: r9-green cohort, CORRECTNESS_r09 order (see above)
+    "q_ppl_buckets",
+    "q_heavy_hitters",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_relation",
+    "q20_excess_stock",
+    "q_fingerprint",
+    "q_corpus_filter",
+    "q_knn_lsh_recall",
+    "q_synthesis_check",
+    "q_sessionize",
+    "q_union",
+    "q_set_ops",
+    "q_dates",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "q13_order_counts",
+    "q_filter_nulls",
+    "q_frequencies",
+    "q_boilerplate",
+    "q_corr_matrix",
+    "q_dedup_embedding",
+    "q_dedup_exact",
+    "q_distinct",
+    "q_exclude",
+    "q_group_agg",
+    "q_group_quantiles",
+    "q_join_full",
+    "q_js_divergence",
+    "q_knn_brute",
+    "q_ks_test",
+    "q_mann_whitney",
+    "q_melt",
+    "q_pivot",
+    "q_psi",
+    "q_quantiles",
+    "q_recode",
+    "q_resample",
+    "q_sample_weighted",
+    "q_sample_weighted_group",
 ]
 
-# R13 ROTATION QUEUE (stale-first): the r9-green cohort
-# (CORRECTNESS_r09 order, 45 members starting q_bpe), then the
-# r10-green cohort. All remain under continuous full-registry
-# pytest parity at sf0.001 and the HEAD CERT_parity sweeps at
-# sf0.01/sf0.1/ANSI.
+# R14 ROTATION QUEUE (stale-first): the r9 tail (q_select,
+# q_stream_psi, q_tfidf), then the r10-green cohort
+# (CORRECTNESS_r10 order). All remain under continuous
+# full-registry pytest parity at sf0.001 and the HEAD CERT_parity
+# sweeps at sf0.01/sf0.1/ANSI (which DO hash-verify the rows-only
+# trio's check companions and row production).
 #
 # (Previous rounds' windows live in git history for the rotation
 # audit trail.)

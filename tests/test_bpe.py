@@ -165,6 +165,37 @@ def test_bpe_sentinel_tokens_dropped_from_training(spark):
     assert got == ref
 
 
+def test_bpe_speculative_matches_sequential(spark):
+    """The speculative top-K trainer must learn IDENTICAL merges to
+    the one-argmax-per-job trainer (speculative_k=1) — the
+    acceptance rule (_speculative_prefix) claims each accepted pair
+    is the exact round argmax, so any divergence is a soundness bug.
+    Random corpora stress tie-breaks, interacting pairs (shared
+    symbols), and created-pair overtakes; the driver-side reference
+    trainer adjudicates both."""
+    import random
+
+    rng = random.Random(1234)
+    alphabet = "abcde"
+    for trial in range(6):
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(4, 14))
+        ]
+        texts = [
+            " ".join(rng.choice(words) for _ in range(rng.randint(2, 12)))
+            for _ in range(4)
+        ]
+        docs = _mk_docs(spark, texts)
+        spec = B.bpe_train(docs, "text", n_merges=8)
+        seq = B.bpe_train(docs, "text", n_merges=8, speculative_k=1)
+        assert spec.merges == seq.merges, (trial, texts)
+        assert spec.ops == seq.ops
+        ref, _ = _ref_train(_counts_from_texts(texts), 8)
+        got = [(m["lhs"], m["rhs"], m["n"]) for m in spec.merges]
+        assert got == ref, (trial, texts)
+
+
 def test_bpe_deterministic(spark):
     docs = _mk_docs(spark, TEXTS)
     m1 = B.bpe_train(docs, "text", n_merges=5)
