@@ -168,6 +168,7 @@ def bucketed_cosine_pairs(
     threshold: float = 0.9,
     block_rows: int = 2048,
     max_bucket_rows: int = 32768,
+    round_to: int | None = 4,
 ) -> SparkDF:
     """Exact all-pairs cosine WITHIN each bucket: (a_id, b_id,
     cosine) for a < b and cosine >= threshold, computed with BLAS
@@ -201,7 +202,12 @@ def bucketed_cosine_pairs(
     Small buckets keep the r10 single-task shape: blk = 0, s = 1,
     one a-role copy per row — no duplication, same shuffle volume.
     ``id_col`` must be integral (the cosine_pairs rule: ids ride
-    int64 numpy)."""
+    int64 numpy). ``round_to`` (r13): decimal places for the output
+    cosine — default 4 keeps the public cosine_pairs-agreement
+    contract; ``None`` emits raw float64 sims so a caller can
+    threshold on the unrounded value (semdedup's GEMM edge path,
+    which must match its expression join's ``sim >= tau`` up to
+    summation-order ulps, not to 4dp)."""
     id_type = dict(df.dtypes)[id_col]
     if id_type not in ("int", "bigint", "smallint", "tinyint"):
         raise TypeError(
@@ -288,7 +294,12 @@ def bucketed_cosine_pairs(
         for lo in range(0, len(A_all), block_rows):
             A = A_all[lo : lo + block_rows]
             sims = A @ B.T
-            np.round(sims, 4, out=sims)
+            if round_to is not None:
+                # the public 4dp contract (cosine_pairs agreement);
+                # round_to=None keeps raw float64 sims for callers
+                # thresholding on the unrounded value (semdedup's
+                # GEMM edge path, r13)
+                np.round(sims, round_to, out=sims)
             blk_ids = a_ids[lo : lo + block_rows]
             # cross tiles carry each unordered pair once but in
             # arbitrary id order — normalize to (lo, hi); diagonal
@@ -757,6 +768,23 @@ def knn_lsh(
     )
 
 
+# semdedup edge-engine knee (r13): above this input plan size the
+# within-cluster pair join runs as the bucketed-GEMM kernel instead
+# of the per-pair JVM expression join. The r13 semdedup phase
+# profile (CERT_vectors_stages_r13) put the expression join at
+# 615 s of the 731 s 1000x wall — 512 M candidate pairs each paying
+# an interpreted 256-term aggregate() dot product, exactly the
+# per-pair arithmetic bucketed_cosine_pairs replaces with dense
+# matmul (measured ~50x on 256-dim floats). Driver SFs sit far
+# below the knee and keep the expression join, so every declared
+# query's floats are byte-identical; at cert scale the two engines
+# agree up to summation-order ulps at the tau boundary (GEMM sums
+# blockwise, the expression sequentially — the same class of
+# difference the query contract's rounding absorbs elsewhere), and
+# set-equality on non-degenerate data is test-pinned.
+_SEMDEDUP_GEMM_KNEE = 128 * 1024 * 1024
+
+
 def semdedup(
     df: SparkDF,
     id_col: str,
@@ -766,6 +794,7 @@ def semdedup(
     max_iter: int = 3,
     seed: int = 42,
     centroids=None,
+    edge_engine: str | None = None,
 ) -> SparkDF:
     """SemDeDup semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-partition the embedding space, then
@@ -793,7 +822,19 @@ def semdedup(
     id per duplicate group (the paper keeps the member with the
     LOWEST centroid similarity; min-id is this engine's
     deterministic, tie-stable choice — swap via the returned flags
-    if centroid-distance policy is needed)."""
+    if centroid-distance policy is needed).
+
+    ``edge_engine`` (r13): ``"gemm"`` computes the within-cluster
+    pair join with the bucketed-GEMM kernel (bucket = cluster id,
+    unrounded threshold — see _SEMDEDUP_GEMM_KNEE), ``"jvm"`` the
+    per-pair expression join; ``None`` gates on input plan size so
+    small corpora (every driver SF) keep the expression join's
+    byte-exact floats while cert-scale corpora take the kernel.
+    ``SPARK_GRAFT_SEMDEDUP_EDGES`` overrides for tests/cert. The
+    GEMM path requires an integral id (falls back to the
+    expression join otherwise)."""
+    import os
+
     from .dedup import _reusable
     from .graph import connected_components
 
@@ -813,37 +854,74 @@ def semdedup(
                 df, id_col, vec_col, k=k, max_iter=max_iter, seed=seed
             )
         assign = _assign_udf(_unit_rows(centroids))
+    forced = os.environ.get("SPARK_GRAFT_SEMDEDUP_EDGES")
+    if forced:
+        edge_engine = forced
+    if edge_engine is None:
+        from ..plans.stats import plan_size_bytes
+
+        edge_engine = (
+            "gemm"
+            if plan_size_bytes(df) > _SEMDEDUP_GEMM_KNEE
+            else "jvm"
+        )
+    if edge_engine not in ("gemm", "jvm"):
+        raise ValueError(
+            f"edge_engine must be 'gemm' or 'jvm', got {edge_engine!r}"
+        )
+    if edge_engine == "gemm" and dict(df.dtypes).get(id_col) not in (
+        "int", "bigint", "smallint", "tinyint"
+    ):
+        edge_engine = "jvm"  # GEMM ids ride int64 numpy
     sides = _reusable(
         df.where(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("id"), _dvec(vec_col).alias("__v"))
         .withColumn("__cid", assign(F.col("__v")))
         .withColumn("__nrm", norm(F.col("__v")))
     )
-    a = sides.select(
-        F.col("id").alias("a_id"),
-        "__cid",
-        F.col("__v").alias("__va"),
-        F.col("__nrm").alias("__na"),
-    )
-    b = sides.select(
-        F.col("id").alias("b_id"),
-        "__cid",
-        F.col("__v").alias("__vb"),
-        F.col("__nrm").alias("__nb"),
-    )
-    sim = dot(F.col("__va"), F.col("__vb")) / F.nullif(
-        F.col("__na") * F.col("__nb"), F.lit(0.0)
-    )
     # persisted: connected_components references its input several
     # times before the first localCheckpoint (symmetrize union,
     # large-star join, node-universe scan) — without this the
     # dominant within-cluster pairwise join re-runs per consumer
-    edges = _reusable(
-        a.join(b, "__cid")
-        .where(F.col("a_id") < F.col("b_id"))
-        .where(sim >= tau)
-        .select("a_id", "b_id")
-    )
+    if edge_engine == "gemm":
+        # the within-cluster pair join as dense matmul tiles
+        # (bucket = cluster id, raw unrounded sims thresholded at
+        # tau) — see _SEMDEDUP_GEMM_KNEE for the equivalence and
+        # knee rationale. Barrier first: the GEMM's groupBy consumes
+        # sides once, but CC + the final join re-read it, and the
+        # assign UDF is the expensive map work a cold-cache race
+        # would re-run (see dedup._materialize).
+        from .dedup import _materialize
+
+        _materialize(sides)
+        edges = _reusable(
+            bucketed_cosine_pairs(
+                sides, "id", "__v", "__cid",
+                threshold=tau, round_to=None,
+            ).select("a_id", "b_id")
+        )
+    else:
+        a = sides.select(
+            F.col("id").alias("a_id"),
+            "__cid",
+            F.col("__v").alias("__va"),
+            F.col("__nrm").alias("__na"),
+        )
+        b = sides.select(
+            F.col("id").alias("b_id"),
+            "__cid",
+            F.col("__v").alias("__vb"),
+            F.col("__nrm").alias("__nb"),
+        )
+        sim = dot(F.col("__va"), F.col("__vb")) / F.nullif(
+            F.col("__na") * F.col("__nb"), F.lit(0.0)
+        )
+        edges = _reusable(
+            a.join(b, "__cid")
+            .where(F.col("a_id") < F.col("b_id"))
+            .where(sim >= tau)
+            .select("a_id", "b_id")
+        )
     comp = connected_components(edges, "a_id", "b_id")
     return sides.join(comp, sides["id"] == comp["node"], "left").select(
         F.col("id"),

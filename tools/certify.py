@@ -962,22 +962,41 @@ def _semdedup_stage_profile(spark, d, tau=0.4, max_iter=3, seed=42):
             .withColumn("__nrm", sim.norm(F.col("__v")))
         ),
     )
-    a = sides.select(F.col("id").alias("a_id"), "__cid",
-                     F.col("__v").alias("__va"), F.col("__nrm").alias("__na"))
-    b = sides.select(F.col("id").alias("b_id"), "__cid",
-                     F.col("__v").alias("__vb"), F.col("__nrm").alias("__nb"))
-    s = sim.dot(F.col("__va"), F.col("__vb")) / F.nullif(
-        F.col("__na") * F.col("__nb"), F.lit(0.0)
-    )
-    edges = stage(
-        "pair_join_persist",
-        _reusable(
-            a.join(b, "__cid")
-            .where(F.col("a_id") < F.col("b_id"))
-            .where(s >= tau)
-            .select("a_id", "b_id")
-        ),
-    )
+    # mirror the operator's r13 edge-engine gate (the GEMM kernel at
+    # cert scale, the expression join below the knee)
+    from dataframe_spark.plans.stats import plan_size_bytes
+
+    if plan_size_bytes(emb) > sim._SEMDEDUP_GEMM_KNEE:
+        prof["edge_engine"] = "gemm"
+        edges = stage(
+            "pair_join_persist",
+            _reusable(
+                sim.bucketed_cosine_pairs(
+                    sides, "id", "__v", "__cid",
+                    threshold=tau, round_to=None,
+                ).select("a_id", "b_id")
+            ),
+        )
+    else:
+        prof["edge_engine"] = "jvm"
+        a = sides.select(F.col("id").alias("a_id"), "__cid",
+                         F.col("__v").alias("__va"),
+                         F.col("__nrm").alias("__na"))
+        b = sides.select(F.col("id").alias("b_id"), "__cid",
+                         F.col("__v").alias("__vb"),
+                         F.col("__nrm").alias("__nb"))
+        s = sim.dot(F.col("__va"), F.col("__vb")) / F.nullif(
+            F.col("__na") * F.col("__nb"), F.lit(0.0)
+        )
+        edges = stage(
+            "pair_join_persist",
+            _reusable(
+                a.join(b, "__cid")
+                .where(F.col("a_id") < F.col("b_id"))
+                .where(s >= tau)
+                .select("a_id", "b_id")
+            ),
+        )
     comp = stage("connected_components",
                  connected_components(edges, "a_id", "b_id"))
     stage(
@@ -1051,8 +1070,13 @@ def sweep_vectors_stages(argv):
             merged["canary"][f"decade_{tag}"] = part["canary"]
         merged["decades"] = rows
         c = merged["canary"]
+        # compare the QUIET FLOOR before vs after each section (min
+        # of each bracket): the first pre rep in a fresh process
+        # pays one-off JVM/codegen warmup (9-20 s vs the ~2 s steady
+        # canary in every r12/r13 artifact), so a max-over-all-reps
+        # spread would flag warmup as a burst
         spreads = {
-            s: round(max(max(v["pre"]), max(v["post"]))
+            s: round(max(min(v["pre"]), min(v["post"]))
                      / max(min(min(v["pre"]), min(v["post"])), 1e-9), 2)
             for s, v in c.items()
         }
