@@ -367,13 +367,41 @@ def _prefix_candidates(prefix: SparkDF, threshold: float) -> SparkDF:
     α = ceil(t/(1+t)·(na+nb)); ``pos`` is the 1-based position of
     the entry in its doc's globally-ordered shingle list) applied
     INSIDE the join, before the distinct. Shared by both global
-    orders — the filters are order-agnostic."""
+    orders — the filters are order-agnostic.
+
+    r13 — LOSSLESS index/probe prefix asymmetry (the PPJoin indexing
+    prefix): direct each unordered pair by (n_sh, id) instead of id
+    and keep only INDEX-prefix entries on the smaller side. For any
+    pair with J >= t the overlap lemma (valid under any consistent
+    global order) puts a shared element in the first (n_x − α + 1)
+    of X and the first (n_y − α + 1) of Y, where X is the
+    (n_sh, id)-smaller record and α = ceil(t/(1+t)·(n_x+n_y)).
+    Since n_y >= n_x, α >= ceil(2t/(1+t)·n_x), so the shared entry
+    sits within X's first n_x − ceil(2t/(1+t)·n_x) + 1 entries
+    (≈0.11·n at t=0.8 vs the ≈0.2·n probe prefix); and J >= t
+    forces n_x >= t·n_y, so α >= ceil(t·n_y) and the entry sits
+    within Y's probe prefix, which the frame already carries (pairs
+    with n_x < t·n_y die to the length filter anyway, so assuming
+    it here drops nothing). The a-side of the self-join shrinks
+    ~45% and every false candidate colliding only in the deep part
+    of the smaller record's prefix never materializes. Pairs
+    re-normalize to a_id < b_id, so the output is identical to the
+    symmetric join's."""
+    # index-prefix bound of the (n_sh, id)-smaller side:
+    # pos <= n − ceil(2t/(1+t)·n) + 1
+    idx_len = (
+        F.col("__na")
+        - F.ceil(
+            F.lit(2.0 * threshold / (1.0 + threshold)) * F.col("__na")
+        )
+        + 1
+    )
     a = prefix.select(
         F.col("id").alias("a_id"),
         "shingle",
         F.col("n_sh").alias("__na"),
         F.col("pos").alias("__pa"),
-    )
+    ).where(F.col("__pa") <= idx_len)
     b = prefix.select(
         F.col("id").alias("b_id"),
         "shingle",
@@ -389,17 +417,23 @@ def _prefix_candidates(prefix: SparkDF, threshold: float) -> SparkDF:
         )
         + 1
     )
+    smaller_first = (F.col("__na") < F.col("__nb")) | (
+        (F.col("__na") == F.col("__nb")) & (F.col("a_id") < F.col("b_id"))
+    )
     return (
         a.join(b, "shingle")
         .where(
-            (F.col("a_id") < F.col("b_id"))
+            smaller_first
             & (
                 F.least("__na", "__nb")
                 >= F.lit(threshold) * F.greatest("__na", "__nb")
             )
             & (overlap_ub >= alpha)
         )
-        .select("a_id", "b_id")
+        .select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+        )
         .distinct()
     )
 
@@ -563,6 +597,39 @@ def _hash_order_prefix(
     )
 
 
+def _long_array_literal(words):
+    """ONE ArrayType(LongType) Literal node from a list of uint64
+    words. ``F.lit(list)`` expands to CreateArray with a child
+    Literal PER ELEMENT — at the demotion bitmaps' size (up to 512k
+    words) that is a ~1M-node expression tree which EVERY Catalyst
+    analysis, canonicalization and cache-lookup pass re-traverses:
+    the 1000x jaccard event log showed 166 s of driver-side gaps
+    with zero jobs running, and a 262k-word micro-bench pays 124 s
+    for the list literal vs 0.1 s here. ``F.lit(ndarray)`` is no
+    rescue: py4j's NumpyArrayConverter copies element-by-element
+    (~35 s). Bulk route instead: words ship as ONE py4j byte[]
+    copy, a JVM-side LongBuffer.get fills the long[], and
+    ``functions.lit(long[])`` builds the single Literal — bit
+    patterns identical to the old signed-list literal (the int64
+    view IS two's complement). Falls back to the list literal when
+    no py4j gateway exists (Spark Connect)."""
+    import numpy as np
+    from pyspark import SparkContext
+
+    gw = getattr(SparkContext, "_gateway", None)
+    if gw is None:  # Spark Connect: no JVM in-process
+        signed = [w - (1 << 64) if w >= 1 << 63 else w for w in words]
+        return F.lit(signed).cast("array<bigint>")
+    from pyspark.sql.column import Column
+
+    arr = np.array(words, dtype=np.uint64).view(np.int64)
+    jvm = gw.jvm
+    buf = jvm.java.nio.ByteBuffer.wrap(arr.astype(">i8").tobytes())
+    jarr = gw.new_array(jvm.long, len(words))
+    buf.asLongBuffer().get(jarr)
+    return Column(jvm.org.apache.spark.sql.functions.lit(jarr))
+
+
 def _sampled_hot_probe(
     src: SparkDF,
     id_col: str,
@@ -633,9 +700,7 @@ def _sampled_hot_probe(
         for h in hashes:
             pos = h % m_bits  # python % is non-negative, like pmod
             words[pos >> 6] |= 1 << (pos & 63)
-        # two's-complement to signed for the bigint literal
-        words = [w - (1 << 64) if w >= 1 << 63 else w for w in words]
-        words_lit = F.lit(words).cast("array<bigint>")
+        words_lit = _long_array_literal(words)
 
         def probe(h):
             pos = F.pmod(h, F.lit(m_bits))
