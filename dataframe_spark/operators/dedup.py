@@ -1909,6 +1909,7 @@ def lsh_candidate_pairs(
     rows_per_band: int = 4,
     max_bucket: int | None = None,
     carry: list[str] | None = None,
+    persist_bands: bool = False,
 ) -> SparkDF:
     """Banding: docs sharing any band-signature become candidates.
 
@@ -1931,7 +1932,31 @@ def lsh_candidate_pairs(
     (r6: lets the caller avoid re-joining pair rows against the
     signature source). Duplicate pairs (shared across several bands)
     collapse via a groupBy that keeps the first passenger values —
-    passengers are functions of the id, so all duplicates agree."""
+    passengers are functions of the id, so all duplicates agree.
+
+    Band signature (r13): ``xxhash64`` over the LONG SLICE directly.
+    The r5-r12 form stringified every signature element and hashed
+    the comma-joined text — bands × rows_per_band long→string casts
+    plus a concat per doc, interpreted, and computed TWICE (the
+    self-join's two sides re-derive ``banded`` from the sigs cache).
+    Any deterministic injective-up-to-collisions function of the
+    slice yields the SAME candidate semantics: docs with an
+    identical band slice always collide under either form (LSH's
+    recall curve is untouched), and differing slices collide only
+    at the ~2⁻⁶⁴ xxhash64 rate — the same vanishing, verify-checked
+    risk the shingle pipeline already documents. Measured at the
+    1000x cert corpus: the full candidates stage (both A/B'd with
+    the banded frame persisted) 49-58 s string-hash → 41.5-42.2 s
+    array-hash, with a BYTE-IDENTICAL candidate set (241,556).
+
+    ``persist_bands`` (r13) caches + materializes the slim banded
+    frame before the self-join so band hashing runs ONCE instead of
+    once per join side — interleaved A/B at the 1000x cert corpus:
+    80.4-82.9 s (shipped r12 shape) → 49-58 s persisted. Off by
+    default: at bench scale the extra cache write + barrier count
+    cost more than the recompute (the same fixed-stage reasoning as
+    every other `big` knee); minhash_dedup_pairs passes its 128 MB
+    input-plan gate."""
     if rows_per_band < 1:
         # e.g. num_perm // bands with bands > num_perm: every band
         # slice would be empty and hash to ONE constant bucket — a
@@ -1940,16 +1965,18 @@ def lsh_candidate_pairs(
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.xxhash64(
-            F.concat_ws(",", F.transform(
-                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                lambda x: x.cast("string"),
-            ))
+            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
         ),
     )
     carry = carry or []
     banded = sigs.select(
         "id", *carry, F.posexplode(band_arr).alias("band_idx", "band_hash")
     )
+    if persist_bands:
+        banded = _reusable(banded)
+        # barrier: the self-join consumes the cache from two sides
+        # (see _materialize — a cold cache would be raced)
+        _materialize(banded)
     if max_bucket is not None:
         from pyspark.sql.window import Window
 
@@ -2090,19 +2117,25 @@ def minhash_dedup_pairs(
             arrs_h.join(gstats.select("id"), "id"), num_perm, engine
         )
     )
-    cands = lsh_candidate_pairs(sigs, bands, num_perm // bands, max_bucket)
+    if big:
+        # barrier: the banded frame (persisted below) derives from
+        # the sigs cache; materialize sigs first so the banding pass
+        # reads a warm cache instead of racing a cold one (see
+        # _materialize — the num_perm x |sh_arr| signature hashing
+        # is the most expensive map work here)
+        _materialize(sigs)
+    # the banded frame persists above the knee (r13): the band
+    # self-join otherwise re-derives band_arr from the sigs cache
+    # once per side — see lsh_candidate_pairs
+    cands = lsh_candidate_pairs(
+        sigs, bands, num_perm // bands, max_bucket, persist_bands=big
+    )
     # candidate ids are representatives, so verifying against the
     # FULL cached array table picks exactly the rep rows — no
     # separate rep frame to scan three times. The counted
     # broadcast-verify (r10) only pays its eager count when the
     # corpus is big enough for the full-array shuffles to matter
     # (the jaccard_pairs knee)
-    if big:
-        # barrier: the band self-join consumes the persisted sigs
-        # from two sides; a cold cache would be raced at a fraction
-        # of the box (see _materialize — the num_perm x |sh_arr|
-        # signature hashing is the most expensive map work here)
-        _materialize(sigs)
     rep_pairs = _verify_jaccard(
         cands, arrs_h, threshold, broadcast_pairs=None if big else False
     )

@@ -442,6 +442,74 @@ def test_lsh_max_bucket_caps_candidates(spark):
     assert capped == 6  # C(4,2): first 4 ids by order survive
 
 
+def test_lsh_band_refactor_matches_reference(spark):
+    """r13: the band signature moved from xxhash64 over a
+    comma-joined STRING of the slice to xxhash64 over the long slice
+    directly, and the banded frame optionally persists before the
+    self-join. Both are deterministic functions of the band slice,
+    so the candidate set — pairs sharing at least one identical
+    band slice — must be IDENTICAL to the old string-hash reference
+    (collisions aside), and persist_bands must not change output."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dataframe_spark.operators.dedup import lsh_candidate_pairs
+
+    rng = random.Random(7)
+
+    def rand_sig():
+        return [rng.randrange(-(1 << 62), 1 << 62) for _ in range(64)]
+
+    # 10 fully-random singletons (no shared bands), then 10 pairs
+    # each sharing exactly one band (a different band per pair)
+    rows = [(i, rand_sig()) for i in range(10)]
+    for p in range(10):
+        s1, s2 = rand_sig(), rand_sig()
+        b = p % 16
+        s2[b * 4 : b * 4 + 4] = s1[b * 4 : b * 4 + 4]
+        rows.append((10 + 2 * p, s1))
+        rows.append((11 + 2 * p, s2))
+    sigs = spark.createDataFrame(rows, "id long, sig array<bigint>")
+
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in lsh_candidate_pairs(sigs, 16, 4).collect()
+    }
+    got_persist = {
+        (r["a_id"], r["b_id"])
+        for r in lsh_candidate_pairs(
+            sigs, 16, 4, persist_bands=True
+        ).collect()
+    }
+    # the r5-r12 string-hash reference, inline
+    band_arr_old = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda b: F.xxhash64(
+            F.concat_ws(",", F.transform(
+                F.slice(F.col("sig"), b * 4 + 1, 4),
+                lambda x: x.cast("string"),
+            ))
+        ),
+    )
+    banded = sigs.select(
+        "id", F.posexplode(band_arr_old).alias("band_idx", "band_hash")
+    )
+    a = banded.select(F.col("id").alias("a_id"), "band_idx", "band_hash")
+    b = banded.select(F.col("id").alias("b_id"), "band_idx", "band_hash")
+    want = {
+        (r["a_id"], r["b_id"])
+        for r in a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+        .collect()
+    }
+    assert got == want == got_persist
+    # exactly the 10 planted single-band pairs, nothing else
+    assert want == {(10 + 2 * p, 11 + 2 * p) for p in range(10)}
+
+
 def test_contamination_paths_equivalent(docs):
     """The gated broadcast (in-row array) and shuffle-join plans of
     contamination_scores must produce identical rows."""
