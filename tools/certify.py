@@ -897,10 +897,19 @@ def _minhash_stage_profile(
             )
         ),
     )
-    cands = stage(
-        "band_candidates",
-        dd.lsh_candidate_pairs(sigs, bands, num_perm // bands, None),
+    # persist_bands=True mirrors minhash_dedup_pairs above its
+    # 128 MB gate (r13) — every profiled corpus is far above it.
+    # The banded materialization is EAGER (it runs at call time,
+    # not first action), so the construction is timed explicitly:
+    # stage()'s argument-evaluation shape would leave the banding
+    # pass outside the timed region and under-count the stage.
+    t0 = time.monotonic()
+    cands = dd.lsh_candidate_pairs(
+        sigs, bands, num_perm // bands, None, persist_bands=True
     )
+    _noop(cands)
+    prof["band_candidates"] = round(time.monotonic() - t0, 3)
+    print(f"  stage band_candidates: {prof['band_candidates']}", flush=True)
     out = stage(
         "verify",
         dd._verify_jaccard(cands, arrs_h, threshold, broadcast_pairs=None),
